@@ -1,0 +1,118 @@
+"""End-to-end tenant pipeline: the reference's upload→transform→report
+flow (SURVEY §3) as a thin orchestration over the engine library.
+
+Reference flow (serve_flight.py:81-221): do_put → auth → filename gate
+→ save raw CSV → SQLMesh plan/apply (stg, fct into a DuckDB file) →
+checkpoint. Here: read CSV (all-string) → stg/fct DataFrame plan →
+one overwrite parquet write. The two-layer DAG executes as a single
+Catalyst plan — no intermediate materialization of the staging layer
+unless ``materialize_staging=True`` (kept for bronze-audit parity).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from city_payroll_data_pipeline_spark.operators import reports
+from city_payroll_data_pipeline_spark.plans import PIPELINES
+from city_payroll_data_pipeline_spark.schemas import (
+    CORPORATE_RAW_COLUMNS,
+    EDUCATION_RAW_COLUMNS,
+    HOSPITAL_RAW_COLUMNS,
+    validate_fact_contract,
+)
+from city_payroll_data_pipeline_spark.sources import sinks
+from city_payroll_data_pipeline_spark.sources.readers import read_csv_all_string
+from city_payroll_data_pipeline_spark.sources.tenancy import TenantRegistry
+
+RAW_COLUMNS = {
+    "corporate": CORPORATE_RAW_COLUMNS,
+    "education": EDUCATION_RAW_COLUMNS,
+    "hospital": HOSPITAL_RAW_COLUMNS,
+}
+
+
+class Engine:
+    """Multi-tenant payroll analytics engine (library surface)."""
+
+    def __init__(self, spark: SparkSession, storage_root: str):
+        self.spark = spark
+        self.registry = TenantRegistry(storage_root)
+
+    # -- ingest + transform (§3.1) ------------------------------------
+
+    def ingest(
+        self,
+        client_id: str,
+        password: str,
+        csv_path: str,
+        processed_at=None,
+        materialize_staging: bool = False,
+    ) -> str:
+        """Upload→transform one CSV for a tenant; returns the Clean
+        warehouse path of the fact table."""
+        tenant = self.registry.authenticate(client_id, password)
+        self.registry.validate_filename(client_id, csv_path)
+
+        # bronze backup of the raw file (S4, serve_flight.py:145-151)
+        raw_dir = self.registry.storage_path(client_id, "Raw")
+        shutil.copy(csv_path, os.path.join(raw_dir, os.path.basename(csv_path)))
+
+        industry = tenant.industry
+        raw = read_csv_all_string(
+            self.spark,
+            csv_path,
+            columns=RAW_COLUMNS[industry],
+            normalize_names=(industry == "hospital"),
+        )
+        stg_fn, fct_fn = PIPELINES[industry]
+        stg = stg_fn(raw, processed_at=processed_at)
+
+        clean = self.registry.clean_path(client_id, csv_path)
+        if materialize_staging:
+            sinks.write_parquet(stg, os.path.join(clean, f"stg_{industry}"))
+            stg = self.spark.read.parquet(os.path.join(clean, f"stg_{industry}"))
+
+        fct = validate_fact_contract(fct_fn(stg))
+        sinks.write_parquet(fct, os.path.join(clean, f"fct_{industry}"))
+        return clean
+
+    # -- serving (§3.2 / §3.3) ----------------------------------------
+
+    def fact_table(self, client_id: str, password: str, upload_basename: str) -> DataFrame:
+        tenant = self.registry.authenticate(client_id, password)
+        clean = self.registry.clean_path(client_id, upload_basename)
+        return self.spark.read.parquet(
+            os.path.join(clean, f"fct_{tenant.industry}")
+        )
+
+    def budget_report(self, client_id: str, password: str, upload_basename: str,
+                      save_copy: bool = False) -> DataFrame:
+        fct = self.fact_table(client_id, password, upload_basename)
+        rpt = reports.budget_report(fct)
+        if save_copy:
+            out = os.path.join(
+                self.registry.storage_path(client_id, "Downloads"),
+                f"{os.path.splitext(os.path.basename(upload_basename))[0]}_summary",
+            )
+            sinks.write_csv(rpt, out)
+        return rpt
+
+    def full_export(self, client_id: str, password: str, upload_basename: str,
+                    save_copy: bool = False) -> DataFrame:
+        fct = self.fact_table(client_id, password, upload_basename)
+        exp = reports.full_export(fct)
+        if save_copy:
+            out = os.path.join(
+                self.registry.storage_path(client_id, "Downloads"),
+                f"{os.path.splitext(os.path.basename(upload_basename))[0]}_full_export",
+            )
+            sinks.write_csv(exp, out)
+        return exp
+
+    def list_files(self, client_id: str, password: str, subdir: str = "Clean"):
+        self.registry.authenticate(client_id, password)
+        return self.registry.list_files(client_id, subdir)

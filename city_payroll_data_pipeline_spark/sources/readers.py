@@ -1,0 +1,55 @@
+"""Readers (SURVEY §2.1 S1-S3, S6).
+
+All CSV ingest is schema-on-read with every column string
+(reference ``all_varchar=True``, stg_corporate.sql:44) — no inference
+pass, which matters at 100 TB (inference = a full extra scan) and
+guarantees stable schemas across uploads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from city_payroll_data_pipeline_spark.schemas import (
+    all_string_schema,
+    normalize_columns,
+)
+
+
+def read_csv_all_string(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    normalize_names: bool = False,
+) -> DataFrame:
+    """S1/S2: CSV scan, header row, quote='"', every column StringType.
+
+    ``columns``: known header list → explicit schema (preferred; zero
+    inference). Otherwise headers are taken from the file but types stay
+    string (Spark's default without inferSchema).
+    ``normalize_names``: DuckDB-style header normalization (S2,
+    stg_hospital.sql:28).
+    """
+    reader = spark.read.option("header", True).option("quote", '"')
+    if columns is not None:
+        df = reader.schema(all_string_schema(columns)).csv(path)
+    else:
+        df = reader.csv(path)
+    return normalize_columns(df) if normalize_names else df
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan — Catalyst pushes filters/column pruning into the
+    scan (check ``PushedFilters`` / ``ReadSchema`` in .explain)."""
+    return spark.read.parquet(path)
+
+
+def from_pandas(spark: SparkSession, pdf) -> DataFrame:
+    """S3: Arrow-accelerated ingest of a client-supplied pandas frame
+    (the reference's do_put path, serve_flight.py:148-149)."""
+    return spark.createDataFrame(pdf)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict:
+    """Load driver testdata parquet tables as a name->DataFrame dict."""
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

@@ -1,0 +1,46 @@
+"""Sinks (SURVEY §2.1 S4, S5, S8-S10).
+
+Full-refresh materialization (every reference model is ``kind FULL``,
+config.yaml:24) maps to overwrite-mode writes. Parquet overwrite is
+atomic-per-directory and needs no WAL checkpoint/vacuum housekeeping
+(the reference's L6/L7 lifecycle ops collapse to nothing).
+
+Scale notes: writers take an optional ``partition_by`` (e.g. tenant,
+date) so downstream scans partition-prune, and ``coalesce`` for the
+small-output case (a 50-row report should not produce 32 files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    coalesce: int | None = None,
+) -> None:
+    """S9/S10: parquet sink (raw strings-only or clean fact)."""
+    if coalesce:
+        df = df.coalesce(coalesce)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", coalesce: int | None = 1
+) -> None:
+    """S4/S8: CSV sink (raw backup, report/export archives). Reports are
+    small → default coalesce(1) for a single client-friendly file."""
+    if coalesce:
+        df = df.coalesce(coalesce)
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def save_table(df: DataFrame, name: str, mode: str = "overwrite") -> None:
+    """S5: full-refresh managed table (``kind FULL`` -> overwrite)."""
+    df.write.mode(mode).format("parquet").saveAsTable(name)

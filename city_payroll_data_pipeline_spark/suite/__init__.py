@@ -1,0 +1,65 @@
+"""The oracle-checked query suite.
+
+Every operator from SURVEY §2 (plus the beyond-parity training-data
+operators) is exposed as a named :class:`Query`: a PySpark callable
+``(spark, sf_dir) -> DataFrame`` paired with an ANSI-SQL oracle string
+that DuckDB runs on the same parquet tables. The driver compares
+row-count + schema + order-insensitive value hash at sf=0.01.
+
+Determinism rule: any aggregate over doubles whose value depends on
+summation order is computed via exact DECIMAL arithmetic and cast back
+to double (see ``suite.parity`` helpers) so Spark's partial/final
+shuffle aggregation and DuckDB's single-threaded sum produce
+bit-identical results.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver does a weaker rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return events_table(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; read it as raw nanos (legacy conf) and
+    convert to a microsecond timestamp with exact integer arithmetic
+    (``div`` — double division would lose precision above 2^53 ns).
+    DuckDB's ns→us cast truncates identically.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def build_suite() -> dict[str, Query]:
+    from city_payroll_data_pipeline_spark.suite import (
+        parity,
+        relational,
+        textops,
+        vectors,
+    )
+
+    suite: dict[str, Query] = {}
+    for mod in (parity, relational, textops, vectors):
+        overlap = suite.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        suite.update(mod.QUERIES)
+    return suite

@@ -1,0 +1,86 @@
+"""End-to-end Engine tests: tenant registration, auth, filename gate,
+ingest → fact parquet, budget report, full export, listing."""
+
+import csv
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    from city_payroll_data_pipeline_spark.engine import Engine
+
+    root = str(tmp_path_factory.mktemp("warehouse"))
+    eng = Engine(spark, root)
+    eng.registry.register("ACME", "corporate", "secret")
+    return eng
+
+
+@pytest.fixture(scope="module")
+def corporate_csv(tmp_path_factory):
+    from city_payroll_data_pipeline_spark.schemas import CORPORATE_RAW_COLUMNS
+
+    path = str(tmp_path_factory.mktemp("upload") / "corporate_payroll_2013.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(CORPORATE_RAW_COLUMNS)
+        w.writerow(["1", "2013", "Police", "Officer", "FT", "$100.00", "$10.00", "$5.00", "$1.00"])
+        w.writerow(["2", "2013", "Police", "Officer", "FT", "$200.00", "", "", ""])
+        w.writerow(["3", "2013", "Fire", "Captain", "FT", "$300.00", "$90.00", "", ""])
+    return path
+
+
+def test_ingest_and_report(engine, corporate_csv):
+    engine.ingest("ACME", "secret", corporate_csv, processed_at="2024-06-01T00:00:00")
+    rpt = engine.budget_report("ACME", "secret", corporate_csv).collect()
+    by_title = {r["job_title"]: r for r in rpt}
+    assert by_title["Officer"]["total_employee"] == 2
+    assert by_title["Officer"]["total_budget"] == pytest.approx(116.0 + 200.0)
+    assert by_title["Captain"]["total_budget"] == pytest.approx(390.0)
+    # ordered costliest-first
+    assert rpt[0]["job_title"] == "Captain"
+
+
+def test_full_export_ordered(engine, corporate_csv):
+    exp = engine.full_export("ACME", "secret", corporate_csv).collect()
+    assert [r["job_title"] for r in exp] == ["Captain", "Officer", "Officer"]
+
+
+def test_listing(engine, corporate_csv):
+    files = engine.list_files("ACME", "secret", "Clean")
+    assert files == ["ACME_corporate_corporate_payroll_2013"]
+    assert engine.list_files("ACME", "secret", "Raw") == ["corporate_payroll_2013.csv"]
+
+
+def test_auth_gate(engine, corporate_csv):
+    from city_payroll_data_pipeline_spark.sources.tenancy import AuthError
+
+    with pytest.raises(AuthError):
+        engine.ingest("ACME", "wrong", corporate_csv)
+    with pytest.raises(AuthError):
+        engine.ingest("GHOST", "secret", corporate_csv)
+
+
+def test_filename_gate(engine, tmp_path):
+    from city_payroll_data_pipeline_spark.sources.tenancy import ValidationError
+
+    bad = tmp_path / "random_data.csv"
+    bad.write_text("a,b\n1,2\n")
+    with pytest.raises(ValidationError):
+        engine.ingest("ACME", "secret", str(bad))
+
+
+def test_kpi_stats_layer(engine, corporate_csv):
+    from city_payroll_data_pipeline_spark.operators.reports import (
+        clean_report,
+        kpi_stats,
+        top_k,
+    )
+
+    rpt = engine.budget_report("ACME", "secret", corporate_csv)
+    stats = kpi_stats(clean_report(rpt)).collect()[0]
+    assert stats["sum_total_employee"] == 3.0
+    assert stats["n_positions"] == 2
+    assert stats["max_budget"] == pytest.approx(390.0)
+    assert stats["median_budget"] == pytest.approx((316.0 + 390.0) / 2)
+    assert top_k(rpt, 1).collect()[0]["job_title"] == "Captain"

@@ -1,0 +1,183 @@
+"""Industry pipeline golden tests over the FIXTURES.md §5 edge cases:
+money-string cleaning, zero-fill, div-by-zero guards, strict CASE
+boundaries, fte defaults."""
+
+import math
+
+import pytest
+
+FROZEN = "2024-06-01T12:00:00"
+
+
+def _rows(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def corporate_fct(spark):
+    from city_payroll_data_pipeline_spark.plans.corporate import (
+        fct_corporate,
+        stg_corporate,
+    )
+    from city_payroll_data_pipeline_spark.schemas import (
+        CORPORATE_RAW_COLUMNS,
+        all_string_schema,
+    )
+
+    rows = [
+        # id, year, dept, title, type, base, overtime, bonus, benefit
+        ("1", "2013", "Police", "Officer", "FT", "$85,432.10", "$12,001.50", "$1,250.00", "$19,876.22"),
+        ("2", "2013", "Fire", "Captain", "FT", "$100,000.00", "$25,000.00", None, None),  # exactly 25% OT
+        ("3", "2013", "Fire", "Chief", "FT", "$0.00", "$0.00", "$500.00", ""),  # zero base pay
+        ("4", "2013", "Lib", "Clerk", "PT", "$1,234.56", None, None, None),  # nulls → 0.0
+        ("5", "2013", "Lib", "Aide", "PT", "bogus", "$1.00", None, None),  # malformed money
+    ]
+    raw = spark.createDataFrame(rows, schema=all_string_schema(CORPORATE_RAW_COLUMNS))
+    return _rows(fct_corporate(stg_corporate(raw, processed_at=FROZEN)), "row_id")
+
+
+def test_corporate_money_clean(corporate_fct):
+    r = corporate_fct["1"]
+    assert r["base_pay"] == 85432.10
+    assert r["total_amount"] == pytest.approx(85432.10 + 12001.50 + 1250.00 + 19876.22)
+    assert r["overtime_status"] == "Regular Overtime"  # 12001.5 < 0.25*85432.1
+
+
+def test_corporate_overtime_boundary_strict(corporate_fct):
+    # overtime == 0.25*base exactly → strict '>' keeps it Regular
+    assert corporate_fct["2"]["overtime_status"] == "Regular Overtime"
+    # null bonus/benefit zero-filled
+    assert corporate_fct["2"]["total_amount"] == 125000.0
+
+
+def test_corporate_div_by_zero_guard(corporate_fct):
+    r = corporate_fct["3"]
+    assert r["loyalty_bonus_percentage"] is None  # NULLIF(base_pay,0)
+    assert r["overtime_status"] == "No Overtime"
+
+
+def test_corporate_zero_fill(corporate_fct):
+    r = corporate_fct["4"]
+    assert r["total_amount"] == 1234.56
+    assert r["loyalty_bonus_percentage"] == 0.0
+
+
+def test_corporate_malformed_money_nulls(corporate_fct):
+    # 'bogus' base pay → NULL (try_cast), not a job-killing error
+    r = corporate_fct["5"]
+    assert r["base_pay"] is None
+    assert r["total_amount"] is None  # NULL + ... propagates
+    assert r["overtime_status"] == "Regular Overtime"  # 1.0 > NULL is false; 1.0 > 0 true
+
+
+@pytest.fixture(scope="module")
+def education_fct(spark):
+    from city_payroll_data_pipeline_spark.plans.education import (
+        fct_education,
+        stg_education,
+    )
+    from city_payroll_data_pipeline_spark.schemas import (
+        EDUCATION_RAW_COLUMNS,
+        all_string_schema,
+    )
+
+    rows = [
+        # last, first, district, school, job, fte, exp, cert, salary
+        ("Smith", "Ana", "Newark", "Lincoln", "Math Teacher", "1.0", "17", "Std", "64250"),
+        ("Lee", "Bo", "Newark", "Lincoln", "Sci Teacher", None, "15", "Std", "50000"),  # fte null → 1.0; exp == 15 strict
+        ("Kim", "Cy", "Trenton", "Adams", "Art Teacher", "0.99", "0", "Std", "40000"),  # fte < 1; exp 0
+        ("Day", "Di", "Trenton", "Adams", "Sub Teacher", "0.5", None, "None", None),  # salary null → 0
+    ]
+    raw = spark.createDataFrame(rows, schema=all_string_schema(EDUCATION_RAW_COLUMNS))
+    return _rows(fct_education(stg_education(raw, processed_at=FROZEN)), "job_title")
+
+
+def test_education_seniority_bonus(education_fct):
+    r = education_fct["Math Teacher"]
+    assert r["seniority_bonus"] == pytest.approx(64250 * 0.05)
+    assert r["total_amount"] == pytest.approx(64250 * 1.05)
+    assert r["employment_status"] == "Full Time"
+
+
+def test_education_exp15_boundary_strict(education_fct):
+    r = education_fct["Sci Teacher"]
+    assert r["seniority_bonus"] == 0.0  # strict > 15
+    assert r["total_amount"] == 50000.0
+    assert r["fte_ratio"] == 1.0  # null fte defaults full-time
+    assert r["employment_status"] == "Full Time"
+
+
+def test_education_part_time_and_div_guard(education_fct):
+    r = education_fct["Art Teacher"]
+    assert r["employment_status"] == "Part Time / Adjunct"  # 0.99 < 1.0
+    assert r["cost_per_experience_year"] is None  # NULLIF(exp,0)
+
+
+def test_education_salary_default(education_fct):
+    assert education_fct["Sub Teacher"]["base_salary"] == 0.0
+    assert education_fct["Sub Teacher"]["total_amount"] == 0.0
+
+
+@pytest.fixture(scope="module")
+def hospital_fct(spark, tmp_path_factory):
+    """Hospital goes through the CSV reader to exercise messy-header
+    normalization (normalize_names=True parity)."""
+    import csv
+
+    from city_payroll_data_pipeline_spark.plans.hospital import (
+        fct_hospital,
+        stg_hospital,
+    )
+    from city_payroll_data_pipeline_spark.schemas import HOSPITAL_RAW_COLUMNS
+    from city_payroll_data_pipeline_spark.sources.readers import read_csv_all_string
+
+    path = str(tmp_path_factory.mktemp("hosp") / "hospital_data.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(HOSPITAL_RAW_COLUMNS)  # incl. ' Total Discharges ' etc.
+        w.writerow(["Cedars-Sinai", "Los Angeles", "CA", "470 - JOINT", "142", "14255.76", "12998.10"])
+        w.writerow(["St. Mary", "Fresno", "CA", "291 - CARDIAC", "abc", "1000.50", ""])
+    raw = read_csv_all_string(spark, path, normalize_names=True)
+    assert set(raw.columns) == {
+        "provider_name", "provider_city", "provider_state", "drg_definition",
+        "total_discharges", "average_total_payments", "average_medicare_payments",
+    }
+    return _rows(fct_hospital(stg_hospital(raw, processed_at=FROZEN)), "hospital_name")
+
+
+def test_hospital_contract_and_amount(hospital_fct):
+    r = hospital_fct["Cedars-Sinai"]
+    assert r["job_title"] == "470 - JOINT"  # service_description AS job_title
+    assert r["total_patients"] == 142
+    assert r["total_amount"] == pytest.approx(142 * 14255.76)
+
+
+def test_hospital_malformed_int(hospital_fct):
+    r = hospital_fct["St. Mary"]
+    assert r["total_patients"] is None
+    assert r["total_amount"] is None
+
+
+def test_fact_contract_validation(spark):
+    from city_payroll_data_pipeline_spark.schemas import (
+        ContractViolation,
+        validate_fact_contract,
+    )
+
+    good = spark.createDataFrame(
+        [("a", 1.0)], schema="job_title string, total_amount double"
+    )
+    validate_fact_contract(good)
+    bad = spark.createDataFrame([("a",)], schema="job_title string")
+    with pytest.raises(ContractViolation):
+        validate_fact_contract(bad)
+
+
+def test_normalize_name_rules():
+    from city_payroll_data_pipeline_spark.schemas import normalize_name
+
+    assert normalize_name(" Total Discharges ") == "total_discharges"
+    assert normalize_name("DRG Definition") == "drg_definition"
+    assert normalize_name("REGION-KEY") == "region_key"
+    assert normalize_name("Provider Name") == "provider_name"
+    assert normalize_name("123abc") == "_123abc"
