@@ -356,8 +356,38 @@ def q_preview_limit(spark, sf_dir):
 PREVIEW_LIMIT_SQL = "SELECT * FROM region ORDER BY r_regionkey LIMIT 3"
 
 
+# --------------------------------------------------------------------------
+# F15 — SHA-256 digest (the reference hashes passwords with hashlib,
+# serve_flight.py:41-44; in-engine it's F.sha2 — used here on document
+# text as a content fingerprint)
+# --------------------------------------------------------------------------
+
+def q_sha256_digest(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha256")
+    )
+
+
+SHA256_DIGEST_SQL = "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
+
+# --------------------------------------------------------------------------
+# F14 — audit timestamp (CURRENT_TIMESTAMP AS processed_at). Inherently
+# non-deterministic → no oracle; driver records a rows-only check. The
+# query proves the column materializes with a stable schema.
+# --------------------------------------------------------------------------
+
+def q_audit_timestamp(spark, sf_dir):
+    region = table(spark, sf_dir, "region")
+    return region.select(
+        "r_regionkey", "r_name", F.current_timestamp().alias("processed_at")
+    )
+
+
 QUERIES = {
     "budget_report": Query(q_budget_report, BUDGET_REPORT_SQL, ("A1", "O2")),
+    "sha256_digest": Query(q_sha256_digest, SHA256_DIGEST_SQL, ("F15",)),
+    "audit_timestamp": Query(q_audit_timestamp, None, ("F14",)),
     "full_export": Query(q_full_export, FULL_EXPORT_SQL, ("P5", "O1")),
     "top_k_spenders": Query(q_top_k_spenders, TOP_K_SPENDERS_SQL, ("O3",)),
     "kpi_stats": Query(q_kpi_stats, KPI_STATS_SQL, ("A2", "A3", "A4", "A5", "A6")),

@@ -1,3 +1,483 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Beyond-parity relational operators: joins (broadcast + shuffle),
+windows, set ops, rollup/pivot, as-of, salted aggregation.
 
-QUERIES = {}
+The reference has zero joins/windows/set-ops (SURVEY §2.3/2.7/2.8);
+these extend the engine to the full relational surface a payroll
+analytics engine needs at 100 TB. Scale notes on each operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from city_payroll_data_pipeline_spark.suite import Query, table
+from city_payroll_data_pipeline_spark.suite.parity import _dec_sum, _sql_dec_sum
+
+# --------------------------------------------------------------------------
+# Joins — dimension joins broadcast (region/nation/customer are tiny
+# relative to facts; broadcast avoids shuffling the 100 TB side), the
+# orders⋈customer join shuffles on the key and AQE handles skew.
+# --------------------------------------------------------------------------
+
+def q_region_revenue(spark, sf_dir):
+    """Revenue by region/nation: fact⋈dim⋈dim⋈dim with explicit
+    broadcast hints on the dims (plan shows BroadcastHashJoin — the
+    orders side never shuffles)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+REGION_REVENUE_SQL = f"""
+SELECT r_name AS region, n_name AS nation,
+       COUNT(*) AS n_orders,
+       {_sql_dec_sum('o_totalprice', 'revenue')}
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY region, nation
+"""
+
+
+def q_order_lineitem_join(spark, sf_dir):
+    """Fact⋈fact shuffle join (both sides large at scale): lineitem ⋈
+    orders on orderkey. At 100 TB both sides hash-shuffle on the key —
+    co-partitioning via bucketing on l_orderkey/o_orderkey would
+    eliminate it (see sinks.save_table bucketing support)."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=6,
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_LINEITEM_JOIN_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue', 6)}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join (NOT EXISTS): customers who never ordered. left_anti
+    avoids materializing the join — at scale this is a broadcast or
+    shuffled existence check, never a row blowup."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_customers_with_orders_semi(spark, sf_dir):
+    """Semi join (EXISTS): distinct customers that ordered, without
+    duplicating customer rows per order."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+CUSTOMERS_WITH_ORDERS_SEMI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary — the canonical partial-agg workload
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "sum_disc_price",
+                scale=6,
+            ),
+            _dec_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                "sum_charge",
+                scale=6,
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dec_sum('l_quantity', 'sum_qty')},
+       {_sql_dec_sum('l_extendedprice', 'sum_base_price')},
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price', 6)},
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 6)},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# --------------------------------------------------------------------------
+# Window functions — rank-per-group and running totals. Shuffles once on
+# the partition key; within-partition sort is local.
+# --------------------------------------------------------------------------
+
+def q_top_orders_per_priority(spark, sf_dir):
+    """row_number over (priority, totalprice desc) — top-3 orders per
+    priority class. Total ordering via the orderkey tiebreak keeps the
+    result deterministic across engines/partitionings."""
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_priority", F.row_number().over(w))
+        .filter(F.col("rank_in_priority") <= 3)
+        .select("o_orderpriority", "rank_in_priority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rank_in_priority")
+    )
+
+
+TOP_ORDERS_PER_PRIORITY_SQL = """
+SELECT o_orderpriority, rank_in_priority, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rank_in_priority
+  FROM orders
+)
+WHERE rank_in_priority <= 3
+ORDER BY o_orderpriority, rank_in_priority
+"""
+
+
+def q_user_running_value(spark, sf_dir):
+    """Running per-user cumulative value over event time. Even with a
+    total window order, engines may associate the float additions
+    differently (DuckDB uses segment-tree window aggregation), so the
+    running sum also routes through exact decimal."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    ).orderBy("user_id", "event_id")
+
+
+USER_RUNNING_VALUE_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_value
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+def q_event_sessionize_asof(spark, sf_dir):
+    """As-of style carry-forward: for every event, the timestamp of the
+    user's most recent 'login'-class event ('view') at or before it.
+    Composition of built-in window ops (last value, ignore nulls) —
+    no UDF; DuckDB expresses the same with IGNORE NULLS."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_view_ts"),
+    ).orderBy("user_id", "event_id")
+
+
+EVENT_SESSIONIZE_ASOF_SQL = """
+SELECT user_id, event_id, event_type,
+       LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+FROM events
+ORDER BY user_id, event_id
+"""
+
+# --------------------------------------------------------------------------
+# Time-bucketed aggregation (the batch analog of a streaming tumbling
+# window; the streaming module reuses the same expression)
+# --------------------------------------------------------------------------
+
+def q_hourly_event_stats(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+HOURLY_EVENT_STATS_SQL = f"""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+       COUNT(*) AS n_events,
+       {_sql_dec_sum('value', 'total_value')}
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.7 — absent in reference)
+# --------------------------------------------------------------------------
+
+def q_set_ops_customers(spark, sf_dir):
+    """UNION/INTERSECT/EXCEPT over early vs late purchasers."""
+    orders = table(spark, sf_dir, "orders")
+    early = orders.filter(F.year("o_orderdate") <= 1996).select("o_custkey")
+    late = orders.filter(F.year("o_orderdate") >= 1999).select("o_custkey")
+    both = early.intersect(late).withColumn("cohort", F.lit("both"))
+    only_early = early.distinct().exceptAll(late.distinct()).withColumn(
+        "cohort", F.lit("early_only")
+    )
+    only_late = late.distinct().exceptAll(early.distinct()).withColumn(
+        "cohort", F.lit("late_only")
+    )
+    return (
+        both.union(only_early)
+        .union(only_late)
+        .groupBy("cohort")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("cohort")
+    )
+
+
+SET_OPS_CUSTOMERS_SQL = """
+WITH early AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) <= 1996),
+     late  AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) >= 1999),
+     tagged AS (
+       SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+       UNION ALL
+       SELECT o_custkey, 'early_only' FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+       UNION ALL
+       SELECT o_custkey, 'late_only' FROM (SELECT * FROM late EXCEPT SELECT * FROM early)
+     )
+SELECT cohort, COUNT(*) AS n_customers FROM tagged GROUP BY cohort ORDER BY cohort
+"""
+
+# --------------------------------------------------------------------------
+# ROLLUP + pivot
+# --------------------------------------------------------------------------
+
+def q_rollup_priority_status(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderpriority"), F.asc_nulls_first("o_orderstatus")
+        )
+    )
+
+
+ROLLUP_PRIORITY_STATUS_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {_sql_dec_sum('o_totalprice', 'revenue')}
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def q_pivot_status_by_priority(spark, sf_dir):
+    """Pivot order status into columns (explicit value list — at scale
+    an unbounded pivot needs a distinct-values pass; pinning the values
+    keeps it one job)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+PIVOT_STATUS_BY_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       COALESCE(COUNT(*) FILTER (o_orderstatus = 'O'), 0) AS "O",
+       COALESCE(COUNT(*) FILTER (o_orderstatus = 'F'), 0) AS "F",
+       COALESCE(COUNT(*) FILTER (o_orderstatus = 'P'), 0) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# --------------------------------------------------------------------------
+# Distinct aggregation + skew-resistant salted aggregation
+# --------------------------------------------------------------------------
+
+def q_distinct_counts(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey", "l_partkey").alias("n_supp_part_pairs"),
+    )
+
+
+DISTINCT_COUNTS_SQL = """
+SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part_pairs
+FROM lineitem
+"""
+
+
+def q_budget_report_salted(spark, sf_dir):
+    """Same result as the budget report, computed skew-resistant: a
+    two-stage salted aggregation (key+salt partial agg → key final
+    agg). At 100 TB a single hot job_title melts one reducer; salting
+    spreads the partial aggregation across `n_salts` tasks. Decimal
+    partials re-aggregate exactly, so the result is bit-identical to
+    the direct plan (same oracle as budget_report).
+    """
+    n_salts = 16
+    orders = table(spark, sf_dir, "orders")
+    partial = (
+        orders.withColumn(
+            "_salt", (F.col("o_orderkey") % n_salts).cast("int")
+        )
+        .groupBy(F.col("o_orderpriority").alias("job_title"), "_salt")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_sum"),
+        )
+    )
+    return (
+        partial.groupBy("job_title")
+        .agg(
+            F.sum("_cnt").alias("total_employee"),
+            F.sum("_sum").cast("double").alias("total_budget"),
+        )
+        .orderBy(F.desc("total_budget"))
+    )
+
+
+QUERIES = {
+    "region_revenue": Query(q_region_revenue, REGION_REVENUE_SQL, ("join", "broadcast")),
+    "order_lineitem_join": Query(
+        q_order_lineitem_join, ORDER_LINEITEM_JOIN_SQL, ("join", "shuffle")
+    ),
+    "customers_without_orders": Query(
+        q_customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL, ("join", "anti")
+    ),
+    "customers_with_orders_semi": Query(
+        q_customers_with_orders_semi, CUSTOMERS_WITH_ORDERS_SEMI_SQL, ("join", "semi")
+    ),
+    "pricing_summary": Query(q_pricing_summary, PRICING_SUMMARY_SQL, ("agg", "tpch_q1")),
+    "top_orders_per_priority": Query(
+        q_top_orders_per_priority, TOP_ORDERS_PER_PRIORITY_SQL, ("window", "rank")
+    ),
+    "user_running_value": Query(
+        q_user_running_value, USER_RUNNING_VALUE_SQL, ("window", "running")
+    ),
+    "event_sessionize_asof": Query(
+        q_event_sessionize_asof, EVENT_SESSIONIZE_ASOF_SQL, ("window", "asof")
+    ),
+    "hourly_event_stats": Query(
+        q_hourly_event_stats, HOURLY_EVENT_STATS_SQL, ("agg", "time_bucket")
+    ),
+    "set_ops_customers": Query(q_set_ops_customers, SET_OPS_CUSTOMERS_SQL, ("setops",)),
+    "rollup_priority_status": Query(
+        q_rollup_priority_status, ROLLUP_PRIORITY_STATUS_SQL, ("rollup",)
+    ),
+    "pivot_status_by_priority": Query(
+        q_pivot_status_by_priority, PIVOT_STATUS_BY_PRIORITY_SQL, ("pivot",)
+    ),
+    "distinct_counts": Query(q_distinct_counts, DISTINCT_COUNTS_SQL, ("agg", "distinct")),
+}
+
+# budget_report_salted shares budget_report's oracle (identical semantics,
+# skew-resistant physical plan).
+from city_payroll_data_pipeline_spark.suite.parity import BUDGET_REPORT_SQL  # noqa: E402
+
+QUERIES["budget_report_salted"] = Query(
+    q_budget_report_salted, BUDGET_REPORT_SQL, ("agg", "skew", "salted")
+)
