@@ -1,0 +1,303 @@
+"""Deduplication operators for corpus-scale pipelines.
+
+Four strategies, all compositions of built-in DataFrame ops (no UDFs):
+
+* exact       — hash-groupBy on a normalized-content fingerprint
+* minhash+LSH — shingle → k minhashes → band buckets → candidate
+                pairs → exact Jaccard verify
+* simhash     — 60-bit weighted token hash → pigeonhole block join →
+                Hamming verify
+* embedding   — cosine near-dup (see operators/similarity.py)
+
+Scale design: every strategy avoids the O(n²) pair space. Exact dedup
+shuffles once on the fingerprint. MinHash candidates come from a
+self-join on (band_idx, band_hash) — each bucket is tiny if bands are
+sized right (b·r = k). SimHash splits the 60-bit hash into
+``hamming_max + 1`` blocks: any pair within the Hamming radius shares
+at least one exact block (pigeonhole), so the block join has perfect
+recall with no pair blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from city_payroll_data_pipeline_spark.functions.text import (
+    content_fingerprint,
+    shingles,
+    token_hash60,
+    tokens_array,
+)
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of exact duplicates (by normalized-content fingerprint):
+    fingerprint, canonical keeper (min id), group size — only groups
+    with >1 member. One shuffle on the 128-bit fingerprint."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            content_fingerprint(F.col(text_col)).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per fingerprint (deterministic winner)."""
+    rn = F.row_number().over(
+        W.partitionBy(content_fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    )
+    return df.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc minhash signature: columns h0..h{k-1}, each the lexical
+    min over shingles of md5(i|shingle). One explode + one groupBy —
+    the shuffle carries (doc, shingle) pairs, partial min aggregation
+    happens map-side."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(tokens_array(F.col(text_col)), shingle_n)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_buckets(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash): md5 over each band's r=k/b
+    signature slots. Banding is the standard S-curve knob: b bands of
+    r rows catch pairs with Jaccard ≳ (1/b)^(1/r)."""
+    r = num_hashes // bands
+    per_band = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat(*[F.col(f"h{b * r + j}") for j in range(r)])
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "doc_id", F.explode(F.array(*per_band)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 LSH band."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    buckets = lsh_band_buckets(sigs, num_hashes, bands)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs:
+    |A∩B| via a join on shingle, |A∪B| = |A|+|B|-|A∩B| (all integer
+    counts → the ratio is bit-deterministic)."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(tokens_array(F.col(text_col)), shingle_n)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    inter = (
+        candidates.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ t."""
+    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed bigint
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per doc: per-token 60-bit hashes, count-weighted
+    majority vote per bit. Explodes tokens then bit positions — at
+    scale the bit explosion stays proportional to |tokens|·60 but
+    aggregates map-side before the per-doc shuffle."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_array(F.col(text_col))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("weight"))
+        .withColumn("th", token_hash60(F.col("token")))
+    )
+    bits = toks.select(
+        "doc_id",
+        "weight",
+        "th",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        (
+            # shiftright with a column shift count needs the SQL form
+            F.when(F.expr("shiftright(th, b) & 1") == 1, 1)
+            .otherwise(-1)
+            * F.col("weight")
+        ).alias("vote"),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0,
+                    F.expr("shiftleft(1L, b)"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, hamming_max: int = 3
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) ≤ hamming_max via the
+    pigeonhole block join: split 60 bits into hamming_max+1 blocks —
+    any qualifying pair matches exactly on ≥1 block, so candidates come
+    from equality joins, never a cross join. Output: doc_a < doc_b,
+    hamming."""
+    n_blocks = hamming_max + 1
+    width = SIMHASH_BITS // n_blocks
+    sims = simhash(df, id_col, text_col)
+    blocks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), j * width)
+                        .bitwiseAND((1 << width) - 1)
+                        .alias("block_val"),
+                    )
+                    for j in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_idx", "blk.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= hamming_max)

@@ -17,10 +17,41 @@ data-size-relative, not host-specific:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Spark's Python workers.
+
+    Any operator that runs Python on executors (mapInPandas /
+    pandas_udf) pickles closures that reference this package *by
+    module name* — on a real cluster (and even local mode when the
+    driver runs from another cwd) the workers can't import it unless
+    the library is shipped. ``addPyFile`` is the standard mechanism:
+    zip the package once, distribute via the context. Idempotent per
+    SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_cppds_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"cppds_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._cppds_pkg_shipped = True  # noqa: SLF001
 
 
 def get_spark(

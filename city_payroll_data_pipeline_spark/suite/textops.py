@@ -1,3 +1,371 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Text-analysis + deduplication queries over the ``documents`` table.
 
-QUERIES = {}
+The synthetic corpus has no natural duplicates, so the dedup queries
+build their own: exact copies (doc_id+100000 for doc_id%10==0),
+70%-prefix truncations for minhash, and one-token-appended variants
+for simhash — the SAME deterministic synthesis in the Spark plan and
+the DuckDB oracle, so the pipelines are exercised on non-trivial
+output and still hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from city_payroll_data_pipeline_spark.functions.text import (
+    LANG_MARKERS,
+    content_fingerprint,
+    lang_id,
+    lang_marker_pattern,
+    quality_features,
+    quality_score,
+    token_count,
+    word_tokens,
+)
+from city_payroll_data_pipeline_spark.operators import dedup
+from city_payroll_data_pipeline_spark.suite import Query, table
+from city_payroll_data_pipeline_spark.suite.parity import _sql_round
+
+# --------------------------------------------------------------------------
+# Token / length statistics
+# --------------------------------------------------------------------------
+
+def q_doc_token_stats(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(word_tokens(F.col("text"))).alias("n_words"),
+        F.size(F.array_distinct(word_tokens(F.col("text")))).alias("n_unique_words"),
+    )
+
+
+DOC_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
+       len(regexp_extract_all(lower(text), '[A-Za-z]+', 0)) AS n_words,
+       len(list_distinct(regexp_extract_all(lower(text), '[A-Za-z]+', 0)))
+         AS n_unique_words
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# Language identification
+# --------------------------------------------------------------------------
+
+def q_doc_lang_id(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_detected"))
+
+
+def _lang_id_sql() -> str:
+    score = {
+        lang: f"len(regexp_extract_all(lower(text), '{lang_marker_pattern(lang)}', 0))"
+        for lang in LANG_MARKERS
+    }
+    langs = list(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{la} = {greatest} THEN '{la}'" for la in langs
+    ) + " END"
+    scores_sql = ", ".join(f"{expr} AS s_{la}" for la, expr in score.items())
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {greatest} > 0 THEN {case} ELSE 'und' END AS lang_detected
+FROM (SELECT doc_id, lang, text, {scores_sql} FROM documents)
+"""
+
+
+DOC_LANG_ID_SQL = _lang_id_sql()
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+def q_doc_quality(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["mean_token_len"].alias("mean_token_len"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_EN = lang_marker_pattern("en")
+DOC_QUALITY_SQL = rf"""
+WITH feat AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z]', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+         len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       n_tokens,
+       n_alpha / CAST(NULLIF(n_chars, 0) AS DOUBLE) AS alpha_ratio,
+       n_punct / CAST(NULLIF(n_chars, 0) AS DOUBLE) AS punct_ratio,
+       n_stop / CAST(NULLIF(n_tokens, 0) AS DOUBLE) AS stopword_ratio,
+       n_chars / CAST(NULLIF(n_tokens, 0) AS DOUBLE) AS mean_token_len,
+       {_sql_round('''
+         0.4 * COALESCE(n_alpha / CAST(NULLIF(n_chars, 0) AS DOUBLE), 0.0)
+         + 0.3 * least(COALESCE(n_stop / CAST(NULLIF(n_tokens, 0) AS DOUBLE), 0.0) * 4, 1.0)
+         + 0.2 * greatest(0.0, 1.0 - COALESCE(n_punct / CAST(NULLIF(n_chars, 0) AS DOUBLE), 0.0) * 5)
+         + 0.1 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.3 END)
+       ''', 6)} AS quality
+FROM feat
+"""
+
+# --------------------------------------------------------------------------
+# Fingerprint + exact dedup
+# --------------------------------------------------------------------------
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+# deterministic duplicate synthesis shared by dedup queries
+_DUP_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _dup_corpus(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return docs.unionAll(copies)
+
+
+def q_exact_dedup_groups(spark, sf_dir):
+    return dedup.exact_duplicate_groups(_dup_corpus(spark, sf_dir), "doc_id", "text")
+
+
+EXACT_DEDUP_GROUPS_SQL = rf"""
+WITH corpus AS ({_DUP_CORPUS_SQL})
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*) AS group_size
+FROM corpus
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup (70%-prefix truncations as near-duplicates)
+# --------------------------------------------------------------------------
+
+_NEAR_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000,
+       substr(text, 1, CAST(floor(length(text) * 0.7) AS INT))
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _near_corpus(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.col("text")
+        .substr(F.lit(1), F.floor(F.length("text") * 0.7).cast("int"))
+        .alias("text"),
+    )
+    return docs.unionAll(trunc)
+
+
+def q_minhash_dedup_pairs(spark, sf_dir):
+    return dedup.minhash_dedup_pairs(
+        _near_corpus(spark, sf_dir), "doc_id", "text", threshold=0.5
+    )
+
+
+def _minhash_sql() -> str:
+    k, bands = 16, 4
+    r = k // bands
+    mins = ",\n         ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k)
+    )
+    band_cases = " ".join(
+        "WHEN {b} THEN md5({parts})".format(
+            b=b, parts=" || ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+', 0) AS t FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(0, len(t) - 2),
+                             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         ELSE []::VARCHAR[] END) AS shingle
+  FROM toks
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band_idx,
+         CASE b.band_idx {band_cases} END AS band_hash
+  FROM sigs CROSS JOIN (VALUES (0),(1),(2),(3)) AS b(band_idx)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS n_common
+  FROM cands
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       n_common / CAST(za.n + zb.n - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE n_common / CAST(za.n + zb.n - n_common AS DOUBLE) >= 0.5
+"""
+
+
+MINHASH_DEDUP_PAIRS_SQL = _minhash_sql()
+
+# --------------------------------------------------------------------------
+# SimHash near-dup (one-token-appended variants)
+# --------------------------------------------------------------------------
+
+_SIMHASH_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000, text || ' spark' FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _simhash_corpus(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" spark")).alias("text"),
+    )
+    return docs.unionAll(variants)
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(
+        _simhash_corpus(spark, sf_dir), "doc_id", "text", hamming_max=3
+    )
+
+
+SIMHASH_NEAR_PAIRS_SQL = rf"""
+WITH corpus AS ({_SIMHASH_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, token, count(*) AS weight
+  FROM (SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+', 0)) AS token
+        FROM corpus)
+  GROUP BY doc_id, token
+),
+th AS (
+  SELECT doc_id, weight,
+         CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN weight ELSE -weight END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+  GROUP BY doc_id, b
+),
+sims AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bits GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, simhash, j, (simhash >> (15 * j)) & 32767 AS block_val
+  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM blocks a JOIN blocks b
+    ON a.j = b.j AND a.block_val = b.block_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+FROM cands
+WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+# --------------------------------------------------------------------------
+# Multimodal metadata plumbing (binary columns; decode itself is the
+# stubbed Pandas-UDF path in functions/multimodal.py)
+# --------------------------------------------------------------------------
+
+def q_media_bytes_meta(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+
+
+MEDIA_BYTES_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+QUERIES = {
+    "doc_token_stats": Query(q_doc_token_stats, DOC_TOKEN_STATS_SQL, ("text",)),
+    "doc_lang_id": Query(q_doc_lang_id, DOC_LANG_ID_SQL, ("text", "langid")),
+    "doc_quality": Query(q_doc_quality, DOC_QUALITY_SQL, ("text", "quality")),
+    "doc_fingerprint": Query(q_doc_fingerprint, DOC_FINGERPRINT_SQL, ("text",)),
+    "exact_dedup_groups": Query(
+        q_exact_dedup_groups, EXACT_DEDUP_GROUPS_SQL, ("dedup", "exact")
+    ),
+    "minhash_dedup_pairs": Query(
+        q_minhash_dedup_pairs, MINHASH_DEDUP_PAIRS_SQL, ("dedup", "minhash", "lsh")
+    ),
+    "simhash_near_pairs": Query(
+        q_simhash_near_pairs, SIMHASH_NEAR_PAIRS_SQL, ("dedup", "simhash")
+    ),
+    "media_bytes_meta": Query(
+        q_media_bytes_meta, MEDIA_BYTES_META_SQL, ("multimodal",)
+    ),
+}

@@ -1,3 +1,211 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Similarity-search queries over the ``embeddings`` table
+(vec_id, embedding: array<float>[64], label).
 
-QUERIES = {}
+Determinism contract (see operators/similarity.py): embeddings are
+quantized to the 1e-4 integer grid, dots/norms are exact bigint
+arithmetic, and the only float ops are one multiply, one sqrt and one
+division over identical integers — so Spark and DuckDB agree bit-wise
+before the final (Spark-semantics) rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from city_payroll_data_pipeline_spark.operators import similarity as sim
+from city_payroll_data_pipeline_spark.suite import Query, table
+from city_payroll_data_pipeline_spark.suite.parity import _sql_round
+
+DIM = 64
+N_QUERIES = 10  # vec_id < 10 act as the query set
+K = 5
+
+# shared SQL fragments -----------------------------------------------------
+
+_QUANT_SQL = (
+    "list_transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) "
+        f"AS BIGINT)"
+    )
+
+
+_Q_CORPUS_SQL = f"""
+SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings
+"""
+
+_COSINE_SQL = (
+    "CASE WHEN sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) > 0 "
+    "THEN CAST(dot AS DOUBLE) / sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) "
+    "END"
+)
+
+# --------------------------------------------------------------------------
+# Norms
+# --------------------------------------------------------------------------
+
+def q_embedding_norms(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    q = sim.quantize(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sim.norm2_q(q).cast("double")) / sim.QUANT, 6).alias(
+            "l2_norm"
+        ),
+    )
+
+
+EMBEDDING_NORMS_SQL = f"""
+WITH qv AS (SELECT vec_id, label, len(embedding) AS dim, {_QUANT_SQL} AS q
+            FROM embeddings)
+SELECT vec_id, label, dim,
+       {_sql_round(f"sqrt(CAST({_dot_sql('q', 'q')} AS DOUBLE)) / 10000", 6)}
+         AS l2_norm
+FROM qv
+"""
+
+# --------------------------------------------------------------------------
+# Brute-force exact top-k (the correctness baseline for ANN)
+# --------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sim.brute_force_topk(emb, "vec_id", "embedding", queries, k=K)
+
+
+COSINE_TOPK_SQL = f"""
+WITH qv AS (
+  SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2
+  FROM ({_Q_CORPUS_SQL})
+),
+pairs AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_dot_sql('p.q', 'c.q')} AS dot, p.n2 AS n2a, c.n2 AS n2b
+  FROM qv p JOIN qv c ON p.vec_id < {N_QUERIES} AND c.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine FROM pairs
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, {_sql_round('cosine', 6)} AS cosine
+FROM ranked WHERE rank <= {K}
+"""
+
+# --------------------------------------------------------------------------
+# Near-duplicate pairs (exact copies synthesized at vec_id+100000)
+# --------------------------------------------------------------------------
+
+def q_cosine_neardup_pairs(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionAll(copies)
+    return sim.cosine_near_dup_pairs(corpus, "vec_id", "embedding", threshold=0.999)
+
+
+COSINE_NEARDUP_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+qv AS (
+  SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2
+  FROM (SELECT vec_id, {_QUANT_SQL} AS q FROM corpus)
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_dot_sql('a.q', 'b.q')} AS dot, a.n2 AS n2a, b.n2 AS n2b
+  FROM qv a JOIN qv b ON a.vec_id < b.vec_id
+),
+scored AS (SELECT vec_a, vec_b, {_COSINE_SQL} AS cosine FROM pairs)
+SELECT vec_a, vec_b, {_sql_round('cosine', 6)} AS cosine
+FROM scored WHERE cosine >= 0.999
+"""
+
+# --------------------------------------------------------------------------
+# LSH-bucketed approximate top-k (the scale path)
+# --------------------------------------------------------------------------
+
+N_PLANES = 4  # 2^4 buckets: sized so sf0.01 buckets hold ~30 vecs (recall >> tiny-bucket regime)
+
+_PLANES_SQL = f"""
+SELECT p,
+       list_transform(range(0, {DIM}),
+         j -> (CAST('0x' || substr(md5('plane' || p || '|' || j), 1, 15)
+                    AS BIGINT) % 2001) - 1000) AS plane
+FROM (SELECT unnest(range(0, {N_PLANES})) AS p)
+"""
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sim.lsh_topk(
+        emb, "vec_id", "embedding", queries, k=K, n_planes=N_PLANES, dim=DIM
+    )
+
+
+LSH_ANN_TOPK_SQL = f"""
+WITH qv AS (
+  SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2
+  FROM ({_Q_CORPUS_SQL})
+),
+planes AS ({_PLANES_SQL}),
+signs AS (
+  SELECT v.vec_id, pl.p,
+         CASE WHEN {_dot_sql('v.q', 'pl.plane')} >= 0 THEN 1 ELSE 0 END AS s
+  FROM qv v CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(s * (1::BIGINT << p)) AS BIGINT) AS bucket
+  FROM signs GROUP BY vec_id
+),
+qb AS (
+  SELECT v.vec_id, v.q, v.n2, b.bucket
+  FROM qv v JOIN buckets b USING (vec_id)
+),
+pairs AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_dot_sql('p.q', 'c.q')} AS dot, p.n2 AS n2a, c.n2 AS n2b
+  FROM qb p JOIN qb c
+    ON p.vec_id < {N_QUERIES} AND p.bucket = c.bucket
+   AND c.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine FROM pairs
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, {_sql_round('cosine', 6)} AS cosine
+FROM ranked WHERE rank <= {K}
+"""
+
+
+QUERIES = {
+    "embedding_norms": Query(q_embedding_norms, EMBEDDING_NORMS_SQL, ("vector",)),
+    "cosine_topk": Query(q_cosine_topk, COSINE_TOPK_SQL, ("vector", "ann", "exact")),
+    "cosine_neardup_pairs": Query(
+        q_cosine_neardup_pairs, COSINE_NEARDUP_PAIRS_SQL, ("vector", "dedup")
+    ),
+    "lsh_ann_topk": Query(q_lsh_ann_topk, LSH_ANN_TOPK_SQL, ("vector", "ann", "lsh")),
+}

@@ -1,0 +1,154 @@
+"""Library-level tests for the training-data operators: dedup recall,
+similarity exactness, multimodal plumbing, text functions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+
+
+def test_drop_exact_duplicates(spark, docs):
+    from city_payroll_data_pipeline_spark.operators.dedup import (
+        drop_exact_duplicates,
+    )
+
+    base = docs.select("doc_id", "text")
+    copies = base.limit(20).select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    corpus = base.unionAll(copies)
+    kept = drop_exact_duplicates(corpus, "doc_id", "text")
+    assert kept.count() == base.count()
+    # deterministic winner: the original (lower) ids survive
+    assert kept.filter(F.col("doc_id") >= 5000).count() == 0
+
+
+def test_minhash_recall_on_exact_copies(spark, docs):
+    """Exact copies have Jaccard 1.0 → every band collides → 100% recall."""
+    from city_payroll_data_pipeline_spark.operators.dedup import minhash_dedup_pairs
+
+    base = docs.select("doc_id", "text")
+    copies = base.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    pairs = minhash_dedup_pairs(base.unionAll(copies), "doc_id", "text", threshold=0.9)
+    found = {
+        (r["doc_a"], r["doc_b"]) for r in pairs.filter(F.col("jaccard") >= 0.999).collect()
+    }
+    assert {(i, i + 5000) for i in range(30)} <= found
+
+
+def test_simhash_identical_distance_zero(spark, docs):
+    from city_payroll_data_pipeline_spark.operators.dedup import simhash_near_pairs
+
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 50)
+    copies = base.select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    pairs = simhash_near_pairs(base.unionAll(copies), "doc_id", "text", hamming_max=0)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert {(i, i + 5000) for i in range(50)} <= found
+
+
+def test_brute_force_topk_self_similarity(spark):
+    """A vector's exact copy must rank as its #1 neighbor with cosine≈1."""
+    from city_payroll_data_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionAll(copies)
+    top = brute_force_topk(
+        corpus, "vec_id", "embedding",
+        queries=corpus.filter(F.col("vec_id") >= 9000), k=1,
+    ).collect()
+    assert len(top) == 5
+    for r in top:
+        assert r["neighbor_id"] == r["query_id"] - 9000
+        assert r["cosine"] >= 0.999999
+
+
+def test_lsh_topk_is_subset_quality(spark):
+    """LSH top-1 neighbor should usually agree with brute force when the
+    true neighbor is an exact copy (same bucket by construction)."""
+    from city_payroll_data_pipeline_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionAll(copies)
+    top = lsh_topk(
+        corpus, "vec_id", "embedding",
+        queries=corpus.filter(F.col("vec_id") >= 9000), k=1, dim=64,
+    ).collect()
+    # identical vectors share every hyperplane sign → guaranteed same bucket
+    assert {r["neighbor_id"] for r in top} == {r["query_id"] - 9000 for r in top}
+
+
+def test_multimodal_plumbing(spark, docs):
+    from city_payroll_data_pipeline_spark.functions.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        frame_sample_plan,
+        media_metadata,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, docs)
+    meta = media_metadata(media)
+    assert meta.columns == ["media_id", "kind", "width", "height", "mime"]
+
+    feats = extract_features(media.limit(50)).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["features"]) == FEATURE_DIM
+        assert r["n_bytes"] > 0
+        # normalized histogram sums to ~1
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+
+    frames = frame_sample_plan(media, every_n=30)
+    vid = media.filter(F.col("kind") == "video").count()
+    assert frames.count() >= vid  # ≥1 sampled frame per video
+
+
+def test_decode_stub_raises(spark):
+    import pandas as pd
+
+    from city_payroll_data_pipeline_spark.functions.multimodal import (
+        decode_image_batch,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"123"]))
+
+
+def test_lang_id_markers(spark):
+    from city_payroll_data_pipeline_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is here",),
+            ("le chat et la maison est une belle",),
+            ("der hund und die katze ist ein tier",),
+            ("xyzzy qwerty",),
+        ],
+        schema="text string",
+    ).select(lang_id(F.col("text")).alias("lang"))
+    assert [r["lang"] for r in df.collect()] == ["en", "fr", "de", "und"]
+
+
+def test_shingles_short_doc(spark):
+    from city_payroll_data_pipeline_spark.functions.text import (
+        shingles,
+        tokens_array,
+    )
+
+    df = spark.createDataFrame(
+        [("a b",), ("a b c d",), ("",)], schema="text string"
+    ).select(shingles(tokens_array(F.col("text"))).alias("s"))
+    out = [r["s"] for r in df.collect()]
+    assert out[0] == []  # shorter than n → empty, not descending-range garbage
+    assert out[1] == ["a b c", "b c d"]
