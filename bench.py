@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full computation, no driver
+collect cost). One warmup query first so JVM/codegen startup is not
+attributed to the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference-parity core
+    "budget_report",
+    "full_export",
+    "kpi_stats",
+    "fct_derivations",
+    # relational / TPC-H-ish
+    "pricing_summary",
+    "order_lineitem_join",
+    "region_revenue",
+    "top_orders_per_priority",
+    "hourly_event_stats",
+    # training-data ops
+    "exact_dedup_groups",
+    "minhash_dedup_pairs",
+    "simhash_near_pairs",
+    "doc_quality",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from city_payroll_data_pipeline_spark.session import get_spark
+    from city_payroll_data_pipeline_spark.suite import build_suite
+
+    spark = get_spark(app_name="bench")
+    suite = build_suite()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        suite[name].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 3)
+
+    run("preview_limit")  # warmup: session/codegen spin-up
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = run(name)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -35,8 +35,10 @@ def word_tokens(text: Column) -> Column:
 
 
 def tokens_array(text: Column) -> Column:
-    """Array of whitespace tokens via split (null-safe)."""
-    return F.split(F.trim(text), r"\s+")
+    """Array of whitespace tokens. regexp_extract_all (not split):
+    split('') yields [''] while extract-all yields [] — the latter is
+    correct for empty docs and matches DuckDB's semantics exactly."""
+    return F.regexp_extract_all(F.trim(text), F.lit(TOKEN_PATTERN), 0)
 
 
 def shingles(tokens: Column, n: int = 3, sep: str = " ") -> Column:

@@ -65,6 +65,45 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — the shared intermediate of
+    the whole minhash pipeline. Callers that reuse it more than once
+    should persist it (minhash_dedup_pairs does): at corpus scale the
+    shingle explosion is the dominant cost and must be paid once.
+
+    The token array is projected into its own column before the
+    shingle transform: inlining ``split()`` into the n-gram expression
+    makes Catalyst re-evaluate the regex split per element reference
+    (O(tokens²) work per doc — measured 5× slower at sf0.1)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_array(F.col(text_col)).alias("toks"),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(shingles(F.col("toks"), shingle_n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc minhash signature: columns h0..h{k-1}, each the lexical
+    min over shingles of md5(i|shingle). One groupBy — the shuffle
+    carries (doc, shingle) pairs, partial min aggregation map-side."""
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -72,24 +111,8 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc minhash signature: columns h0..h{k-1}, each the lexical
-    min over shingles of md5(i|shingle). One explode + one groupBy —
-    the shuffle carries (doc, shingle) pairs, partial min aggregation
-    happens map-side."""
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(shingles(tokens_array(F.col(text_col)), shingle_n)).alias(
-                "shingle"
-            ),
-        )
-        .distinct()
-    )
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+    return minhash_signatures_from_shingles(
+        shingle_frame(df, id_col, text_col, shingle_n), num_hashes
     )
 
 
@@ -121,9 +144,15 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 LSH band."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sh = (
+        _shingles
+        if _shingles is not None
+        else shingle_frame(df, id_col, text_col, shingle_n)
+    )
+    sigs = minhash_signatures_from_shingles(sh, num_hashes)
     buckets = lsh_band_buckets(sigs, num_hashes, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -148,18 +177,15 @@ def jaccard_verify(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs:
     |A∩B| via a join on shingle, |A∪B| = |A|+|B|-|A∩B| (all integer
     counts → the ratio is bit-deterministic)."""
     sh = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(shingles(tokens_array(F.col(text_col)), shingle_n)).alias(
-                "shingle"
-            ),
-        )
-        .distinct()
+        _shingles
+        if _shingles is not None
+        else shingle_frame(df, id_col, text_col, shingle_n)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     inter = (
@@ -196,9 +222,20 @@ def minhash_dedup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ t."""
-    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
-    return jaccard_verify(df, cands, id_col, text_col, shingle_n, threshold)
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ t.
+
+    The shingle frame feeds signature generation, size counts, and the
+    intersection join — persist it so the explode+distinct shuffle is
+    paid once per action instead of four times (at corpus scale this
+    is the dominant cost; on a cluster use StorageLevel.DISK_ONLY for
+    100 TB corpora)."""
+    sh = shingle_frame(df, id_col, text_col, shingle_n).persist()
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, _shingles=sh
+    )
+    return jaccard_verify(
+        df, cands, id_col, text_col, shingle_n, threshold, _shingles=sh
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,89 @@
+"""Streaming jobs: CSV file-watcher ingest + watermarked event stats.
+
+Design notes for scale:
+* file source with ``maxFilesPerTrigger`` bounds per-batch work — a
+  tenant dumping 10k files doesn't stall the trigger loop.
+* the aggregation reuses the *batch* report expression — one source of
+  truth for the business logic, batch and streaming plans both derive
+  from it (the Dataset is just unbounded).
+* event stats use event-time tumbling windows + watermark so state
+  for closed windows is dropped — unbounded input, bounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from city_payroll_data_pipeline_spark.schemas import all_string_schema
+from city_payroll_data_pipeline_spark.sources.readers import normalize_columns
+
+
+def stream_raw_csv(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    normalize_names: bool = False,
+    max_files_per_trigger: int = 100,
+) -> DataFrame:
+    """Unbounded all-string CSV source watching a Raw/ directory —
+    the streaming twin of readers.read_csv_all_string."""
+    df = (
+        spark.readStream.schema(all_string_schema(columns))
+        .option("header", True)
+        .option("quote", '"')
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(path)
+    )
+    return normalize_columns(df) if normalize_names else df
+
+
+def streaming_budget_report(fct_stream: DataFrame) -> DataFrame:
+    """Continuously-maintained budget report over a fact stream
+    (identical semantics to reports.budget_report; complete-mode sink).
+    The sort lives in the sink query, not here — streaming aggs cannot
+    hold a global sort."""
+    return fct_stream.groupBy("job_title").agg(
+        F.count("*").alias("total_employee"),
+        F.sum("total_amount").alias("total_budget"),
+    )
+
+
+def streaming_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window per-type event counts/values with late-data handling:
+    events later than ``watermark`` behind the max seen event time are
+    dropped and their windows' state is freed."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain all currently-available input into an in-memory table
+    (test/ops helper): trigger(availableNow) processes the backlog in
+    bounded batches then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

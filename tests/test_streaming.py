@@ -1,0 +1,116 @@
+"""Structured Streaming tests: file-watcher ingest → stg/fct transform
+→ continuously-maintained report; watermarked windowed event stats."""
+
+import csv
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_corporate_csv(path, rows):
+    from city_payroll_data_pipeline_spark.schemas import CORPORATE_RAW_COLUMNS
+
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(CORPORATE_RAW_COLUMNS)
+        w.writerows(rows)
+
+
+def test_streaming_ingest_to_report(spark, tmp_path):
+    from city_payroll_data_pipeline_spark.plans.corporate import (
+        fct_corporate,
+        stg_corporate,
+    )
+    from city_payroll_data_pipeline_spark.schemas import CORPORATE_RAW_COLUMNS
+    from city_payroll_data_pipeline_spark.streaming import (
+        stream_raw_csv,
+        streaming_budget_report,
+    )
+    from city_payroll_data_pipeline_spark.streaming.jobs import run_to_memory
+
+    raw_dir = tmp_path / "raw"
+    os.makedirs(raw_dir)
+    _write_corporate_csv(
+        raw_dir / "corporate_a.csv",
+        [
+            ["1", "2013", "P", "Officer", "FT", "$100.00", "$10.00", "", ""],
+            ["2", "2013", "P", "Officer", "FT", "$200.00", "", "", ""],
+        ],
+    )
+    _write_corporate_csv(
+        raw_dir / "corporate_b.csv",
+        [["3", "2013", "F", "Captain", "FT", "$300.00", "$90.00", "", ""]],
+    )
+
+    stream = stream_raw_csv(spark, str(raw_dir), CORPORATE_RAW_COLUMNS)
+    assert stream.isStreaming
+    # batch transforms compose unchanged onto the unbounded frame
+    fct = fct_corporate(stg_corporate(stream, processed_at="2024-06-01T00:00:00"))
+    run_to_memory(streaming_budget_report(fct), "budget_stream")
+
+    out = {
+        r["job_title"]: r
+        for r in spark.sql("SELECT * FROM budget_stream").collect()
+    }
+    assert out["Officer"]["total_employee"] == 2
+    assert out["Officer"]["total_budget"] == pytest.approx(310.0)
+    assert out["Captain"]["total_budget"] == pytest.approx(390.0)
+
+
+def test_streaming_incremental_files(spark, tmp_path):
+    """New files arriving between runs are picked up incrementally."""
+    from city_payroll_data_pipeline_spark.schemas import CORPORATE_RAW_COLUMNS
+    from city_payroll_data_pipeline_spark.streaming import stream_raw_csv
+    from city_payroll_data_pipeline_spark.streaming.jobs import run_to_memory
+
+    raw_dir = tmp_path / "raw2"
+    os.makedirs(raw_dir)
+    _write_corporate_csv(
+        raw_dir / "corporate_1.csv",
+        [["1", "2013", "P", "A", "FT", "$1.00", "", "", ""]],
+    )
+    counts = stream_raw_csv(spark, str(raw_dir), CORPORATE_RAW_COLUMNS).groupBy().count()
+    run_to_memory(counts, "cnt_stream")
+    assert spark.sql("SELECT * FROM cnt_stream").collect()[0]["count"] == 1
+
+    _write_corporate_csv(
+        raw_dir / "corporate_2.csv",
+        [["2", "2013", "P", "B", "FT", "$1.00", "", "", ""],
+         ["3", "2013", "P", "C", "FT", "$1.00", "", "", ""]],
+    )
+    run_to_memory(counts, "cnt_stream2")
+    assert spark.sql("SELECT * FROM cnt_stream2").collect()[0]["count"] == 3
+
+
+def test_streaming_event_window_watermark(spark, tmp_path):
+    from city_payroll_data_pipeline_spark.streaming import streaming_event_stats
+    from city_payroll_data_pipeline_spark.streaming.jobs import run_to_memory
+
+    src = tmp_path / "events_json"
+    os.makedirs(src)
+    rows = [
+        '{"ts": "2024-01-01 00:10:00", "event_type": "click", "value": 1.0}',
+        '{"ts": "2024-01-01 00:50:00", "event_type": "click", "value": 2.0}',
+        '{"ts": "2024-01-01 01:20:00", "event_type": "view", "value": 3.0}',
+    ]
+    (src / "batch1.json").write_text("\n".join(rows))
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .json(str(src))
+    )
+    stats = streaming_event_stats(stream, window="1 hour", watermark="2 hours")
+    run_to_memory(stats, "ev_stream", output_mode="append")
+    # append mode emits only watermark-closed windows; availableNow with a
+    # final empty batch closes windows older than max_ts - 2h → the
+    # 00:00 window (max 01:20 - 2h = 23:20 previous day) stays open, so
+    # validate via complete-mode run instead
+    run_to_memory(stats, "ev_stream_c", output_mode="complete")
+    out = spark.sql(
+        "SELECT * FROM ev_stream_c ORDER BY window_start, event_type"
+    ).collect()
+    assert [(r["event_type"], r["n_events"], r["total_value"]) for r in out] == [
+        ("click", 2, 3.0),
+        ("view", 1, 3.0),
+    ]
+    assert out[0]["window_start"].minute == 0  # tumbling hour alignment
