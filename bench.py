@@ -31,11 +31,15 @@ HEADLINE = [
     "region_revenue",
     "top_orders_per_priority",
     "hourly_event_stats",
+    "shipping_priority_topk",
+    "price_band_range_join",
     # training-data ops
     "exact_dedup_groups",
     "minhash_dedup_pairs",
     "simhash_near_pairs",
+    "ngram_jaccard_pairs",
     "doc_quality",
+    "media_feature_extract",
     "cosine_topk",
 ]
 

@@ -238,6 +238,50 @@ def minhash_dedup_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup WITHOUT the minhash/LSH prefilter:
+    candidate pairs are documents sharing ≥1 *rare* shingle (document
+    frequency ≤ ``max_shingle_df``), then exact Jaccard over the FULL
+    shingle sets filters to ≥ threshold.
+
+    The DF cap is the scale guard: a self-join on raw shingles blows up
+    quadratically on boilerplate shingles shared by millions of docs
+    (the classic stop-shingle problem). Capping DF bounds the join at
+    O(Σ df²) over rare shingles only; a true near-dup at any sane
+    threshold shares at least one rare shingle, so recall loss is
+    confined to pure-boilerplate overlap. Unlike minhash, the verify
+    step still uses the complete shingle frame — the cap only limits
+    which pairs are *considered*, not how they are scored."""
+    sh = shingle_frame(df, id_col, text_col, shingle_n).persist()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    rsh = sh.join(rare, "shingle")
+    cands = (
+        rsh.alias("a")
+        .join(
+            rsh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return jaccard_verify(
+        df, cands, id_col, text_col, shingle_n, threshold, _shingles=sh
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

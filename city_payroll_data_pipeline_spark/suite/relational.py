@@ -12,7 +12,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from city_payroll_data_pipeline_spark.suite import Query, table
-from city_payroll_data_pipeline_spark.suite.parity import _dec_sum, _sql_dec_sum
+from city_payroll_data_pipeline_spark.suite.parity import (
+    _dec_sum,
+    _sql_dec_sum,
+    _sql_round,
+)
 
 # --------------------------------------------------------------------------
 # Joins — dimension joins broadcast (region/nation/customer are tiny
@@ -440,6 +444,197 @@ def q_budget_report_salted(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# CUBE + GROUPING SETS (full multi-dimensional agg surface; rollup above)
+# --------------------------------------------------------------------------
+
+def q_cube_priority_status(spark, sf_dir):
+    """CUBE over (priority, status): all 4 grouping combinations in one
+    pass. Spark expands the cube map-side (one shuffle, grouping-id
+    tagged rows) — no per-combination rescan of the 100 TB fact."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderpriority"), F.asc_nulls_first("o_orderstatus")
+        )
+    )
+
+
+CUBE_PRIORITY_STATUS_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {_sql_dec_sum('o_totalprice', 'revenue')}
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def q_grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS — (priority), (status), grand total —
+    a set combination neither rollup nor cube expresses."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [[F.col("o_orderpriority")], [F.col("o_orderstatus")], []],
+            F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderpriority"), F.asc_nulls_first("o_orderstatus")
+        )
+    )
+
+
+GROUPING_SETS_REVENUE_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {_sql_dec_sum('o_totalprice', 'revenue')}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+# --------------------------------------------------------------------------
+# Exact group percentiles (reference KPI layer uses exact median —
+# SURVEY §2.4 A6; here generalized per-group and to p90)
+# --------------------------------------------------------------------------
+
+def q_group_percentiles(spark, sf_dir):
+    """Exact median + p90 of extended price per returnflag. Exact
+    percentile needs the group's values together (sort-based agg) — at
+    100 TB prefer approx_percentile for dashboards; the exact form
+    stays for audit paths. Both engines interpolate at p·(n-1); one
+    6-dp round absorbs last-ulp association differences."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.median("l_extendedprice"), 6).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+GROUP_PERCENTILES_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       {_sql_round('median(l_extendedprice)', 6)} AS median_price,
+       {_sql_round('quantile_cont(l_extendedprice, 0.9)', 6)} AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# --------------------------------------------------------------------------
+# Range join (band lookup) — the non-equi join Spark lacks a hash path
+# for; tiny band table → broadcast nested loop stays O(n·bands)
+# --------------------------------------------------------------------------
+
+PRICE_BANDS = [
+    ("penny", 0.0, 1000.0),
+    ("low", 1000.0, 5000.0),
+    ("mid", 5000.0, 20000.0),
+    ("high", 20000.0, 50000.0),
+    ("lux", 50000.0, 1.0e9),
+]
+
+
+def q_price_band_range_join(spark, sf_dir):
+    """Non-uniform price-band classification via a range join
+    (lo <= price < hi). The band table is broadcast, so the fact side
+    streams through a BroadcastNestedLoopJoin — no shuffle, no sort.
+    With a large band table this becomes bucketize-then-equi-join;
+    with bands this small the nested loop is strictly cheaper."""
+    li = table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _dec_sum(F.col("l_extendedprice"), "total_price"),
+        )
+        .orderBy("band")
+    )
+
+
+_BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+
+PRICE_BAND_RANGE_JOIN_SQL = f"""
+WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
+SELECT band,
+       COUNT(*) AS n_lines,
+       {_sql_dec_sum('l_extendedprice', 'total_price')}
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q3-style shipping priority: 3-way join, filters on every input,
+# top-k by aggregated revenue
+# --------------------------------------------------------------------------
+
+def q_shipping_priority_topk(spark, sf_dir):
+    """customer(BUILDING) ⋈ orders(date<cut) ⋈ lineitem(ship>cut) →
+    revenue per order → top 10. Filters sit directly on each scan
+    (pushed to parquet), customer is semi-join-reduced before the fact
+    join, and the final top-k is TakeOrderedAndProject (no global
+    sort materialization)."""
+    cut = F.lit("1999-01-01").cast("timestamp")
+    customer = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey, "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=6,
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_TOPK_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue', 6)}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "region_revenue": Query(q_region_revenue, REGION_REVENUE_SQL, ("join", "broadcast")),
     "order_lineitem_join": Query(
@@ -472,6 +667,21 @@ QUERIES = {
         q_pivot_status_by_priority, PIVOT_STATUS_BY_PRIORITY_SQL, ("pivot",)
     ),
     "distinct_counts": Query(q_distinct_counts, DISTINCT_COUNTS_SQL, ("agg", "distinct")),
+    "cube_priority_status": Query(
+        q_cube_priority_status, CUBE_PRIORITY_STATUS_SQL, ("cube",)
+    ),
+    "grouping_sets_revenue": Query(
+        q_grouping_sets_revenue, GROUPING_SETS_REVENUE_SQL, ("grouping_sets",)
+    ),
+    "group_percentiles": Query(
+        q_group_percentiles, GROUP_PERCENTILES_SQL, ("agg", "percentile")
+    ),
+    "price_band_range_join": Query(
+        q_price_band_range_join, PRICE_BAND_RANGE_JOIN_SQL, ("join", "range")
+    ),
+    "shipping_priority_topk": Query(
+        q_shipping_priority_topk, SHIPPING_PRIORITY_TOPK_SQL, ("join", "tpch_q3", "topk")
+    ),
 }
 
 # budget_report_salted shares budget_report's oracle (identical semantics,

@@ -329,6 +329,65 @@ WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 # --------------------------------------------------------------------------
+# n-gram Jaccard (exact, no LSH — candidates from rare-shingle self-join)
+# --------------------------------------------------------------------------
+
+# df ≤ 10: in this corpus shingles are drawn from a shared vocabulary,
+# so mid-frequency shingles (df 6-100) alone contribute ~1.4M candidate
+# pairs at sf0.1 — while every true near-dup pair (prefix truncations)
+# shares df=2 shingles. A tight cap keeps recall for real duplicates
+# and cuts verify work ~25×; the oracle uses the same constant.
+_NGRAM_MAX_DF = 10
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _near_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        max_shingle_df=_NGRAM_MAX_DF,
+    )
+
+
+NGRAM_JACCARD_PAIRS_SQL = rf"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+', 0) AS t FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(0, len(t) - 2),
+                             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         ELSE []::VARCHAR[] END) AS shingle
+  FROM toks
+),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_NGRAM_MAX_DF}
+),
+rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS n_common
+  FROM cands
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       n_common / CAST(za.n + zb.n - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE n_common / CAST(za.n + zb.n - n_common AS DOUBLE) >= 0.5
+"""
+
+# --------------------------------------------------------------------------
 # Multimodal metadata plumbing (binary columns; decode itself is the
 # stubbed Pandas-UDF path in functions/multimodal.py)
 # --------------------------------------------------------------------------
@@ -351,6 +410,89 @@ FROM documents
 """
 
 
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame-sampling fan-out: one row per sampled frame index
+    (stride 30) via explode(sequence) — the shape that keeps frame
+    extraction embarrassingly parallel instead of per-video driver
+    loops. frame_key stands in for the (stubbed) decoded-frame digest."""
+    from city_payroll_data_pipeline_spark.functions import multimodal as mm
+
+    media = mm.synthesize_media(spark, table(spark, sf_dir, "documents"))
+    return mm.frame_sample_plan(media, every_n=30).select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.md5(F.concat_ws("|", "media_id", "frame_idx")).alias("frame_key"),
+    )
+
+
+MEDIA_FRAME_SAMPLE_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, n_chars % 300 + 1 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT media_id, unnest(range(0, n_frames, 30)) AS frame_idx FROM media
+)
+SELECT media_id, frame_idx,
+       md5(media_id || '|' || frame_idx) AS frame_key
+FROM fr
+"""
+
+
+def q_media_feature_extract(spark, sf_dir):
+    """Arrow-batched ``mapInPandas`` feature extraction over binary
+    content (deterministic byte-histogram stand-in for a learned
+    extractor), reduced to scalar per-media outputs: dominant histogram
+    bucket + its share. The oracle recomputes the histogram in SQL —
+    the one Python-UDF path in the suite, still value-checked."""
+    from city_payroll_data_pipeline_spark.functions import multimodal as mm
+
+    media = mm.synthesize_media(spark, table(spark, sf_dir, "documents"))
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        (
+            F.expr("array_position(features, array_max(features))") - 1
+        ).alias("top_bucket"),
+        F.round(F.array_max("features"), 6).alias("top_share"),
+    )
+
+
+MEDIA_FEATURE_EXTRACT_SQL = f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                                      WHEN 1 THEN 'audio'
+                                      ELSE 'video' END AS kind,
+         text
+  FROM documents
+),
+chars AS (
+  SELECT media_id, unnest(range(1, length(text) + 1)) AS i FROM media
+),
+hist AS (
+  SELECT c.media_id, ord(substr(m.text, CAST(c.i AS INT), 1)) // 16 AS bucket,
+         count(*) AS cnt
+  FROM chars c JOIN media m USING (media_id)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT media_id, bucket, cnt,
+         ROW_NUMBER() OVER (PARTITION BY media_id
+                            ORDER BY cnt DESC, bucket ASC) AS rn
+  FROM hist
+)
+SELECT m.media_id, m.kind,
+       CAST(octet_length(encode(m.text)) AS BIGINT) AS n_bytes,
+       r.bucket AS top_bucket,
+       {_sql_round('cnt / CAST(octet_length(encode(m.text)) AS DOUBLE)', 6)}
+         AS top_share
+FROM media m JOIN ranked r ON r.media_id = m.media_id AND r.rn = 1
+"""
+
+
 QUERIES = {
     "doc_token_stats": Query(q_doc_token_stats, DOC_TOKEN_STATS_SQL, ("text",)),
     "doc_lang_id": Query(q_doc_lang_id, DOC_LANG_ID_SQL, ("text", "langid")),
@@ -365,7 +507,16 @@ QUERIES = {
     "simhash_near_pairs": Query(
         q_simhash_near_pairs, SIMHASH_NEAR_PAIRS_SQL, ("dedup", "simhash")
     ),
+    "ngram_jaccard_pairs": Query(
+        q_ngram_jaccard_pairs, NGRAM_JACCARD_PAIRS_SQL, ("dedup", "ngram", "jaccard")
+    ),
     "media_bytes_meta": Query(
         q_media_bytes_meta, MEDIA_BYTES_META_SQL, ("multimodal",)
+    ),
+    "media_frame_sample": Query(
+        q_media_frame_sample, MEDIA_FRAME_SAMPLE_SQL, ("multimodal", "video")
+    ),
+    "media_feature_extract": Query(
+        q_media_feature_extract, MEDIA_FEATURE_EXTRACT_SQL, ("multimodal", "pandas_udf")
     ),
 }

@@ -1,0 +1,110 @@
+"""Physical-plan audits — the scale contract.
+
+Correctness says a query returns the right rows at sf0.01; these tests
+pin the *plan shape* that keeps it working at 100 TB: filters pushed to
+the parquet scan, column pruning, broadcast (not shuffle) joins for
+dims, TakeOrderedAndProject (not global sort) for top-k, and
+whole-stage codegen over the hot expressions. A regression here
+wouldn't flip a value-hash — it would melt a cluster.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from city_payroll_data_pipeline_spark.suite import build_suite
+from tests.conftest import SF_CORRECT
+
+
+def plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def suite():
+    return build_suite()
+
+
+def _q(suite, spark, name):
+    return suite[name].spark(spark, SF_CORRECT)
+
+
+def test_dim_joins_broadcast_not_shuffle(suite, spark):
+    """region_revenue: every dim join is a BroadcastHashJoin — the fact
+    side must never shuffle for a dimension lookup."""
+    p = plan(_q(suite, spark, "region_revenue"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_range_join_broadcasts_band_table(suite, spark):
+    p = plan(_q(suite, spark, "price_band_range_join"))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_semi_anti_joins_stay_semi(suite, spark):
+    """Anti/semi joins must plan as existence joins, not materialized
+    inner joins (a row blowup at scale)."""
+    assert "LeftAnti" in plan(_q(suite, spark, "customers_without_orders"))
+    assert "LeftSemi" in plan(_q(suite, spark, "customers_with_orders_semi"))
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(suite, spark):
+    p = plan(_q(suite, spark, "pricing_summary"))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # ReadSchema carries only the 7 referenced columns — no keys, no dates
+    # beyond l_shipdate; reading all 11 at 100 TB is ~40% wasted IO.
+    read = next(line for line in p.splitlines() if "ReadSchema" in line)
+    for col in ("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"):
+        assert col not in read, read
+
+
+def test_topk_plans_take_ordered_not_global_sort(suite, spark):
+    """Top-k must be TakeOrderedAndProject (per-partition heap + merge),
+    never a full global sort feeding a limit."""
+    for name in ("top_k_spenders", "shipping_priority_topk"):
+        assert "TakeOrderedAndProject" in plan(_q(suite, spark, name)), name
+
+
+def test_full_export_prunes_unused_columns(suite, spark):
+    """The budget report reads exactly (o_orderpriority, o_totalprice)."""
+    p = plan(_q(suite, spark, "budget_report"))
+    read = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert "o_orderpriority" in read and "o_totalprice" in read
+    for col in ("o_custkey", "o_orderdate", "o_orderstatus"):
+        assert col not in read, read
+
+
+def test_aggregations_stay_jvm_side_and_vectorized(suite, spark):
+    """The hot agg pipeline must be: vectorized parquet scan
+    (Batched: true) → partial HashAggregate (map-side combine) → final
+    HashAggregate — with zero Python evaluation nodes. (AQE hides
+    codegen ids until execution, so we pin the codegen-capable node
+    types instead.)"""
+    for name in ("budget_report", "pricing_summary", "hourly_event_stats"):
+        p = plan(_q(suite, spark, name), mode="simple")
+        assert "Batched: true" in p, name
+        assert "partial_" in p and p.count("HashAggregate") >= 2, name
+        assert "EvalPython" not in p, name  # Batch/ArrowEvalPython = slow path
+
+
+def test_shipping_priority_semi_reduces_customer(suite, spark):
+    """TPC-H Q3 shape: the customer filter applies as a semi join (no
+    customer columns survive), and the mktsegment predicate reaches the
+    customer scan."""
+    p = plan(_q(suite, spark, "shipping_priority_topk"))
+    assert "LeftSemi" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_exact_dedup_single_shuffle(suite, spark):
+    """Exact dedup is one shuffle: exactly one Exchange between the scan
+    and the final agg (partial/final hash agg around it). Simple mode —
+    formatted prints each node twice (tree + details)."""
+    p = plan(_q(suite, spark, "exact_dedup_groups"), mode="simple")
+    assert p.count("Exchange") == 1, p
