@@ -1,0 +1,74 @@
+"""Generic as-of (temporal point-in-time) join.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do); the naive encoding —
+a range join ``l.ts >= r.ts`` + keep-latest — explodes to O(|L|·|R|)
+pairs per key before the reduction. This operator uses the
+union + sorted-window carry-forward encoding instead:
+
+    union(left tagged 1, right tagged 0)
+    → one shuffle on the join key
+    → per-key sort by (ts, tag)            (right-at-equal-ts wins)
+    → last(payload, ignorenulls) carry-forward
+    → keep left rows
+
+Cost is exactly one Exchange + one in-partition sort — the same shape
+as any window aggregation, independent of how many right rows precede
+each left row. At 100 TB this is the difference between a windowed
+shuffle and a joined blowup; skewed keys get the same salting remedy
+as any hot window key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_TAG = "_asof_is_left"
+_TS = "_asof_ts"
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+) -> DataFrame:
+    """For every left row, attach the payload of the latest right row
+    with the same ``by`` key and ``right_ts <= left_ts`` (nulls when no
+    such row — LEFT ASOF semantics).
+
+    Determinism contract: the caller must reduce ``right`` to at most
+    one row per (by, right_ts) — with duplicates, which one wins is
+    tie-broken differently across engines. A genuinely-null payload
+    value is carried past (ignorenulls), so payload columns should be
+    non-null by construction.
+    """
+    lt = left.withColumn(_TAG, F.lit(1)).withColumn(_TS, F.col(left_ts))
+    rt = (
+        right.select(F.col(right_ts).alias(_TS), by, *payload)
+        .withColumn(_TAG, F.lit(0))
+    )
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        W.partitionBy(by)
+        .orderBy(_TS, _TAG)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in payload
+        ],
+    )
+    return (
+        carried.filter(F.col(_TAG) == 1)
+        .drop(_TAG, _TS, *payload)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"_asof_{c}").alias(c) for c in payload],
+        )
+    )

@@ -13,9 +13,13 @@ from city_payroll_data_pipeline_spark.streaming.jobs import (
     streaming_budget_report,
     streaming_event_stats,
 )
+from city_payroll_data_pipeline_spark.streaming.sessionize import (
+    sessionize_stream,
+)
 
 __all__ = [
     "stream_raw_csv",
     "streaming_budget_report",
     "streaming_event_stats",
+    "sessionize_stream",
 ]

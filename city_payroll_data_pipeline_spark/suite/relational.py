@@ -635,6 +635,114 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# Two-table as-of join (events ⟶ latest order per user at event time).
+# Oracle: DuckDB's native ASOF LEFT JOIN — a strong cross-engine check
+# of the union+window encoding in operators/asof.py.
+# --------------------------------------------------------------------------
+
+def q_events_asof_last_order(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators.asof import asof_join_backward
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # reduce orders to one row per (custkey, date) — the asof_join
+    # determinism contract (ties are engine-defined otherwise)
+    orders = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    joined = asof_join_backward(
+        ev, orders, by="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload=["last_orderkey"],
+    )
+    return joined.select("event_id", "user_id", "last_orderkey")
+
+
+EVENTS_ASOF_LAST_ORDER_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, r.last_orderkey
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization (batch twin of streaming/sessionize.py)
+# --------------------------------------------------------------------------
+
+def q_event_sessions(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators.sessions import session_stats
+
+    ev = table(spark, sf_dir, "events")
+    return session_stats(ev, gap_seconds=3600).orderBy("user_id", "session_id")
+
+
+EVENT_SESSIONS_SQL = """
+WITH secs AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s,
+         CASE WHEN lag(s) OVER w IS NULL
+                OR s - lag(s) OVER w > 3600 THEN 1 ELSE 0 END AS new_session
+  FROM secs
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+numbered AS (
+  SELECT user_id, s,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MAX(s) - MIN(s) AS duration_s
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+# --------------------------------------------------------------------------
+# Semi-structured (JSON) extraction — events.props is a JSON blob
+# --------------------------------------------------------------------------
+
+def q_json_event_props(spark, sf_dir):
+    """Typed JSON extraction (from_json, JVM-side — no Python) then
+    aggregation. At scale prefer extracting once into a materialized
+    typed column over re-parsing per query."""
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_EVENT_PROPS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "region_revenue": Query(q_region_revenue, REGION_REVENUE_SQL, ("join", "broadcast")),
     "order_lineitem_join": Query(
@@ -682,6 +790,13 @@ QUERIES = {
     "shipping_priority_topk": Query(
         q_shipping_priority_topk, SHIPPING_PRIORITY_TOPK_SQL, ("join", "tpch_q3", "topk")
     ),
+    "events_asof_last_order": Query(
+        q_events_asof_last_order, EVENTS_ASOF_LAST_ORDER_SQL, ("join", "asof")
+    ),
+    "event_sessions": Query(
+        q_event_sessions, EVENT_SESSIONS_SQL, ("window", "sessionize")
+    ),
+    "json_event_props": Query(q_json_event_props, JSON_EVENT_PROPS_SQL, ("json",)),
 }
 
 # budget_report_salted shares budget_report's oracle (identical semantics,

@@ -83,6 +83,50 @@ def test_streaming_incremental_files(spark, tmp_path):
     assert spark.sql("SELECT * FROM cnt_stream2").collect()[0]["count"] == 3
 
 
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions are
+    emitted as soon as the gap is observed; the open tail stays in
+    state. The emitted rows must agree with the batch twin."""
+    from city_payroll_data_pipeline_spark.operators.sessions import session_stats
+    from city_payroll_data_pipeline_spark.streaming import sessionize_stream
+    from city_payroll_data_pipeline_spark.streaming.jobs import run_to_memory
+
+    src = tmp_path / "sess_json"
+    os.makedirs(src)
+    rows = [
+        # user 1: 2-event session, 2h gap, then a 2-event open tail
+        '{"ts": "2024-01-01 00:00:00", "user_id": 1, "event_id": 1}',
+        '{"ts": "2024-01-01 00:10:00", "user_id": 1, "event_id": 2}',
+        '{"ts": "2024-01-01 02:30:00", "user_id": 1, "event_id": 3}',
+        '{"ts": "2024-01-01 02:35:00", "user_id": 1, "event_id": 4}',
+        # user 2: single event — never closes in-batch
+        '{"ts": "2024-01-01 01:00:00", "user_id": 2, "event_id": 5}',
+    ]
+    (src / "b1.json").write_text("\n".join(rows))
+    schema = "ts timestamp, user_id bigint, event_id bigint"
+    stream = spark.readStream.schema(schema).json(str(src))
+    run_to_memory(
+        sessionize_stream(stream, gap_seconds=1800),
+        "sessions_stream",
+        output_mode="append",
+    )
+    out = spark.sql("SELECT * FROM sessions_stream").collect()
+    assert [
+        (r["user_id"], r["session_id"], r["n_events"], r["duration_s"])
+        for r in out
+    ] == [(1, 1, 2, 600)]
+
+    # batch twin on the same rows: same closed session + the open tails
+    batch = spark.read.schema(schema).json(str(src))
+    stats = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["duration_s"])
+        for r in session_stats(batch, gap_seconds=1800).collect()
+    }
+    assert stats[(1, 1)] == (2, 600)
+    assert stats[(1, 2)] == (2, 300)  # open tail, batch sees it
+    assert stats[(2, 1)] == (1, 0)
+
+
 def test_streaming_event_window_watermark(spark, tmp_path):
     from city_payroll_data_pipeline_spark.streaming import streaming_event_stats
     from city_payroll_data_pipeline_spark.streaming.jobs import run_to_memory
