@@ -93,12 +93,24 @@ def shingle_frame(
 def minhash_signatures_from_shingles(
     sh: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """Per-doc minhash signature: columns h0..h{k-1}, each the lexical
-    min over shingles of md5(i|shingle). One groupBy — the shuffle
-    carries (doc, shingle) pairs, partial min aggregation map-side."""
-    return sh.groupBy("doc_id").agg(
+    """Per-doc minhash signature: columns h0..h{k-1} (bigint), each the
+    min over shingles of the i-th derived hash.
+
+    One md5 per shingle, not k: the digest's two 48-bit halves (a, b)
+    seed the Kirsch-Mitzenmacher family h_i = a + i·b — k independent-
+    enough minhashes for the cost of one hash plus k adds (the textbook
+    Bloom/minhash trick). 48-bit halves keep a + 15·b < 2^52, so bigint
+    arithmetic never overflows and DuckDB reproduces it exactly.
+    One groupBy — partial min aggregation happens map-side."""
+    md = F.md5(F.col("shingle"))
+    withab = sh.select(
+        "doc_id",
+        F.conv(F.substring(md, 1, 12), 16, 10).cast("bigint").alias("_a"),
+        F.conv(F.substring(md, 13, 12), 16, 10).cast("bigint").alias("_b"),
+    )
+    return withab.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            F.min(F.col("_a") + i * F.col("_b")).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -127,7 +139,7 @@ def lsh_band_buckets(
         F.struct(
             F.lit(b).alias("band_idx"),
             F.md5(
-                F.concat(*[F.col(f"h{b * r + j}") for j in range(r)])
+                F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])
             ).alias("band_hash"),
         )
         for b in range(bands)
@@ -291,9 +303,15 @@ SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed bigint
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash per doc: per-token 60-bit hashes, count-weighted
-    majority vote per bit. Explodes tokens then bit positions — at
-    scale the bit explosion stays proportional to |tokens|·60 but
-    aggregates map-side before the per-doc shuffle."""
+    majority vote per bit.
+
+    The 60 bit-votes are 60 aggregate COLUMNS over the (doc, token,
+    weight) frame, not 60 exploded rows: the explode-based form
+    materializes |tokens|·60 rows and hash-aggregates over |docs|·60
+    keys before its extra (doc_id, b) shuffle; this form keeps one
+    groupBy(doc_id) with 60 accumulator slots, all inside a single
+    whole-stage-codegen span. Identical output (A/B checked), one
+    fewer shuffle stage."""
     toks = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -303,34 +321,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(F.count("*").alias("weight"))
         .withColumn("th", token_hash60(F.col("token")))
     )
-    bits = toks.select(
-        "doc_id",
-        "weight",
-        "th",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-    ).select(
-        "doc_id",
-        "b",
-        (
-            # shiftright with a column shift count needs the SQL form
-            F.when(F.expr("shiftright(th, b) & 1") == 1, 1)
-            .otherwise(-1)
-            * F.col("weight")
-        ).alias("vote"),
-    )
-    return (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc_id")
-        .agg(
+    votes = toks.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(
-                    F.col("v") > 0,
-                    F.expr("shiftleft(1L, b)"),
-                ).otherwise(F.lit(0).cast("bigint"))
-            ).alias("simhash")
-        )
+                F.when(F.expr(f"shiftright(th, {b}) & 1") == 1, F.col("weight"))
+                .otherwise(-F.col("weight"))
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
+    bit_terms = [
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for b in range(SIMHASH_BITS)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc + t
+    return votes.select("doc_id", acc.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -205,12 +205,14 @@ def q_minhash_dedup_pairs(spark, sf_dir):
 def _minhash_sql() -> str:
     k, bands = 16, 4
     r = k // bands
-    mins = ",\n         ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(k)
-    )
+    # Kirsch-Mitzenmacher derived hashes, mirroring
+    # operators/dedup.py::minhash_signatures_from_shingles exactly:
+    # a/b = 48-bit md5 halves, h_i = min(a + i*b).
+    mins = ",\n         ".join(f"min(a + {i} * b) AS h{i}" for i in range(k))
     band_cases = " ".join(
         "WHEN {b} THEN md5({parts})".format(
-            b=b, parts=" || ".join(f"h{b * r + j}" for j in range(r))
+            b=b,
+            parts=" || '|' || ".join(f"h{b * r + j}" for j in range(r)),
         )
         for b in range(bands)
     )
@@ -227,10 +229,16 @@ sh AS (
          ELSE []::VARCHAR[] END) AS shingle
   FROM toks
 ),
+ab AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS a,
+         CAST('0x' || substr(md5(shingle), 13, 12) AS BIGINT) AS b
+  FROM sh
+),
 sigs AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM ab GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, b.band_idx,
