@@ -670,6 +670,61 @@ ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
 """
 
 # --------------------------------------------------------------------------
+# Multi-resolution time rollup (hypertable-style continuous-aggregate
+# shape: hour + day + grand total in ONE scan via grouping sets)
+# --------------------------------------------------------------------------
+
+def q_time_rollup_multires(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    return (
+        base.groupingSets(
+            [[F.col("day"), F.col("hour")], [F.col("day")], []],
+            F.col("day"),
+            F.col("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+        .orderBy(F.asc_nulls_first("day"), F.asc_nulls_first("hour"))
+    )
+
+
+TIME_ROLLUP_MULTIRES_SQL = f"""
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       COUNT(*) AS n_events,
+       {_sql_dec_sum('value', 'total_value')}
+FROM events
+GROUP BY GROUPING SETS ((1, 2), (1), ())
+ORDER BY day ASC NULLS FIRST, hour ASC NULLS FIRST
+"""
+
+# --------------------------------------------------------------------------
+# Approximate sketches (HLL distinct) — implementation-defined values,
+# so no cross-engine oracle; tests/test_training_ops.py bounds the
+# relative error against the exact count instead.
+# --------------------------------------------------------------------------
+
+def q_approx_distinct_stats(spark, sf_dir):
+    """HyperLogLog++ distinct counts next to the exact answers. At
+    100 TB the approx path is one streaming pass with bounded sketch
+    memory per group; exact distinct shuffles every distinct value."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Gap-based sessionization (batch twin of streaming/sessionize.py)
 # --------------------------------------------------------------------------
 
@@ -795,6 +850,12 @@ QUERIES = {
     ),
     "event_sessions": Query(
         q_event_sessions, EVENT_SESSIONS_SQL, ("window", "sessionize")
+    ),
+    "time_rollup_multires": Query(
+        q_time_rollup_multires, TIME_ROLLUP_MULTIRES_SQL, ("grouping_sets", "time")
+    ),
+    "approx_distinct_stats": Query(
+        q_approx_distinct_stats, None, ("agg", "sketch", "hll")
     ),
     "json_event_props": Query(q_json_event_props, JSON_EVENT_PROPS_SQL, ("json",)),
 }

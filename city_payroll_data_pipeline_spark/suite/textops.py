@@ -337,6 +337,109 @@ WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 # --------------------------------------------------------------------------
+# Composite corpus-cleaning pipeline (the flagship training-data pass:
+# exact-dedup keep → language filter → quality filter → per-source stats)
+# --------------------------------------------------------------------------
+
+def q_corpus_clean_pipeline(spark, sf_dir):
+    """One end-to-end cleaning pass in a single Spark plan: dedup keep
+    (row_number over fingerprint), lang-ID filter, quality + length
+    filters, per-source rollup. Catalyst fuses the scoring expressions
+    into the scan projection — the whole pipeline is one shuffle for
+    the dedup window plus one for the final groupBy."""
+    from city_payroll_data_pipeline_spark.functions.text import (
+        lang_id as _lang_id,
+        quality_score as _quality,
+        token_count as _tok,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    kept = dedup.drop_exact_duplicates(docs, "doc_id", "text")
+    scored = kept.select(
+        "source",
+        _tok(F.col("text")).alias("n_tokens"),
+        _lang_id(F.col("text")).alias("lang_detected"),
+        _quality(F.col("text")).alias("quality"),
+    )
+    filtered = scored.filter(
+        (F.col("lang_detected") == "en")
+        & (F.col("quality") >= 0.5)
+        & (F.col("n_tokens") >= 10)
+    )
+    return (
+        filtered.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,8)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _corpus_clean_sql() -> str:
+    langs = list(LANG_MARKERS)
+    scores = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{lang_marker_pattern(la)}', 0))"
+        f" AS s_{la}"
+        for la in langs
+    )
+    greatest = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    lang_case = (
+        f"CASE WHEN {greatest} > 0 THEN CASE "
+        + " ".join(f"WHEN s_{la} = {greatest} THEN '{la}'" for la in langs)
+        + " END ELSE 'und' END"
+    )
+    quality = _sql_round(
+        """
+        0.4 * COALESCE(n_alpha / CAST(NULLIF(n_chars, 0) AS DOUBLE), 0.0)
+        + 0.3 * least(COALESCE(n_stop / CAST(NULLIF(n_tokens, 0) AS DOUBLE), 0.0) * 4, 1.0)
+        + 0.2 * greatest(0.0, 1.0 - COALESCE(n_punct / CAST(NULLIF(n_chars, 0) AS DOUBLE), 0.0) * 5)
+        + 0.1 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.3 END)
+        """,
+        6,
+    )
+    return rf"""
+WITH kept AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM documents)
+  WHERE rn = 1
+),
+feat AS (
+  SELECT source,
+         len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z]', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+         len(regexp_extract_all(lower(text), '{lang_marker_pattern("en")}', 0)) AS n_stop,
+         {scores}
+  FROM kept
+),
+scored AS (
+  SELECT source, n_tokens, {lang_case} AS lang_detected, {quality} AS quality
+  FROM feat
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       {_sql_round('CAST(SUM(CAST(quality AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)', 6)}
+         AS avg_quality
+FROM scored
+WHERE lang_detected = 'en' AND quality >= 0.5 AND n_tokens >= 10
+GROUP BY source
+ORDER BY source
+"""
+
+
+CORPUS_CLEAN_PIPELINE_SQL = _corpus_clean_sql()
+
+# --------------------------------------------------------------------------
 # n-gram Jaccard (exact, no LSH — candidates from rare-shingle self-join)
 # --------------------------------------------------------------------------
 
@@ -517,6 +620,11 @@ QUERIES = {
     ),
     "ngram_jaccard_pairs": Query(
         q_ngram_jaccard_pairs, NGRAM_JACCARD_PAIRS_SQL, ("dedup", "ngram", "jaccard")
+    ),
+    "corpus_clean_pipeline": Query(
+        q_corpus_clean_pipeline,
+        CORPUS_CLEAN_PIPELINE_SQL,
+        ("text", "pipeline", "dedup", "quality", "langid"),
     ),
     "media_bytes_meta": Query(
         q_media_bytes_meta, MEDIA_BYTES_META_SQL, ("multimodal",)

@@ -152,3 +152,18 @@ def test_shingles_short_doc(spark):
     out = [r["s"] for r in df.collect()]
     assert out[0] == []  # shorter than n → empty, not descending-range garbage
     assert out[1] == ["a b c", "b c d"]
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ has no cross-engine oracle; bound its relative error
+    against the exact count instead (default rsd = 5%)."""
+    from city_payroll_data_pipeline_spark.suite import build_suite
+    from tests.conftest import SF_CORRECT
+
+    row = build_suite()["approx_distinct_stats"].spark(spark, SF_CORRECT).collect()[0]
+    for approx, exact in (
+        (row["approx_orders"], row["exact_orders"]),
+        (row["approx_parts"], row["exact_parts"]),
+    ):
+        assert exact > 0
+        assert abs(approx - exact) / exact < 0.05, (approx, exact)
