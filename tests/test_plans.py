@@ -102,6 +102,42 @@ def test_shipping_priority_semi_reduces_customer(suite, spark):
     assert "EqualTo(c_mktsegment,BUILDING)" in p
 
 
+def test_bucketed_join_eliminates_shuffle(suite, spark, tmp_path):
+    """Tables bucketed on the join key with equal bucket counts join
+    with NO Exchange — the 100 TB repeat-join strategy. Verified
+    against the unbucketed plan, which must shuffle at least one side."""
+    from city_payroll_data_pipeline_spark.sources.sinks import save_table
+    from city_payroll_data_pipeline_spark.suite import table as t
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    orders = t(spark, SF_CORRECT, "orders")
+    li = t(spark, SF_CORRECT, "lineitem")
+    save_table(orders, "bktest.orders_b", bucket_by=["o_orderkey"], num_buckets=8)
+    save_table(li, "bktest.lineitem_b", bucket_by=["l_orderkey"], num_buckets=8)
+    # at sf0.01 the planner prefers broadcast (and rightly so); force the
+    # shuffle-join path this test is about — the regime where both sides
+    # are too big to broadcast, which is where bucketing pays off
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bl = spark.table("bktest.orders_b"), spark.table("bktest.lineitem_b")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).select(
+            "l_orderkey", "o_totalprice", "l_extendedprice"
+        )
+        p = plan(joined, mode="simple")
+        assert "SortMergeJoin" in p and "Exchange" not in p, p
+        p_unbucketed = plan(
+            li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+                "l_orderkey", "o_totalprice", "l_extendedprice"
+            ),
+            mode="simple",
+        )
+        assert "Exchange hashpartitioning" in p_unbucketed
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP DATABASE bktest CASCADE")
+
+
 def test_exact_dedup_single_shuffle(suite, spark):
     """Exact dedup is one shuffle: exactly one Exchange between the scan
     and the final agg (partial/final hash agg around it). Simple mode —
