@@ -499,6 +499,132 @@ WHERE n_common / CAST(za.n + zb.n - n_common AS DOUBLE) >= 0.5
 """
 
 # --------------------------------------------------------------------------
+# Deterministic sampling + split assignment. RNG-based sampling is not
+# reproducible across engines/runs/partitionings; hashing the stable id
+# is — the standard trick for training-data splits that must never
+# drift between pipeline runs. Bucket = first 48 md5 bits mod 100
+# (exact bigint arithmetic both engines).
+# --------------------------------------------------------------------------
+
+def _hash_bucket(col):
+    """md5(id) → bucket in [0, 100). 48 bits so bigint never overflows."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+_HASH_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100"
+)
+
+
+def q_hash_sample_docs(spark, sf_dir):
+    """Reproducible ~10% sample: hash-bucket < 10. Fully parallel, no
+    RNG state, stable under repartitioning and re-runs."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(_hash_bucket(F.col("doc_id")) < 10).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+HASH_SAMPLE_DOCS_SQL = f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE {_HASH_BUCKET_SQL} < 10
+"""
+
+
+def q_train_val_test_split(spark, sf_dir):
+    """80/10/10 split assignment by hash bucket, reported per source —
+    the canonical reproducible-split op for corpus pipelines."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+TRAIN_VAL_TEST_SPLIT_SQL = f"""
+SELECT source,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+         AS split,
+       COUNT(*) AS n_docs
+FROM (SELECT source, {_HASH_BUCKET_SQL} AS b FROM documents)
+GROUP BY 1, 2
+ORDER BY source, split
+"""
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy matching (Levenshtein) — edit-distance pairs without
+# the O(n²) cross join: block on (first char, length band) so only
+# plausibly-close strings are compared.
+# --------------------------------------------------------------------------
+
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance ≤ 2 pairs over part names + synthesized last-char
+    typo variants. Blocking: length bands of 4, with ONE side emitting
+    bands b-1..b+1 (sliding blocking) — equality joins only, and any
+    pair within |Δlen| ≤ 4 ⊇ edit-distance ≤ 2 lands in exactly one
+    matching band, so recall is perfect without a cross join. Each
+    ordered pair matches at most once (the a-side band is a single
+    value), and a < b keeps one orientation."""
+    names = (
+        table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    variants = names.select(
+        F.expr("substring(name, 1, length(name) - 1)").alias("name")
+    )
+    corpus = names.union(variants).distinct()
+    band = (F.length("name") / 4).cast("int")
+    a = corpus.select("name", band.alias("band")).alias("a")
+    b = corpus.select(
+        "name",
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein("a.name", "b.name").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
+
+
+FUZZY_NAME_PAIRS_SQL = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+corpus AS (
+  SELECT name FROM names
+  UNION
+  SELECT substr(name, 1, length(name) - 1) FROM names
+),
+a AS (SELECT name, CAST(length(name) // 4 AS INT) AS band FROM corpus),
+b AS (
+  SELECT name, CAST(length(name) // 4 AS INT) + d AS band
+  FROM corpus, (SELECT unnest([-1, 0, 1]) AS d)
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS edit_dist
+FROM a JOIN b ON a.band = b.band AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+"""
+
+# --------------------------------------------------------------------------
 # Multimodal metadata plumbing (binary columns; decode itself is the
 # stubbed Pandas-UDF path in functions/multimodal.py)
 # --------------------------------------------------------------------------
@@ -625,6 +751,15 @@ QUERIES = {
         q_corpus_clean_pipeline,
         CORPUS_CLEAN_PIPELINE_SQL,
         ("text", "pipeline", "dedup", "quality", "langid"),
+    ),
+    "hash_sample_docs": Query(
+        q_hash_sample_docs, HASH_SAMPLE_DOCS_SQL, ("sample", "deterministic")
+    ),
+    "train_val_test_split": Query(
+        q_train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL, ("sample", "split")
+    ),
+    "fuzzy_name_pairs": Query(
+        q_fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL, ("fuzzy", "levenshtein")
     ),
     "media_bytes_meta": Query(
         q_media_bytes_meta, MEDIA_BYTES_META_SQL, ("multimodal",)
