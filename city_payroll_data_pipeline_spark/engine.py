@@ -57,9 +57,12 @@ class Engine:
         tenant = self.registry.authenticate(client_id, password)
         self.registry.validate_filename(client_id, csv_path)
 
-        # bronze backup of the raw file (S4, serve_flight.py:145-151)
+        # bronze backup of the raw file (S4, serve_flight.py:145-151);
+        # no-op when the upload already landed in Raw/ (Flight facade)
         raw_dir = self.registry.storage_path(client_id, "Raw")
-        shutil.copy(csv_path, os.path.join(raw_dir, os.path.basename(csv_path)))
+        dest = os.path.join(raw_dir, os.path.basename(csv_path))
+        if os.path.abspath(csv_path) != os.path.abspath(dest):
+            shutil.copy(csv_path, dest)
 
         industry = tenant.industry
         raw = read_csv_all_string(

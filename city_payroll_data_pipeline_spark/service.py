@@ -1,0 +1,131 @@
+"""Arrow Flight service facade — transport parity with the reference.
+
+The reference serves its engine over Arrow Flight gRPC (reference
+serve_flight.py:21 ``class BusinessSolutionServer(flight.FlightServerBase)``):
+``do_put`` ingests CSV uploads (serve_flight.py:81), ``do_get`` serves
+the two report queries (serve_flight.py:234,291,295), and ``do_action``
+lists tenant files (serve_flight.py:337). This module reproduces that
+wire surface as a THIN adapter over :class:`engine.Engine` — transport
+only; every query executes in Spark, and results stream back as Arrow
+record batches (Spark→pandas conversion is Arrow-accelerated, so the
+data stays columnar end to end).
+
+Scale note: Flight is a single-node ingress/egress door, fine for
+reports (small) and per-tenant uploads (bounded). Bulk data belongs on
+the parquet path, not the gRPC path — the reference's own design, kept
+deliberately.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.flight as flight
+
+from city_payroll_data_pipeline_spark.engine import Engine
+
+
+class PayrollFlightServer(flight.FlightServerBase):
+    """do_put: CSV upload+transform; do_get: budget report / full
+    export; do_action list_files — the reference's action set."""
+
+    def __init__(self, engine: Engine, location: str = "grpc://0.0.0.0:0"):
+        super().__init__(location)
+        self.engine = engine
+
+    # -- ingest (reference serve_flight.py:81-221) --------------------
+
+    def do_put(self, context, descriptor, reader, writer):
+        meta = json.loads(descriptor.path[0].decode())
+        client_id = meta["client_id"]
+        password = meta["password"]
+        filename = os.path.basename(meta["filename"])
+
+        table = reader.read_all()  # bulk transfer, like reference :148
+        tenant = self.engine.registry.authenticate(client_id, password)
+        self.engine.registry.validate_filename(client_id, filename)
+        raw_dir = self.engine.registry.storage_path(client_id, "Raw")
+        os.makedirs(raw_dir, exist_ok=True)
+        raw_path = os.path.join(raw_dir, filename)
+        table.to_pandas().to_csv(raw_path, index=False)
+        del tenant
+        self.engine.ingest(client_id, password, raw_path)
+
+    # -- reports (reference serve_flight.py:234-330) ------------------
+
+    def do_get(self, context, ticket):
+        req = json.loads(ticket.ticket.decode())
+        action = req["action"]
+        client_id, password = req["client_id"], req["password"]
+        target = req["target_file"]
+        if action == "get_budget_report":
+            df = self.engine.budget_report(client_id, password, target)
+        elif action == "get_full_clean":
+            df = self.engine.full_export(client_id, password, target)
+        else:
+            raise flight.FlightServerError(f"unknown action: {action}")
+        table = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
+        return flight.RecordBatchStream(table)
+
+    # -- listings (reference serve_flight.py:337-366) -----------------
+
+    def do_action(self, context, action):
+        if action.type != "list_files":
+            raise flight.FlightServerError(f"unknown action: {action.type}")
+        req = json.loads(action.body.to_pybytes().decode())
+        files = self.engine.list_files(
+            req["client_id"], req["password"], req.get("subdir", "Clean")
+        )
+        yield flight.Result(json.dumps(sorted(files)).encode())
+
+
+class PayrollFlightClient:
+    """Client twin (reference web_dashboard/backend_client.py)."""
+
+    def __init__(self, location: str):
+        self.client = flight.FlightClient(location)
+
+    def upload_csv(self, csv_path: str, client_id: str, password: str) -> None:
+        import pandas as pd
+
+        pdf = pd.read_csv(csv_path, dtype=str)  # all-string, like :97
+        table = pa.Table.from_pandas(pdf, preserve_index=False)
+        meta = json.dumps(
+            {
+                "client_id": client_id,
+                "password": password,
+                "filename": os.path.basename(csv_path),
+            }
+        )
+        descriptor = flight.FlightDescriptor.for_path(meta)
+        writer, _ = self.client.do_put(descriptor, table.schema)
+        writer.write_table(table)
+        writer.close()
+
+    def _get(self, action: str, client_id: str, password: str, target: str):
+        ticket = flight.Ticket(
+            json.dumps(
+                {
+                    "action": action,
+                    "client_id": client_id,
+                    "password": password,
+                    "target_file": target,
+                }
+            ).encode()
+        )
+        return self.client.do_get(ticket).read_all().to_pandas()
+
+    def get_budget_report(self, client_id, password, target):
+        return self._get("get_budget_report", client_id, password, target)
+
+    def get_full_data(self, client_id, password, target):
+        return self._get("get_full_clean", client_id, password, target)
+
+    def list_files(self, client_id, password, subdir="Clean"):
+        body = json.dumps(
+            {"client_id": client_id, "password": password, "subdir": subdir}
+        ).encode()
+        results = self.client.do_action(flight.Action("list_files", body))
+        return json.loads(next(iter(results)).body.to_pybytes().decode())

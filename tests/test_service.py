@@ -1,0 +1,81 @@
+"""Arrow Flight facade round-trip: client upload → Spark transform →
+report/export/listing back over gRPC (transport parity with the
+reference server; queries still run in Spark)."""
+
+import csv
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def flight_setup(spark, tmp_path_factory):
+    from city_payroll_data_pipeline_spark.engine import Engine
+    from city_payroll_data_pipeline_spark.service import (
+        PayrollFlightClient,
+        PayrollFlightServer,
+    )
+
+    wh = tmp_path_factory.mktemp("flight_wh")
+    engine = Engine(spark, str(wh))
+    engine.registry.register("ACME", "corporate", "s3cret")
+    server = PayrollFlightServer(engine, "grpc://127.0.0.1:0")
+    client = PayrollFlightClient(f"grpc://127.0.0.1:{server.port}")
+    yield engine, server, client, tmp_path_factory.mktemp("flight_csv")
+    server.shutdown()
+
+
+def test_flight_upload_report_roundtrip(flight_setup):
+    from city_payroll_data_pipeline_spark.schemas import CORPORATE_RAW_COLUMNS
+
+    _, _, client, csv_dir = flight_setup
+    path = csv_dir / "corporate_payroll.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(CORPORATE_RAW_COLUMNS)
+        w.writerow(["1", "2024", "Police", "Officer", "FT",
+                    "$100.00", "$10.00", "$0.00", "$5.00"])
+        w.writerow(["2", "2024", "Police", "Officer", "FT",
+                    "$200.00", "$0.00", "$0.00", "$5.00"])
+        w.writerow(["3", "2024", "Fire", "Captain", "FT",
+                    "$300.00", "$90.00", "$0.00", "$5.00"])
+
+    client.upload_csv(str(path), "ACME", "s3cret")
+
+    report = client.get_budget_report("ACME", "s3cret", "corporate_payroll.csv")
+    by_title = report.set_index("job_title")
+    assert by_title.loc["Officer", "total_employee"] == 2
+    assert by_title.loc["Officer", "total_budget"] == pytest.approx(320.0)
+    # ordered by total_budget desc (reference serve_flight.py:295)
+    assert report["total_budget"].is_monotonic_decreasing
+
+    full = client.get_full_data("ACME", "s3cret", "corporate_payroll.csv")
+    assert len(full) == 3
+    assert list(full["job_title"]) == sorted(full["job_title"])  # ORDER BY job_title
+
+    files = client.list_files("ACME", "s3cret", "Clean")
+    assert any("corporate_payroll" in f for f in files)
+
+
+def test_flight_rejects_bad_credentials(flight_setup):
+    import pyarrow.flight as flight
+
+    _, _, client, _ = flight_setup
+    with pytest.raises(flight.FlightError):
+        client.get_budget_report("ACME", "wrong", "corporate_payroll.csv")
+
+
+def test_flight_rejects_wrong_industry_filename(flight_setup):
+    import pyarrow as pa
+    import pyarrow.flight as flight
+
+    from city_payroll_data_pipeline_spark.schemas import CORPORATE_RAW_COLUMNS
+
+    _, _, client, csv_dir = flight_setup
+    path = csv_dir / "hospital_data.csv"  # ACME is a corporate tenant
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(CORPORATE_RAW_COLUMNS)
+        w.writerow(["1", "2024", "X", "Y", "FT", "$1", "$0", "$0", "$0"])
+    # ValidationError surfaces as gRPC INVALID_ARGUMENT → ArrowInvalid
+    with pytest.raises((flight.FlightError, pa.ArrowInvalid)):
+        client.upload_csv(str(path), "ACME", "s3cret")
