@@ -153,6 +153,87 @@ def lsh_bucket(qvec: Column, n_planes: int, dim: int) -> Column:
     return bucket
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    centroid_stride: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is assigned to
+    ``n_lists`` coarse cells (nearest centroid by cosine); each query
+    probes its ``n_probe`` nearest cells and scores only those lists.
+
+    Centroids are seed vectors picked deterministically from the corpus
+    (vec_id = 0, stride, 2·stride, …) — no k-means RNG, so results are
+    bit-reproducible and the DuckDB oracle can replay them. A real
+    deployment would Lloyd-refine the centroids; the partition/probe
+    machinery (the part that matters for the Spark plan) is identical.
+
+    Scale shape: assignment is one broadcast join (n_lists rows)
+    against the corpus — a single pass; the probe join shuffles only
+    (query, list) pairs. Versus LSH: IVF cells adapt to the data
+    distribution and n_probe trades recall for cost query-side without
+    re-bucketing the corpus."""
+    corpus = with_quantized(df, id_col, vec_col)
+    cents = (
+        corpus.filter(
+            (F.col("vec_id") % centroid_stride == 0)
+            & (F.col("vec_id") < centroid_stride * n_lists)
+        )
+        .select(
+            (F.col("vec_id") / centroid_stride).cast("int").alias("list_id"),
+            F.col("q").alias("cq"),
+            F.col("n2").alias("cn2"),
+        )
+    )
+
+    def assign(side: DataFrame, n_best: int) -> DataFrame:
+        scored = side.alias("v").join(F.broadcast(cents)).select(
+            "v.*",
+            "list_id",
+            cosine_q(
+                dot_q(F.col("v.q"), F.col("cq")), F.col("v.n2"), F.col("cn2")
+            ).alias("_csim"),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("_csim"), F.asc("list_id"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n_best)
+            .drop("_csim", "_r")
+        )
+
+    corpus_a = assign(corpus, 1)
+    qry = with_quantized(queries if queries is not None else df, id_col, vec_col)
+    qry_a = assign(qry, n_probe)
+    joined = (
+        corpus_a.alias("c")
+        .join(
+            F.broadcast(qry_a.alias("p")),
+            (F.col("p.list_id") == F.col("c.list_id"))
+            & (F.col("p.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("p.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cosine_q(
+                dot_q(F.col("p.q"), F.col("c.q")), F.col("p.n2"), F.col("c.n2")
+            ).alias("cosine"),
+        )
+        # no dedup needed: each corpus vector lives in exactly one list,
+        # so a (query, neighbor) pair matches at most one probed list
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,

@@ -201,6 +201,75 @@ FROM ranked WHERE rank <= {K}
 """
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) approximate top-k — deterministic seed centroids
+# --------------------------------------------------------------------------
+
+N_LISTS = 8
+N_PROBE = 3
+CENTROID_STRIDE = 7
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sim.ivf_topk(
+        emb, "vec_id", "embedding", queries,
+        k=K, n_lists=N_LISTS, n_probe=N_PROBE, centroid_stride=CENTROID_STRIDE,
+    )
+
+
+IVF_ANN_TOPK_SQL = f"""
+WITH qv AS (
+  SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2
+  FROM ({_Q_CORPUS_SQL})
+),
+cents AS (
+  SELECT CAST(vec_id // {CENTROID_STRIDE} AS INT) AS list_id,
+         q AS cq, n2 AS cn2
+  FROM qv
+  WHERE vec_id % {CENTROID_STRIDE} = 0
+    AND vec_id < {CENTROID_STRIDE * N_LISTS}
+),
+scored AS (
+  SELECT v.vec_id, v.q, v.n2, c.list_id,
+         CASE WHEN sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) > 0
+              THEN CAST({_dot_sql('v.q', 'c.cq')} AS DOUBLE)
+                   / sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE))
+         END AS csim
+  FROM qv v CROSS JOIN cents c
+),
+ranked_cells AS (
+  SELECT vec_id, q, n2, list_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, list_id ASC) AS r
+  FROM scored
+),
+corpus_a AS (SELECT vec_id, q, n2, list_id FROM ranked_cells WHERE r = 1),
+qry_a AS (
+  SELECT vec_id, q, n2, list_id FROM ranked_cells
+  WHERE r <= {N_PROBE} AND vec_id < {N_QUERIES}
+),
+pairs AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_dot_sql('p.q', 'c.q')} AS dot, p.n2 AS n2a, c.n2 AS n2b
+  FROM qry_a p JOIN corpus_a c
+    ON p.list_id = c.list_id AND c.vec_id <> p.vec_id
+),
+cos AS (
+  SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine FROM pairs
+),
+final_ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cos
+)
+SELECT query_id, rank, neighbor_id, {_sql_round('cosine', 6)} AS cosine
+FROM final_ranked WHERE rank <= {K}
+"""
+
+
 QUERIES = {
     "embedding_norms": Query(q_embedding_norms, EMBEDDING_NORMS_SQL, ("vector",)),
     "cosine_topk": Query(q_cosine_topk, COSINE_TOPK_SQL, ("vector", "ann", "exact")),
@@ -208,4 +277,5 @@ QUERIES = {
         q_cosine_neardup_pairs, COSINE_NEARDUP_PAIRS_SQL, ("vector", "dedup")
     ),
     "lsh_ann_topk": Query(q_lsh_ann_topk, LSH_ANN_TOPK_SQL, ("vector", "ann", "lsh")),
+    "ivf_ann_topk": Query(q_ivf_ann_topk, IVF_ANN_TOPK_SQL, ("vector", "ann", "ivf")),
 }

@@ -167,3 +167,18 @@ def test_approx_distinct_error_bound(spark):
     ):
         assert exact > 0
         assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with seed centroids + n_probe=3/8 lists must recover a solid
+    majority of the exact top-k set (it matches its own oracle exactly;
+    this guards the recall/cost trade-off from regressing)."""
+    from city_payroll_data_pipeline_spark.suite import build_suite
+    from tests.conftest import SF_CORRECT
+
+    suite = build_suite()
+    exact = suite["cosine_topk"].spark(spark, SF_CORRECT).toPandas()
+    ivf = suite["ivf_ann_topk"].spark(spark, SF_CORRECT).toPandas()
+    es = set(zip(exact.query_id, exact.neighbor_id))
+    iv = set(zip(ivf.query_id, ivf.neighbor_id))
+    assert len(es & iv) / len(es) >= 0.6
