@@ -33,14 +33,18 @@ HEADLINE = [
     "hourly_event_stats",
     "shipping_priority_topk",
     "price_band_range_join",
+    "events_asof_last_order",
+    "event_sessions",
     # training-data ops
     "exact_dedup_groups",
     "minhash_dedup_pairs",
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
+    "corpus_clean_pipeline",
     "doc_quality",
     "media_feature_extract",
     "cosine_topk",
+    "ivf_ann_topk",
 ]
 
 

@@ -74,6 +74,33 @@ def streaming_event_stats(
     )
 
 
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+):
+    """Production sink: append the stream to a parquet directory with a
+    checkpoint. The checkpoint makes restarts exactly-once — a file
+    already processed in a previous run is never re-ingested (the file
+    source tracks progress there, not in memory). trigger(availableNow)
+    drains the current backlog in bounded batches then stops, so the
+    same call serves both continuous jobs (swap the trigger) and
+    cron-style incremental backfills."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain all currently-available input into an in-memory table
     (test/ops helper): trigger(availableNow) processes the backlog in

@@ -83,6 +83,40 @@ def test_streaming_incremental_files(spark, tmp_path):
     assert spark.sql("SELECT * FROM cnt_stream2").collect()[0]["count"] == 3
 
 
+def test_stream_to_parquet_exactly_once(spark, tmp_path):
+    """Checkpointed parquet sink: a restart re-ingests nothing; new
+    files land incrementally."""
+    from city_payroll_data_pipeline_spark.schemas import CORPORATE_RAW_COLUMNS
+    from city_payroll_data_pipeline_spark.streaming import stream_raw_csv
+    from city_payroll_data_pipeline_spark.streaming.jobs import stream_to_parquet
+
+    raw = tmp_path / "raw3"
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    os.makedirs(raw)
+    _write_corporate_csv(
+        raw / "corporate_1.csv",
+        [["1", "2013", "P", "A", "FT", "$1.00", "", "", ""]],
+    )
+    stream = stream_raw_csv(spark, str(raw), CORPORATE_RAW_COLUMNS)
+    stream_to_parquet(stream, str(out), str(ckpt))
+    assert spark.read.parquet(str(out)).count() == 1
+
+    # restart with the same checkpoint: old file NOT re-ingested
+    stream_to_parquet(
+        stream_raw_csv(spark, str(raw), CORPORATE_RAW_COLUMNS), str(out), str(ckpt)
+    )
+    assert spark.read.parquet(str(out)).count() == 1
+
+    _write_corporate_csv(
+        raw / "corporate_2.csv",
+        [["2", "2013", "P", "B", "FT", "$1.00", "", "", ""]],
+    )
+    stream_to_parquet(
+        stream_raw_csv(spark, str(raw), CORPORATE_RAW_COLUMNS), str(out), str(ckpt)
+    )
+    assert spark.read.parquet(str(out)).count() == 2
+
+
 def test_streaming_stateful_sessionize(spark, tmp_path):
     """applyInPandasWithState sessionization: closed sessions are
     emitted as soon as the gap is observed; the open tail stays in
