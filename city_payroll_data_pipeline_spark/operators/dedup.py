@@ -68,23 +68,36 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
 def shingle_frame(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
 ) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — the shared intermediate of
-    the whole minhash pipeline. Callers that reuse it more than once
+    """Distinct hashed shingles per doc: (doc_id, a, b) where a/b are
+    the two 48-bit halves of md5(shingle) — the shared intermediate of
+    the minhash and n-gram-Jaccard pipelines. Callers that reuse it
     should persist it (minhash_dedup_pairs does): at corpus scale the
     shingle explosion is the dominant cost and must be paid once.
 
+    Hashing happens BEFORE the distinct: the dedup shuffle and every
+    downstream join carry two bigints (16 bytes) instead of a shingle
+    string (~25+ bytes), and the string itself dies inside the map
+    stage. 96 identifying bits make cross-shingle collisions
+    negligible at any corpus size (~2^-96 per pair).
+
     The token array is projected into its own column before the
-    shingle transform: inlining ``split()`` into the n-gram expression
-    makes Catalyst re-evaluate the regex split per element reference
-    (O(tokens²) work per doc — measured 5× slower at sf0.1)."""
+    shingle transform: inlining the tokenizer into the n-gram
+    expression makes Catalyst re-evaluate the regex split per element
+    reference (O(tokens²) work per doc — measured 5× slower at sf0.1)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         tokens_array(F.col(text_col)).alias("toks"),
     )
+    md = F.md5(F.col("shingle"))
     return (
         toks.select(
             "doc_id",
             F.explode(shingles(F.col("toks"), shingle_n)).alias("shingle"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(md, 1, 12), 16, 10).cast("bigint").alias("a"),
+            F.conv(F.substring(md, 13, 12), 16, 10).cast("bigint").alias("b"),
         )
         .distinct()
     )
@@ -96,21 +109,16 @@ def minhash_signatures_from_shingles(
     """Per-doc minhash signature: columns h0..h{k-1} (bigint), each the
     min over shingles of the i-th derived hash.
 
-    One md5 per shingle, not k: the digest's two 48-bit halves (a, b)
-    seed the Kirsch-Mitzenmacher family h_i = a + i·b — k independent-
-    enough minhashes for the cost of one hash plus k adds (the textbook
-    Bloom/minhash trick). 48-bit halves keep a + 15·b < 2^52, so bigint
-    arithmetic never overflows and DuckDB reproduces it exactly.
-    One groupBy — partial min aggregation happens map-side."""
-    md = F.md5(F.col("shingle"))
-    withab = sh.select(
-        "doc_id",
-        F.conv(F.substring(md, 1, 12), 16, 10).cast("bigint").alias("_a"),
-        F.conv(F.substring(md, 13, 12), 16, 10).cast("bigint").alias("_b"),
-    )
-    return withab.groupBy("doc_id").agg(
+    One md5 per shingle (already paid in shingle_frame): the digest's
+    two 48-bit halves (a, b) seed the Kirsch-Mitzenmacher family
+    h_i = a + i·b — k independent-enough minhashes for the cost of one
+    hash plus k adds (the textbook Bloom/minhash trick). 48-bit halves
+    keep a + 15·b < 2^52, so bigint arithmetic never overflows and
+    DuckDB reproduces it exactly. One groupBy — partial min
+    aggregation happens map-side."""
+    return sh.groupBy("doc_id").agg(
         *[
-            F.min(F.col("_a") + i * F.col("_b")).alias(f"h{i}")
+            F.min(F.col("a") + i * F.col("b")).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -192,8 +200,9 @@ def jaccard_verify(
     _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs:
-    |A∩B| via a join on shingle, |A∪B| = |A|+|B|-|A∩B| (all integer
-    counts → the ratio is bit-deterministic)."""
+    |A∩B| via a join on the hashed shingle (a, b), |A∪B| =
+    |A|+|B|-|A∩B| (all integer counts → the ratio is
+    bit-deterministic)."""
     sh = (
         _shingles
         if _shingles is not None
@@ -205,7 +214,8 @@ def jaccard_verify(
         .join(
             sh.alias("sb"),
             (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
+            & (F.col("sa.a") == F.col("sb.a"))
+            & (F.col("sa.b") == F.col("sb.b")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
@@ -273,20 +283,21 @@ def ngram_jaccard_pairs(
     which pairs are *considered*, not how they are scored."""
     sh = shingle_frame(df, id_col, text_col, shingle_n).persist()
     rare = (
-        sh.groupBy("shingle")
+        sh.groupBy("a", "b")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= max_shingle_df)
-        .select("shingle")
+        .select("a", "b")
     )
-    rsh = sh.join(rare, "shingle")
+    rsh = sh.join(rare, ["a", "b"])
     cands = (
-        rsh.alias("a")
+        rsh.alias("x")
         .join(
-            rsh.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            rsh.alias("y"),
+            (F.col("x.a") == F.col("y.a"))
+            & (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
     return jaccard_verify(
@@ -305,27 +316,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash per doc: per-token 60-bit hashes, count-weighted
     majority vote per bit.
 
-    The 60 bit-votes are 60 aggregate COLUMNS over the (doc, token,
-    weight) frame, not 60 exploded rows: the explode-based form
-    materializes |tokens|·60 rows and hash-aggregates over |docs|·60
-    keys before its extra (doc_id, b) shuffle; this form keeps one
-    groupBy(doc_id) with 60 accumulator slots, all inside a single
-    whole-stage-codegen span. Identical output (A/B checked), one
-    fewer shuffle stage."""
-    toks = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokens_array(F.col(text_col))).alias("token"),
-        )
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("weight"))
-        .withColumn("th", token_hash60(F.col("token")))
-    )
+    The 60 bit-votes are 60 aggregate COLUMNS summed directly over
+    token OCCURRENCES — ±1 per occurrence. Algebraically identical to
+    the textbook per-token-weight formulation (Σ_t sign·count(t) =
+    Σ_occurrences sign), but it needs NO (doc_id, token) weight
+    pre-aggregation: the only shuffle in the whole signature
+    computation is the final groupBy(doc_id), with all 60 vote sums
+    partially aggregated map-side in one whole-stage-codegen span.
+    Hashing cost rises (md5 per occurrence, not per distinct token)
+    but hashing is compute on the map side; the shuffle it removes is
+    the scale bottleneck."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_array(F.col(text_col))).alias("token"),
+    ).withColumn("th", token_hash60(F.col("token")))
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.expr(f"shiftright(th, {b}) & 1") == 1, F.col("weight"))
-                .otherwise(-F.col("weight"))
+                F.when(F.expr(f"shiftright(th, {b}) & 1") == 1, 1).otherwise(-1)
             ).alias(f"v{b}")
             for b in range(SIMHASH_BITS)
         ]

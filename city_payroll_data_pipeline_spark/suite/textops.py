@@ -202,6 +202,30 @@ def q_minhash_dedup_pairs(spark, sf_dir):
     )
 
 
+# shared CTE text: corpus → tokens → shingles → distinct hashed
+# (doc_id, a, b) — mirrors operators/dedup.py::shingle_frame exactly.
+# Expects a preceding `corpus AS (...)` CTE; leaves a trailing comma.
+_SHINGLE_AB_CTES = r"""
+toks AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+', 0) AS t FROM corpus
+),
+raw_sh AS (
+  SELECT doc_id, md5(unnest(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(0, len(t) - 2),
+                             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         ELSE []::VARCHAR[] END)) AS h
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(h, 1, 12) AS BIGINT) AS a,
+         CAST('0x' || substr(h, 13, 12) AS BIGINT) AS b
+  FROM raw_sh
+),
+"""
+
+
 def _minhash_sql() -> str:
     k, bands = 16, 4
     r = k // bands
@@ -218,27 +242,11 @@ def _minhash_sql() -> str:
     )
     return rf"""
 WITH corpus AS ({_NEAR_CORPUS_SQL}),
-toks AS (
-  SELECT doc_id, regexp_extract_all(trim(text), '\S+', 0) AS t FROM corpus
-),
-sh AS (
-  SELECT DISTINCT doc_id, unnest(
-    CASE WHEN len(t) >= 3
-         THEN list_transform(range(0, len(t) - 2),
-                             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
-         ELSE []::VARCHAR[] END) AS shingle
-  FROM toks
-),
-ab AS (
-  SELECT doc_id,
-         CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS a,
-         CAST('0x' || substr(md5(shingle), 13, 12) AS BIGINT) AS b
-  FROM sh
-),
+{_SHINGLE_AB_CTES}
 sigs AS (
   SELECT doc_id,
          {mins}
-  FROM ab GROUP BY doc_id
+  FROM sh GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, b.band_idx,
@@ -256,7 +264,7 @@ inter AS (
   SELECT doc_a, doc_b, count(*) AS n_common
   FROM cands
   JOIN sh sa ON sa.doc_id = doc_a
-  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+  JOIN sh sb ON sb.doc_id = doc_b AND sa.a = sb.a AND sa.b = sb.b
   GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b,
@@ -463,31 +471,22 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 NGRAM_JACCARD_PAIRS_SQL = rf"""
 WITH corpus AS ({_NEAR_CORPUS_SQL}),
-toks AS (
-  SELECT doc_id, regexp_extract_all(trim(text), '\S+', 0) AS t FROM corpus
-),
-sh AS (
-  SELECT DISTINCT doc_id, unnest(
-    CASE WHEN len(t) >= 3
-         THEN list_transform(range(0, len(t) - 2),
-                             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
-         ELSE []::VARCHAR[] END) AS shingle
-  FROM toks
-),
+{_SHINGLE_AB_CTES}
 rare AS (
-  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_NGRAM_MAX_DF}
+  SELECT a, b FROM sh GROUP BY a, b HAVING count(*) <= {_NGRAM_MAX_DF}
 ),
-rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+rsh AS (SELECT sh.doc_id, sh.a, sh.b FROM sh JOIN rare USING (a, b)),
 cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM rsh x JOIN rsh y
+    ON x.a = y.a AND x.b = y.b AND x.doc_id < y.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT doc_a, doc_b, count(*) AS n_common
   FROM cands
   JOIN sh sa ON sa.doc_id = doc_a
-  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+  JOIN sh sb ON sb.doc_id = doc_b AND sa.a = sb.a AND sa.b = sb.b
   GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b,
