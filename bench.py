@@ -59,18 +59,21 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     suite = build_suite()
 
-    def run(name: str) -> float:
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         suite[name].spark(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        return round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
 
-    run("preview_limit")  # warmup: session/codegen spin-up
+    run_once("preview_limit")  # warmup: session/codegen spin-up
 
+    # best-of-2: the first execution pays one-off costs (file listing,
+    # codegen compilation, Python worker spin-up) that aren't the
+    # steady-state cost of the query plan being measured
     times: dict[str, float] = {}
     for name in HEADLINE:
-        times[name] = run(name)
+        times[name] = round(min(run_once(name) for _ in range(2)), 3)
 
     total = round(sum(times.values()), 3)
     print(

@@ -89,16 +89,20 @@ def decode_image_batch(content: pd.Series, decoder: Callable | None = None):
 def fake_feature_extract(content: pd.Series) -> pd.Series:
     """Deterministic stand-in for a learned feature extractor: a
     16-bucket normalized byte histogram. Shape-compatible with a real
-    embedding so the downstream similarity operators run unchanged."""
+    embedding so the downstream similarity operators run unchanged.
+
+    Vectorized with numpy (frombuffer + bincount) — the point of the
+    Arrow/pandas batch boundary is lost if the Python side then loops
+    per byte; this is the pattern a real featurizer should follow
+    (hand the whole buffer to native code)."""
+    import numpy as np
 
     def hist(b: bytes | None) -> list[float]:
         if not b:
             return [0.0] * FEATURE_DIM
-        counts = [0] * FEATURE_DIM
-        for byte in b:
-            counts[byte >> 4] += 1
-        n = float(len(b))
-        return [c / n for c in counts]
+        arr = np.frombuffer(b, dtype=np.uint8) >> 4
+        counts = np.bincount(arr, minlength=FEATURE_DIM)
+        return (counts / float(len(b))).tolist()
 
     return content.map(hist)
 

@@ -29,6 +29,12 @@ class Query:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # pin the session timezone for every suite query: date_trunc,
+    # unix_timestamp, and pandas conversion are session-tz-dependent,
+    # while the DuckDB oracle is tz-naive — a non-UTC session (e.g. a
+    # driver-owned one) would shift hour/day boundaries and every
+    # rendered timestamp value.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return events_table(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
