@@ -12,6 +12,8 @@ small-output case (a 50-row report should not produce 32 files).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -39,6 +41,43 @@ def write_csv(
     if coalesce:
         df = df.coalesce(coalesce)
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. The operational counterpart of
+    streaming ingestion — a file-watcher sink lands one small file per
+    micro-batch, and at 100 TB scan throughput dies on per-file open
+    costs long before data volume matters (the classic small-file
+    problem; Delta/Iceberg call this OPTIMIZE).
+
+    Write-to-temp-then-swap: Spark cannot safely overwrite a directory
+    it is lazily reading, and the swap keeps a crash from leaving the
+    dataset truncated (worst case: the old directory survives under
+    its backup name). Returns the new file count."""
+    import math
+    import shutil as _sh
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    bak = path.rstrip("/") + "._compact_bak"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    _sh.rmtree(bak)
+    return n_files
 
 
 def save_table(

@@ -274,6 +274,50 @@ FROM events
 ORDER BY user_id, event_id
 """
 
+def q_customer_order_windows(spark, sf_dir):
+    """The remaining analytic-window surface in one query: lag (days
+    since previous order), lead (next order key), ntile quartiles, and
+    a 30-day RANGE frame (trailing spend) — all over ONE shuffle on
+    o_custkey; every function shares the same partition sort."""
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    secs = F.unix_timestamp(F.col("o_orderdate"))
+    wr = (
+        W.partitionBy("o_custkey")
+        .orderBy(secs)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).alias("order_quartile"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(wr)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+CUSTOMER_ORDER_WINDOWS_SQL = """
+SELECT o_custkey, o_orderkey,
+       date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+         AS days_since_prev,
+       lead(o_orderkey) OVER w AS next_orderkey,
+       ntile(4) OVER w AS order_quartile,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_30d_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
 # --------------------------------------------------------------------------
 # Time-bucketed aggregation (the batch analog of a streaming tumbling
 # window; the streaming module reuses the same expression)
@@ -850,6 +894,11 @@ QUERIES = {
     ),
     "event_sessions": Query(
         q_event_sessions, EVENT_SESSIONS_SQL, ("window", "sessionize")
+    ),
+    "customer_order_windows": Query(
+        q_customer_order_windows,
+        CUSTOMER_ORDER_WINDOWS_SQL,
+        ("window", "lag", "lead", "ntile", "range_frame"),
     ),
     "time_rollup_multires": Query(
         q_time_rollup_multires, TIME_ROLLUP_MULTIRES_SQL, ("grouping_sets", "time")

@@ -84,3 +84,27 @@ def test_kpi_stats_layer(engine, corporate_csv):
     assert stats["max_budget"] == pytest.approx(390.0)
     assert stats["median_budget"] == pytest.approx((316.0 + 390.0) / 2)
     assert top_k(rpt, 1).collect()[0]["job_title"] == "Captain"
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Compaction rewrites many small files into few, preserving rows;
+    the temp/backup dirs are cleaned up."""
+    import os
+
+    from city_payroll_data_pipeline_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumnRenamed("id", "v")
+    df.repartition(32).write.parquet(path)
+    before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before) == 32
+
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after) == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.agg({"v": "sum"}).collect()[0][0] == sum(range(10_000))
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_bak")
