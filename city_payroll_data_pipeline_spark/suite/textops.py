@@ -477,9 +477,11 @@ rare AS (
 ),
 rsh AS (SELECT sh.doc_id, sh.a, sh.b FROM sh JOIN rare USING (a, b)),
 cands AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM rsh x JOIN rsh y
     ON x.a = y.a AND x.b = y.b AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
