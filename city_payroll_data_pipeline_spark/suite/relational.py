@@ -274,6 +274,34 @@ FROM events
 ORDER BY user_id, event_id
 """
 
+def q_status_sets_by_priority(spark, sf_dir):
+    """Set-valued aggregation rendered deterministically: the distinct
+    statuses per priority as a sorted comma-joined string (array
+    column order is engine-dependent; the sorted join is the
+    hash-stable form)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+STATUS_SETS_BY_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_customer_order_windows(spark, sf_dir):
     """The remaining analytic-window surface in one query: lag (days
     since previous order), lead (next order key), ntile quartiles, and
@@ -899,6 +927,9 @@ QUERIES = {
         q_customer_order_windows,
         CUSTOMER_ORDER_WINDOWS_SQL,
         ("window", "lag", "lead", "ntile", "range_frame"),
+    ),
+    "status_sets_by_priority": Query(
+        q_status_sets_by_priority, STATUS_SETS_BY_PRIORITY_SQL, ("agg", "collect_set")
     ),
     "time_rollup_multires": Query(
         q_time_rollup_multires, TIME_ROLLUP_MULTIRES_SQL, ("grouping_sets", "time")
