@@ -486,6 +486,31 @@ FROM lineitem
 """
 
 
+def q_order_lineitem_join_salted(spark, sf_dir):
+    """The fact-fact join of order_lineitem_join executed through the
+    explicit salted join (operators/skew.py): the orders side is
+    replicated per salt, lineitem's hot orderkeys spread n ways. Salt
+    never reaches the output, so this shares the plain join's oracle —
+    the cross-check that salting changes placement, not results."""
+    from city_payroll_data_pipeline_spark.operators.skew import salted_join
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=6,
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_budget_report_salted(spark, sf_dir):
     """Same result as the budget report, computed skew-resistant: a
     two-stage salted aggregation (key+salt partial agg → key final
@@ -946,4 +971,10 @@ from city_payroll_data_pipeline_spark.suite.parity import BUDGET_REPORT_SQL  # n
 
 QUERIES["budget_report_salted"] = Query(
     q_budget_report_salted, BUDGET_REPORT_SQL, ("agg", "skew", "salted")
+)
+
+# the salted join shares the plain join's oracle (salt affects only
+# row placement, never results)
+QUERIES["order_lineitem_join_salted"] = Query(
+    q_order_lineitem_join_salted, ORDER_LINEITEM_JOIN_SQL, ("join", "skew", "salted")
 )

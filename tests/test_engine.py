@@ -108,3 +108,43 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert got.agg({"v": "sum"}).collect()[0][0] == sum(range(10_000))
     assert not os.path.exists(path + "._compact_tmp")
     assert not os.path.exists(path + "._compact_bak")
+
+
+def test_concurrent_tenant_ingest(spark, tmp_path):
+    """Two tenants ingest in parallel threads — the engine needs no
+    global transform lock (the reference serializes all uploads behind
+    one; Spark schedules concurrent jobs, and tenant isolation is by
+    storage path)."""
+    import csv
+    import threading
+
+    from city_payroll_data_pipeline_spark.engine import Engine
+    from city_payroll_data_pipeline_spark.schemas import CORPORATE_RAW_COLUMNS
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    errors = []
+
+    def ingest(client):
+        try:
+            eng.registry.register(client, "corporate", "pw")
+            p = tmp_path / f"{client}_corporate.csv"
+            with open(p, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(CORPORATE_RAW_COLUMNS)
+                for i in range(50):
+                    w.writerow([str(i), "2024", "D", f"T{i % 5}", "FT",
+                                f"${i}.00", "$1.00", "$0", "$2.00"])
+            eng.ingest(client, "pw", str(p))
+        except Exception as e:  # noqa: BLE001 - surfaced via assert below
+            errors.append((client, e))
+
+    threads = [
+        threading.Thread(target=ingest, args=(c,)) for c in ("T_A", "T_B", "T_C")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    for c in ("T_A", "T_B", "T_C"):
+        assert eng.budget_report(c, "pw", f"{c}_corporate.csv").count() == 5

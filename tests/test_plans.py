@@ -144,3 +144,20 @@ def test_exact_dedup_single_shuffle(suite, spark):
     formatted prints each node twice (tree + details)."""
     p = plan(_q(suite, spark, "exact_dedup_groups"), mode="simple")
     assert p.count("Exchange") == 1, p
+
+
+def test_salted_join_spreads_key(suite, spark):
+    """The salted join's shuffle keys include the salt (the n-way
+    spread) and the salt column never reaches the output."""
+    from city_payroll_data_pipeline_spark.operators.skew import salted_join
+    from city_payroll_data_pipeline_spark.suite import table as t
+
+    li = t(spark, SF_CORRECT, "lineitem")
+    orders = t(spark, SF_CORRECT, "orders")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=8)
+    p = plan(joined, mode="simple")
+    assert "_salt" in p
+    assert "_salt" not in joined.columns
+    # result identity with the plain join
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    assert joined.count() == plain.count()
