@@ -274,6 +274,99 @@ FROM events
 ORDER BY user_id, event_id
 """
 
+def q_conditional_agg_mix(spark, sf_dir):
+    """Conditional aggregation (SQL FILTER clause / count_if): several
+    differently-filtered aggregates in ONE pass over the fact — the
+    pattern that replaces N separate filtered scans with one."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+            _dec_sum(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(
+                    F.lit(0.0)
+                ),
+                "finished_revenue",
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+CONDITIONAL_AGG_MIX_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (o_totalprice > 100000) AS n_large,
+       {_sql_dec_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END", 'finished_revenue')}
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_orders_by_month(spark, sf_dir):
+    """Date-part extraction (year/month/quarter/day-of-week) feeding a
+    calendar aggregation."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mon"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_if(F.dayofweek("o_orderdate") == 1).alias("n_sunday"),
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy("yr", "qtr", "mon")
+    )
+
+
+ORDERS_BY_MONTH_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(month(o_orderdate) AS INT) AS mon,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (dayofweek(o_orderdate) = 0) AS n_sunday,
+       {_sql_dec_sum('o_totalprice', 'revenue')}
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY yr, qtr, mon
+"""
+
+
+def q_string_formatting(spark, sf_dir):
+    """String-function surface: upper/lower, substring, length, lpad,
+    concat_ws, replace — projected over the customer dimension."""
+    customer = table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 4).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.concat_ws("|", "c_mktsegment", F.lower("c_name")).alias("seg_name"),
+        F.regexp_replace("c_name", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+STRING_FORMATTING_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substr(c_name, 1, 4) AS name_prefix,
+       length(c_name) AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+       c_mktsegment || '|' || lower(c_name) AS seg_name,
+       regexp_replace(c_name, '[aeiou]', '_', 'g') AS devoweled
+FROM customer
+"""
+
+
 def q_status_sets_by_priority(spark, sf_dir):
     """Set-valued aggregation rendered deterministically: the distinct
     statuses per priority as a sorted comma-joined string (array
@@ -955,6 +1048,15 @@ QUERIES = {
     ),
     "status_sets_by_priority": Query(
         q_status_sets_by_priority, STATUS_SETS_BY_PRIORITY_SQL, ("agg", "collect_set")
+    ),
+    "conditional_agg_mix": Query(
+        q_conditional_agg_mix, CONDITIONAL_AGG_MIX_SQL, ("agg", "filter_clause")
+    ),
+    "orders_by_month": Query(
+        q_orders_by_month, ORDERS_BY_MONTH_SQL, ("agg", "datetime")
+    ),
+    "string_formatting": Query(
+        q_string_formatting, STRING_FORMATTING_SQL, ("project", "strings")
     ),
     "time_rollup_multires": Query(
         q_time_rollup_multires, TIME_ROLLUP_MULTIRES_SQL, ("grouping_sets", "time")
