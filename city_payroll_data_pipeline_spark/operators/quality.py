@@ -1,0 +1,70 @@
+"""Data-quality operators: table profiling and declarative rule checks.
+
+Both are single-pass wide aggregations — at 100 TB the only acceptable
+shape for profiling is ONE scan computing every statistic, never a
+per-column loop of jobs (N columns must not mean N scans). Rule checks
+compile to conditional counts in the same pass, so a quality gate adds
+zero extra reads to the pipeline it guards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, columns: list[str], exact_distinct: bool = False
+) -> DataFrame:
+    """One-row profile: per column — null count, distinct count, min,
+    max (min/max as strings so numeric and string columns coexist in
+    the fixed output schema). Distinct defaults to HLL
+    (approx_count_distinct): profiling is an observability pass, and
+    the sketch keeps it one streaming aggregation with bounded memory
+    per column; ``exact_distinct=True`` is the audit/oracle mode."""
+    distinct = F.countDistinct if exact_distinct else F.approx_count_distinct
+    aggs: list[Column] = [F.count("*").alias("n_rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.count_if(col.isNull()).alias(f"nulls_{c}"),
+            distinct(c).alias(f"distinct_{c}"),
+            F.min(col).cast("string").alias(f"min_{c}"),
+            F.max(col).cast("string").alias(f"max_{c}"),
+        ]
+    return df.agg(*aggs)
+
+
+def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Declarative quality gate: ``rules`` maps rule name → a Column
+    predicate that should hold for every row. Returns one row per rule
+    (rule, n_violations, n_rows, pass_rate) computed in a single scan —
+    the violation counts are conditional aggregates, then unpivoted.
+
+    Deterministic: counts are exact integers; pass_rate is one double
+    division rounded to 6."""
+    viol_aggs = [
+        F.count_if(~cond).alias(f"_v_{name}") for name, cond in rules.items()
+    ]
+    wide = df.agg(F.count("*").alias("_n"), *viol_aggs)
+    per_rule = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(f"_v_{name}").alias("n_violations"),
+                )
+                for name in rules
+            ]
+        )
+    ).alias("r")
+    return wide.select(per_rule, F.col("_n").alias("n_rows")).select(
+        "r.rule",
+        "r.n_violations",
+        "n_rows",
+        F.round(
+            (F.col("n_rows") - F.col("r.n_violations"))
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("pass_rate"),
+    )

@@ -988,6 +988,79 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Data-quality layer: one-scan profiling + declarative rule gate
+# --------------------------------------------------------------------------
+
+def q_lineitem_profile(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators.quality import profile_columns
+
+    li = table(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li,
+        ["l_returnflag", "l_quantity", "l_discount"],
+        exact_distinct=True,  # oracle mode; scale default is HLL
+    )
+
+
+LINEITEM_PROFILE_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) FILTER (l_returnflag IS NULL) AS nulls_l_returnflag,
+       COUNT(DISTINCT l_returnflag) AS distinct_l_returnflag,
+       CAST(MIN(l_returnflag) AS VARCHAR) AS min_l_returnflag,
+       CAST(MAX(l_returnflag) AS VARCHAR) AS max_l_returnflag,
+       COUNT(*) FILTER (l_quantity IS NULL) AS nulls_l_quantity,
+       COUNT(DISTINCT l_quantity) AS distinct_l_quantity,
+       CAST(MIN(l_quantity) AS VARCHAR) AS min_l_quantity,
+       CAST(MAX(l_quantity) AS VARCHAR) AS max_l_quantity,
+       COUNT(*) FILTER (l_discount IS NULL) AS nulls_l_discount,
+       COUNT(DISTINCT l_discount) AS distinct_l_discount,
+       CAST(MIN(l_discount) AS VARCHAR) AS min_l_discount,
+       CAST(MAX(l_discount) AS VARCHAR) AS max_l_discount
+FROM lineitem
+"""
+
+
+def q_lineitem_dq_checks(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators.quality import check_rules
+
+    li = table(spark, sf_dir, "lineitem")
+    return check_rules(
+        li,
+        {
+            "quantity_positive": F.col("l_quantity") > 0,
+            "discount_in_range": (F.col("l_discount") >= 0)
+            & (F.col("l_discount") <= 1),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "shipdate_present": F.col("l_shipdate").isNotNull(),
+        },
+    ).orderBy("rule")
+
+
+LINEITEM_DQ_CHECKS_SQL = f"""
+WITH wide AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(*) FILTER (NOT (l_quantity > 0)) AS v_quantity_positive,
+         COUNT(*) FILTER (NOT (l_discount >= 0 AND l_discount <= 1))
+           AS v_discount_in_range,
+         COUNT(*) FILTER (NOT (l_extendedprice > 0)) AS v_price_positive,
+         COUNT(*) FILTER (l_shipdate IS NULL) AS v_shipdate_present
+  FROM lineitem
+),
+rules(rule, n_violations, n_rows) AS (
+  SELECT 'quantity_positive', v_quantity_positive, n_rows FROM wide
+  UNION ALL SELECT 'discount_in_range', v_discount_in_range, n_rows FROM wide
+  UNION ALL SELECT 'price_positive', v_price_positive, n_rows FROM wide
+  UNION ALL SELECT 'shipdate_present', v_shipdate_present, n_rows FROM wide
+)
+SELECT rule, n_violations, n_rows,
+       {_sql_round('(n_rows - n_violations) / CAST(n_rows AS DOUBLE)', 6)}
+         AS pass_rate
+FROM rules
+ORDER BY rule
+"""
+
+
 QUERIES = {
     "region_revenue": Query(q_region_revenue, REGION_REVENUE_SQL, ("join", "broadcast")),
     "order_lineitem_join": Query(
@@ -1057,6 +1130,12 @@ QUERIES = {
     ),
     "string_formatting": Query(
         q_string_formatting, STRING_FORMATTING_SQL, ("project", "strings")
+    ),
+    "lineitem_profile": Query(
+        q_lineitem_profile, LINEITEM_PROFILE_SQL, ("quality", "profile")
+    ),
+    "lineitem_dq_checks": Query(
+        q_lineitem_dq_checks, LINEITEM_DQ_CHECKS_SQL, ("quality", "rules")
     ),
     "time_rollup_multires": Query(
         q_time_rollup_multires, TIME_ROLLUP_MULTIRES_SQL, ("grouping_sets", "time")
