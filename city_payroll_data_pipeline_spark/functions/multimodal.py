@@ -86,6 +86,28 @@ def decode_image_batch(content: pd.Series, decoder: Callable | None = None):
     return content.map(decoder)
 
 
+def resize_image_batch(
+    content: pd.Series,
+    width: int,
+    height: int,
+    resizer: Callable | None = None,
+):
+    """Resize a batch of image blobs to (width, height).
+
+    STUB: real resizing needs an image library not present in this
+    container; pass ``resizer=`` (e.g. a PIL thumbnail wrapper) in a
+    real deployment. The batch shape is the contract: a Series of
+    bytes in, a Series of bytes out, applied inside ``mapInPandas`` so
+    Arrow amortizes the Python boundary per batch, not per image.
+    """
+    if resizer is None:
+        raise NotImplementedError(
+            "image resizing requires an image library (e.g. Pillow); "
+            "pass resizer=..."
+        )
+    return content.map(lambda b: resizer(b, width, height))
+
+
 def fake_feature_extract(content: pd.Series) -> pd.Series:
     """Deterministic stand-in for a learned feature extractor: a
     16-bucket normalized byte histogram. Shape-compatible with a real

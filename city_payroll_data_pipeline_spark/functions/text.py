@@ -34,6 +34,21 @@ def word_tokens(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(WORD_PATTERN), 0)
 
 
+#: BPE-ish pre-tokenization: contraction suffixes, letter runs, digit
+#: runs, punctuation runs, whitespace runs — the GPT-2 pattern family
+#: minus lookaheads (kept to the regex subset Java and RE2 evaluate
+#: identically, for oracle parity). Counting these approximates
+#: subword-tokenizer input segmentation far better than whitespace.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpe_pretoken_count(text: Column) -> Column:
+    """Count of BPE-style pre-tokens (null-safe, '' → 0)."""
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_PATTERN))
+
+
 def tokens_array(text: Column) -> Column:
     """Array of whitespace tokens. regexp_extract_all (not split):
     split('') yields [''] while extract-all yields [] — the latter is

@@ -51,6 +51,41 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_doc_bpe_tokens(spark, sf_dir):
+    """Subword-tokenizer-grade token counting: BPE-style pre-tokens
+    (contractions, letter/digit/punctuation runs) next to whitespace
+    tokens — the ratio estimates tokens-per-word for corpus budgeting."""
+    from city_payroll_data_pipeline_spark.functions.text import bpe_pretoken_count
+
+    docs = table(spark, sf_dir, "documents")
+    n_ws = token_count(F.col("text"))
+    n_bpe = bpe_pretoken_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.when(n_ws > 0, n_bpe / n_ws.cast("double")), 6
+        ).alias("bpe_per_ws"),
+    )
+
+
+# the pattern's leading apostrophe is doubled for the SQL string literal
+_BPE_SQL_PATTERN = r"''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+DOC_BPE_TOKENS_SQL = rf"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+', 0)) AS n_ws_tokens,
+         len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}', 0)) AS n_bpe_tokens
+  FROM documents
+)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       {_sql_round('CASE WHEN n_ws_tokens > 0 THEN n_bpe_tokens / CAST(n_ws_tokens AS DOUBLE) END', 6)}
+         AS bpe_per_ws
+FROM c
+"""
+
 # --------------------------------------------------------------------------
 # Language identification
 # --------------------------------------------------------------------------
@@ -733,6 +768,7 @@ FROM media m JOIN ranked r ON r.media_id = m.media_id AND r.rn = 1
 
 QUERIES = {
     "doc_token_stats": Query(q_doc_token_stats, DOC_TOKEN_STATS_SQL, ("text",)),
+    "doc_bpe_tokens": Query(q_doc_bpe_tokens, DOC_BPE_TOKENS_SQL, ("text", "bpe")),
     "doc_lang_id": Query(q_doc_lang_id, DOC_LANG_ID_SQL, ("text", "langid")),
     "doc_quality": Query(q_doc_quality, DOC_QUALITY_SQL, ("text", "quality")),
     "doc_fingerprint": Query(q_doc_fingerprint, DOC_FINGERPRINT_SQL, ("text",)),

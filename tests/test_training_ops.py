@@ -182,3 +182,19 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     es = set(zip(exact.query_id, exact.neighbor_id))
     iv = set(zip(ivf.query_id, ivf.neighbor_id))
     assert len(es & iv) / len(es) >= 0.6
+
+
+def test_resize_stub_raises(spark):
+    import pandas as pd
+
+    from city_payroll_data_pipeline_spark.functions.multimodal import (
+        resize_image_batch,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_image_batch(pd.Series([b"\x89PNG"]), 64, 64)
+    # with a resizer callable the batch contract holds
+    out = resize_image_batch(
+        pd.Series([b"abc", b"de"]), 2, 2, resizer=lambda b, w, h: b[: w * h // 2]
+    )
+    assert list(out) == [b"ab", b"de"]
