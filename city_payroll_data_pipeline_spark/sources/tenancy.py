@@ -19,7 +19,9 @@ paths.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
+import threading
 from dataclasses import dataclass
 
 SUBDIRS = ("Raw", "Clean", "Downloads")
@@ -46,15 +48,49 @@ class Tenant:
 
 
 class TenantRegistry:
-    """users.json equivalent: client_id -> (industry, password hash)."""
+    """users.json equivalent: client_id -> (industry, password hash),
+    persisted to ``{root}/users.json`` so registrations survive process
+    restarts (the reference ships a static users.json; here registration
+    is dynamic but equally durable)."""
 
     def __init__(self, root: str):
         self.root = root
         self._tenants: dict[str, Tenant] = {}
+        # registry WRITES are lock-serialized (two concurrent saves race
+        # on the same tmp file); transforms/queries stay lock-free —
+        # this is metadata, not the reference's global transform lock
+        self._write_lock = threading.Lock()
+        self._load()
+
+    @property
+    def _users_path(self) -> str:
+        return os.path.join(self.root, "users.json")
+
+    def _load(self) -> None:
+        if not os.path.isfile(self._users_path):
+            return
+        with open(self._users_path, encoding="utf-8") as f:
+            for cid, rec in json.load(f).items():
+                self._tenants[cid] = Tenant(
+                    cid, rec["industry"], rec["password_sha256"]
+                )
+
+    def _save(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        data = {
+            cid: {"industry": t.industry, "password_sha256": t.password_sha256}
+            for cid, t in sorted(self._tenants.items())
+        }
+        tmp = self._users_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(data, f, indent=2)
+        os.replace(tmp, self._users_path)  # atomic on POSIX
 
     def register(self, client_id: str, industry: str, password: str) -> Tenant:
         t = Tenant(client_id, industry, hash_password(password))
-        self._tenants[client_id] = t
+        with self._write_lock:
+            self._tenants[client_id] = t
+            self._save()
         for sub in SUBDIRS:
             os.makedirs(self.storage_path(client_id, sub), exist_ok=True)
         return t

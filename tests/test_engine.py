@@ -148,3 +148,21 @@ def test_concurrent_tenant_ingest(spark, tmp_path):
     assert not errors, errors
     for c in ("T_A", "T_B", "T_C"):
         assert eng.budget_report(c, "pw", f"{c}_corporate.csv").count() == 5
+
+
+def test_registry_persists_across_restarts(spark, tmp_path):
+    """Registrations survive a new Engine over the same storage root
+    (users.json parity with the reference)."""
+    from city_payroll_data_pipeline_spark.engine import Engine
+    from city_payroll_data_pipeline_spark.sources.tenancy import AuthError
+
+    root = str(tmp_path / "wh2")
+    Engine(spark, root).registry.register("PERS", "corporate", "pw")
+
+    fresh = Engine(spark, root)
+    t = fresh.registry.authenticate("PERS", "pw")
+    assert t.industry == "corporate"
+    import pytest as _pytest
+
+    with _pytest.raises(AuthError):
+        fresh.registry.authenticate("PERS", "wrong")
