@@ -316,6 +316,68 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
+# Pair clustering (connected components) — the last dedup stage:
+# near-dup PAIRS become GROUPS, one canonical keeper per group
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """(doc_id, component) for every doc appearing in ``pairs``
+    (doc_a < doc_b edges); component = min doc_id in the connected
+    group — the canonical keeper.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are shallow — a
+    dup of a dup of X is a dup of X, so diameters are small). Each
+    round is one join + one groupBy; the loop stops early on a
+    converged round. For billion-edge graphs swap in the large-star/
+    small-star contraction (alternating min-label exchange), which
+    cuts rounds to O(log n) with the same join primitives."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neigh_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

@@ -314,6 +314,39 @@ WHERE n_common / CAST(za.n + zb.n - n_common AS DOUBLE) >= 0.5
 MINHASH_DEDUP_PAIRS_SQL = _minhash_sql()
 
 # --------------------------------------------------------------------------
+# Dedup clustering: minhash near-dup PAIRS → connected components →
+# (doc_id, component) with the canonical keeper as the component id
+# --------------------------------------------------------------------------
+
+def q_dedup_clusters(spark, sf_dir):
+    """Iterative min-label propagation in DataFrame ops; the oracle
+    replays it as a DuckDB recursive CTE (reachability → min reachable
+    id) — a rare cross-engine check of an iterative graph algorithm."""
+    pairs = dedup.minhash_dedup_pairs(
+        _near_corpus(spark, sf_dir), "doc_id", "text", threshold=0.5
+    ).select("doc_a", "doc_b")
+    return dedup.connected_components(pairs).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_SQL = rf"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_DEDUP_PAIRS_SQL.strip()})
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.doc
+)
+SELECT doc AS doc_id, min(r) AS component
+FROM reach GROUP BY doc ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
 # SimHash near-dup (one-token-appended variants)
 # --------------------------------------------------------------------------
 
@@ -780,6 +813,9 @@ QUERIES = {
     ),
     "simhash_near_pairs": Query(
         q_simhash_near_pairs, SIMHASH_NEAR_PAIRS_SQL, ("dedup", "simhash")
+    ),
+    "dedup_clusters": Query(
+        q_dedup_clusters, DEDUP_CLUSTERS_SQL, ("dedup", "components", "iterative")
     ),
     "ngram_jaccard_pairs": Query(
         q_ngram_jaccard_pairs, NGRAM_JACCARD_PAIRS_SQL, ("dedup", "ngram", "jaccard")

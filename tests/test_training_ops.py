@@ -198,3 +198,22 @@ def test_resize_stub_raises(spark):
         pd.Series([b"abc", b"de"]), 2, 2, resizer=lambda b, w, h: b[: w * h // 2]
     )
     assert list(out) == [b"ab", b"de"]
+
+
+def test_connected_components_multihop_chain(spark):
+    """A 5-node chain (0-1-2-3-4) plus an isolated pair collapses to
+    the right components even though labels need multiple propagation
+    rounds to cross the chain."""
+    from city_payroll_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)],
+        schema="doc_a bigint, doc_b bigint",
+    )
+    out = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
