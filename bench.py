@@ -40,6 +40,7 @@ HEADLINE = [
     "minhash_dedup_pairs",
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
+    "dedup_clusters",
     "corpus_clean_pipeline",
     "doc_quality",
     "media_feature_extract",
