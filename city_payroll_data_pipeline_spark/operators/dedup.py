@@ -21,7 +21,6 @@ recall with no pair blowup.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from city_payroll_data_pipeline_spark.functions.text import (
@@ -54,11 +53,24 @@ def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
 
 def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep the min-id row per fingerprint (deterministic winner)."""
-    rn = F.row_number().over(
-        W.partitionBy(content_fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    """Keep the min-id row per fingerprint (deterministic winner).
+
+    Two-phase, payload-light: the winner per fingerprint is decided on
+    a projected (id, fingerprint) frame — 40 bytes/row through the
+    shuffle — then a semi join pulls the surviving full rows. The
+    one-shuffle window form (row_number over fingerprint) would drag
+    every document's full text through the exchange; at corpus scale
+    the payload, not the row count, is what melts a shuffle."""
+    keep = (
+        df.select(
+            F.col(id_col),
+            content_fingerprint(F.col(text_col)).alias("_fp"),
+        )
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
-    return df.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    return df.join(keep, id_col, "left_semi")
 
 
 # --------------------------------------------------------------------------
