@@ -166,3 +166,32 @@ def test_registry_persists_across_restarts(spark, tmp_path):
 
     with _pytest.raises(AuthError):
         fresh.registry.authenticate("PERS", "wrong")
+
+
+def test_write_sorted_parquet_disjoint_file_ranges(spark, tmp_path):
+    """Range-partitioned sorted writes give each file a disjoint key
+    range (tight min/max footers -> whole-file pruning)."""
+    from pyspark.sql import functions as F
+
+    from city_payroll_data_pipeline_spark.sources.sinks import (
+        write_sorted_parquet,
+    )
+
+    path = str(tmp_path / "sorted")
+    df = spark.range(10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"),  # scrambled key
+        F.col("id").alias("v"),
+    )
+    write_sorted_parquet(df, path, ["k"], n_files=4)
+
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) == 4
+    ranges = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges  # disjoint, ordered ranges
+    assert spark.read.parquet(path).count() == 10_000
