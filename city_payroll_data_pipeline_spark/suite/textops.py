@@ -568,6 +568,108 @@ WHERE n_common / CAST(za.n + zb.n - n_common AS DOUBLE) >= 0.5
 """
 
 # --------------------------------------------------------------------------
+# Phrase mining + benchmark decontamination — shingle-frequency ops
+# every LLM data pipeline runs before training
+# --------------------------------------------------------------------------
+
+def q_common_phrases(spark, sf_dir):
+    """Top-20 most frequent word 3-grams with document frequency — the
+    boilerplate-phrase mining pass (feeds stop-shingle lists for dedup
+    and filter rules). One explode + one groupBy + TakeOrdered."""
+    from city_payroll_data_pipeline_spark.functions.text import (
+        shingles as _sh,
+        tokens_array as _ta,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _ta(F.col("text")).alias("t"))
+    return (
+        toks.select("doc_id", F.explode(_sh(F.col("t"), 3)).alias("phrase"))
+        .distinct()
+        .groupBy("phrase")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("phrase"))
+        .limit(20)
+    )
+
+
+COMMON_PHRASES_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+', 0) AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(0, len(t) - 2),
+                             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         ELSE []::VARCHAR[] END) AS phrase
+  FROM toks
+)
+SELECT phrase, count(*) AS doc_freq
+FROM sh GROUP BY phrase
+ORDER BY doc_freq DESC, phrase ASC
+LIMIT 20
+"""
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination: docs 0-4 act as the held-out
+    'benchmark'; report how many other corpus docs share ≥3 of each
+    probe's 3-gram shingles and the worst overlap. The probe side is
+    tiny → broadcast; the corpus is scanned once."""
+    from city_payroll_data_pipeline_spark.functions.text import (
+        shingles as _sh,
+        tokens_array as _ta,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.explode(_sh(_ta(F.col("text")), 3)).alias("s"))
+        .distinct()
+    )
+    probes = sh.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("probe_id"), "s"
+    )
+    overlaps = (
+        sh.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(probes), "s")
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    return (
+        overlaps.groupBy("probe_id")
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.max("n_shared").alias("max_overlap"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+CONTAMINATION_CHECK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+', 0) AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(0, len(t) - 2),
+                             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         ELSE []::VARCHAR[] END) AS s
+  FROM toks
+),
+ovl AS (
+  SELECT p.doc_id AS probe_id, c.doc_id, count(*) AS n_shared
+  FROM sh p JOIN sh c ON p.s = c.s AND p.doc_id < 5 AND c.doc_id >= 5
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT probe_id, count(*) AS n_contaminated, max(n_shared) AS max_overlap
+FROM ovl GROUP BY probe_id ORDER BY probe_id
+"""
+
+# --------------------------------------------------------------------------
 # Deterministic sampling + split assignment. RNG-based sampling is not
 # reproducible across engines/runs/partitionings; hashing the stable id
 # is — the standard trick for training-data splits that must never
@@ -824,6 +926,14 @@ QUERIES = {
         q_corpus_clean_pipeline,
         CORPUS_CLEAN_PIPELINE_SQL,
         ("text", "pipeline", "dedup", "quality", "langid"),
+    ),
+    "common_phrases": Query(
+        q_common_phrases, COMMON_PHRASES_SQL, ("text", "phrases", "boilerplate")
+    ),
+    "contamination_check": Query(
+        q_contamination_check,
+        CONTAMINATION_CHECK_SQL,
+        ("text", "decontamination"),
     ),
     "hash_sample_docs": Query(
         q_hash_sample_docs, HASH_SAMPLE_DOCS_SQL, ("sample", "deterministic")
