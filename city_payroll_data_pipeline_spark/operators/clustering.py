@@ -1,0 +1,168 @@
+"""K-means clustering over embedding columns (Lloyd's algorithm),
+expressed Spark-first.
+
+This is the iterative-algorithm pattern the reference never needed
+(it has no ML surface — SURVEY §2.10: no UDF/UDAF/UDTF anywhere), but
+a training-data pipeline does: semantic bucketing for curriculum
+mixes, cluster-balanced sampling, and semantic dedup all start with
+"cluster the embedding column".
+
+Scale design (the part that must survive 100 TB):
+
+* Centroids live on the DRIVER as ``k × dim`` floats (a few KB) and
+  are re-broadcast each iteration as literal array columns — exactly
+  MLlib's strategy. The corpus is never collected.
+* Each iteration is ONE shuffle: assign (narrow map over the cached
+  corpus against literal centroids) → posexplode → partial/final
+  aggregate per (cluster, dimension). Shuffle width is ``k·dim``
+  rows — independent of corpus size.
+* The per-iteration plan is CONSTANT SIZE: it depends only on the
+  cached corpus and the centroid literals, so lineage never grows and
+  no checkpointing is needed (unlike connected components, where each
+  round's frame feeds the next — see operators/dedup.py).
+* Determinism: init is maximin farthest-point (no RNG); per-dimension
+  means are summed as DECIMAL(38,12) so partial-aggregation order
+  cannot perturb the result; distance ties break to the lowest
+  centroid index via lexicographic struct min. Two runs on any
+  partitioning produce identical clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _sq_dist(vec: Column, center: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid — a codegen'd
+    sequential fold over the array: no UDF, and the summation order is
+    fixed (left-to-right) so the value is partition-independent."""
+    return F.aggregate(
+        F.zip_with(vec, _lit_vec(center), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def assign_clusters(
+    df: DataFrame, vec_col: str, centers: list[list[float]]
+) -> DataFrame:
+    """Add a ``cluster`` column: index of the nearest centroid.
+
+    ``array_min`` over ``struct(dist, idx)`` is the argmin — struct
+    comparison is lexicographic, so equal distances resolve to the
+    lowest index deterministically.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    candidates = F.array(
+        *[
+            F.struct(
+                _sq_dist(v, c).alias("dist"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    return df.withColumn("cluster", F.array_min(candidates)["idx"])
+
+
+def _farthest_point_init(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> list[list[float]]:
+    """Deterministic maximin init (RNG-free k-means++ stand-in): seed
+    with the lowest-id point, then repeatedly add the point farthest
+    from its nearest chosen center (ties → lowest id). k-1 corpus
+    scans, each collecting ONE row."""
+    first = (
+        df.orderBy(id_col)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .first()
+    )
+    centers = [list(first["v"])]
+    v = F.col(vec_col).cast("array<double>")
+    while len(centers) < k:
+        nearest = F.array_min(
+            F.array(*[_sq_dist(v, c) for c in centers])
+        )
+        far = (
+            df.select(
+                F.col(id_col).alias("_id"),
+                v.alias("v"),
+                nearest.alias("d"),
+            )
+            .orderBy(F.desc("d"), F.asc("_id"))
+            .first()
+        )
+        centers.append(list(far["v"]))
+    return centers
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> tuple[DataFrame, list[list[float]], int]:
+    """Lloyd's k-means. Returns ``(assignments, centers, n_iter)``
+    where assignments is ``(id_col, cluster)``.
+
+    The corpus is persisted once up front (every iteration and the
+    init scan re-read it). Mean recomputation goes through
+    posexplode → DECIMAL sums per (cluster, dim) → exact division, so
+    centroid updates are bit-identical across partitionings.
+    """
+    corpus = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .persist()
+    )
+    try:
+        centers = _farthest_point_init(corpus, id_col, "_v", k)
+        n_iter = 0
+        for n_iter in range(1, max_iter + 1):
+            assigned = assign_clusters(corpus, "_v", centers)
+            new_rows = (
+                assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(
+                    F.sum(F.col("x").cast("decimal(38,12)")).alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .groupBy("cluster")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "s", "n"))
+                    ).alias("dims")
+                )
+                .select(
+                    "cluster",
+                    F.transform(
+                        "dims",
+                        lambda t: (t["s"] / t["n"]).cast("double"),
+                    ).alias("mean"),
+                )
+                .collect()
+            )
+            new_centers = list(centers)
+            for row in new_rows:  # empty clusters keep their old center
+                new_centers[row["cluster"]] = list(row["mean"])
+            shift = max(
+                sum((a - b) ** 2 for a, b in zip(old, new))
+                for old, new in zip(centers, new_centers)
+            )
+            centers = new_centers
+            if shift <= tol:
+                break
+        assignments = assign_clusters(corpus, "_v", centers).select(
+            id_col, "cluster"
+        )
+        # materialize before unpersist: callers get a frame whose
+        # lineage still references the persisted corpus
+        return assignments, centers, n_iter
+    finally:
+        corpus.unpersist(blocking=False)

@@ -270,8 +270,72 @@ FROM final_ranked WHERE rank <= {K}
 """
 
 
+# --------------------------------------------------------------------------
+# K-means semantic clustering (iterative — no SQL oracle; the driver
+# records a rows-only check and tests/test_training_ops.py asserts
+# label purity + run-to-run determinism)
+# --------------------------------------------------------------------------
+
+KMEANS_K = 10  # embeddings are generated as 10 labeled blobs
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Cluster the embedding column with deterministic Lloyd's k-means
+    (operators/clustering.py) and report per-cluster size and mean
+    squared distance to the centroid — the semantic-bucketing pass a
+    training pipeline runs before cluster-balanced sampling.
+    Distances are decimal-summed so the output is bit-stable across
+    runs and partitionings."""
+    from city_payroll_data_pipeline_spark.operators import clustering as cl
+
+    emb = table(spark, sf_dir, "embeddings")
+    assignments, centers, _ = kmeans_cached(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    dists = F.array(*[cl._sq_dist(v, c) for c in centers])
+    return (
+        assignments.join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "cluster",
+            F.element_at(dists, F.col("cluster") + 1).alias("d2"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(
+                (
+                    F.sum(F.col("d2").cast("decimal(38,12)"))
+                    / F.count("*")
+                ).cast("double"),
+                4,
+            ).alias("mean_sq_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+_KMEANS_CACHE: dict = {}
+
+
+def kmeans_cached(spark, sf_dir):
+    """One k-means fit per (session, sf_dir) — the suite query and the
+    determinism test both need the model; refitting is the expensive
+    part, not the reporting."""
+    from city_payroll_data_pipeline_spark.operators.clustering import kmeans
+
+    key = (id(spark), sf_dir)
+    if key not in _KMEANS_CACHE:
+        emb = table(spark, sf_dir, "embeddings")
+        _KMEANS_CACHE[key] = kmeans(
+            emb, "vec_id", "embedding", k=KMEANS_K, max_iter=15
+        )
+    return _KMEANS_CACHE[key]
+
+
 QUERIES = {
     "embedding_norms": Query(q_embedding_norms, EMBEDDING_NORMS_SQL, ("vector",)),
+    "kmeans_clusters": Query(
+        q_kmeans_clusters, None, ("vector", "clustering", "iterative")
+    ),
     "cosine_topk": Query(q_cosine_topk, COSINE_TOPK_SQL, ("vector", "ann", "exact")),
     "cosine_neardup_pairs": Query(
         q_cosine_neardup_pairs, COSINE_NEARDUP_PAIRS_SQL, ("vector", "dedup")

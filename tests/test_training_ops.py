@@ -217,3 +217,36 @@ def test_connected_components_multihop_chain(spark):
         for r in connected_components(pairs).collect()
     }
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
+
+
+def test_kmeans_deterministic_and_improving(spark):
+    """Two independent fits produce identical assignments; the fitted
+    objective (total within-cluster sq dist) beats assigning everything
+    to the init centroid set without iterating."""
+    from city_payroll_data_pipeline_spark.operators import clustering as cl
+    from city_payroll_data_pipeline_spark.suite import table
+
+    emb = table(spark, SF_CORRECT, "embeddings")
+
+    def fit():
+        a, c, n = cl.kmeans(emb, "vec_id", "embedding", k=10, max_iter=15)
+        return sorted(tuple(r) for r in a.collect()), c, n
+
+    a1, c1, n1 = fit()
+    a2, c2, n2 = fit()
+    assert a1 == a2 and c1 == c2 and n1 == n2
+    assert n1 >= 2  # it actually iterated
+
+    def objective(centers):
+        v = F.col("embedding").cast("array<double>")
+        d = F.array_min(F.array(*[cl._sq_dist(v, c) for c in centers]))
+        return emb.select(F.sum(d).alias("o")).first()["o"]
+
+    init = cl._farthest_point_init(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_v")),
+        "vec_id", "_v", 10,
+    )
+    assert objective(c1) < objective(init)
+    # every point assigned exactly once, k clusters non-trivial
+    assert len(a1) == emb.count()
+    assert len({c for _, c in a1}) == 10
