@@ -670,6 +670,203 @@ FROM ovl GROUP BY probe_id ORDER BY probe_id
 """
 
 # --------------------------------------------------------------------------
+# TF-IDF top terms — keyword extraction per document. Score stays
+# exact-integer until ONE double division (tf·n_docs / df), so Spark
+# and DuckDB rank identically; ties break on the term itself.
+# --------------------------------------------------------------------------
+
+TFIDF_TOP_N = 3
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 terms per document by tf·idf (rational form tf·N/df —
+    no log, so the score is an exact integer ratio). The corpus-wide
+    doc count joins in as a broadcast single-row aggregate, never a
+    driver-side collect — the plan stays fully distributed."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window as W
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_N)
+        .select("doc_id", "rank", "term", F.round("score", 6).alias("tfidf"))
+    )
+
+
+TFIDF_TOP_TERMS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z]+', 0)) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, CAST(tf * n_docs AS DOUBLE) / df AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, {_sql_round('score', 6)} AS tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_N}
+"""
+
+# --------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality signals): duplicate
+# 2-gram ratio + most-frequent-token share. High values flag
+# boilerplate/spam docs a training pipeline filters out.
+# --------------------------------------------------------------------------
+
+def q_doc_repetition(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import (
+        shingles as _sh,
+        tokens_array as _ta,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _ta(F.col("text")).alias("t"))
+    grams = toks.select(
+        "doc_id", F.explode(_sh(F.col("t"), 2)).alias("g")
+    )
+    gram_stats = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_2grams"),
+        F.count_distinct("g").alias("n_distinct_2grams"),
+    )
+    tok_stats = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("doc_id")
+        .agg(F.max("tf").alias("max_tf"), F.sum("tf").alias("n_tokens"))
+    )
+    return (
+        gram_stats.join(tok_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_2grams",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct_2grams").cast("double") / F.col("n_2grams"),
+                6,
+            ).alias("dup_2gram_ratio"),
+            F.round(
+                F.col("max_tf").cast("double") / F.col("n_tokens"), 6
+            ).alias("top_token_share"),
+        )
+    )
+
+
+DOC_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+', 0) AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(0, len(t) - 1),
+                             i -> t[i+1] || ' ' || t[i+2])
+         ELSE []::VARCHAR[] END) AS g
+  FROM toks
+),
+gram_stats AS (
+  SELECT doc_id, count(*) AS n_2grams,
+         count(DISTINCT g) AS n_distinct_2grams
+  FROM grams GROUP BY doc_id
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY 1, 2
+),
+tok_stats AS (
+  SELECT doc_id, max(tf) AS max_tf, sum(tf) AS n_tokens FROM tf GROUP BY 1
+)
+SELECT g.doc_id, g.n_2grams,
+       round(1.0 - CAST(n_distinct_2grams AS DOUBLE) / n_2grams, 6)
+         AS dup_2gram_ratio,
+       round(CAST(max_tf AS DOUBLE) / n_tokens, 6) AS top_token_share
+FROM gram_stats g JOIN tok_stats s ON g.doc_id = s.doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Incremental batch dedup — the steady-state ingest shape: dedupe the
+# incoming batch against itself, then anti-join its fingerprints
+# against the existing corpus. Sources src0-src9 play "existing",
+# src10-src19 "incoming". Both the intra-batch winner pick and the
+# anti-join shuffle on fingerprint — one co-partitioned exchange.
+# --------------------------------------------------------------------------
+
+def q_incremental_dedup(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        content_fingerprint(F.col("text")).alias("fingerprint"),
+        F.substring("source", 4, 10).cast("int").alias("_sn"),
+    )
+    existing = docs.filter(F.col("_sn") < 10)
+    incoming = docs.filter(F.col("_sn") >= 10)
+    w = W.partitionBy("fingerprint").orderBy("doc_id")
+    batch_winners = (
+        incoming.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        batch_winners.join(
+            existing.select("fingerprint"), "fingerprint", "left_anti"
+        )
+        .select("doc_id", "source", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+INCREMENTAL_DEDUP_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+         CAST(substr(source, 4) AS INT) AS sn
+  FROM documents
+),
+inc AS (
+  SELECT doc_id, source, fingerprint,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM fp WHERE sn >= 10
+)
+SELECT doc_id, source, fingerprint
+FROM inc i
+WHERE rn = 1
+  AND NOT EXISTS (SELECT 1 FROM fp e
+                  WHERE e.sn < 10 AND e.fingerprint = i.fingerprint)
+ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
 # Deterministic sampling + split assignment. RNG-based sampling is not
 # reproducible across engines/runs/partitionings; hashing the stable id
 # is — the standard trick for training-data splits that must never
@@ -926,6 +1123,17 @@ QUERIES = {
         q_corpus_clean_pipeline,
         CORPUS_CLEAN_PIPELINE_SQL,
         ("text", "pipeline", "dedup", "quality", "langid"),
+    ),
+    "tfidf_top_terms": Query(
+        q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL, ("text", "tfidf", "keywords")
+    ),
+    "doc_repetition": Query(
+        q_doc_repetition, DOC_REPETITION_SQL, ("text", "quality", "repetition")
+    ),
+    "incremental_dedup": Query(
+        q_incremental_dedup,
+        INCREMENTAL_DEDUP_SQL,
+        ("dedup", "incremental", "anti-join"),
     ),
     "common_phrases": Query(
         q_common_phrases, COMMON_PHRASES_SQL, ("text", "phrases", "boilerplate")
