@@ -1061,6 +1061,201 @@ ORDER BY rule
 """
 
 
+# --------------------------------------------------------------------------
+# Sequential conversion funnel — signup → view → click → purchase,
+# each step strictly after the previous step and within a 24 h
+# conversion window of it (greedy first-occurrence matching, the
+# semantics funnel tools use).
+#
+# Spark-first design: ONE shuffle. Events collapse to a per-user
+# time-sorted array (collect_list + array_sort — partial aggregation
+# applies), then a codegen'd ``aggregate`` fold walks each user's
+# history once carrying the four step timestamps as state. The
+# alternative (chained conditional-min aggregations with a join per
+# step) shuffles the full event stream on user_id once per step — 4×
+# the exchanges at 100 TB. The DuckDB oracle uses that chained-CTE
+# formulation precisely BECAUSE it's a different algorithm computing
+# the same answer.
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def q_event_funnel(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    ts_null = F.lit(None).cast("timestamp")
+    init = F.struct(
+        *[ts_null.alias(f"t{i}") for i in range(len(_FUNNEL_STEPS))]
+    )
+
+    def step(acc, e, i, name):
+        if i == 0:
+            in_window = F.lit(True)
+        else:
+            prev = acc[f"t{i-1}"]
+            in_window = (
+                prev.isNotNull()
+                & (e["ts"] > prev)
+                & (e["ts"] <= prev + F.expr("INTERVAL 24 HOURS"))
+            )
+        hit = (
+            (e["event_type"] == name) & in_window & acc[f"t{i}"].isNull()
+        )
+        return F.coalesce(acc[f"t{i}"], F.when(hit, e["ts"])).alias(f"t{i}")
+
+    folded = seq.select(
+        "user_id",
+        F.aggregate(
+            "evs",
+            init,
+            lambda acc, e: F.struct(
+                *[
+                    step(acc, e, i, n)
+                    for i, n in enumerate(_FUNNEL_STEPS)
+                ]
+            ),
+        ).alias("st"),
+    )
+    counts = folded.agg(
+        *[
+            F.count(F.col(f"st.t{i}")).alias(f"c{i}")
+            for i in range(len(_FUNNEL_STEPS))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(n).alias("step_name"),
+                F.col(f"c{i}").alias("n_users"),
+                (
+                    F.lit(1.0)
+                    if i == 0
+                    else F.when(
+                        F.col(f"c{i-1}") > 0,
+                        F.col(f"c{i}").cast("double") / F.col(f"c{i-1}"),
+                    )
+                ).alias("conv_from_prev"),
+            )
+            for i, n in enumerate(_FUNNEL_STEPS)
+        ]
+    )
+    return (
+        counts.select(F.explode(rows).alias("r"))
+        .select("r.step", "r.step_name", "r.n_users",
+                F.round(F.col("r.conv_from_prev"), 6).alias("conv_from_prev"))
+        .orderBy("step")
+    )
+
+
+EVENT_FUNNEL_SQL = f"""
+WITH t0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+t1 AS (
+  SELECT e.user_id, min(ts) AS t FROM events e JOIN t0 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > t0.t
+    AND e.ts <= t0.t + INTERVAL 24 HOUR GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(ts) AS t FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t
+    AND e.ts <= t1.t + INTERVAL 24 HOUR GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(ts) AS t FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t
+    AND e.ts <= t2.t + INTERVAL 24 HOUR GROUP BY 1
+),
+c AS (
+  SELECT (SELECT count(*) FROM t0) AS c0, (SELECT count(*) FROM t1) AS c1,
+         (SELECT count(*) FROM t2) AS c2, (SELECT count(*) FROM t3) AS c3
+)
+SELECT 1 AS step, 'signup' AS step_name, c0 AS n_users,
+       round(1.0, 6) AS conv_from_prev FROM c
+UNION ALL
+SELECT 2, 'view', c1,
+       round(CASE WHEN c0 > 0 THEN CAST(c1 AS DOUBLE) / c0 END, 6) FROM c
+UNION ALL
+SELECT 3, 'click', c2,
+       round(CASE WHEN c1 > 0 THEN CAST(c2 AS DOUBLE) / c1 END, 6) FROM c
+UNION ALL
+SELECT 4, 'purchase', c3,
+       round(CASE WHEN c2 > 0 THEN CAST(c3 AS DOUBLE) / c2 END, 6) FROM c
+ORDER BY step
+"""
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention — users grouped by first-active week,
+# retention = share of the cohort active in week N. Three exchanges,
+# all on keys that shrink the data: user-level first-week agg,
+# user-week distinct, then (cohort, offset) counts; the first two are
+# co-partitioned on user_id so AQE reuses the exchange.
+# --------------------------------------------------------------------------
+
+def q_cohort_retention(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    user_weeks = ev.select("user_id", wk.alias("week")).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            ((F.datediff("week", "cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH user_weeks AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, min(week) AS cohort_week FROM user_weeks GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY 1
+),
+active AS (
+  SELECT c.cohort_week,
+         CAST(datediff('day', c.cohort_week, w.week) / 7 AS INT)
+           AS week_offset,
+         count(*) AS n_active
+  FROM user_weeks w JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT a.cohort_week, a.week_offset, a.n_active,
+       round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM active a JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
 QUERIES = {
     "region_revenue": Query(q_region_revenue, REGION_REVENUE_SQL, ("join", "broadcast")),
     "order_lineitem_join": Query(
@@ -1144,6 +1339,12 @@ QUERIES = {
         q_approx_distinct_stats, None, ("agg", "sketch", "hll")
     ),
     "json_event_props": Query(q_json_event_props, JSON_EVENT_PROPS_SQL, ("json",)),
+    "event_funnel": Query(
+        q_event_funnel, EVENT_FUNNEL_SQL, ("funnel", "higher_order_fold")
+    ),
+    "cohort_retention": Query(
+        q_cohort_retention, COHORT_RETENTION_SQL, ("cohort", "retention")
+    ),
 }
 
 # budget_report_salted shares budget_report's oracle (identical semantics,
