@@ -41,8 +41,13 @@ HEADLINE = [
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
     "dedup_clusters",
+    "incremental_dedup",
     "corpus_clean_pipeline",
     "doc_quality",
+    "doc_repetition",
+    "tfidf_top_terms",
+    "common_phrases",
+    "contamination_check",
     "media_feature_extract",
     "cosine_topk",
     "ivf_ann_topk",

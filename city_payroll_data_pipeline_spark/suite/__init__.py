@@ -28,7 +28,9 @@ class Query:
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     # pin the session timezone for every suite query: date_trunc,
     # unix_timestamp, and pandas conversion are session-tz-dependent,
     # while the DuckDB oracle is tz-naive — a non-UTC session (e.g. a
@@ -36,8 +38,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # rendered timestamp value.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        return events_table(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = events_table(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # spread=True: redistribute across all cores before a compute-heavy
+    # projection (shingling, quantized dot products). The testdata
+    # files are single-row-group parquet — unsplittable, so the scan is
+    # ONE task and an expensive per-row expression runs serially while
+    # 31 cores idle. The repartition shuffles only the small raw input
+    # (KBs here), negligible against the compute it parallelizes. At
+    # production scale inputs arrive in thousands of splits and the
+    # scan parallelizes itself — keep spread=False there.
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:

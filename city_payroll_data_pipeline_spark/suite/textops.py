@@ -31,7 +31,7 @@ from city_payroll_data_pipeline_spark.suite.parity import _sql_round
 # --------------------------------------------------------------------------
 
 def q_doc_token_stats(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -57,7 +57,7 @@ def q_doc_bpe_tokens(spark, sf_dir):
     tokens — the ratio estimates tokens-per-word for corpus budgeting."""
     from city_payroll_data_pipeline_spark.functions.text import bpe_pretoken_count
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     n_ws = token_count(F.col("text"))
     n_bpe = bpe_pretoken_count(F.col("text"))
     return docs.select(
@@ -91,7 +91,7 @@ FROM c
 # --------------------------------------------------------------------------
 
 def q_doc_lang_id(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_detected"))
 
 
@@ -120,7 +120,7 @@ DOC_LANG_ID_SQL = _lang_id_sql()
 # --------------------------------------------------------------------------
 
 def q_doc_quality(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     f = quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -164,7 +164,7 @@ FROM feat
 # --------------------------------------------------------------------------
 
 def q_doc_fingerprint(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id", content_fingerprint(F.col("text")).alias("fingerprint")
     )
@@ -221,7 +221,7 @@ FROM documents WHERE doc_id % 10 = 0
 
 
 def _near_corpus(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     trunc = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.col("text")
@@ -358,7 +358,7 @@ SELECT doc_id + 100000, text || ' spark' FROM documents WHERE doc_id % 7 = 0
 
 
 def _simhash_corpus(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     variants = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" spark")).alias("text"),
@@ -581,7 +581,7 @@ def q_common_phrases(spark, sf_dir):
         tokens_array as _ta,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     toks = docs.select("doc_id", _ta(F.col("text")).alias("t"))
     return (
         toks.select("doc_id", F.explode(_sh(F.col("t"), 3)).alias("phrase"))
@@ -622,17 +622,29 @@ def q_contamination_check(spark, sf_dir):
         tokens_array as _ta,
     )
 
-    docs = table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.explode(_sh(_ta(F.col("text")), 3)).alias("s"))
+    docs = table(spark, sf_dir, "documents", spread=True)
+
+    def side_shingles(df):
+        return df.select(
+            "doc_id", F.explode(_sh(_ta(F.col("text")), 3)).alias("s")
+        )
+
+    # The probe set is tiny — distinct it and broadcast. The corpus
+    # side is the 100 TB stream: filter it against the broadcast FIRST
+    # (BroadcastHashJoin, zero shuffle of the corpus), so the only
+    # exchange is the distinct over the few surviving hits — NOT a
+    # corpus-wide shingle distinct.
+    probes = (
+        side_shingles(docs.filter(F.col("doc_id") < 5))
         .distinct()
+        .select(F.col("doc_id").alias("probe_id"), "s")
     )
-    probes = sh.filter(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("probe_id"), "s"
+    hits = side_shingles(docs.filter(F.col("doc_id") >= 5)).join(
+        F.broadcast(probes), "s"
     )
     overlaps = (
-        sh.filter(F.col("doc_id") >= 5)
-        .join(F.broadcast(probes), "s")
+        hits.select("probe_id", "doc_id", "s")
+        .distinct()
         .groupBy("probe_id", "doc_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
@@ -683,7 +695,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     no log, so the score is an exact integer ratio). The corpus-wide
     doc count joins in as a broadcast single-row aggregate, never a
     driver-side collect — the plan stays fully distributed."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     tf = (
         docs.select(
             "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
@@ -691,12 +703,14 @@ def q_tfidf_top_terms(spark, sf_dir):
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     from pyspark.sql import Window as W
 
+    # df(term) as a count-over-window on the tf frame: one shuffle on
+    # term and NO self-join — at 100 TB the aggregate+join alternative
+    # shuffles the tf frame on term anyway and adds a join on top.
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(W.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -748,7 +762,7 @@ def q_doc_repetition(spark, sf_dir):
         tokens_array as _ta,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     toks = docs.select("doc_id", _ta(F.col("text")).alias("t"))
     grams = toks.select(
         "doc_id", F.explode(_sh(F.col("t"), 2)).alias("g")
@@ -824,7 +838,7 @@ FROM gram_stats g JOIN tok_stats s ON g.doc_id = s.doc_id
 def q_incremental_dedup(spark, sf_dir):
     from pyspark.sql import Window as W
 
-    docs = table(spark, sf_dir, "documents").select(
+    docs = table(spark, sf_dir, "documents", spread=True).select(
         "doc_id",
         "source",
         content_fingerprint(F.col("text")).alias("fingerprint"),
@@ -901,6 +915,36 @@ HASH_SAMPLE_DOCS_SQL = f"""
 SELECT doc_id, source, n_chars
 FROM documents
 WHERE {_HASH_BUCKET_SQL} < 10
+"""
+
+
+# per-language keep rates (percent): downsample the dominant language,
+# keep the tail — the corpus-rebalancing pass before training mixes
+_STRATA_RATES = {"en": 30, "zh": 80, "es": 80, "de": 80, "fr": 80}
+_STRATA_DEFAULT = 50
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: md5-bucket of doc_id against
+    a per-language rate map. Pure map-side filter — no shuffle, no RNG,
+    identical sample under any partitioning/engine."""
+    rate = F.lit(_STRATA_DEFAULT)
+    for la, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == la, F.lit(r)).otherwise(rate)
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(_hash_bucket(F.col("doc_id")) < rate).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_STRATA_CASE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{la}' THEN {r}" for la, r in _STRATA_RATES.items()
+) + f" ELSE {_STRATA_DEFAULT} END"
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_HASH_BUCKET_SQL} < {_STRATA_CASE_SQL}
 """
 
 
@@ -1145,6 +1189,11 @@ QUERIES = {
     ),
     "hash_sample_docs": Query(
         q_hash_sample_docs, HASH_SAMPLE_DOCS_SQL, ("sample", "deterministic")
+    ),
+    "stratified_sample": Query(
+        q_stratified_sample,
+        STRATIFIED_SAMPLE_SQL,
+        ("sample", "stratified", "rebalance"),
     ),
     "train_val_test_split": Query(
         q_train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL, ("sample", "split")

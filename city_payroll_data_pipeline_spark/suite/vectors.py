@@ -50,7 +50,7 @@ _COSINE_SQL = (
 # --------------------------------------------------------------------------
 
 def q_embedding_norms(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     q = sim.quantize(F.col("embedding"))
     return emb.select(
         "vec_id",
@@ -76,7 +76,7 @@ FROM qv
 # --------------------------------------------------------------------------
 
 def q_cosine_topk(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return sim.brute_force_topk(emb, "vec_id", "embedding", queries, k=K)
 
@@ -109,7 +109,7 @@ FROM ranked WHERE rank <= {K}
 # --------------------------------------------------------------------------
 
 def q_cosine_neardup_pairs(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
@@ -153,7 +153,7 @@ FROM (SELECT unnest(range(0, {N_PLANES})) AS p)
 
 
 def q_lsh_ann_topk(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return sim.lsh_topk(
         emb, "vec_id", "embedding", queries, k=K, n_planes=N_PLANES, dim=DIM
@@ -211,7 +211,7 @@ CENTROID_STRIDE = 7
 
 
 def q_ivf_ann_topk(spark, sf_dir):
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return sim.ivf_topk(
         emb, "vec_id", "embedding", queries,
@@ -288,7 +288,7 @@ def q_kmeans_clusters(spark, sf_dir):
     runs and partitionings."""
     from city_payroll_data_pipeline_spark.operators import clustering as cl
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = table(spark, sf_dir, "embeddings", spread=True)
     assignments, centers, _ = kmeans_cached(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
     dists = F.array(*[cl._sq_dist(v, c) for c in centers])
@@ -324,7 +324,7 @@ def kmeans_cached(spark, sf_dir):
 
     key = (id(spark), sf_dir)
     if key not in _KMEANS_CACHE:
-        emb = table(spark, sf_dir, "embeddings")
+        emb = table(spark, sf_dir, "embeddings", spread=True)
         _KMEANS_CACHE[key] = kmeans(
             emb, "vec_id", "embedding", k=KMEANS_K, max_iter=15
         )
