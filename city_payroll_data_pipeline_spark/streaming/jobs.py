@@ -114,3 +114,32 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     return q
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch
+    ``incremental_dedup`` query: drop re-ingested copies of a document
+    (by normalized content fingerprint) arriving within the watermark
+    horizon of the first copy.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per
+    fingerprint and expires it once the watermark passes — unbounded
+    input, bounded state; the horizon is the dedup guarantee window.
+    An unbounded-horizon exact dedup at 100 TB belongs in the batch
+    anti-join (fingerprints are cheap to store in a table; streaming
+    state is not free), so the streaming path deliberately trades
+    horizon for state size.
+    """
+    from city_payroll_data_pipeline_spark.functions.text import (
+        content_fingerprint,
+    )
+
+    return (
+        docs.withColumn("fingerprint", content_fingerprint(F.col("text")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

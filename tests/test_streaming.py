@@ -192,3 +192,42 @@ def test_streaming_event_window_watermark(spark, tmp_path):
         ("view", 1, 3.0),
     ]
     assert out[0]["window_start"].minute == 0  # tumbling hour alignment
+
+
+def test_streaming_dedup_drops_reingested_copies(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1) re-ingest the same
+    text under new doc_ids; only the first copy of each distinct
+    fingerprint survives."""
+    import datetime as dt
+
+    from city_payroll_data_pipeline_spark.streaming.jobs import (
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    src = tmp_path / "stream_src"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ingest_ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    write_batch([(1, "alpha beta", t0), (2, "gamma", t0), (3, "alpha  beta", t0)])
+    write_batch([(4, "alpha beta", t0 + dt.timedelta(minutes=5)),
+                 (5, "delta", t0 + dt.timedelta(minutes=5))])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = run_to_memory(
+        streaming_dedup(stream, watermark="1 hour"), "dedup_out",
+        output_mode="append",
+    )
+    out = spark.table("dedup_out").collect()
+    fps = [r["fingerprint"] for r in out]
+    assert len(fps) == len(set(fps)) == 3  # alpha-beta, gamma, delta
+    texts = {r["text"] for r in out}
+    assert "delta" in texts and "gamma" in texts
