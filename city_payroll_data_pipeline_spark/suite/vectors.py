@@ -313,6 +313,59 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_pairs(spark, sf_dir):
+    """Semantic near-dup pairs at scale: k-means-bucket the corpus,
+    then compare ONLY within a cluster. The all-pairs variant
+    (cosine_neardup_pairs) is O(n²) in the join — unrunnable at 100 TB;
+    clustering first makes the pair join per-bucket (shuffle on the
+    cluster id), trading recall only for near-dups that straddle a
+    centroid boundary — and exact/near-exact copies never do, since
+    (near-)identical vectors get identical assignments.
+
+    Same synthesized copies (vec_id+100000 for vec_id%50==0) and the
+    same exact quantized-cosine >= 0.999 verify as the brute-force
+    twin, so the test can check recall against the oracle-checked
+    query. Iterative fit -> rows-only driver check."""
+    from city_payroll_data_pipeline_spark.operators import clustering as cl
+
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "embedding"
+    )
+    _, centers, _ = kmeans_cached(spark, sf_dir)
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionAll(copies)
+    assigned = cl.assign_clusters(
+        corpus.withColumn("_v", F.col("embedding").cast("array<double>")),
+        "_v",
+        centers,
+    ).select("vec_id", "embedding", "cluster")
+    qv = assigned.select(
+        "vec_id",
+        "cluster",
+        sim.quantize(F.col("embedding")).alias("q"),
+    ).withColumn("n2", sim.norm2_q(F.col("q")))
+    a, b = qv.alias("a"), qv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = sim.cosine_q(
+        sim.dot_q(F.col("a.q"), F.col("b.q")), F.col("a.n2"), F.col("b.n2")
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.999)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 _KMEANS_CACHE: dict = {}
 
 
@@ -335,6 +388,9 @@ QUERIES = {
     "embedding_norms": Query(q_embedding_norms, EMBEDDING_NORMS_SQL, ("vector",)),
     "kmeans_clusters": Query(
         q_kmeans_clusters, None, ("vector", "clustering", "iterative")
+    ),
+    "semantic_dedup_pairs": Query(
+        q_semantic_dedup_pairs, None, ("vector", "dedup", "clustering")
     ),
     "cosine_topk": Query(q_cosine_topk, COSINE_TOPK_SQL, ("vector", "ann", "exact")),
     "cosine_neardup_pairs": Query(

@@ -250,3 +250,25 @@ def test_kmeans_deterministic_and_improving(spark):
     # every point assigned exactly once, k clusters non-trivial
     assert len(a1) == emb.count()
     assert len({c for _, c in a1}) == 10
+
+
+def test_semantic_dedup_recall_vs_brute_force(spark):
+    """Cluster-then-pair semantic dedup must recover every pair the
+    O(n^2) brute-force variant finds at the same threshold: exact
+    copies have identical vectors, land in the same cluster, and can
+    never straddle a centroid boundary."""
+    from city_payroll_data_pipeline_spark.suite import build_suite
+
+    s = build_suite()
+    semantic = {
+        (r["vec_a"], r["vec_b"])
+        for r in s["semantic_dedup_pairs"].spark(spark, SF_CORRECT).collect()
+    }
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in s["cosine_neardup_pairs"].spark(spark, SF_CORRECT).collect()
+    }
+    assert brute, "brute-force twin found no pairs — synthesis broken"
+    assert brute <= semantic  # full recall; (semantic <= brute holds by construction)
+    # and it found at least the 10 synthesized copies
+    assert len(semantic) >= 10
