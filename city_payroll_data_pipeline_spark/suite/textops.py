@@ -682,6 +682,87 @@ FROM ovl GROUP BY probe_id ORDER BY probe_id
 """
 
 # --------------------------------------------------------------------------
+# Per-source length z-scores — outlier scoring for filter rules.
+# Mean/variance come from INTEGER sums over the window (n·Σx² and
+# (Σx)² are exact bigints), so mean/std/z are single IEEE ops over
+# identical integers in both engines — no order-dependent float
+# accumulation anywhere.
+# --------------------------------------------------------------------------
+
+def q_length_zscores(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source")
+    x = F.col("n_chars")
+    n = F.count("*").over(w)
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    mean = s1.cast("double") / n
+    # var·n² = n·Σx² − (Σx)² exactly; std = sqrt(...)/n
+    std = F.sqrt((n * s2 - s1 * s1).cast("double")) / n
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(mean, 6).alias("src_mean_chars"),
+        F.round(F.when(std > 0, (x - mean) / std), 6).alias("len_z"),
+    )
+
+
+LENGTH_ZSCORES_SQL = f"""
+WITH stats AS (
+  SELECT doc_id, source, n_chars,
+         count(*) OVER (PARTITION BY source) AS n,
+         sum(n_chars) OVER (PARTITION BY source) AS s1,
+         sum(n_chars * n_chars) OVER (PARTITION BY source) AS s2
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       {_sql_round('CAST(s1 AS DOUBLE) / n', 6)} AS src_mean_chars,
+       {_sql_round('''CASE WHEN sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n > 0
+             THEN (n_chars - CAST(s1 AS DOUBLE) / n)
+                  / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n) END''', 6)}
+         AS len_z
+FROM stats
+"""
+
+# --------------------------------------------------------------------------
+# Length deciles — quantile binning for curriculum/batch balancing.
+# ntile over a TOTAL order (n_chars, doc_id) is deterministic across
+# engines. Note the global sort: at 100 TB the scale path is
+# width_bucket over approx-percentile cut points (one pass, no global
+# exchange) — ntile here doubles as the exact oracle for that.
+# --------------------------------------------------------------------------
+
+def q_length_deciles(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    w = W.orderBy("n_chars", "doc_id")
+    return (
+        docs.select("doc_id", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("decile")
+    )
+
+
+LENGTH_DECILES_SQL = """
+SELECT decile, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM (SELECT doc_id, n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents)
+GROUP BY decile
+ORDER BY decile
+"""
+
+# --------------------------------------------------------------------------
 # TF-IDF top terms — keyword extraction per document. Score stays
 # exact-integer until ONE double division (tf·n_docs / df), so Spark
 # and DuckDB rank identically; ties break on the term itself.
@@ -1167,6 +1248,12 @@ QUERIES = {
         q_corpus_clean_pipeline,
         CORPUS_CLEAN_PIPELINE_SQL,
         ("text", "pipeline", "dedup", "quality", "langid"),
+    ),
+    "length_zscores": Query(
+        q_length_zscores, LENGTH_ZSCORES_SQL, ("quality", "zscore", "window")
+    ),
+    "length_deciles": Query(
+        q_length_deciles, LENGTH_DECILES_SQL, ("quantile", "binning")
     ),
     "tfidf_top_terms": Query(
         q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL, ("text", "tfidf", "keywords")
