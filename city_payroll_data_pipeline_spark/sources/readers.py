@@ -53,3 +53,20 @@ def from_pandas(spark: SparkSession, pdf) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict:
     """Load driver testdata parquet tables as a name->DataFrame dict."""
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """JSON-lines reader — the interchange format of corpus pipelines
+    (one document object per line; gzip/zstd handled transparently by
+    the codec layer). Pass an explicit DDL ``schema`` in production:
+    like CSV inference, sampling-based JSON schema inference is a full
+    extra scan at 100 TB and can mis-type sparse fields.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -126,3 +126,22 @@ def save_table(
         if sort_by:
             writer = writer.sortBy(*sort_by)
     writer.saveAsTable(name)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    partition_by: list[str] | None = None,
+) -> None:
+    """JSON-lines sink (one object per line, compressed shards) — the
+    export format downstream tokenizer/training jobs consume. Shard
+    count follows the input partitioning: repartition upstream to
+    size shards; partition_by gives hive-style dirs for pruning."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)

@@ -181,3 +181,23 @@ def test_normalize_name_rules():
     assert normalize_name("REGION-KEY") == "region_key"
     assert normalize_name("Provider Name") == "provider_name"
     assert normalize_name("123abc") == "_123abc"
+
+
+def test_jsonl_roundtrip_documents(spark, tmp_path):
+    """documents → compressed JSONL shards → explicit-schema read
+    returns identical rows (the corpus interchange contract)."""
+    from city_payroll_data_pipeline_spark.sources.readers import read_jsonl
+    from city_payroll_data_pipeline_spark.sources.sinks import write_jsonl
+    from city_payroll_data_pipeline_spark.suite import table
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, partition_by=["lang"])
+    back = read_jsonl(
+        spark, out,
+        schema="doc_id long, text string, source string, n_chars long, lang string",
+    )
+    a = sorted(tuple(r) for r in docs.select(*sorted(docs.columns)).collect())
+    b = sorted(tuple(r) for r in back.select(*sorted(docs.columns)).collect())
+    assert a == b
