@@ -35,6 +35,8 @@ HEADLINE = [
     "price_band_range_join",
     "events_asof_last_order",
     "event_sessions",
+    "event_funnel",
+    "cohort_retention",
     # training-data ops
     "exact_dedup_groups",
     "minhash_dedup_pairs",
@@ -48,6 +50,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "common_phrases",
     "contamination_check",
+    "pii_scrub",
+    "length_zscores",
     "media_feature_extract",
     "cosine_topk",
     "ivf_ann_topk",

@@ -682,6 +682,67 @@ FROM ovl GROUP BY probe_id ORDER BY probe_id
 """
 
 # --------------------------------------------------------------------------
+# PII scrubbing — the redaction pass every public-web corpus gets
+# before training. The synthetic corpus is PII-free, so both engines
+# inject the SAME deterministic contact lines (doc_id % 7 == 0) and
+# must agree on detection counts and the redacted content fingerprint.
+# Regexes stay in the common Java/RE2/PCRE subset (no lookaround).
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_scrub(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    with_pii = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return with_pii.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+PII_SCRUB_SQL = rf"""
+WITH with_pii AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +1-555-'
+                   || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}', 0)) AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}', 0)) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+FROM with_pii
+"""
+
+# --------------------------------------------------------------------------
 # Per-source length z-scores — outlier scoring for filter rules.
 # Mean/variance come from INTEGER sums over the window (n·Σx² and
 # (Σx)² are exact bigints), so mean/std/z are single IEEE ops over
@@ -1248,6 +1309,9 @@ QUERIES = {
         q_corpus_clean_pipeline,
         CORPUS_CLEAN_PIPELINE_SQL,
         ("text", "pipeline", "dedup", "quality", "langid"),
+    ),
+    "pii_scrub": Query(
+        q_pii_scrub, PII_SCRUB_SQL, ("text", "pii", "redaction")
     ),
     "length_zscores": Query(
         q_length_zscores, LENGTH_ZSCORES_SQL, ("quality", "zscore", "window")
