@@ -161,3 +161,33 @@ def test_salted_join_spreads_key(suite, spark):
     # result identity with the plain join
     plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
     assert joined.count() == plain.count()
+
+
+def test_event_funnel_single_shuffle(suite, spark):
+    """The funnel's fold design claim: ONE exchange (the per-user
+    collect_list groupBy) between scan and final single-row agg — the
+    chained-join formulation would show one per step."""
+    p = plan(_q(suite, spark, "event_funnel"), mode="simple")
+    assert p.count("Exchange") <= 2, p  # user groupBy + global agg
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+
+
+def test_contamination_check_broadcasts_probes(suite, spark):
+    """The corpus side must meet the probe set via broadcast — a
+    SortMergeJoin here would shuffle the full corpus shingle stream."""
+    p = plan(_q(suite, spark, "contamination_check"), mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_incremental_dedup_is_anti_join(suite, spark):
+    p = plan(_q(suite, spark, "incremental_dedup"), mode="simple")
+    assert "LeftAnti" in p, p
+
+
+def test_tfidf_no_self_join(suite, spark):
+    """df(term) comes from a window over the tf frame — the plan must
+    not contain a tf⋈df self-join (only the 1-row count broadcast)."""
+    p = plan(_q(suite, spark, "tfidf_top_terms"), mode="simple")
+    assert "SortMergeJoin" not in p, p
+    assert p.count("Window") >= 1, p
