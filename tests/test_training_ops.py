@@ -272,3 +272,32 @@ def test_semantic_dedup_recall_vs_brute_force(spark):
     assert brute <= semantic  # full recall; (semantic <= brute holds by construction)
     # and it found at least the 10 synthesized copies
     assert len(semantic) >= 10
+
+
+def test_approx_buckets_agree_with_exact_ntile(spark):
+    """The sketch+map binning (no global sort) must put almost every
+    row in the same decile as exact ntile — disagreement is confined
+    to rows within sketch error of a boundary."""
+    from pyspark.sql import Window as W
+
+    from city_payroll_data_pipeline_spark.operators.binning import (
+        with_quantile_buckets,
+    )
+    from city_payroll_data_pipeline_spark.suite import table
+
+    docs = table(spark, SF_CORRECT, "documents").select("doc_id", "n_chars")
+    approx = with_quantile_buckets(docs, "n_chars", 10)
+    exact = docs.withColumn(
+        "exact", F.ntile(10).over(W.orderBy("n_chars", "doc_id"))
+    )
+    joined = approx.join(exact, "doc_id")
+    n = joined.count()
+    agree = joined.filter(F.col("bucket") == F.col("exact")).count()
+    assert agree / n >= 0.9, f"only {agree}/{n} rows agree"
+    # buckets are roughly balanced: each within 2x of ideal
+    sizes = [
+        r["c"]
+        for r in approx.groupBy("bucket").agg(F.count("*").alias("c")).collect()
+    ]
+    assert len(sizes) == 10
+    assert max(sizes) <= 2 * (n / 10) and min(sizes) >= (n / 10) / 2
