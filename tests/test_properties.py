@@ -71,3 +71,68 @@ def test_guard_composition(spark):
         ).collect()
     ]
     assert out == [9.0, 9.0, 2.5]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=8))
+def test_fingerprint_whitespace_invariance(spark, texts):
+    """The content fingerprint must be invariant under whitespace
+    reflow (the exact-dedup contract) and never null on any input."""
+    import re
+
+    from city_payroll_data_pipeline_spark.functions.text import (
+        content_fingerprint,
+    )
+
+    def reflow(s: str) -> str:
+        return "  " + re.sub(r"[ \t]", lambda m: m.group(0) * 2, s) + "\t"
+
+    rows = [(t, reflow(t)) for t in texts]
+    df = spark.createDataFrame(rows, schema="a string, b string").select(
+        content_fingerprint(F.col("a")).alias("fa"),
+        content_fingerprint(F.col("b")).alias("fb"),
+    )
+    for r in df.collect():
+        assert r["fa"] is not None and r["fa"] == r["fb"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="ab x", max_size=30), min_size=1, max_size=8))
+def test_shingle_count_law(spark, texts):
+    """len(shingles(t, n)) == max(0, n_tokens - n + 1) for every doc."""
+    from city_payroll_data_pipeline_spark.functions.text import (
+        shingles,
+        tokens_array,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], schema="text string").select(
+        F.size(tokens_array(F.col("text"))).alias("n_tok"),
+        F.size(shingles(tokens_array(F.col("text")), 3)).alias("n_sh"),
+    )
+    for r in df.collect():
+        assert r["n_sh"] == max(0, r["n_tok"] - 2)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=12, max_size=40
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+def test_bucket_expr_monotone_total(spark, values, n_buckets):
+    """Sketch+map binning laws on arbitrary integer columns: every row
+    gets a bucket in [1, n]; bucket assignment is monotone in the
+    value."""
+    from city_payroll_data_pipeline_spark.operators.binning import (
+        with_quantile_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], schema="id long, x long"
+    )
+    out = with_quantile_buckets(df, "x", n_buckets).collect()
+    assert all(1 <= r["bucket"] <= n_buckets for r in out)
+    by_val = sorted(out, key=lambda r: r["x"])
+    buckets = [r["bucket"] for r in by_val]
+    assert buckets == sorted(buckets)
