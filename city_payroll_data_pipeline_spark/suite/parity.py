@@ -384,7 +384,20 @@ def q_audit_timestamp(spark, sf_dir):
     )
 
 
+def q_budget_report_sql(spark, sf_dir):
+    """SQL-surface twin of budget_report: engine tables are plain
+    views, so user-written ANSI SQL runs through the same Catalyst
+    planner as the DataFrame API — the oracle string itself IS the
+    Spark query (modulo the view name), proving the two surfaces are
+    interchangeable."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(BUDGET_REPORT_SQL.replace("FROM orders", "FROM orders_v"))
+
+
 QUERIES = {
+    "budget_report_sql": Query(
+        q_budget_report_sql, BUDGET_REPORT_SQL, ("agg", "sql_surface")
+    ),
     "budget_report": Query(q_budget_report, BUDGET_REPORT_SQL, ("A1", "O2")),
     "sha256_digest": Query(q_sha256_digest, SHA256_DIGEST_SQL, ("F15",)),
     "audit_timestamp": Query(q_audit_timestamp, None, ("F14",)),
