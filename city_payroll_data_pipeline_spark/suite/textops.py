@@ -1201,6 +1201,61 @@ FROM documents
 """
 
 
+def q_media_chunk_plan(spark, sf_dir):
+    """Fixed-duration chunking plan for audio/video (30 s windows over
+    a bytes-derived duration): one output row per chunk via
+    explode(sequence) — chunked transcode/ASR then fans out per row,
+    embarrassingly parallel, no per-file driver loop. Integer-only
+    arithmetic so the plan is engine-exact."""
+    docs = table(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    dur = (
+        F.octet_length(F.encode(F.col("text"), "UTF-8")) / F.lit(2000)
+    ).cast("bigint") + 1  # fake 2000 B/s bitrate → seconds
+    av = docs.select(
+        F.col("doc_id").alias("media_id"), kind.alias("kind"), dur.alias("dur_s")
+    ).filter(F.col("kind") != "image")
+    n_chunks = ((F.col("dur_s") - 1) / F.lit(30)).cast("bigint") + 1
+    return av.select(
+        "media_id",
+        "kind",
+        "dur_s",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    ).select(
+        "media_id",
+        "kind",
+        "chunk_idx",
+        (F.col("chunk_idx") * 30).alias("start_s"),
+        F.least(F.col("chunk_idx") * 30 + 30, F.col("dur_s")).alias("end_s"),
+    )
+
+
+MEDIA_CHUNK_PLAN_SQL = """
+WITH av AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) // 2000 + 1 AS dur_s
+  FROM documents
+  WHERE doc_id % 3 <> 0
+),
+chunks AS (
+  SELECT media_id, kind, dur_s,
+         unnest(range(0, (dur_s - 1) // 30 + 1)) AS chunk_idx
+  FROM av
+)
+SELECT media_id, kind, chunk_idx,
+       chunk_idx * 30 AS start_s,
+       least(chunk_idx * 30 + 30, dur_s) AS end_s
+FROM chunks
+"""
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Video frame-sampling fan-out: one row per sampled frame index
     (stride 30) via explode(sequence) — the shape that keeps frame
@@ -1354,6 +1409,9 @@ QUERIES = {
     ),
     "media_bytes_meta": Query(
         q_media_bytes_meta, MEDIA_BYTES_META_SQL, ("multimodal",)
+    ),
+    "media_chunk_plan": Query(
+        q_media_chunk_plan, MEDIA_CHUNK_PLAN_SQL, ("multimodal", "chunking")
     ),
     "media_frame_sample": Query(
         q_media_frame_sample, MEDIA_FRAME_SAMPLE_SQL, ("multimodal", "video")
