@@ -201,3 +201,36 @@ def test_jsonl_roundtrip_documents(spark, tmp_path):
     a = sorted(tuple(r) for r in docs.select(*sorted(docs.columns)).collect())
     b = sorted(tuple(r) for r in back.select(*sorted(docs.columns)).collect())
     assert a == b
+
+
+def test_versioned_merge_upsert_and_time_travel(spark, tmp_path):
+    """MERGE replaces matched keys, inserts new ones, keeps the rest;
+    old versions stay readable (time travel); delete_where commits a
+    row-removal version."""
+    from pyspark.sql import functions as F
+
+    from city_payroll_data_pipeline_spark.operators import upsert as U
+
+    root = str(tmp_path / "docs_table")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "id long, text string, rev int"
+    )
+    assert U.write_version(base, root) == 1
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 2), (4, "d", 2)], "id long, text string, rev int"
+    )
+    assert U.merge_upsert(spark, root, updates, key="id") == 2
+
+    live = {(r["id"], r["text"]) for r in U.read_table(spark, root).collect()}
+    assert live == {(1, "a"), (2, "b2"), (3, "c"), (4, "d")}
+    v1 = {(r["id"], r["text"]) for r in U.read_table(spark, root, 1).collect()}
+    assert v1 == {(1, "a"), (2, "b"), (3, "c")}
+
+    assert U.delete_where(spark, root, F.col("id") == 1) == 3
+    assert {r["id"] for r in U.read_table(spark, root).collect()} == {2, 3, 4}
+
+    # first write through merge path on an empty table
+    root2 = str(tmp_path / "fresh")
+    assert U.merge_upsert(spark, root2, base, key="id") == 1
+    assert U.read_table(spark, root2).count() == 3
