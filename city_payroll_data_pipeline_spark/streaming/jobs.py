@@ -143,3 +143,32 @@ def streaming_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
+
+
+def stream_merge_to_table(
+    stream_df: DataFrame,
+    root: str,
+    key: str,
+    checkpoint: str,
+):
+    """Streaming upsert: each micro-batch MERGEs into a versioned
+    parquet table (operators/upsert.py) via ``foreachBatch`` — the
+    standard pattern for sinks Spark has no native transactional
+    writer for. The checkpoint tracks which batches committed, so a
+    restart re-runs at-least-once and the MERGE's replace-by-key
+    semantics make the redelivery idempotent (exactly-once table
+    state without an exactly-once sink)."""
+    from city_payroll_data_pipeline_spark.operators.upsert import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            merge_upsert(batch_df.sparkSession, root, batch_df, key)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

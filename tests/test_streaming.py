@@ -231,3 +231,52 @@ def test_streaming_dedup_drops_reingested_copies(spark, tmp_path):
     assert len(fps) == len(set(fps)) == 3  # alpha-beta, gamma, delta
     texts = {r["text"] for r in out}
     assert "delta" in texts and "gamma" in texts
+
+
+def test_stream_merge_upsert_idempotent_table(spark, tmp_path):
+    """Two micro-batches with overlapping keys stream-merge into a
+    versioned table: later batches replace matched keys; re-running
+    the drained stream (same checkpoint) commits nothing new."""
+    from city_payroll_data_pipeline_spark.operators import upsert as U
+    from city_payroll_data_pipeline_spark.streaming.jobs import (
+        stream_merge_to_table,
+    )
+
+    src = tmp_path / "src"
+    root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    import os
+    import time
+
+    seen: set = set()
+
+    def write_batch(rows, mtime):
+        spark.createDataFrame(rows, "id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        # file-source batch order follows modification time — pin it so
+        # "later batch wins the key" is deterministic
+        for p in src.glob("*.parquet"):
+            if p not in seen:
+                os.utime(p, (mtime, mtime))
+                seen.add(p)
+
+    t0 = time.time()
+    write_batch([(1, "a"), (2, "b")], t0)
+    write_batch([(2, "b2"), (3, "c")], t0 + 10)
+
+    def run():
+        stream = (
+            spark.readStream.schema("id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        stream_merge_to_table(stream, root, key="id", checkpoint=ckpt)
+
+    run()
+    live = {(r["id"], r["text"]) for r in U.read_table(spark, root).collect()}
+    assert live == {(1, "a"), (2, "b2"), (3, "c")}
+    v = U.current_version(root)
+    run()  # no new input → no new version
+    assert U.current_version(root) == v
