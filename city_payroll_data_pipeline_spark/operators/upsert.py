@@ -96,3 +96,25 @@ def delete_where(
     next_v = v + 1
     _commit(current.filter(~condition), root, next_v)
     return next_v
+
+
+def vacuum(root: str, keep_last: int = 2) -> list[int]:
+    """Drop version directories older than the newest ``keep_last``
+    (reference L6 ``CHECKPOINT; VACUUM`` serve_flight.py:196-198,
+    reborn for versioned tables: the WAL-merge half is unnecessary
+    with immutable parquet, the space-reclaim half is this). Never
+    touches the live version; returns the versions removed."""
+    import re
+    import shutil
+
+    live = current_version(root)
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(root)
+        if (m := re.fullmatch(r"v=(\d+)", d)) and os.path.isdir(os.path.join(root, d))
+    )
+    cut = max(live - keep_last + 1, 1)
+    removed = [v for v in versions if v < cut]
+    for v in removed:
+        shutil.rmtree(os.path.join(root, f"v={v}"))
+    return removed

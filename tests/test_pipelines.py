@@ -234,3 +234,20 @@ def test_versioned_merge_upsert_and_time_travel(spark, tmp_path):
     root2 = str(tmp_path / "fresh")
     assert U.merge_upsert(spark, root2, base, key="id") == 1
     assert U.read_table(spark, root2).count() == 3
+
+
+def test_vacuum_keeps_live_and_recent_versions(spark, tmp_path):
+    from city_payroll_data_pipeline_spark.operators import upsert as U
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    for _ in range(4):
+        U.write_version(df, root)
+    assert U.current_version(root) == 4
+    removed = U.vacuum(root, keep_last=2)
+    assert removed == [1, 2]
+    assert U.read_table(spark, root).count() == 1       # live intact
+    assert U.read_table(spark, root, 3).count() == 1    # kept
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        U.read_table(spark, root, 1).count()            # vacuumed
