@@ -23,8 +23,10 @@ import os
 
 import pyarrow as pa
 import pyarrow.flight as flight
+from pyspark.errors import AnalysisException
 
 from city_payroll_data_pipeline_spark.engine import Engine
+from city_payroll_data_pipeline_spark.sources.tenancy import AuthError
 
 
 class PayrollFlightServer(flight.FlightServerBase):
@@ -60,12 +62,23 @@ class PayrollFlightServer(flight.FlightServerBase):
         action = req["action"]
         client_id, password = req["client_id"], req["password"]
         target = req["target_file"]
-        if action == "get_budget_report":
-            df = self.engine.budget_report(client_id, password, target)
-        elif action == "get_full_clean":
-            df = self.engine.full_export(client_id, password, target)
-        else:
-            raise flight.FlightServerError(f"unknown action: {action}")
+        try:
+            if action == "get_budget_report":
+                df = self.engine.budget_report(client_id, password, target)
+            elif action == "get_full_clean":
+                df = self.engine.full_export(client_id, password, target)
+            else:
+                raise flight.FlightServerError(f"unknown action: {action}")
+        except AnalysisException as e:
+            # catalog/binder error mapping parity (reference
+            # serve_flight.py:309-312: CatalogException → friendly
+            # "not found / not processed yet" instead of a raw
+            # engine stack trace on the wire)
+            raise flight.FlightServerError(
+                f"data for {target!r} not found or not processed yet"
+            ) from e
+        except AuthError as e:
+            raise flight.FlightUnauthenticatedError(str(e)) from e
         table = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
         return flight.RecordBatchStream(table)
 

@@ -79,3 +79,35 @@ def test_flight_rejects_wrong_industry_filename(flight_setup):
     # ValidationError surfaces as gRPC INVALID_ARGUMENT → ArrowInvalid
     with pytest.raises((flight.FlightError, pa.ArrowInvalid)):
         client.upload_csv(str(path), "ACME", "s3cret")
+
+
+def test_report_error_mapping_friendly(spark, tmp_path):
+    """Missing fact data and bad credentials surface as friendly Flight
+    errors, not raw engine stack traces (reference serve_flight.py:309-312)."""
+    import json
+
+    import pyarrow.flight as flight
+    import pytest
+
+    from city_payroll_data_pipeline_spark.engine import Engine
+    from city_payroll_data_pipeline_spark.service import PayrollFlightServer
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.registry.register("T1", "corporate", "pw")
+    server = PayrollFlightServer(eng)
+    try:
+        client = flight.FlightClient(f"grpc://localhost:{server.port}")
+
+        def get(action, password="pw", target="corporate_nope.csv"):
+            t = flight.Ticket(json.dumps({
+                "action": action, "client_id": "T1",
+                "password": password, "target_file": target,
+            }).encode())
+            return client.do_get(t).read_all()
+
+        with pytest.raises(flight.FlightServerError, match="not processed yet"):
+            get("get_budget_report")
+        with pytest.raises(flight.FlightError, match="authentication failed"):
+            get("get_budget_report", password="wrong")
+    finally:
+        server.shutdown()
