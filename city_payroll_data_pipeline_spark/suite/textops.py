@@ -429,7 +429,7 @@ def q_corpus_clean_pipeline(spark, sf_dir):
         token_count as _tok,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents", spread=True)
     kept = dedup.drop_exact_duplicates(docs, "doc_id", "text")
     scored = kept.select(
         "source",
