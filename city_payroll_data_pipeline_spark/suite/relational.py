@@ -1062,6 +1062,44 @@ ORDER BY rule
 
 
 # --------------------------------------------------------------------------
+# Distribution ranks — percent_rank / cume_dist within order priority
+# (where does an order sit in its class's price distribution). One
+# shuffle on the partition key; ties resolved by the orderkey so the
+# rank columns are engine-exact.
+# --------------------------------------------------------------------------
+
+def q_order_price_distribution(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        )
+        .filter(F.col("o_orderkey") % 20 == 0)  # thin the output only
+    )
+
+
+ORDER_PRICE_DISTRIBUTION_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         percent_rank() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS pr,
+         cume_dist() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS cd
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       {_sql_round('pr', 6)} AS pct_rank,
+       {_sql_round('cd', 6)} AS cume_dist
+FROM ranked
+WHERE o_orderkey % 20 = 0
+"""
+
+# --------------------------------------------------------------------------
 # Sequential conversion funnel — signup → view → click → purchase,
 # each step strictly after the previous step and within a 24 h
 # conversion window of it (greedy first-occurrence matching, the
@@ -1339,6 +1377,11 @@ QUERIES = {
         q_approx_distinct_stats, None, ("agg", "sketch", "hll")
     ),
     "json_event_props": Query(q_json_event_props, JSON_EVENT_PROPS_SQL, ("json",)),
+    "order_price_distribution": Query(
+        q_order_price_distribution,
+        ORDER_PRICE_DISTRIBUTION_SQL,
+        ("window", "percent_rank", "cume_dist"),
+    ),
     "event_funnel": Query(
         q_event_funnel, EVENT_FUNNEL_SQL, ("funnel", "higher_order_fold")
     ),
