@@ -682,6 +682,84 @@ FROM ovl GROUP BY probe_id ORDER BY probe_id
 """
 
 # --------------------------------------------------------------------------
+# Per-source OLS (quality ~ n_tokens) — the drift/diagnostic stat a
+# pipeline tracks per data source. Closed-form slope/intercept from
+# DECIMAL sums (x is an exact int, y an exact 6-dp decimal), so the
+# only float ops are the final divisions — bit-identical across
+# engines and partitionings. Stays JVM-side: grouped regression needs
+# no applyInPandas when the estimator has a closed form over sums.
+# --------------------------------------------------------------------------
+
+def q_per_source_ols(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    x = token_count(F.col("text")).cast("long")
+    y = quality_score(F.col("text")).cast("decimal(18,8)")
+    base = docs.select("source", x.alias("x"), y.alias("y"))
+    agg = base.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    det = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    slope = F.when(
+        det != 0,
+        (agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]).cast("double")
+        / det.cast("double"),
+    )
+    mean_y = agg["sy"].cast("double") / agg["n"]
+    mean_x = agg["sx"].cast("double") / agg["n"]
+    return agg.select(
+        "source",
+        "n",
+        F.round(slope, 8).alias("slope"),
+        F.round(mean_y - slope * mean_x, 8).alias("intercept"),
+    ).orderBy("source")
+
+
+_QUALITY_EXPR_SQL = """
+  0.4 * COALESCE(n_alpha / CAST(NULLIF(n_chars, 0) AS DOUBLE), 0.0)
+  + 0.3 * least(COALESCE(n_stop / CAST(NULLIF(n_tokens, 0) AS DOUBLE), 0.0) * 4, 1.0)
+  + 0.2 * greatest(0.0, 1.0 - COALESCE(n_punct / CAST(NULLIF(n_chars, 0) AS DOUBLE), 0.0) * 5)
+  + 0.1 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.3 END)
+"""
+
+PER_SOURCE_OLS_SQL = rf"""
+WITH feat AS (
+  SELECT source,
+         len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z]', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+         len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
+  FROM documents
+),
+base AS (
+  SELECT source,
+         CAST(n_tokens AS BIGINT) AS x,
+         CAST({_sql_round(_QUALITY_EXPR_SQL, 6)} AS DECIMAL(18,8)) AS y
+  FROM feat
+),
+agg AS (
+  SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM base GROUP BY source
+)
+SELECT source, n,
+       round(CASE WHEN n * sxx - sx * sx <> 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) END, 8) AS slope,
+       round(CAST(sy AS DOUBLE) / n
+             - (CASE WHEN n * sxx - sx * sx <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END)
+               * (CAST(sx AS DOUBLE) / n), 8) AS intercept
+FROM agg
+ORDER BY source
+"""
+
+# --------------------------------------------------------------------------
 # PII scrubbing — the redaction pass every public-web corpus gets
 # before training. The synthetic corpus is PII-free, so both engines
 # inject the SAME deterministic contact lines (doc_id % 7 == 0) and
@@ -1364,6 +1442,9 @@ QUERIES = {
         q_corpus_clean_pipeline,
         CORPUS_CLEAN_PIPELINE_SQL,
         ("text", "pipeline", "dedup", "quality", "langid"),
+    ),
+    "per_source_ols": Query(
+        q_per_source_ols, PER_SOURCE_OLS_SQL, ("stats", "regression")
     ),
     "pii_scrub": Query(
         q_pii_scrub, PII_SCRUB_SQL, ("text", "pii", "redaction")
