@@ -313,6 +313,36 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
+def q_ann_retrieve_docs(spark, sf_dir):
+    """End-to-end retrieval: exact top-k neighbors (vec_id aligns with
+    doc_id in the synthetic corpus) joined back to the documents table
+    for their payload. The top-k result is tiny — broadcast it against
+    the doc table so the 100 TB side never shuffles; at scale the doc
+    fetch is a broadcast-semi-filtered scan, not a join of the corpus."""
+    from city_payroll_data_pipeline_spark.suite import table as t
+
+    topk = q_cosine_topk(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.substring("text", 1, 40).alias("snippet")
+    )
+    return (
+        docs.join(
+            F.broadcast(topk), docs.doc_id == topk.neighbor_id
+        )
+        .select("query_id", "rank", "neighbor_id", "cosine", "snippet")
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_RETRIEVE_DOCS_SQL = f"""
+WITH topk AS ({COSINE_TOPK_SQL})
+SELECT query_id, rank, neighbor_id, cosine,
+       substr(text, 1, 40) AS snippet
+FROM topk JOIN documents ON doc_id = neighbor_id
+ORDER BY query_id, rank
+"""
+
+
 def q_semantic_dedup_pairs(spark, sf_dir):
     """Semantic near-dup pairs at scale: k-means-bucket the corpus,
     then compare ONLY within a cluster. The all-pairs variant
@@ -388,6 +418,9 @@ QUERIES = {
     "embedding_norms": Query(q_embedding_norms, EMBEDDING_NORMS_SQL, ("vector",)),
     "kmeans_clusters": Query(
         q_kmeans_clusters, None, ("vector", "clustering", "iterative")
+    ),
+    "ann_retrieve_docs": Query(
+        q_ann_retrieve_docs, ANN_RETRIEVE_DOCS_SQL, ("vector", "retrieval")
     ),
     "semantic_dedup_pairs": Query(
         q_semantic_dedup_pairs, None, ("vector", "dedup", "clustering")
