@@ -1168,6 +1168,63 @@ WHERE {_HASH_BUCKET_SQL} < {_STRATA_CASE_SQL}
 """
 
 
+def q_budget_rebalance_sample(spark, sf_dir):
+    """Dynamic stratified sampling: per-language keep rates COMPUTED
+    from the corpus (equalize token budgets to the smallest language)
+    rather than a static map. Integer-only rate derivation
+    (100·min/lang tokens, floor), broadcast of the tiny per-language
+    rate table back onto the corpus, then the same deterministic
+    md5-bucket filter — two aggregate shuffles and a broadcast join,
+    no matter the corpus size. Reports the per-language outcome."""
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tok")
+    )
+    lang_tok = docs.groupBy("lang").agg(F.sum("n_tok").alias("tok"))
+    min_tok = lang_tok.agg(F.min("tok").alias("min_tok"))
+    rates = lang_tok.crossJoin(F.broadcast(min_tok)).select(
+        "lang",
+        F.least(
+            F.lit(100).cast("bigint"), (F.lit(100) * F.col("min_tok")) / F.col("tok")
+        )
+        .cast("bigint")
+        .alias("rate_pct"),
+    )
+    sampled = docs.join(F.broadcast(rates), "lang").filter(
+        _hash_bucket(F.col("doc_id")) < F.col("rate_pct")
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.max("rate_pct").alias("rate_pct"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+BUDGET_REBALANCE_SAMPLE_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, lang, len(regexp_extract_all(text, '\S+', 0)) AS n_tok
+  FROM documents
+),
+lang_tok AS (SELECT lang, sum(n_tok) AS tok FROM docs GROUP BY lang),
+rates AS (
+  SELECT lang,
+         least(100, (100 * (SELECT min(tok) FROM lang_tok)) // tok) AS rate_pct
+  FROM lang_tok
+),
+sampled AS (
+  SELECT d.lang, r.rate_pct, d.n_tok
+  FROM docs d JOIN rates r USING (lang)
+  WHERE {_HASH_BUCKET_SQL} < r.rate_pct
+)
+SELECT lang, max(rate_pct) AS rate_pct, count(*) AS n_docs,
+       sum(n_tok) AS sampled_tokens
+FROM sampled GROUP BY lang ORDER BY lang
+"""
+
+
 def q_train_val_test_split(spark, sf_dir):
     """80/10/10 split assignment by hash bucket, reported per source —
     the canonical reproducible-split op for corpus pipelines."""
@@ -1476,6 +1533,11 @@ QUERIES = {
     ),
     "hash_sample_docs": Query(
         q_hash_sample_docs, HASH_SAMPLE_DOCS_SQL, ("sample", "deterministic")
+    ),
+    "budget_rebalance_sample": Query(
+        q_budget_rebalance_sample,
+        BUDGET_REBALANCE_SAMPLE_SQL,
+        ("sample", "rebalance", "dynamic"),
     ),
     "stratified_sample": Query(
         q_stratified_sample,
