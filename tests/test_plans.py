@@ -191,3 +191,37 @@ def test_tfidf_no_self_join(suite, spark):
     p = plan(_q(suite, spark, "tfidf_top_terms"), mode="simple")
     assert "SortMergeJoin" not in p, p
     assert p.count("Window") >= 1, p
+
+
+# BNLJ is legitimate ONLY when the broadcast side is tiny by
+# construction: ANN query sets, range-band tables, 1-row aggregates.
+_INTENTIONAL_BNLJ = {
+    "ann_retrieve_docs",      # broadcast top-k result
+    "budget_rebalance_sample",  # broadcast 1-row min + rate table
+    "cosine_neardup_pairs",   # broadcast pair candidates
+    "cosine_topk",            # broadcast query set vs corpus
+    "ivf_ann_topk",           # broadcast centroids/queries
+    "lsh_ann_topk",           # broadcast plane/query set
+    "price_band_range_join",  # broadcast band table
+    "tfidf_top_terms",        # broadcast 1-row corpus count
+}
+
+
+def test_no_scale_red_flags_in_any_query(suite, spark):
+    """Sweep EVERY suite query's physical plan: no CartesianProduct
+    ever; no Python eval outside the sanctioned mapInPandas operator;
+    BroadcastNestedLoopJoin only where the broadcast side is tiny by
+    construction (list above — additions must be justified)."""
+    bad = {}
+    for name in sorted(suite):
+        p = plan(_q(suite, spark, name), mode="simple")
+        flags = []
+        if "CartesianProduct" in p:
+            flags.append("CartesianProduct")
+        if "EvalPython" in p and name != "media_feature_extract":
+            flags.append("EvalPython")
+        if "BroadcastNestedLoopJoin" in p and name not in _INTENTIONAL_BNLJ:
+            flags.append("unexpected BNLJ")
+        if flags:
+            bad[name] = flags
+    assert not bad, bad
