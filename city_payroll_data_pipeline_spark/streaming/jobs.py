@@ -172,3 +172,15 @@ def stream_merge_to_table(
     )
     q.awaitTermination()
     return q
+
+
+def enrich_stream(stream_df: DataFrame, dim_df: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the (small) static dimension, which Spark broadcasts per batch —
+    the streaming twin of the batch dim join. The static side is
+    re-read per trigger, so an overwritten dim parquet is picked up
+    without restarting the query; state stays empty (no watermark
+    needed — only stream-stream joins buffer)."""
+    from pyspark.sql import functions as F
+
+    return stream_df.join(F.broadcast(dim_df), on=on, how="left")

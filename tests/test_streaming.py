@@ -280,3 +280,25 @@ def test_stream_merge_upsert_idempotent_table(spark, tmp_path):
     v = U.current_version(root)
     run()  # no new input → no new version
     assert U.current_version(root) == v
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Events stream joins a static kind→weight dim per micro-batch."""
+    from city_payroll_data_pipeline_spark.streaming.jobs import (
+        enrich_stream,
+        run_to_memory,
+    )
+
+    src = tmp_path / "ev"
+    spark.createDataFrame(
+        [(1, "click"), (2, "view"), (3, "purchase")], "id long, kind string"
+    ).coalesce(1).write.parquet(str(src))
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0)], "kind string, weight double"
+    )
+    stream = spark.readStream.schema("id long, kind string").parquet(str(src))
+    run_to_memory(
+        enrich_stream(stream, dim, on="kind"), "enriched", output_mode="append"
+    )
+    rows = {r["id"]: r["weight"] for r in spark.table("enriched").collect()}
+    assert rows == {1: 1.0, 2: None, 3: 5.0}
