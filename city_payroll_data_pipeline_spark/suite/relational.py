@@ -1062,6 +1062,70 @@ ORDER BY rule
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q6 shape — the maximally-selective single-table agg. Every
+# predicate must reach the parquet scan (PushedFilters); the agg is a
+# single partial/final pair over the surviving rows.
+# --------------------------------------------------------------------------
+
+def q_revenue_forecast(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                "revenue_effect",
+                scale=6,
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+REVENUE_FORECAST_SQL = f"""
+SELECT {_sql_dec_sum('l_extendedprice * l_discount', 'revenue_effect', 6)},
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape — priority checking: orders with at least one
+# qualifying line (EXISTS → left-semi; the lineitem side never
+# multiplies order rows), counted per priority.
+# --------------------------------------------------------------------------
+
+def q_priority_order_check(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    flagged = li.filter(F.col("l_discount") >= 0.08).select("l_orderkey")
+    return (
+        orders.join(flagged, orders.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+PRIORITY_ORDER_CHECK_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# --------------------------------------------------------------------------
 # Distribution ranks — percent_rank / cume_dist within order priority
 # (where does an order sit in its class's price distribution). One
 # shuffle on the partition key; ties resolved by the orderkey so the
@@ -1377,6 +1441,14 @@ QUERIES = {
         q_approx_distinct_stats, None, ("agg", "sketch", "hll")
     ),
     "json_event_props": Query(q_json_event_props, JSON_EVENT_PROPS_SQL, ("json",)),
+    "revenue_forecast": Query(
+        q_revenue_forecast, REVENUE_FORECAST_SQL, ("agg", "tpch_q6", "pushdown")
+    ),
+    "priority_order_check": Query(
+        q_priority_order_check,
+        PRIORITY_ORDER_CHECK_SQL,
+        ("join", "tpch_q4", "semi"),
+    ),
     "order_price_distribution": Query(
         q_order_price_distribution,
         ORDER_PRICE_DISTRIBUTION_SQL,

@@ -225,3 +225,14 @@ def test_no_scale_red_flags_in_any_query(suite, spark):
         if flags:
             bad[name] = flags
     assert not bad, bad
+
+
+def test_revenue_forecast_filters_reach_scan(suite, spark):
+    """Q6 shape: shipdate/discount/quantity predicates must appear in
+    PushedFilters on the parquet scan — at 100 TB this is the
+    difference between reading a slice and reading everything."""
+    p = plan(_q(suite, spark, "revenue_forecast"))
+    assert "PushedFilters:" in p
+    seg = p[p.index("PushedFilters:"):].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in seg, seg
