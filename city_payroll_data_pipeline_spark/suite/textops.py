@@ -682,6 +682,54 @@ FROM ovl GROUP BY probe_id ORDER BY probe_id
 """
 
 # --------------------------------------------------------------------------
+# UNPIVOT — wide quality features → long (doc_id, metric, value), the
+# inverse of the pivot operator (suite ``pivot_status_by_priority``).
+# ``unpivot``/``stack`` is a generate-style expansion: map-side only,
+# no shuffle; the long shape feeds metric-generic monitoring sinks.
+# --------------------------------------------------------------------------
+
+def q_quality_metrics_long(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    f = quality_features(F.col("text"))
+    wide = docs.select(
+        "doc_id",
+        F.round(F.coalesce(f["alpha_ratio"], F.lit(0.0)), 6).alias("alpha_ratio"),
+        F.round(F.coalesce(f["punct_ratio"], F.lit(0.0)), 6).alias("punct_ratio"),
+        F.round(
+            F.coalesce(f["stopword_ratio"], F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+    )
+    return wide.unpivot(
+        ids=["doc_id"],
+        values=["alpha_ratio", "punct_ratio", "stopword_ratio"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+QUALITY_METRICS_LONG_SQL = rf"""
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+         len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
+  FROM documents
+),
+wide AS (
+  SELECT doc_id,
+         {_sql_round("COALESCE(n_alpha / CAST(NULLIF(n_chars, 0) AS DOUBLE), 0.0)", 6)} AS alpha_ratio,
+         {_sql_round("COALESCE(n_punct / CAST(NULLIF(n_chars, 0) AS DOUBLE), 0.0)", 6)} AS punct_ratio,
+         {_sql_round("COALESCE(n_stop / CAST(NULLIF(n_tokens, 0) AS DOUBLE), 0.0)", 6)} AS stopword_ratio
+  FROM feat
+)
+SELECT doc_id, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (alpha_ratio, punct_ratio, stopword_ratio))
+"""
+
+# --------------------------------------------------------------------------
 # Per-source OLS (quality ~ n_tokens) — the drift/diagnostic stat a
 # pipeline tracks per data source. Closed-form slope/intercept from
 # DECIMAL sums (x is an exact int, y an exact 6-dp decimal), so the
@@ -1499,6 +1547,11 @@ QUERIES = {
         q_corpus_clean_pipeline,
         CORPUS_CLEAN_PIPELINE_SQL,
         ("text", "pipeline", "dedup", "quality", "langid"),
+    ),
+    "quality_metrics_long": Query(
+        q_quality_metrics_long,
+        QUALITY_METRICS_LONG_SQL,
+        ("unpivot", "reshape"),
     ),
     "per_source_ols": Query(
         q_per_source_ols, PER_SOURCE_OLS_SQL, ("stats", "regression")
