@@ -68,3 +68,23 @@ def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             6,
         ).alias("pass_rate"),
     )
+
+
+def observed(
+    df: DataFrame, name: str, metrics: dict[str, Column]
+) -> tuple[DataFrame, "Observation"]:
+    """Attach in-flight metrics to a plan via the Observation API:
+    the metrics are accumulated DURING whatever action consumes the
+    returned frame — row counts, null counts, sums come for free with
+    the write, no second scan. At 100 TB a separate metrics pass costs
+    as much as the job itself; this costs nothing.
+
+        out, obs = observed(fct, "ingest", {"rows": F.count(F.lit(1)),
+                                            "null_pay": F.count_if(F.col("total_amount").isNull())})
+        out.write.parquet(...)
+        obs.get  # -> {'rows': ..., 'null_pay': ...}
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(k) for k, c in metrics.items()]), obs

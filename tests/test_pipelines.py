@@ -251,3 +251,29 @@ def test_vacuum_keeps_live_and_recent_versions(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         U.read_table(spark, root, 1).count()            # vacuumed
+
+
+def test_observed_metrics_come_with_the_action(spark, tmp_path):
+    """Observation metrics materialize from the SAME job as the write —
+    counts/null-counts with zero extra scans."""
+    from pyspark.sql import functions as F
+
+    from city_payroll_data_pipeline_spark.operators.quality import observed
+    from city_payroll_data_pipeline_spark.suite import table
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    out, obs = observed(
+        docs,
+        "ingest",
+        {
+            "rows": F.count(F.lit(1)),
+            "null_text": F.count_if(F.col("text").isNull()),
+            "total_chars": F.sum("n_chars"),
+        },
+    )
+    out.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["rows"] == docs.count()
+    assert got["null_text"] == 0
+    assert got["total_chars"] == docs.agg(F.sum("n_chars")).first()[0]
