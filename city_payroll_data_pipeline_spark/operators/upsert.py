@@ -68,11 +68,20 @@ def write_version(df: DataFrame, root: str) -> int:
 
 
 def merge_upsert(
-    spark: SparkSession, root: str, updates: DataFrame, key: str
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str,
+    schema_evolution: bool = False,
 ) -> int:
     """MERGE semantics on the key: matching rows are replaced by the
     update row, unmatched update rows are inserted, all other current
-    rows carry over. Returns the committed version."""
+    rows carry over. Returns the committed version.
+
+    ``schema_evolution=True`` lets the update batch add columns (old
+    rows get NULL) — ``unionByName(allowMissingColumns)``, the same
+    mergeSchema behavior Delta/Iceberg offer. Off by default: silent
+    schema drift at 100 TB is usually a bug, not a feature."""
     v = current_version(root)
     if v == 0:
         return write_version(updates, root)
@@ -80,7 +89,9 @@ def merge_upsert(
     survivors = current.join(
         updates.select(key).distinct(), on=key, how="left_anti"
     )
-    merged = survivors.unionByName(updates)
+    merged = survivors.unionByName(
+        updates, allowMissingColumns=schema_evolution
+    )
     next_v = v + 1
     _commit(merged, root, next_v)
     return next_v

@@ -145,3 +145,64 @@ def write_jsonl(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+def zorder_value(cols, mins, maxs, bits: int = 16):
+    """Morton (Z-order) key from N numeric columns: each column is
+    scaled to a ``bits``-bit integer grid over its [min, max] range,
+    then the bit-spread values are interleaved. Pure JVM expressions
+    (shifts + masks) — codegen'd, no UDF."""
+    from pyspark.sql import functions as F
+
+    def spread(x, stride):
+        # spread `bits` low bits of x so consecutive bits land
+        # `stride` apart (stride = number of interleaved columns)
+        out = F.lit(0).cast("bigint")
+        for i in range(bits):
+            bit = F.shiftright(x, i).bitwiseAND(F.lit(1).cast("bigint"))
+            out = out.bitwiseOR(F.shiftleft(bit, i * stride))
+        return out
+
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    grid_max = (1 << bits) - 1
+    for j, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        span = float(hi - lo) or 1.0
+        scaled = F.least(
+            F.lit(grid_max),
+            F.floor((c.cast("double") - lo) / span * grid_max).cast("bigint"),
+        )
+        z = z.bitwiseOR(F.shiftleft(spread(scaled, n), j))
+    return z
+
+
+def write_zorder_parquet(
+    df, path: str, cols: list[str], n_files: int = 8, bits: int = 16
+) -> None:
+    """Z-order clustered write: range-partition + sort on the Morton
+    key of ``cols`` so every output file covers a small hyper-rectangle
+    of the key space. Parquet min/max footer stats on EACH clustered
+    column then prune files for predicates on ANY of them — the
+    multi-dimensional generalization of write_sorted_parquet (which
+    optimizes exactly one ordering). One extra agg pass for ranges +
+    one range shuffle at write time buys per-file skipping forever."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).first()
+    z = zorder_value(
+        [F.col(c) for c in cols],
+        [stats[f"lo_{c}"] for c in cols],
+        [stats[f"hi_{c}"] for c in cols],
+        bits=bits,
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -277,3 +277,59 @@ def test_observed_metrics_come_with_the_action(spark, tmp_path):
     assert got["rows"] == docs.count()
     assert got["null_text"] == 0
     assert got["total_chars"] == docs.agg(F.sum("n_chars")).first()[0]
+
+
+def test_merge_schema_evolution_opt_in(spark, tmp_path):
+    """An update batch with a NEW column only merges when schema
+    evolution is explicitly enabled; old rows read NULL for it."""
+    import pytest
+
+    from city_payroll_data_pipeline_spark.operators import upsert as U
+
+    root = str(tmp_path / "t")
+    U.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, text string"), root
+    )
+    upd = spark.createDataFrame(
+        [(2, "b2", "en")], "id long, text string, lang string"
+    )
+    with pytest.raises(Exception):
+        U.merge_upsert(spark, root, upd, key="id")
+    U.merge_upsert(spark, root, upd, key="id", schema_evolution=True)
+    rows = {r["id"]: (r["text"], r["lang"]) for r in U.read_table(spark, root).collect()}
+    assert rows == {1: ("a", None), 2: ("b2", "en")}
+
+
+def test_zorder_write_shrinks_per_file_ranges(spark, tmp_path):
+    """Z-order clustering must leave each parquet file covering a
+    small rectangle of (user_id, value) space — parquet footer min/max
+    then prunes files for predicates on EITHER column. Baseline: a
+    hash-repartitioned write, where every file spans ~the full range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from city_payroll_data_pipeline_spark.sources.sinks import (
+        write_zorder_parquet,
+    )
+    from city_payroll_data_pipeline_spark.suite import table
+    from tests.conftest import SF_CORRECT
+
+    ev = table(spark, SF_CORRECT, "events").select("user_id", "value")
+    zpath, npath = str(tmp_path / "z"), str(tmp_path / "naive")
+    write_zorder_parquet(ev, zpath, ["user_id", "value"], n_files=8)
+    ev.repartition(8).write.parquet(npath)
+
+    def avg_span(path, col_idx):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(md.row_group(i).column(col_idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(col_idx).statistics.max
+                     for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    for idx in (0, 1):  # user_id, value
+        assert avg_span(zpath, idx) < 0.7 * avg_span(npath, idx), idx
