@@ -1292,6 +1292,76 @@ ORDER BY step
 """
 
 # --------------------------------------------------------------------------
+# Error-spike detection — hourly error rate vs the trailing 6-hour
+# rate (ROWS frame on integer sums; the only floats are two divisions
+# over identical integers, so the spike flag is engine-exact). The ops
+# query every pipeline needs over its own event log. The global-order
+# window runs on the ALREADY-AGGREGATED hourly series (720 rows per
+# month however big the raw log is) — a single-partition window over
+# an aggregate this small is the right plan at any scale.
+# --------------------------------------------------------------------------
+
+def q_error_spikes(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        )
+    )
+    w = W.orderBy("hour").rowsBetween(-6, -1)
+    trailing = hourly.select(
+        "hour",
+        "n_events",
+        "n_errors",
+        F.sum("n_events").over(w).alias("t_events"),
+        F.sum("n_errors").over(w).alias("t_errors"),
+    )
+    rate = F.col("n_errors").cast("double") / F.col("n_events")
+    t_rate = F.col("t_errors").cast("double") / F.col("t_events")
+    return (
+        trailing.filter(F.col("t_events").isNotNull())
+        .select(
+            "hour",
+            "n_events",
+            "n_errors",
+            F.round(rate, 6).alias("err_rate"),
+            F.round(t_rate, 6).alias("trailing_rate"),
+            (rate > 1.5 * t_rate).alias("is_spike"),
+        )
+        .orderBy("hour")
+    )
+
+
+ERROR_SPIKES_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         count(*) AS n_events,
+         count(*) FILTER (WHERE event_type = 'error') AS n_errors
+  FROM events GROUP BY 1
+),
+trail AS (
+  SELECT hour, n_events, n_errors,
+         sum(n_events) OVER (ORDER BY hour
+                             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+           AS t_events,
+         sum(n_errors) OVER (ORDER BY hour
+                             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+           AS t_errors
+  FROM hourly
+)
+SELECT hour, n_events, n_errors,
+       {_sql_round('CAST(n_errors AS DOUBLE) / n_events', 6)} AS err_rate,
+       {_sql_round('CAST(t_errors AS DOUBLE) / t_events', 6)} AS trailing_rate,
+       CAST(n_errors AS DOUBLE) / n_events
+         > 1.5 * (CAST(t_errors AS DOUBLE) / t_events) AS is_spike
+FROM trail
+WHERE t_events IS NOT NULL
+ORDER BY hour
+"""
+
+# --------------------------------------------------------------------------
 # Weekly cohort retention — users grouped by first-active week,
 # retention = share of the cohort active in week N. Three exchanges,
 # all on keys that shrink the data: user-level first-week agg,
@@ -1456,6 +1526,9 @@ QUERIES = {
     ),
     "event_funnel": Query(
         q_event_funnel, EVENT_FUNNEL_SQL, ("funnel", "higher_order_fold")
+    ),
+    "error_spikes": Query(
+        q_error_spikes, ERROR_SPIKES_SQL, ("window", "ops", "anomaly")
     ),
     "cohort_retention": Query(
         q_cohort_retention, COHORT_RETENTION_SQL, ("cohort", "retention")

@@ -1273,6 +1273,110 @@ FROM sampled GROUP BY lang ORDER BY lang
 """
 
 
+def q_training_mix_report(spark, sf_dir):
+    """The whole pre-training funnel in ONE Spark plan: exact-dedup
+    keep → quality & length gate → per-language token-budget rebalance
+    (rates computed in-plan) → final mix report with doc/token counts
+    and share of the surviving budget. Every stage reuses the suite's
+    building blocks; Catalyst fuses the scoring into the scan and the
+    whole thing is four shuffles regardless of corpus size (dedup
+    window, two rebalance aggs, final rollup)."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    w = W.partitionBy(content_fingerprint(F.col("text"))).orderBy("doc_id")
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            token_count(F.col("text")).alias("n_tok"),
+            quality_score(F.col("text")).alias("q"),
+        )
+    )
+    good = kept.filter((F.col("q") >= 0.5) & (F.col("n_tok") >= 10))
+    lang_tok = good.groupBy("lang").agg(F.sum("n_tok").alias("tok"))
+    min_tok = lang_tok.agg(F.min("tok").alias("min_tok"))
+    rates = lang_tok.crossJoin(F.broadcast(min_tok)).select(
+        "lang",
+        F.least(
+            F.lit(100).cast("bigint"),
+            (F.lit(100) * F.col("min_tok")) / F.col("tok"),
+        )
+        .cast("bigint")
+        .alias("rate_pct"),
+    )
+    mix = good.join(F.broadcast(rates), "lang").filter(
+        _hash_bucket(F.col("doc_id")) < F.col("rate_pct")
+    )
+    per_lang = mix.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("tokens")
+    )
+    total = per_lang.agg(F.sum("tokens").alias("total_tokens"))
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            F.round(
+                F.col("tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("budget_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+_QUALITY_GATE_SQL = rf"""
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '\S+', 0)) AS n_tok,
+         CAST({{q}} AS DOUBLE) AS q
+  FROM (
+    SELECT doc_id, lang, text,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]', 0)) AS n_alpha,
+           len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+           len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
+    FROM keep
+  )
+"""
+
+TRAINING_MIX_REPORT_SQL = rf"""
+WITH keep AS (
+  SELECT doc_id, lang, text
+  FROM (
+    SELECT doc_id, lang, text,
+           row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+scored AS ({_QUALITY_GATE_SQL.format(q=_sql_round(_QUALITY_EXPR_SQL, 6))}),
+good AS (SELECT * FROM scored WHERE q >= 0.5 AND n_tok >= 10),
+lang_tok AS (SELECT lang, sum(n_tok) AS tok FROM good GROUP BY lang),
+rates AS (
+  SELECT lang,
+         least(100, (100 * (SELECT min(tok) FROM lang_tok)) // tok) AS rate_pct
+  FROM lang_tok
+),
+mix AS (
+  SELECT g.lang, g.n_tok
+  FROM good g JOIN rates r USING (lang)
+  WHERE {_HASH_BUCKET_SQL} < r.rate_pct
+),
+per_lang AS (
+  SELECT lang, count(*) AS n_docs, sum(n_tok) AS tokens FROM mix GROUP BY lang
+)
+SELECT lang, n_docs, tokens,
+       round(CAST(tokens AS DOUBLE)
+             / (SELECT sum(tokens) FROM per_lang), 6) AS budget_share
+FROM per_lang ORDER BY lang
+"""
+
+
 def q_train_val_test_split(spark, sf_dir):
     """80/10/10 split assignment by hash bucket, reported per source —
     the canonical reproducible-split op for corpus pipelines."""
@@ -1586,6 +1690,11 @@ QUERIES = {
     ),
     "hash_sample_docs": Query(
         q_hash_sample_docs, HASH_SAMPLE_DOCS_SQL, ("sample", "deterministic")
+    ),
+    "training_mix_report": Query(
+        q_training_mix_report,
+        TRAINING_MIX_REPORT_SQL,
+        ("pipeline", "dedup", "quality", "rebalance"),
     ),
     "budget_rebalance_sample": Query(
         q_budget_rebalance_sample,
