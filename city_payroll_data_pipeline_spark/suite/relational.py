@@ -1428,6 +1428,187 @@ FROM active a JOIN sizes s USING (cohort_week)
 ORDER BY cohort_week, week_offset
 """
 
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution. LEFT OUTER join
+# (the outer join keeps never-ordered customers at count 0) + two
+# aggregations, the second over a frame of at most max(order-count)
+# rows. At 100 TB the outer join shuffles both sides on custkey; the
+# histogram agg is a near-free single-digit-row reduction.
+# --------------------------------------------------------------------------
+
+def q_customer_order_distribution(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer
+  LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders. The HAVING-filtered per-order
+# quantity agg shrinks lineitem to a handful of orderkeys — broadcast
+# THAT into orders, and the orders⋈customer probe stays tiny too. The
+# only full shuffle is lineitem's map-side-combined groupBy; neither
+# fact table shuffles for the joins.
+# --------------------------------------------------------------------------
+
+_BIG_QTY = 300
+
+
+def q_large_volume_customers(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > _BIG_QTY)
+    )
+    hits = orders.join(
+        F.broadcast(big), orders.o_orderkey == big.l_orderkey
+    )
+    return (
+        customer.join(F.broadcast(hits), hits.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN (
+  SELECT l_orderkey,
+         {_sql_dec_sum('l_quantity', 'total_qty')}
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > {_BIG_QTY}
+) big ON o_orderkey = big.l_orderkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q2 shape: cheapest supplier per part. The classic correlated
+# MIN subquery re-expressed Spark-first as an argmin window (single
+# shuffle on l_partkey; no self-join, no subquery re-scan of the fact).
+# Deterministic tie-break: (unit price, suppkey) ascending.
+# --------------------------------------------------------------------------
+
+def q_cheapest_supplier_per_part(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    supplier = table(spark, sf_dir, "supplier")
+    unit = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    w = W.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = (
+        unit.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("l_suppkey").alias("best_suppkey"),
+            "s_name",
+            F.round("unit_price", 4).alias("unit_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+CHEAPEST_SUPPLIER_PER_PART_SQL = f"""
+WITH best AS (
+  SELECT l_partkey, l_suppkey, unit_price
+  FROM (
+    SELECT l_partkey, l_suppkey,
+           l_extendedprice / l_quantity AS unit_price,
+           ROW_NUMBER() OVER (PARTITION BY l_partkey
+                              ORDER BY l_extendedprice / l_quantity,
+                                       l_suppkey) AS rn
+    FROM lineitem
+  ) WHERE rn = 1
+)
+SELECT p_partkey, p_brand, l_suppkey AS best_suppkey, s_name,
+       {_sql_round('unit_price', 4)} AS unit_price
+FROM best
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size >= 40
+ORDER BY p_partkey
+"""
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct supplier count per (brand, type-prefix,
+# size-band), suppliers observed via lineitem pairs (the testdata has
+# no partsupp). COUNT(DISTINCT) forces an expand+two-phase agg; the
+# part dim is broadcast so the only shuffle is on the grouping keys.
+# --------------------------------------------------------------------------
+
+def q_parts_supplier_counts(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            (F.col("p_size") - F.col("p_size") % 10).alias("size_band"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "type_prefix", "size_band")
+    )
+
+
+PARTS_SUPPLIER_COUNTS_SQL = """
+SELECT p_brand,
+       substring(p_type, 1, 5) AS type_prefix,
+       p_size - p_size % 10 AS size_band,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, type_prefix, size_band
+"""
+
 QUERIES = {
     "region_revenue": Query(q_region_revenue, REGION_REVENUE_SQL, ("join", "broadcast")),
     "order_lineitem_join": Query(
@@ -1529,6 +1710,26 @@ QUERIES = {
     ),
     "error_spikes": Query(
         q_error_spikes, ERROR_SPIKES_SQL, ("window", "ops", "anomaly")
+    ),
+    "customer_order_distribution": Query(
+        q_customer_order_distribution,
+        CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        ("join", "outer", "tpch_q13"),
+    ),
+    "large_volume_customers": Query(
+        q_large_volume_customers,
+        LARGE_VOLUME_CUSTOMERS_SQL,
+        ("join", "having", "tpch_q18"),
+    ),
+    "cheapest_supplier_per_part": Query(
+        q_cheapest_supplier_per_part,
+        CHEAPEST_SUPPLIER_PER_PART_SQL,
+        ("window", "argmin", "tpch_q2"),
+    ),
+    "parts_supplier_counts": Query(
+        q_parts_supplier_counts,
+        PARTS_SUPPLIER_COUNTS_SQL,
+        ("agg", "distinct", "tpch_q16"),
     ),
     "cohort_retention": Query(
         q_cohort_retention, COHORT_RETENTION_SQL, ("cohort", "retention")

@@ -228,6 +228,26 @@ def test_no_scale_red_flags_in_any_query(suite, spark):
     assert not bad, bad
 
 
+def test_large_volume_customers_broadcasts_filtered_agg(suite, spark):
+    """Q18 shape: after the HAVING filter the per-order agg is tiny —
+    both fact joins must be broadcast probes, never a sort-merge
+    shuffle of orders or customer."""
+    p = plan(_q(suite, spark, "large_volume_customers"), mode="simple")
+    assert p.count("BroadcastHashJoin") == 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_cheapest_supplier_single_window_shuffle(suite, spark):
+    """Q2 shape: the argmin window must be the only lineitem shuffle —
+    no self-join re-scan of the fact."""
+    p = plan(_q(suite, spark, "cheapest_supplier_per_part"), mode="simple")
+    assert p.count("Window [") == 1, p
+    assert "SortMergeJoin" not in p, p  # dims are broadcast
+    # rn==1 must push a partial top-1 below the exchange (map-side
+    # group-limit): only each task's per-part minimum is shuffled.
+    assert "WindowGroupLimit" in p, p
+
+
 def test_revenue_forecast_filters_reach_scan(suite, spark):
     """Q6 shape: shipdate/discount/quantity predicates must appear in
     PushedFilters on the parquet scan — at 100 TB this is the
