@@ -153,6 +153,30 @@ def quality_score(text: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# Sanitization — corpus hygiene before any downstream tokenization.
+# Both patterns use syntax valid in Java regex (Spark) AND RE2 (DuckDB
+# oracle) so the same strings drive both engines.
+# --------------------------------------------------------------------------
+
+# C0 control chars except \t \n \r, plus DEL.
+CONTROL_CHARS_PATTERN = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+# Zero-width space/non-joiner/joiner and BOM.
+ZERO_WIDTH_PATTERN = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+
+
+def sanitize_text(text: Column) -> Column:
+    """Strip control and zero-width characters, collapse whitespace
+    runs to single spaces, trim. Pure JVM expression chain — runs
+    inside whole-stage codegen, no Python in the path."""
+    stripped = F.regexp_replace(
+        F.regexp_replace(text, CONTROL_CHARS_PATTERN, ""),
+        ZERO_WIDTH_PATTERN,
+        "",
+    )
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+# --------------------------------------------------------------------------
 # Fingerprinting
 # --------------------------------------------------------------------------
 

@@ -103,6 +103,60 @@ def brute_force_topk(
     )
 
 
+def quantize_sq8(vec: Column) -> Column:
+    """array<float> → int8-grid array<bigint>: symmetric fixed-range
+    scalar quantization ``clamp(round(x·127), ±127)``. For normalized
+    embeddings this is the standard 4×-compression trade (1 B/dim
+    payload, integer dot products) with bounded per-dim error ≤ 0.5/127.
+    Fixed range (not data-dependent min/max) keeps the transform
+    stateless — no fit pass over 100 TB, and any two engines agree
+    exactly."""
+    return F.transform(
+        vec,
+        lambda x: F.greatest(
+            F.lit(-127).cast("bigint"),
+            F.least(
+                F.lit(127).cast("bigint"),
+                F.floor(x.cast("double") * 127 + F.lit(0.5)),
+            ),
+        ),
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k neighbors by exact integer dot product over int8-quantized
+    vectors — the compressed-index ANN path. Same broadcast shape as
+    :func:`brute_force_topk`: the corpus scans once, only int math per
+    candidate. All outputs are integers, so results are engine-exact."""
+    corpus = df.select(
+        F.col(id_col).alias("vec_id"), quantize_sq8(F.col(vec_col)).alias("q8")
+    )
+    qry = (queries if queries is not None else df).select(
+        F.col(id_col).alias("vec_id"), quantize_sq8(F.col(vec_col)).alias("q8")
+    )
+    joined = (
+        corpus.alias("c")
+        .join(F.broadcast(qry.alias("p")), F.col("p.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("p.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            dot_q(F.col("p.q8"), F.col("c.q8")).alias("dot8"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("dot8"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot8")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.999
 ) -> DataFrame:

@@ -19,6 +19,7 @@ from city_payroll_data_pipeline_spark.functions.text import (
     lang_marker_pattern,
     quality_features,
     quality_score,
+    sanitize_text,
     token_count,
     word_tokens,
 )
@@ -1328,6 +1329,68 @@ def q_training_mix_report(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Unicode sanitization — corpus hygiene. The synthetic corpus is clean
+# ASCII, so (as with the dedup queries) dirt is synthesized in-plan:
+# docs with doc_id%7==0 get control chars + zero-width chars injected,
+# then the sanitizer must (a) detect and strip them and (b) restore the
+# original whitespace-normalized text exactly. One scan, one tiny
+# per-source agg — no shuffle grows with the corpus.
+# --------------------------------------------------------------------------
+
+def q_unicode_sanitize(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    raw = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit("\x01\u200b"), F.col("text"), F.lit("\x7f\ufeff")
+        ),
+    ).otherwise(F.col("text"))
+    d = docs.select("source", "text", raw.alias("raw")).withColumn(
+        "clean", sanitize_text(F.col("raw"))
+    )
+    ws_norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("raw") != F.col("clean"), 1)).alias(
+                "n_changed"
+            ),
+            F.sum(F.length("raw") - F.length("clean")).alias("chars_removed"),
+            F.count(F.when(F.col("clean") == ws_norm, 1)).alias("n_restored"),
+        )
+        .orderBy("source")
+    )
+
+
+UNICODE_SANITIZE_SQL = r"""
+WITH d AS (
+  SELECT source, text,
+         CASE WHEN doc_id % 7 = 0
+              THEN chr(1) || chr(8203) || text || chr(127) || chr(65279)
+              ELSE text END AS raw
+  FROM documents
+),
+san AS (
+  SELECT source, text, raw,
+         trim(regexp_replace(regexp_replace(regexp_replace(raw,
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+              '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+              '\s+', ' ', 'g')) AS clean
+  FROM d
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE raw <> clean) AS n_changed,
+       CAST(SUM(length(raw) - length(clean)) AS BIGINT) AS chars_removed,
+       COUNT(*) FILTER (WHERE clean = trim(regexp_replace(text, '\s+', ' ', 'g')))
+         AS n_restored
+FROM san
+GROUP BY source
+ORDER BY source
+"""
+
 _QUALITY_GATE_SQL = rf"""
   SELECT doc_id, lang,
          len(regexp_extract_all(text, '\S+', 0)) AS n_tok,
@@ -1662,6 +1725,9 @@ QUERIES = {
     ),
     "pii_scrub": Query(
         q_pii_scrub, PII_SCRUB_SQL, ("text", "pii", "redaction")
+    ),
+    "unicode_sanitize": Query(
+        q_unicode_sanitize, UNICODE_SANITIZE_SQL, ("text", "sanitize", "hygiene")
     ),
     "length_zscores": Query(
         q_length_zscores, LENGTH_ZSCORES_SQL, ("quality", "zscore", "window")

@@ -399,6 +399,43 @@ def q_semantic_dedup_pairs(spark, sf_dir):
 _KMEANS_CACHE: dict = {}
 
 
+# --------------------------------------------------------------------------
+# Int8 scalar-quantized top-k — the compressed-index ANN path: 1 B/dim
+# payload, integer-only scoring. Fixed-range quantization (no fit pass)
+# so the transform is stateless at 100 TB.
+# --------------------------------------------------------------------------
+
+_SQ8_SQL = (
+    "list_transform(embedding, x -> greatest(CAST(-127 AS BIGINT), "
+    "least(CAST(127 AS BIGINT), "
+    "CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))))"
+)
+
+
+def q_sq8_ann_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sim.sq8_topk(emb, "vec_id", "embedding", queries, k=K)
+
+
+SQ8_ANN_TOPK_SQL = f"""
+WITH qv AS (SELECT vec_id, {_SQ8_SQL} AS q8 FROM embeddings),
+pairs AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_dot_sql('p.q8', 'c.q8')} AS dot8
+  FROM qv p JOIN qv c ON p.vec_id < {N_QUERIES} AND c.vec_id <> p.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot8,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot8 DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, dot8
+FROM ranked WHERE rank <= {K}
+"""
+
+
 def kmeans_cached(spark, sf_dir):
     """One k-means fit per (session, sf_dir) — the suite query and the
     determinism test both need the model; refitting is the expensive
@@ -431,4 +468,7 @@ QUERIES = {
     ),
     "lsh_ann_topk": Query(q_lsh_ann_topk, LSH_ANN_TOPK_SQL, ("vector", "ann", "lsh")),
     "ivf_ann_topk": Query(q_ivf_ann_topk, IVF_ANN_TOPK_SQL, ("vector", "ann", "ivf")),
+    "sq8_ann_topk": Query(
+        q_sq8_ann_topk, SQ8_ANN_TOPK_SQL, ("vector", "ann", "quantized")
+    ),
 }

@@ -184,6 +184,41 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert len(es & iv) / len(es) >= 0.6
 
 
+def test_sq8_topk_recall_vs_brute_force(spark):
+    """Int8 scalar quantization keeps ~all of the exact top-k on
+    64-dim vectors — recall@5 must stay high or the compression is
+    mis-scaled."""
+    from city_payroll_data_pipeline_spark.suite import build_suite
+    from tests.conftest import SF_CORRECT
+
+    suite = build_suite()
+    exact = suite["cosine_topk"].spark(spark, SF_CORRECT).toPandas()
+    sq8 = suite["sq8_ann_topk"].spark(spark, SF_CORRECT).toPandas()
+    es = set(zip(exact.query_id, exact.neighbor_id))
+    qs = set(zip(sq8.query_id, sq8.neighbor_id))
+    assert len(es & qs) / len(es) >= 0.7
+
+
+def test_sanitize_text_strips_and_restores(spark):
+    """Control chars, zero-width chars, and whitespace runs all go;
+    tabs/newlines collapse to single spaces; clean text is unchanged."""
+    from city_payroll_data_pipeline_spark.functions.text import sanitize_text
+
+    rows = [
+        ("\x01a\u200bb\x7f",),           # control + zero-width
+        ("  a\t\tb\nc  ",),              # whitespace runs
+        ("already clean",),
+        ("\ufeffbom prefix",),
+    ]
+    out = [
+        r[0]
+        for r in spark.createDataFrame(rows, ["t"])
+        .select(sanitize_text(F.col("t")).alias("s"))
+        .collect()
+    ]
+    assert out == ["ab", "a b c", "already clean", "bom prefix"]
+
+
 def test_resize_stub_raises(spark):
     import pandas as pd
 
