@@ -24,6 +24,38 @@ from pyspark.sql import functions as F
 SALT = "_salt"
 
 
+def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Heavy-hitter diagnostic for a join/groupBy key — the measurement
+    that justifies (or rules out) :func:`salted_join` before shuffling
+    100 TB on that key. One map-side-combined count per key, a top-n
+    (TakeOrderedAndProject, no global sort materialization), and a
+    1-row stats broadcast.
+
+    Returns the ``top_n`` heaviest keys with their row count, share of
+    all rows, and ``skew_factor`` = count / mean-count-per-key (1.0 ⇒
+    uniform; a reducer processing that key runs ~skew_factor× longer
+    than average)."""
+    counts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.count("*").alias("n_keys"), F.sum("cnt").alias("n_rows")
+    )
+    return (
+        counts.orderBy(F.desc("cnt"), key)
+        .limit(top_n)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            key,
+            "cnt",
+            "n_keys",
+            "n_rows",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("row_share"),
+            F.round(
+                F.col("cnt") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("skew_factor"),
+        )
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -1609,6 +1609,94 @@ GROUP BY 1, 2, 3
 ORDER BY supplier_cnt DESC, p_brand, type_prefix, size_band
 """
 
+# --------------------------------------------------------------------------
+# Join-key skew profile — the diagnostic that justifies (or rules out)
+# salting before shuffling 100 TB on a key. Map-side-combined counts,
+# top-n without a global sort, 1-row stats broadcast.
+# --------------------------------------------------------------------------
+
+def q_join_key_skew(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators.skew import (
+        key_skew_profile,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_n=10)
+
+
+JOIN_KEY_SKEW_SQL = f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+),
+stats AS (
+  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM counts
+),
+top AS (
+  SELECT user_id, cnt FROM counts ORDER BY cnt DESC, user_id LIMIT 10
+)
+SELECT user_id, cnt, n_keys, n_rows,
+       {_sql_round('CAST(cnt AS DOUBLE) / n_rows', 6)} AS row_share,
+       {_sql_round('CAST(cnt * n_keys AS DOUBLE) / n_rows', 6)} AS skew_factor
+FROM top, stats
+"""
+
+# --------------------------------------------------------------------------
+# Winsorized robust stats — outlier-capped money aggregates. Caps are
+# per-group exact percentiles (the cap table is group-cardinality-sized
+# → broadcast back); at 100 TB swap F.percentile for approx_percentile
+# and keep the identical clamp/agg shape.
+# --------------------------------------------------------------------------
+
+def q_winsorized_price_stats(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    caps = orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.05), 6).alias("lo"),
+        F.round(F.percentile("o_totalprice", 0.95), 6).alias("hi"),
+    )
+    capped = orders.join(F.broadcast(caps), "o_orderpriority")
+    return (
+        capped.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "raw_sum"),
+            _dec_sum(
+                F.least(
+                    F.greatest(F.col("o_totalprice"), F.col("lo")),
+                    F.col("hi"),
+                ),
+                "winsorized_sum",
+                scale=6,
+            ),
+            F.count(
+                F.when(
+                    (F.col("o_totalprice") < F.col("lo"))
+                    | (F.col("o_totalprice") > F.col("hi")),
+                    1,
+                )
+            ).alias("n_capped"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+WINSORIZED_PRICE_STATS_SQL = f"""
+WITH caps AS (
+  SELECT o_orderpriority,
+         {_sql_round('quantile_cont(o_totalprice, 0.05)', 6)} AS lo,
+         {_sql_round('quantile_cont(o_totalprice, 0.95)', 6)} AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {_sql_dec_sum('o_totalprice', 'raw_sum')},
+       {_sql_dec_sum('least(greatest(o_totalprice, lo), hi)', 'winsorized_sum', 6)},
+       COUNT(*) FILTER (WHERE o_totalprice < lo OR o_totalprice > hi)
+         AS n_capped
+FROM orders JOIN caps USING (o_orderpriority)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 QUERIES = {
     "region_revenue": Query(q_region_revenue, REGION_REVENUE_SQL, ("join", "broadcast")),
     "order_lineitem_join": Query(
@@ -1710,6 +1798,14 @@ QUERIES = {
     ),
     "error_spikes": Query(
         q_error_spikes, ERROR_SPIKES_SQL, ("window", "ops", "anomaly")
+    ),
+    "join_key_skew": Query(
+        q_join_key_skew, JOIN_KEY_SKEW_SQL, ("diagnostic", "skew", "topk")
+    ),
+    "winsorized_price_stats": Query(
+        q_winsorized_price_stats,
+        WINSORIZED_PRICE_STATS_SQL,
+        ("agg", "robust", "percentile"),
     ),
     "customer_order_distribution": Query(
         q_customer_order_distribution,

@@ -198,6 +198,7 @@ def test_tfidf_no_self_join(suite, spark):
 _INTENTIONAL_BNLJ = {
     "ann_retrieve_docs",      # broadcast top-k result
     "budget_rebalance_sample",  # broadcast 1-row min + rate table
+    "join_key_skew",          # broadcast 1-row key-stats agg
     "cosine_neardup_pairs",   # broadcast pair candidates
     "cosine_topk",            # broadcast query set vs corpus
     "ivf_ann_topk",           # broadcast centroids/queries
