@@ -55,6 +55,16 @@ HEADLINE = [
     "media_feature_extract",
     "cosine_topk",
     "ivf_ann_topk",
+    # added with the Q13/Q18/Q2/Q16, hygiene, and diagnostics batch
+    "customer_order_distribution",
+    "large_volume_customers",
+    "cheapest_supplier_per_part",
+    "parts_supplier_counts",
+    "unicode_sanitize",
+    "sq8_ann_topk",
+    "join_key_skew",
+    "winsorized_price_stats",
+    "rolling_active_users",
 ]
 
 

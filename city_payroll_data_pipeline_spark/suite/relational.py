@@ -1697,6 +1697,63 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
+# --------------------------------------------------------------------------
+# Rolling distinct actives (DAU / trailing-7-day WAU / stickiness).
+# COUNT(DISTINCT) can't live inside a window frame, so the scalable
+# shape is: dedupe to (day, user) pairs first (the only event-sized
+# shuffle), then fan each pair out to the ≤7 window days via a
+# broadcast day-spine non-equi join — fan-out is bounded by the window,
+# never by the data.
+# --------------------------------------------------------------------------
+
+def q_rolling_active_users(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct()
+    dau = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (
+        pairs.alias("p")
+        .join(
+            F.broadcast(days.alias("d")),
+            (F.col("p.day") <= F.col("d.day"))
+            & (F.col("p.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("p.user_id").alias("wau7"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau7",
+            F.round(F.col("dau") / F.col("wau7"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM pairs GROUP BY day),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT p.user_id) AS wau7
+  FROM pairs p JOIN days d
+    ON p.day <= d.day AND p.day >= d.day - INTERVAL 6 DAY
+  GROUP BY d.day
+)
+SELECT day, dau, wau7,
+       {_sql_round('CAST(dau AS DOUBLE) / wau7', 6)} AS stickiness
+FROM dau JOIN wau USING (day)
+ORDER BY day
+"""
+
 QUERIES = {
     "region_revenue": Query(q_region_revenue, REGION_REVENUE_SQL, ("join", "broadcast")),
     "order_lineitem_join": Query(
@@ -1798,6 +1855,11 @@ QUERIES = {
     ),
     "error_spikes": Query(
         q_error_spikes, ERROR_SPIKES_SQL, ("window", "ops", "anomaly")
+    ),
+    "rolling_active_users": Query(
+        q_rolling_active_users,
+        ROLLING_ACTIVE_USERS_SQL,
+        ("analytics", "distinct", "sliding-window"),
     ),
     "join_key_skew": Query(
         q_join_key_skew, JOIN_KEY_SKEW_SQL, ("diagnostic", "skew", "topk")
