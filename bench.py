@@ -65,6 +65,13 @@ HEADLINE = [
     "join_key_skew",
     "winsorized_price_stats",
     "rolling_active_users",
+    # TPC-H Q5/Q10/Q14/Q17/Q19/Q22 shapes
+    "local_supplier_volume",
+    "returned_items_top_customers",
+    "promo_revenue_share",
+    "small_quantity_revenue",
+    "disjunctive_band_revenue",
+    "idle_rich_customers",
 ]
 
 

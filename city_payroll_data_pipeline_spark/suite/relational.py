@@ -1754,6 +1754,512 @@ FROM dau JOIN wau USING (day)
 ORDER BY day
 """
 
+# --------------------------------------------------------------------------
+# TPC-H Q5 shape — local supplier volume: revenue for orders where the
+# customer and the supplier share a nation, within one region and year.
+# Scale shape: the region filter is pushed into the nation→supplier dim
+# chain BEFORE touching the fact, so lineitem joins against an
+# already-pruned broadcast side; the only fact-sized shuffle is
+# lineitem⋈orders on orderkey. The c_nationkey = s_nationkey
+# constraint is a post-join filter on two broadcast-joined dim columns,
+# never a join of two fact-sized sides.
+# --------------------------------------------------------------------------
+
+def q_local_supplier_volume(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    asia = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    supp_asia = supplier.join(
+        F.broadcast(asia), supplier.s_nationkey == asia.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    ).select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(ord_f, li.l_orderkey == ord_f.o_orderkey)
+        .join(F.broadcast(supp_asia), li.l_suppkey == supp_asia.s_suppkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=6,
+            )
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n_name AS nation,
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue', 6)}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, nation
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape — bilateral trade flows: revenue shipped between two
+# specific nations (supplier side → customer side) per ship year.
+# Scale shape: both nation filters prune their dim chains before the
+# fact joins (asymmetric pair filter applied on broadcast columns), so
+# lineitem rows from uninvolved suppliers are dropped at the first
+# broadcast join.
+# --------------------------------------------------------------------------
+
+def q_nation_trade_flows(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(*pair))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cust_nkey"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(*pair))
+    supp = supplier.join(
+        F.broadcast(n1), supplier.s_nationkey == F.col("supp_nkey")
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(n2), customer.c_nationkey == F.col("cust_nkey")
+    ).select("c_custkey", "cust_nation")
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=6,
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+NATION_TRADE_FLOWS_SQL = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue', 6)}
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item reporting: top 20 customers by lost
+# revenue on returned lines in one quarter. Scale shape: aggregate
+# revenue per custkey FIRST (fact-sized shuffle reduced to
+# one-row-per-customer), then join the small aggregate to the customer
+# dim — the customer join never sees lineitem cardinality. Top-20 is
+# TakeOrderedAndProject (no global sort materialization).
+# --------------------------------------------------------------------------
+
+def q_returned_items_top_customers(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-10-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(ord_f, li.l_orderkey == ord_f.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=6,
+            )
+        )
+    )
+    return (
+        per_cust.join(
+            customer, per_cust.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            "c_acctbal",
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+RETURNED_ITEMS_TOP_CUSTOMERS_SQL = f"""
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name AS nation
+FROM (
+  SELECT o_custkey,
+         {_sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue', 6)}
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-10-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY o_custkey
+) r
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape (adapted: testdata has no l_shipmode/commitdate) —
+# shipping-latency SLA per order priority: lines shipped more than 90
+# days after the order date count as late. One fact-fact shuffle join,
+# conditional counts folded into a single aggregation pass.
+# --------------------------------------------------------------------------
+
+def q_late_shipment_priority(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count_if(late).alias("n_late"),
+            F.round(F.count_if(late) / F.count("*"), 6).alias("late_ratio"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+LATE_SHIPMENT_PRIORITY_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       COUNT(*) FILTER (WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY) AS n_late,
+       {_sql_round("CAST(COUNT(*) FILTER (WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY) AS DOUBLE) / COUNT(*)", 6)} AS late_ratio
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape — promo revenue share for one ship month: conditional
+# sum over a lineitem⋈part join. Scale shape: the shipdate filter
+# prunes lineitem before the join; part is ~30× smaller than lineitem
+# and joins on its key (AQE picks broadcast at small scale, shuffle
+# hash at 100 TB where part itself is TB-sized).
+# --------------------------------------------------------------------------
+
+def q_promo_revenue_share(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01")))
+    ).join(part.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
+    return joined.agg(
+        _dec_sum(
+            F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)),
+            "promo_revenue",
+            scale=6,
+        ),
+        _dec_sum(rev, "total_revenue", scale=6),
+    ).select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = f"""
+WITH agg AS (
+  SELECT
+    {_sql_dec_sum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 'promo_revenue', 6)},
+    {_sql_dec_sum('l_extendedprice * (1 - l_discount)', 'total_revenue', 6)}
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate < TIMESTAMP '1997-10-01'
+)
+SELECT promo_revenue, total_revenue,
+       {_sql_round('100.0 * promo_revenue / total_revenue', 6)} AS promo_pct
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape — top supplier: the supplier(s) hitting the maximum
+# quarterly revenue. Scale shape: revenue is reduced per-suppkey first
+# (one fact shuffle), the global max is a 1-row aggregate joined back
+# by VALUE EQUALITY (BroadcastHashJoin on revenue — not a cross join),
+# and the surviving handful of rows is broadcast into the supplier dim.
+# --------------------------------------------------------------------------
+
+def q_top_supplier_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    per_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-07-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01")))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=6,
+            )
+        )
+    )
+    max_rev = per_supp.agg(F.max("revenue").alias("revenue"))
+    top = per_supp.join(F.broadcast(max_rev), "revenue")
+    return (
+        supplier.join(F.broadcast(top), supplier.s_suppkey == top.l_suppkey)
+        .select("s_suppkey", "s_name", "revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_REVENUE_SQL = f"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         {_sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue', 6)}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+    AND l_shipdate < TIMESTAMP '1997-10-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE revenue = (SELECT MAX(revenue) FROM per_supp)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17 shape — small-quantity-order revenue: lines whose quantity
+# is below 20% of their part's average, restricted to one brand/type
+# slice. Scale shape: the brand/type filter prunes part to a sliver
+# that is BROADCAST into lineitem (the 100 TB side never shuffles for
+# the probe); the per-part average is computed only over the surviving
+# lines and broadcast back, so no fact-sized self-join materializes.
+# The average routes through exact decimal sums so both engines compare
+# against bit-identical thresholds.
+# --------------------------------------------------------------------------
+
+def q_small_quantity_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    pf = part.filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    lif = li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+    avgq = lif.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    ).select(F.col("l_partkey").alias("aq_partkey"), "avg_qty")
+    return (
+        lif.join(F.broadcast(avgq), lif.l_partkey == F.col("aq_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(_dec_sum(F.col("l_extendedprice"), "total_price", scale=2))
+        .select(
+            F.round(F.col("total_price") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = f"""
+WITH sel AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+),
+avgs AS (
+  SELECT l_partkey AS aq_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM sel GROUP BY l_partkey
+),
+tot AS (
+  SELECT {_sql_dec_sum('l_extendedprice', 'total_price', 2)}
+  FROM sel JOIN avgs ON l_partkey = aq_partkey
+  WHERE l_quantity < 0.2 * avg_qty
+)
+SELECT {_sql_round('total_price / 7.0', 2)} AS avg_yearly FROM tot
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape — disjunctive band revenue: three OR-ed brand/size/
+# quantity bands over a lineitem⋈part join. The join stays a plain
+# equi-join on partkey; the disjunction is a residual filter. The
+# part-side implication of the disjunction (brand IN + size <= 50) is
+# applied BEFORE the join so Catalyst pushes it into the part scan.
+# --------------------------------------------------------------------------
+
+def q_disjunctive_band_revenue(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    pf = part.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+    ).select("p_partkey", "p_brand", "p_size")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .filter(band)
+        .agg(
+            F.count("*").alias("n_lines"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=6,
+            ),
+        )
+    )
+
+
+DISJUNCTIVE_BAND_REVENUE_SQL = f"""
+SELECT COUNT(*) AS n_lines,
+       {_sql_dec_sum('l_extendedprice * (1 - l_discount)', 'revenue', 6)}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape — idle rich customers: above-average balances with no
+# RECENT orders (none since 2000 — strict Q22 "no orders ever" is empty
+# on this testdata), summarized per nation. Scale shape: the average is
+# a 1-row decimal-exact aggregate broadcast as a scalar (intentional
+# 1-row BNLJ), the existence check is a left-anti shuffle join with the
+# date filter pushed below it, and the nation dim is broadcast.
+# --------------------------------------------------------------------------
+
+def q_idle_rich_customers(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    rich = customer.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dec_sum(F.col("c_acctbal"), "total_acctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = f"""
+SELECT n_name AS nation,
+       COUNT(*) AS n_customers,
+       {_sql_dec_sum('c_acctbal', 'total_acctbal')}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+GROUP BY n_name
+ORDER BY nation
+"""
+
+
 QUERIES = {
     "region_revenue": Query(q_region_revenue, REGION_REVENUE_SQL, ("join", "broadcast")),
     "order_lineitem_join": Query(
@@ -1860,6 +2366,45 @@ QUERIES = {
         q_rolling_active_users,
         ROLLING_ACTIVE_USERS_SQL,
         ("analytics", "distinct", "sliding-window"),
+    ),
+    "local_supplier_volume": Query(
+        q_local_supplier_volume,
+        LOCAL_SUPPLIER_VOLUME_SQL,
+        ("join", "tpch", "q5"),
+    ),
+    "nation_trade_flows": Query(
+        q_nation_trade_flows, NATION_TRADE_FLOWS_SQL, ("join", "tpch", "q7")
+    ),
+    "returned_items_top_customers": Query(
+        q_returned_items_top_customers,
+        RETURNED_ITEMS_TOP_CUSTOMERS_SQL,
+        ("join", "topk", "tpch", "q10"),
+    ),
+    "late_shipment_priority": Query(
+        q_late_shipment_priority,
+        LATE_SHIPMENT_PRIORITY_SQL,
+        ("join", "conditional-agg", "tpch", "q12"),
+    ),
+    "promo_revenue_share": Query(
+        q_promo_revenue_share, PROMO_REVENUE_SHARE_SQL, ("join", "tpch", "q14")
+    ),
+    "top_supplier_revenue": Query(
+        q_top_supplier_revenue, TOP_SUPPLIER_REVENUE_SQL, ("join", "tpch", "q15")
+    ),
+    "small_quantity_revenue": Query(
+        q_small_quantity_revenue,
+        SMALL_QUANTITY_REVENUE_SQL,
+        ("join", "tpch", "q17"),
+    ),
+    "disjunctive_band_revenue": Query(
+        q_disjunctive_band_revenue,
+        DISJUNCTIVE_BAND_REVENUE_SQL,
+        ("join", "pushdown", "tpch", "q19"),
+    ),
+    "idle_rich_customers": Query(
+        q_idle_rich_customers,
+        IDLE_RICH_CUSTOMERS_SQL,
+        ("anti-join", "scalar-subquery", "tpch", "q22"),
     ),
     "join_key_skew": Query(
         q_join_key_skew, JOIN_KEY_SKEW_SQL, ("diagnostic", "skew", "topk")

@@ -204,6 +204,7 @@ _INTENTIONAL_BNLJ = {
     "ivf_ann_topk",           # broadcast centroids/queries
     "lsh_ann_topk",           # broadcast plane/query set
     "price_band_range_join",  # broadcast band table
+    "idle_rich_customers",    # broadcast 1-row avg-balance scalar
     "rolling_active_users",   # broadcast day spine, fan-out ≤ window
     "sq8_ann_topk",           # broadcast query set vs corpus
     "tfidf_top_terms",        # broadcast 1-row corpus count
