@@ -2260,6 +2260,147 @@ ORDER BY nation
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape — national market share: of all STANDARD-part revenue
+# sold to AMERICA-region customers, what fraction came from NATION_5
+# suppliers, per order year. Scale shape: both dim chains
+# (part-type filter, region→nation→customer chain, supplier→nation)
+# are pruned and broadcast before the two fact-sized joins
+# (lineitem⋈orders is the only fact-fact shuffle); the share is a
+# conditional decimal sum over one aggregation pass.
+# --------------------------------------------------------------------------
+
+def q_nation_market_share(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    part = table(spark, sf_dir, "part")
+    pf = part.filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    america_cust = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            customer.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nat = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(america_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            _dec_sum(
+                F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(
+                    F.lit(0.0)
+                ),
+                "nation_revenue",
+                scale=6,
+            ),
+            _dec_sum(rev, "total_revenue", scale=6),
+        )
+        .select(
+            "order_year",
+            "nation_revenue",
+            "total_revenue",
+            F.round(F.col("nation_revenue") / F.col("total_revenue"), 6).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("order_year")
+    )
+
+
+NATION_MARKET_SHARE_SQL = f"""
+WITH agg AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+         {_sql_dec_sum("CASE WHEN sn.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 'nation_revenue', 6)},
+         {_sql_dec_sum('l_extendedprice * (1 - l_discount)', 'total_revenue', 6)}
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+  GROUP BY order_year
+)
+SELECT order_year, nation_revenue, total_revenue,
+       {_sql_round('nation_revenue / total_revenue', 6)} AS mkt_share
+FROM agg
+ORDER BY order_year
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 shape — product-line profit by supplier nation and year.
+# The testdata has no partsupp/ps_supplycost, so cost is proxied as
+# 60% of p_retailprice per unit (fixed, deterministic). Scale shape:
+# the p_name filter prunes part before broadcasting into lineitem;
+# supplier→nation is a broadcast chain; lineitem⋈orders (for the
+# order year... Q9 uses shipdate year here) needs no orders join at
+# all since year comes from l_shipdate — one fact shuffle total (the
+# final groupBy).
+# --------------------------------------------------------------------------
+
+def q_product_profit(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    part = table(spark, sf_dir, "part")
+    pf = part.filter(F.col("p_name").like("%anvil%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nat = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .groupBy("nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(_dec_sum(profit, "profit", scale=6))
+        .orderBy("nation", F.desc("ship_year"))
+    )
+
+
+PRODUCT_PROFIT_SQL = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+       {_sql_dec_sum("l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity", 'profit', 6)}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%anvil%'
+GROUP BY n_name, ship_year
+ORDER BY n_name, ship_year DESC
+"""
+
+
 QUERIES = {
     "region_revenue": Query(q_region_revenue, REGION_REVENUE_SQL, ("join", "broadcast")),
     "order_lineitem_join": Query(
@@ -2405,6 +2546,12 @@ QUERIES = {
         q_idle_rich_customers,
         IDLE_RICH_CUSTOMERS_SQL,
         ("anti-join", "scalar-subquery", "tpch", "q22"),
+    ),
+    "nation_market_share": Query(
+        q_nation_market_share, NATION_MARKET_SHARE_SQL, ("join", "tpch", "q8")
+    ),
+    "product_profit": Query(
+        q_product_profit, PRODUCT_PROFIT_SQL, ("join", "tpch", "q9")
     ),
     "join_key_skew": Query(
         q_join_key_skew, JOIN_KEY_SKEW_SQL, ("diagnostic", "skew", "topk")
