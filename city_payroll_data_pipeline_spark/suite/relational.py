@@ -2401,6 +2401,204 @@ ORDER BY n_name, ship_year DESC
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q11 shape — important parts: per-part revenue through one
+# nation's suppliers, keeping parts above a fraction of the nation
+# total. Scale shape: the correlated scalar (total × 0.001) re-uses
+# the groupBy(l_partkey) shuffle (runtime plan shows ReusedExchange —
+# the fact is scanned and partially aggregated ONCE; the threshold
+# branch reads the same exchange) and broadcasts the 1-row threshold.
+# Decimal accumulation end-to-end so Spark and the oracle agree
+# bit-for-bit.
+# --------------------------------------------------------------------------
+
+def q_important_parts(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    nat_supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pv = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(rev.cast("decimal(18,6)")).alias("value_dec"))
+    )
+    threshold = pv.agg(
+        (F.sum("value_dec").cast("double") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        pv.join(F.broadcast(threshold))
+        .filter(F.col("value_dec").cast("double") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+IMPORTANT_PARTS_SQL = """
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM pv
+WHERE CAST(value_dec AS DOUBLE) >
+      (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM pv)
+ORDER BY part_value DESC, partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape — dominant suppliers: suppliers shipping more than
+# half of 1995's volume of any red part. Scale shape: the correlated
+# per-part total (TPC-H's nested agg subquery) is a window SUM over
+# the already-aggregated (supplier, part) rows — no second fact scan,
+# no self-join; the part sliver and supplier dim are broadcast. Two
+# shuffles total: groupBy(supp, part), then the window's partkey
+# exchange over grouped (small) data.
+# --------------------------------------------------------------------------
+
+def q_dominant_suppliers(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supplier = table(spark, sf_dir, "supplier")
+    pf = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    sp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-01-01")))
+        )
+        .join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+    )
+    part_total = F.sum("qty_dec").over(W.partitionBy("l_partkey"))
+    dominant = sp.withColumn("part_total", part_total).filter(
+        F.col("qty_dec").cast("double")
+        > F.lit(0.5) * F.col("part_total").cast("double")
+    )
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominant_parts"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "n_dominant_parts")
+        .orderBy("s_name")
+    )
+
+
+DOMINANT_SUPPLIERS_SQL = """
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY l_suppkey, l_partkey
+),
+dom AS (
+  SELECT l_suppkey
+  FROM (
+    SELECT l_suppkey, qty_dec,
+           SUM(qty_dec) OVER (PARTITION BY l_partkey) AS part_total
+    FROM sp
+  )
+  WHERE CAST(qty_dec AS DOUBLE) > 0.5 * CAST(part_total AS DOUBLE)
+)
+SELECT s_name, COUNT(*) AS n_dominant_parts
+FROM dom JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY s_name
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape — sole-blame late suppliers: for finished
+# multi-supplier orders, the one supplier whose lines shipped late
+# (>90 days after the order date — the testdata has no
+# commit/receipt dates) while every co-supplier shipped on time.
+# Scale shape: TPC-H's EXISTS + NOT EXISTS double lineitem self-join
+# collapses into two stacked aggregations — per (order, supplier)
+# lateness, then per order supplier/late counts — so lineitem is
+# scanned ONCE and both shuffles are on grouped (shrinking) data.
+# --------------------------------------------------------------------------
+
+def q_waiting_suppliers(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supplier = table(spark, sf_dir, "supplier")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    per_line = (
+        li.join(finished, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = per_line.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    culprits = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    return (
+        culprits.groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("late_supp") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH per_line AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late,
+         MAX(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+  FROM per_line
+  GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order
+JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES = {
     "region_revenue": Query(q_region_revenue, REGION_REVENUE_SQL, ("join", "broadcast")),
     "order_lineitem_join": Query(
@@ -2552,6 +2750,21 @@ QUERIES = {
     ),
     "product_profit": Query(
         q_product_profit, PRODUCT_PROFIT_SQL, ("join", "tpch", "q9")
+    ),
+    "important_parts": Query(
+        q_important_parts,
+        IMPORTANT_PARTS_SQL,
+        ("agg", "scalar-subquery", "tpch", "q11"),
+    ),
+    "dominant_suppliers": Query(
+        q_dominant_suppliers,
+        DOMINANT_SUPPLIERS_SQL,
+        ("window", "correlated-agg", "tpch", "q20"),
+    ),
+    "waiting_suppliers": Query(
+        q_waiting_suppliers,
+        WAITING_SUPPLIERS_SQL,
+        ("agg", "stacked-agg", "tpch", "q21"),
     ),
     "join_key_skew": Query(
         q_join_key_skew, JOIN_KEY_SKEW_SQL, ("diagnostic", "skew", "topk")

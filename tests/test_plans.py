@@ -205,6 +205,7 @@ _INTENTIONAL_BNLJ = {
     "lsh_ann_topk",           # broadcast plane/query set
     "price_band_range_join",  # broadcast band table
     "idle_rich_customers",    # broadcast 1-row avg-balance scalar
+    "important_parts",        # broadcast 1-row revenue-threshold scalar
     "rolling_active_users",   # broadcast day spine, fan-out ≤ window
     "sq8_ann_topk",           # broadcast query set vs corpus
     "tfidf_top_terms",        # broadcast 1-row corpus count
