@@ -1689,6 +1689,137 @@ FROM media m JOIN ranked r ON r.media_id = m.media_id AND r.rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# Context-window chunking — split each document into fixed-size
+# overlapping token chunks (size 64, stride 48 → 16-token overlap),
+# the standard pre-training windowing op. Scale shape: pure narrow
+# transformation — tokenize once, fan out chunk starts with
+# sequence+explode, slice the SAME token array per chunk. Zero
+# shuffles, no UDF; fan-out factor is bounded by n_tokens/stride so
+# partitions grow predictably (repartition upstream if chunks must
+# be size-balanced for a downstream trainer).
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+_CHUNK_OVERLAP = _CHUNK_SIZE - _CHUNK_STRIDE
+
+
+def q_doc_chunks(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    n = F.size(toks)
+    # chunk starts 0, 48, 96, … while start < max(n - overlap, 1):
+    # every token lands in a chunk, and the final sub-overlap tail is
+    # absorbed into the previous chunk instead of emitted alone.
+    stop = F.greatest(n - F.lit(_CHUNK_OVERLAP), F.lit(1))
+    starts = F.sequence(F.lit(0), stop - 1, F.lit(_CHUNK_STRIDE))
+    return (
+        docs.select("doc_id", toks.alias("toks"), n.alias("n"),
+                    F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / _CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("start") + 1, _CHUNK_SIZE)
+            ).alias("chunk_text"),
+            F.least(F.lit(_CHUNK_SIZE), F.col("n") - F.col("start")).alias(
+                "n_tokens"
+            ),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+DOC_CHUNKS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+', 0) AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, len(t) AS n,
+         UNNEST(range(0, GREATEST(len(t) - {_CHUNK_OVERLAP}, 1),
+                      {_CHUNK_STRIDE})) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST(start / {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       array_to_string(t[start + 1 : start + {_CHUNK_SIZE}], ' ')
+         AS chunk_text,
+       LEAST({_CHUNK_SIZE}, n - start) AS n_tokens
+FROM idx
+ORDER BY doc_id, chunk_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — assign documents to fixed-budget context windows
+# (2048 tokens) by streaming them in deterministic doc_id order and
+# cutting a new pack each time the running total crosses the budget
+# (documents may straddle a boundary — the trainer-side convention
+# for greedy stream packing). Scale shape: ONE window shuffle
+# (partition by source, order by doc_id); the per-pack rollup reuses
+# the same partitioning. At 100 TB, sub-bucket the window key (e.g.
+# md5(doc_id) % K next to source) to bound sort size per partition —
+# packing is order-dependent only WITHIN a bucket by construction.
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+def q_pack_sequences(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    n_tok = token_count(F.col("text"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    assigned = docs.select("source", "doc_id", n_tok.alias("n_tokens")).select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        # floor, not cast: DuckDB CAST(double AS BIGINT) rounds while
+        # Spark's truncates — floor() agrees in both engines.
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET
+        ).alias("pack_id"),
+    )
+    return (
+        assigned.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH sized AS (
+  SELECT source, doc_id,
+         len(regexp_extract_all(text, '\S+', 0)) AS n_tokens
+  FROM documents
+),
+assigned AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+  FROM sized
+)
+SELECT source, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM assigned
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": Query(q_doc_token_stats, DOC_TOKEN_STATS_SQL, ("text",)),
     "doc_bpe_tokens": Query(q_doc_bpe_tokens, DOC_BPE_TOKENS_SQL, ("text", "bpe")),
@@ -1789,5 +1920,11 @@ QUERIES = {
     ),
     "media_feature_extract": Query(
         q_media_feature_extract, MEDIA_FEATURE_EXTRACT_SQL, ("multimodal", "pandas_udf")
+    ),
+    "doc_chunks": Query(
+        q_doc_chunks, DOC_CHUNKS_SQL, ("text", "chunking", "context-window")
+    ),
+    "pack_sequences": Query(
+        q_pack_sequences, PACK_SEQUENCES_SQL, ("text", "packing", "window")
     ),
 }
