@@ -72,6 +72,15 @@ HEADLINE = [
     "small_quantity_revenue",
     "disjunctive_band_revenue",
     "idle_rich_customers",
+    # TPC-H Q8/Q9/Q11/Q20/Q21 shapes
+    "nation_market_share",
+    "product_profit",
+    "important_parts",
+    "dominant_suppliers",
+    "waiting_suppliers",
+    # chunking / packing
+    "doc_chunks",
+    "pack_sequences",
 ]
 
 

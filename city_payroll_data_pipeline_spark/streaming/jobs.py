@@ -174,6 +174,57 @@ def stream_merge_to_table(
     return q
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join (the attribution shape: right-side
+    events join left-side events with the same key that happened at
+    most ``within`` earlier).
+
+    Both sides are watermarked and the join condition carries an
+    explicit event-time band — that pair is what lets Spark expire
+    buffered rows instead of keeping unbounded join state: a left row
+    can be dropped once the right watermark passes its timestamp +
+    ``within``. State size is therefore input-rate × (watermark +
+    within), independent of total stream length — the property that
+    makes this safe on an unbounded 100 TB/day feed. ``how`` may be
+    any streaming-supported type (inner, leftOuter, ...); outer rows
+    emit only after the watermark closes their band.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond, how).select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{left_ts}").alias(left_ts),
+        F.col(f"r.{right_ts}").alias(right_ts),
+        *[
+            F.col(f"l.{c}").alias(c)
+            for c in left.columns
+            if c not in (key, left_ts)
+        ],
+        *[
+            F.col(f"r.{c}").alias(c)
+            for c in right.columns
+            if c not in (key, right_ts)
+        ],
+    )
+
+
 def enrich_stream(stream_df: DataFrame, dim_df: DataFrame, on: str) -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against
     the (small) static dimension, which Spark broadcasts per batch —

@@ -302,3 +302,48 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     )
     rows = {r["id"]: r["weight"] for r in spark.table("enriched").collect()}
     assert rows == {1: 1.0, 2: None, 3: 5.0}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks attribute to impressions with the same ad within 30
+    minutes; a click 2h later and a click with no impression drop."""
+    import datetime as dt
+
+    from city_payroll_data_pipeline_spark.streaming.jobs import (
+        join_streams,
+        run_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    imp_src = tmp_path / "impressions"
+    clk_src = tmp_path / "clicks"
+    spark.createDataFrame(
+        [(10, t0, "campaign_a"), (20, t0, "campaign_b")],
+        "ad_id long, imp_ts timestamp, campaign string",
+    ).coalesce(1).write.parquet(str(imp_src))
+    spark.createDataFrame(
+        [
+            (10, t0 + dt.timedelta(minutes=10), 0.5),   # attributes
+            (10, t0 + dt.timedelta(hours=2), 0.7),      # outside band
+            (30, t0 + dt.timedelta(minutes=5), 0.9),    # no impression
+        ],
+        "ad_id long, click_ts timestamp, cost double",
+    ).coalesce(1).write.parquet(str(clk_src))
+
+    imps = spark.readStream.schema(
+        "ad_id long, imp_ts timestamp, campaign string"
+    ).parquet(str(imp_src))
+    clks = spark.readStream.schema(
+        "ad_id long, click_ts timestamp, cost double"
+    ).parquet(str(clk_src))
+    joined = join_streams(
+        imps, clks, key="ad_id", left_ts="imp_ts", right_ts="click_ts",
+        watermark="1 hour", within="30 minutes",
+    )
+    assert joined.isStreaming
+    run_to_memory(joined, "attributed", output_mode="append")
+    out = spark.table("attributed").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["ad_id"] == 10 and r["campaign"] == "campaign_a"
+    assert r["cost"] == 0.5
