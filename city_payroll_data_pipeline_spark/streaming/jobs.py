@@ -197,6 +197,12 @@ def join_streams(
     makes this safe on an unbounded 100 TB/day feed. ``how`` may be
     any streaming-supported type (inner, leftOuter, ...); outer rows
     emit only after the watermark closes their band.
+
+    Column naming: the key and both timestamps keep their names (the
+    right timestamp gets a ``_r`` suffix if it collides with the left
+    one); any other right-side column whose name also exists on the
+    left is suffixed ``_r`` so the output never has duplicate names
+    (which would make every later reference AMBIGUOUS_REFERENCE).
     """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -208,19 +214,19 @@ def join_streams(
             <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
         )
     )
+    left_payload = [c for c in left.columns if c not in (key, left_ts)]
+    right_payload = [c for c in right.columns if c not in (key, right_ts)]
+    taken = {key, left_ts} | set(left_payload)
+    right_ts_out = right_ts if right_ts not in taken else f"{right_ts}_r"
+    taken.add(right_ts_out)
     return l.join(r, cond, how).select(
         F.col(f"l.{key}").alias(key),
         F.col(f"l.{left_ts}").alias(left_ts),
-        F.col(f"r.{right_ts}").alias(right_ts),
+        F.col(f"r.{right_ts}").alias(right_ts_out),
+        *[F.col(f"l.{c}").alias(c) for c in left_payload],
         *[
-            F.col(f"l.{c}").alias(c)
-            for c in left.columns
-            if c not in (key, left_ts)
-        ],
-        *[
-            F.col(f"r.{c}").alias(c)
-            for c in right.columns
-            if c not in (key, right_ts)
+            F.col(f"r.{c}").alias(c if c not in taken else f"{c}_r")
+            for c in right_payload
         ],
     )
 

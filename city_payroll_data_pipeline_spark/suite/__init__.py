@@ -55,17 +55,25 @@ def table(
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; read it as raw nanos (legacy conf) and
-    convert to a microsecond timestamp with exact integer arithmetic
-    (``div`` — double division would lose precision above 2^53 ns).
-    DuckDB's ns→us cast truncates identically.
+    """events.parquet has stored ``ts`` as TIMESTAMP(NANOS) in some
+    testdata generations (which Spark's parquet reader rejects — read
+    as raw nanos via legacy conf, then exact integer ``div`` to micros)
+    and plain TIMESTAMP(MICROS) in others. Normalize both to a session
+    TimestampType column so downstream queries see one shape; DuckDB's
+    ns→us cast truncates identically in the nanos case.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        # session tz is pinned to UTC in table(); the cast is exact
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def build_suite() -> dict[str, Query]:

@@ -1759,10 +1759,12 @@ ORDER BY day
 # customer and the supplier share a nation, within one region and year.
 # Scale shape: the region filter is pushed into the nation→supplier dim
 # chain BEFORE touching the fact, so lineitem joins against an
-# already-pruned broadcast side; the only fact-sized shuffle is
-# lineitem⋈orders on orderkey. The c_nationkey = s_nationkey
-# constraint is a post-join filter on two broadcast-joined dim columns,
-# never a join of two fact-sized sides.
+# already-pruned broadcast side; the fact-sized shuffles are
+# lineitem⋈orders on orderkey and the customer join on custkey.
+# customer scales with SF (1.5M rows/TB), so it carries NO broadcast
+# hint — AQE broadcasts it at test scale and shuffle-joins at 100 TB.
+# The c_nationkey = s_nationkey constraint is a post-join filter on
+# dim columns, never a join of two fact-sized sides.
 # --------------------------------------------------------------------------
 
 def q_local_supplier_volume(spark, sf_dir):
@@ -1789,7 +1791,7 @@ def q_local_supplier_volume(spark, sf_dir):
         li.join(ord_f, li.l_orderkey == ord_f.o_orderkey)
         .join(F.broadcast(supp_asia), li.l_suppkey == supp_asia.s_suppkey)
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
@@ -2263,10 +2265,12 @@ ORDER BY nation
 # --------------------------------------------------------------------------
 # TPC-H Q8 shape — national market share: of all STANDARD-part revenue
 # sold to AMERICA-region customers, what fraction came from NATION_5
-# suppliers, per order year. Scale shape: both dim chains
-# (part-type filter, region→nation→customer chain, supplier→nation)
-# are pruned and broadcast before the two fact-sized joins
-# (lineitem⋈orders is the only fact-fact shuffle); the share is a
+# suppliers, per order year. Scale shape: the small dim chains
+# (part-type filter, region→nation, supplier→nation) are pruned and
+# broadcast before the fact joins; the AMERICA customer subset scales
+# with SF, so it carries NO broadcast hint — AQE broadcasts it at test
+# scale and falls back to a custkey shuffle join at 100 TB. The only
+# unavoidable fact-fact shuffle is lineitem⋈orders; the share is a
 # conditional decimal sum over one aggregation pass.
 # --------------------------------------------------------------------------
 
@@ -2301,7 +2305,7 @@ def q_nation_market_share(spark, sf_dir):
             orders.select("o_orderkey", "o_custkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
-        .join(F.broadcast(america_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(america_cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
     )
     return (

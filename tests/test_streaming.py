@@ -347,3 +347,39 @@ def test_stream_stream_interval_join(spark, tmp_path):
     r = out[0]
     assert r["ad_id"] == 10 and r["campaign"] == "campaign_a"
     assert r["cost"] == 0.5
+
+
+def test_stream_stream_join_colliding_columns(spark, tmp_path):
+    """Both sides carry a non-key column named ``value``: the right
+    side's copy must come out suffixed ``_r`` (not as a duplicate
+    name, which would make any later reference ambiguous)."""
+    import datetime as dt
+
+    from city_payroll_data_pipeline_spark.streaming.jobs import (
+        join_streams,
+        run_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    l_src = tmp_path / "left"
+    r_src = tmp_path / "right"
+    spark.createDataFrame(
+        [(1, t0, "left-payload")], "k long, lts timestamp, value string"
+    ).coalesce(1).write.parquet(str(l_src))
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=1), "right-payload")],
+        "k long, rts timestamp, value string",
+    ).coalesce(1).write.parquet(str(r_src))
+
+    joined = join_streams(
+        spark.readStream.schema("k long, lts timestamp, value string")
+        .parquet(str(l_src)),
+        spark.readStream.schema("k long, rts timestamp, value string")
+        .parquet(str(r_src)),
+        key="k", left_ts="lts", right_ts="rts",
+    )
+    assert sorted(joined.columns) == ["k", "lts", "rts", "value", "value_r"]
+    run_to_memory(joined, "collide_out", output_mode="append")
+    # the deduplicated name is selectable without AMBIGUOUS_REFERENCE
+    row = spark.table("collide_out").select("value", "value_r").collect()[0]
+    assert row["value"] == "left-payload" and row["value_r"] == "right-payload"
