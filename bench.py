@@ -81,6 +81,9 @@ HEADLINE = [
     # chunking / packing
     "doc_chunks",
     "pack_sequences",
+    # sharded export + tokenizer training
+    "range_sharded_export",
+    "bpe_merges",
 ]
 
 

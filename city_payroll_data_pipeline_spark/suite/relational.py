@@ -25,15 +25,18 @@ from city_payroll_data_pipeline_spark.suite.parity import (
 # --------------------------------------------------------------------------
 
 def q_region_revenue(spark, sf_dir):
-    """Revenue by region/nation: fact⋈dim⋈dim⋈dim with explicit
-    broadcast hints on the dims (plan shows BroadcastHashJoin — the
-    orders side never shuffles)."""
+    """Revenue by region/nation: fact⋈dim⋈dim⋈dim. nation/region are
+    fixed-cardinality (25/5 rows at every SF) and carry explicit
+    broadcast hints; customer SCALES with SF, so it gets no hint —
+    the size-based planner/AQE broadcasts it at test scale (plan shows
+    BroadcastHashJoin) and falls back to a custkey shuffle join at
+    100 TB instead of OOMing executors."""
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -1541,8 +1544,10 @@ def q_cheapest_supplier_per_part(spark, sf_dir):
         .drop("rn")
     )
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        # part/supplier scale with SF — no broadcast hints; the planner
+        # broadcasts them at test scale and shuffle-joins at 100 TB
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supplier, best.l_suppkey == supplier.s_suppkey)
         .select(
             "p_partkey",
             "p_brand",
@@ -1578,15 +1583,17 @@ ORDER BY p_partkey
 # --------------------------------------------------------------------------
 # TPC-H Q16 shape: distinct supplier count per (brand, type-prefix,
 # size-band), suppliers observed via lineitem pairs (the testdata has
-# no partsupp). COUNT(DISTINCT) forces an expand+two-phase agg; the
-# part dim is broadcast so the only shuffle is on the grouping keys.
+# no partsupp). COUNT(DISTINCT) forces an expand+two-phase agg; part
+# scales with SF so it carries no broadcast hint — the size-based
+# planner broadcasts it at test scale, leaving the grouping keys as
+# the only shuffle, and falls back to a partkey shuffle join at 100 TB.
 # --------------------------------------------------------------------------
 
 def q_parts_supplier_counts(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(
             "p_brand",
             F.substring("p_type", 1, 5).alias("type_prefix"),
@@ -1856,9 +1863,11 @@ def q_nation_trade_flows(spark, sf_dir):
         F.broadcast(n2), customer.c_nationkey == F.col("cust_nkey")
     ).select("c_custkey", "cust_nation")
     joined = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # supp/cust are 2-of-25-nation slivers of SF-scaling tables —
+        # no hints; AQE broadcasts at test scale, shuffles at 100 TB
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return (
@@ -2300,13 +2309,15 @@ def q_nation_market_share(spark, sf_dir):
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        # pf (one p_type) and supp_nat (full supplier) scale with SF —
+        # no hints; the planner broadcasts both at test scale
+        li.join(pf, li.l_partkey == pf.p_partkey)
         .join(
             orders.select("o_orderkey", "o_custkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .join(america_cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
     )
     return (
         joined.groupBy(F.year("o_orderdate").alias("order_year"))
@@ -2383,8 +2394,10 @@ def q_product_profit(spark, sf_dir):
         - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
-        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        # pf (name-prefix sliver) and supp_nat (full supplier) scale
+        # with SF — no hints; AQE broadcasts at test scale only
+        li.join(pf, li.l_partkey == pf.p_partkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
         .groupBy("nation", F.year("l_shipdate").alias("ship_year"))
         .agg(_dec_sum(profit, "profit", scale=6))
         .orderBy("nation", F.desc("ship_year"))
@@ -2426,7 +2439,9 @@ def q_important_parts(spark, sf_dir):
     ).select("s_suppkey")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     pv = (
-        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        # nat_supp is a 1-of-25-nation supplier sliver — SF-scaling, no
+        # hint; AQE broadcasts it at test scale
+        li.join(nat_supp, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(rev.cast("decimal(18,6)")).alias("value_dec"))
     )
@@ -2467,9 +2482,10 @@ ORDER BY part_value DESC, partkey
 # half of 1995's volume of any red part. Scale shape: the correlated
 # per-part total (TPC-H's nested agg subquery) is a window SUM over
 # the already-aggregated (supplier, part) rows — no second fact scan,
-# no self-join; the part sliver and supplier dim are broadcast. Two
-# shuffles total: groupBy(supp, part), then the window's partkey
-# exchange over grouped (small) data.
+# no self-join. part/supplier scale with SF so neither is hinted (AQE
+# broadcasts them at test scale). Two fact-sized shuffles at most:
+# groupBy(supp, part), then the window's partkey exchange over grouped
+# (small) data; the final supplier join keys on post-agg rows.
 # --------------------------------------------------------------------------
 
 def q_dominant_suppliers(spark, sf_dir):
@@ -2482,7 +2498,7 @@ def q_dominant_suppliers(spark, sf_dir):
             (F.col("l_shipdate") >= F.to_timestamp(F.lit("1995-01-01")))
             & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-01-01")))
         )
-        .join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .join(pf, li.l_partkey == pf.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
     )
@@ -2495,7 +2511,7 @@ def q_dominant_suppliers(spark, sf_dir):
         dominant.groupBy("l_suppkey")
         .agg(F.count("*").alias("n_dominant_parts"))
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            supplier.select("s_suppkey", "s_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select("s_name", "n_dominant_parts")
@@ -2569,8 +2585,10 @@ def q_waiting_suppliers(spark, sf_dir):
     return (
         culprits.groupBy("late_supp")
         .agg(F.count("*").alias("numwait"))
+        # supplier scales with SF — no hint; the post-agg culprit side
+        # is per-supplier-sized, so AQE picks the cheap side either way
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            supplier.select("s_suppkey", "s_name"),
             F.col("late_supp") == F.col("s_suppkey"),
         )
         .select("s_name", "numwait")
@@ -2603,8 +2621,69 @@ ORDER BY numwait DESC, s_name
 """
 
 
+# --------------------------------------------------------------------------
+# Range-sharded ordered export (operators/sharding.py): the at-scale
+# generalization of the reference's ORDER BY full export — explicit
+# exact-quantile shard boundaries, branch-free shard tagging, hive
+# write partitioned by shard with per-file sort. The suite query
+# returns the per-shard manifest (count + key range); non-overlapping
+# ranges + equal counts ARE the correctness property of the layout.
+# --------------------------------------------------------------------------
+
+_N_EXPORT_SHARDS = 8
+
+
+def q_range_sharded_export(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators import sharding
+
+    orders = table(spark, sf_dir, "orders")
+    bounds = sharding.range_shard_boundaries(
+        orders, "o_totalprice", _N_EXPORT_SHARDS
+    )
+    return (
+        sharding.assign_range_shards(orders, "o_totalprice", bounds)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _range_sharded_export_sql() -> str:
+    n = _N_EXPORT_SHARDS
+    qs = ", ".join(str(i / n) for i in range(1, n))
+    shard = " + ".join(
+        f"CASE WHEN o_totalprice >= round(q[{i}], 6) THEN 1 ELSE 0 END"
+        for i in range(1, n)
+    )
+    return f"""
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, [{qs}]) AS q FROM orders
+),
+tagged AS (
+  SELECT o_totalprice, CAST({shard} AS INTEGER) AS shard
+  FROM orders, b
+)
+SELECT shard, COUNT(*) AS n_rows,
+       round(MIN(o_totalprice), 2) AS lo,
+       round(MAX(o_totalprice), 2) AS hi
+FROM tagged GROUP BY shard ORDER BY shard
+"""
+
+
+RANGE_SHARDED_EXPORT_SQL = _range_sharded_export_sql()
+
+
 QUERIES = {
     "region_revenue": Query(q_region_revenue, REGION_REVENUE_SQL, ("join", "broadcast")),
+    "range_sharded_export": Query(
+        q_range_sharded_export,
+        RANGE_SHARDED_EXPORT_SQL,
+        ("export", "sharding", "terasort"),
+    ),
     "order_lineitem_join": Query(
         q_order_lineitem_join, ORDER_LINEITEM_JOIN_SQL, ("join", "shuffle")
     ),

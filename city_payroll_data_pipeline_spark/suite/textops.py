@@ -23,7 +23,7 @@ from city_payroll_data_pipeline_spark.functions.text import (
     token_count,
     word_tokens,
 )
-from city_payroll_data_pipeline_spark.operators import dedup
+from city_payroll_data_pipeline_spark.operators import bpe, dedup
 from city_payroll_data_pipeline_spark.suite import Query, table
 from city_payroll_data_pipeline_spark.suite.parity import _sql_round
 
@@ -1217,6 +1217,45 @@ WHERE {_HASH_BUCKET_SQL} < {_STRATA_CASE_SQL}
 """
 
 
+_PER_GROUP_K = 50
+
+
+def q_per_group_sample(spark, sf_dir):
+    """Exact-k-per-stratum sample: the fixed-size eval/holdout draw
+    (k docs per source), deterministic without RNG state — rank by
+    md5(doc_id) within each stratum and keep the first k. One shuffle
+    on the stratum key; at 100 TB the window never materializes a
+    stratum in memory (rank is a streaming sort-based agg), and
+    because k is constant the output stays small no matter the corpus.
+    Spark plans a WindowGroupLimit: the per-partition map-side pass
+    drops everything past rank k BEFORE the shuffle, so the exchange
+    carries ~k rows per stratum per input partition, not the corpus."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    pick = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("source").orderBy(pick, "doc_id")
+    return (
+        docs.withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= _PER_GROUP_K)
+        .select("doc_id", "source", "rank_in_source")
+    )
+
+
+PER_GROUP_SAMPLE_SQL = f"""
+SELECT doc_id, source, rank_in_source
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank_in_source
+  FROM documents
+)
+WHERE rank_in_source <= {_PER_GROUP_K}
+"""
+
+
 def q_budget_rebalance_sample(spark, sf_dir):
     """Dynamic stratified sampling: per-language keep rates COMPUTED
     from the corpus (equalize token budgets to the smallest language)
@@ -1820,8 +1859,28 @@ ORDER BY source, pack_id
 """
 
 
+# --------------------------------------------------------------------------
+# Distributed BPE merge training (operators/bpe.py): corpus-wide
+# tokenizer training — iterative (each merge changes the next round's
+# pair counts), so no single SQL oracle exists; the driver records a
+# rows-only check and tests/test_training_ops.py verifies the merge
+# table against an independent pure-Python reference implementation.
+# --------------------------------------------------------------------------
+
+def q_bpe_merges(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True).select("text")
+    merges = bpe.train_bpe(docs, "text", n_merges=8)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_idx int, left string, right string, pair_count bigint",
+    )
+
+
 QUERIES = {
     "doc_token_stats": Query(q_doc_token_stats, DOC_TOKEN_STATS_SQL, ("text",)),
+    "bpe_merges": Query(
+        q_bpe_merges, None, ("text", "bpe", "tokenizer", "iterative")
+    ),
     "doc_bpe_tokens": Query(q_doc_bpe_tokens, DOC_BPE_TOKENS_SQL, ("text", "bpe")),
     "doc_lang_id": Query(q_doc_lang_id, DOC_LANG_ID_SQL, ("text", "langid")),
     "doc_quality": Query(q_doc_quality, DOC_QUALITY_SQL, ("text", "quality")),
@@ -1902,6 +1961,11 @@ QUERIES = {
         q_stratified_sample,
         STRATIFIED_SAMPLE_SQL,
         ("sample", "stratified", "rebalance"),
+    ),
+    "per_group_sample": Query(
+        q_per_group_sample,
+        PER_GROUP_SAMPLE_SQL,
+        ("sample", "exact-k", "window"),
     ),
     "train_val_test_split": Query(
         q_train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL, ("sample", "split")

@@ -336,3 +336,158 @@ def test_approx_buckets_agree_with_exact_ntile(spark):
     ]
     assert len(sizes) == 10
     assert max(sizes) <= 2 * (n / 10) and min(sizes) >= (n / 10) / 2
+
+
+# --------------------------------------------------------------------------
+# BPE merge training
+# --------------------------------------------------------------------------
+
+def _reference_bpe(words: dict[str, int], n_merges: int, min_count: int = 2):
+    """Independent pure-Python Sennrich-style BPE: the oracle for the
+    distributed trainer (same tie-break: max count, then lexicographic)."""
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((left, right, cnt))
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out = []
+            for s in sym:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_reference_implementation(spark):
+    """The distributed trainer must reproduce the classic sequential
+    algorithm exactly, merge for merge, on a corpus with ties."""
+    from city_payroll_data_pipeline_spark.operators.bpe import train_bpe
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    corpus = spark.createDataFrame([(text,)], "text string")
+    got = train_bpe(corpus, "text", n_merges=8)
+    want = _reference_bpe(words, 8)
+    assert got == want, f"{got} != {want}"
+
+
+def test_bpe_deterministic_across_runs(spark):
+    from city_payroll_data_pipeline_spark.operators.bpe import train_bpe
+    from city_payroll_data_pipeline_spark.suite import table
+
+    docs = (
+        table(spark, SF_CORRECT, "documents", spread=True)
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("text")
+    )
+    a = train_bpe(docs, "text", n_merges=5)
+    b = train_bpe(docs, "text", n_merges=5)
+    assert a == b and len(a) == 5
+
+
+def test_bpe_apply_preserves_characters(spark):
+    """Encoding is a segmentation: concatenating a word's BPE tokens
+    must reproduce the word's characters exactly."""
+    from city_payroll_data_pipeline_spark.operators.bpe import (
+        apply_bpe,
+        train_bpe,
+    )
+
+    corpus = spark.createDataFrame(
+        [("low lower newest newest widest low",)], "text string"
+    )
+    merges = train_bpe(corpus, "text", n_merges=6)
+    assert merges
+    out = apply_bpe(corpus, "text", merges)
+    row = out.select(
+        F.concat_ws("", F.col("bpe_tokens")).alias("joined"),
+        F.regexp_replace("text", r"\s+", "").alias("flat"),
+    ).collect()[0]
+    assert row["joined"] == row["flat"]
+    # and at least one multi-char token was actually produced
+    toks = out.select("bpe_tokens").collect()[0][0]
+    assert any(len(t) > 1 for t in toks)
+
+
+# --------------------------------------------------------------------------
+# Range-sharded ordered export
+# --------------------------------------------------------------------------
+
+def test_range_shard_assignment_partitions_rows(spark):
+    from city_payroll_data_pipeline_spark.operators import sharding
+    from city_payroll_data_pipeline_spark.suite import table
+
+    orders = table(spark, SF_CORRECT, "orders")
+    bounds = sharding.range_shard_boundaries(orders, "o_totalprice", 8)
+    assert bounds == sorted(bounds) and len(bounds) == 7
+    tagged = sharding.assign_range_shards(orders, "o_totalprice", bounds)
+    summary = (
+        tagged.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    assert [r["shard"] for r in summary] == list(range(8))
+    assert sum(r["n"] for r in summary) == orders.count()
+    # quantile cuts → balanced shards (within 20% of ideal)
+    ideal = orders.count() / 8
+    assert all(abs(r["n"] - ideal) <= 0.2 * ideal for r in summary)
+    # ranges are disjoint and ordered
+    for prev, nxt in zip(summary, summary[1:]):
+        assert prev["hi"] <= nxt["lo"]
+
+
+def test_write_range_sharded_sorted_disjoint_files(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from city_payroll_data_pipeline_spark.operators import sharding
+    from city_payroll_data_pipeline_spark.suite import table
+
+    orders = table(spark, f"{SF_CORRECT}", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = str(tmp_path / "sharded")
+    sharding.write_range_sharded(orders, path, "o_totalprice", 4)
+    shard_ranges = {}
+    for d in sorted(glob.glob(f"{path}/shard=*")):
+        shard = int(d.rsplit("=", 1)[1])
+        vals = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            col = pq.read_table(f, columns=["o_totalprice"])["o_totalprice"]
+            file_vals = col.to_pylist()
+            # every file is internally sorted
+            assert file_vals == sorted(file_vals), f"unsorted file {f}"
+            vals.extend(file_vals)
+        shard_ranges[shard] = (min(vals), max(vals))
+    assert sorted(shard_ranges) == list(range(4))
+    # shard key ranges are disjoint and ascending → global order by
+    # visiting shards in order
+    for s in range(3):
+        assert shard_ranges[s][1] <= shard_ranges[s + 1][0]
+    # nothing lost in the write
+    total = sum(
+        pq.read_table(f).num_rows for f in glob.glob(f"{path}/shard=*/*.parquet")
+    )
+    assert total == orders.count()
