@@ -84,6 +84,10 @@ HEADLINE = [
     # sharded export + tokenizer training
     "range_sharded_export",
     "bpe_merges",
+    # corpus index / LM analytics
+    "inverted_index",
+    "bigram_lm",
+    "vocab_coverage",
 ]
 
 

@@ -1876,8 +1876,205 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Corpus index / language-model analytics: inverted index postings,
+# bigram continuation probabilities, vocabulary coverage — the
+# search-index and tokenizer-diagnostics side of a corpus pipeline.
+# --------------------------------------------------------------------------
+
+_POSTINGS_CAP = 16
+
+
+def q_inverted_index(spark, sf_dir):
+    """Champion-list inverted index: per term, the exact document
+    frequency plus the first-K posting prefix (doc_id order). The cap
+    is the scale guard of every index build: the full posting list of
+    a stop word is corpus-sized, so one reducer would receive it whole
+    — prefixing (champion lists) bounds the materialized payload per
+    term to K ids while df stays exact. One shuffle on term over the
+    distinct (term, doc) frame; rank and df come from the same window
+    pass, the collect runs only on the ≤K survivors."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    td = (
+        docs.select(
+            "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+        )
+        .distinct()
+    )
+    wt = W.partitionBy("term")
+    ranked = td.withColumn(
+        "rk", F.row_number().over(wt.orderBy("doc_id"))
+    ).withColumn("df", F.count("*").over(wt))
+    return (
+        ranked.filter(F.col("rk") <= _POSTINGS_CAP)
+        .groupBy("term", "df")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+        .orderBy("term")
+    )
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH td AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS term
+  FROM documents
+),
+ranked AS (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY term) AS df
+  FROM td
+)
+SELECT term, df, list(doc_id ORDER BY doc_id) AS postings
+FROM ranked
+WHERE rk <= {_POSTINGS_CAP}
+GROUP BY term, df
+ORDER BY term
+"""
+
+
+_BIGRAM_MIN_COUNT = 100
+_BIGRAM_TOP_N = 3
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Bigram continuation table: for frequent first-tokens, the top-3
+    next-tokens with exact conditional probability P(next | cur) =
+    count(cur,next) / Σ_next count(cur,·). The denominator is a window
+    sum over the already-aggregated bigram counts — vocabulary²-sized
+    at worst, corpus-independent; no second corpus scan. Top-3 rides
+    the map-side WindowGroupLimit. This is the n-gram-LM / Markov
+    suggestion shape (and the data-quality 'what follows what' probe)."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(word_tokens(F.col("text")).alias("w"))
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda x, i: F.struct(
+                    x.alias("cur"),
+                    F.element_at(F.col("w"), i + 2).alias("nxt"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.cur", "bg.nxt")
+    counts = bigrams.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    wsum = W.partitionBy("cur")
+    wrank = W.partitionBy("cur").orderBy(F.desc("n"), F.asc("nxt"))
+    return (
+        counts.withColumn("cur_total", F.sum("n").over(wsum))
+        .withColumn("rank", F.row_number().over(wrank))
+        .filter(
+            (F.col("cur_total") >= _BIGRAM_MIN_COUNT)
+            & (F.col("rank") <= _BIGRAM_TOP_N)
+        )
+        .select(
+            "cur",
+            "rank",
+            "nxt",
+            "n",
+            F.round(F.col("n") / F.col("cur_total"), 6).alias("p_next"),
+        )
+        .orderBy("cur", "rank")
+    )
+
+
+BIGRAM_LM_SQL = rf"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+', 0) AS w FROM documents
+),
+bigrams AS (
+  SELECT unnest(list_transform(range(0, len(w) - 1),
+                               i -> struct_pack(cur := w[i+1], nxt := w[i+2])),
+                recursive := true)
+  FROM toks WHERE len(w) >= 2
+),
+counts AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM bigrams GROUP BY cur, nxt
+),
+ranked AS (
+  SELECT cur, nxt, n,
+         SUM(n) OVER (PARTITION BY cur) AS cur_total,
+         ROW_NUMBER() OVER (PARTITION BY cur ORDER BY n DESC, nxt) AS rank
+  FROM counts
+)
+SELECT cur, rank, nxt, n, round(n / CAST(cur_total AS DOUBLE), 6) AS p_next
+FROM ranked
+WHERE cur_total >= {_BIGRAM_MIN_COUNT} AND rank <= {_BIGRAM_TOP_N}
+ORDER BY cur, rank
+"""
+
+
+_VOCAB_TOP_N = 20
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Zipf head of the vocabulary: the top-20 tokens by frequency
+    with cumulative corpus coverage — the tokenizer-diagnostics curve
+    ('how much of the corpus do the k most frequent tokens cover').
+    The heavy lifting (token counts) is one shuffle; the global
+    ordering runs on the vocabulary frame (≪ corpus) and the top-k is
+    a TakeOrderedAndProject, not a full sort materialization; the
+    cumulative window then touches only the k survivors, with the
+    grand total joined as a 1-row broadcast."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    counts = (
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    top = counts.orderBy(F.desc("n"), "token").limit(_VOCAB_TOP_N)
+    w = W.orderBy(F.desc("n"), "token").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(W.orderBy(F.desc("n"), "token")).alias("rank"),
+            "token",
+            "n",
+            F.round(F.sum("n").over(w) / F.col("total"), 6).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH counts AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS token
+  FROM documents
+),
+agg AS (SELECT token, COUNT(*) AS n FROM counts GROUP BY token),
+total AS (SELECT SUM(n) AS total FROM agg),
+top AS (SELECT token, n FROM agg ORDER BY n DESC, token LIMIT {_VOCAB_TOP_N})
+SELECT ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank,
+       token, n,
+       round(SUM(n) OVER (ORDER BY n DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(total AS DOUBLE), 6) AS cum_share
+FROM top, total
+ORDER BY rank
+"""
+
+
 QUERIES = {
     "doc_token_stats": Query(q_doc_token_stats, DOC_TOKEN_STATS_SQL, ("text",)),
+    "inverted_index": Query(
+        q_inverted_index, INVERTED_INDEX_SQL, ("text", "index", "postings")
+    ),
+    "bigram_lm": Query(
+        q_bigram_lm, BIGRAM_LM_SQL, ("text", "ngram", "language-model")
+    ),
+    "vocab_coverage": Query(
+        q_vocab_coverage, VOCAB_COVERAGE_SQL, ("text", "vocab", "zipf")
+    ),
     "bpe_merges": Query(
         q_bpe_merges, None, ("text", "bpe", "tokenizer", "iterative")
     ),
