@@ -88,6 +88,10 @@ HEADLINE = [
     "inverted_index",
     "bigram_lm",
     "vocab_coverage",
+    "source_divergence",
+    # time series
+    "gap_fill_interpolate",
+    "ewma_user_value",
 ]
 
 

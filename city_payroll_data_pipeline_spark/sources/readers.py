@@ -50,6 +50,14 @@ def from_pandas(spark: SparkSession, pdf) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar lake format (Hive-ecosystem
+    interchange). Same pushdown story as parquet: Catalyst pushes
+    predicates and column pruning into the scan, and ORC's stripe-level
+    min/max indexes serve data skipping."""
+    return spark.read.orc(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict:
     """Load driver testdata parquet tables as a name->DataFrame dict."""
     return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

@@ -147,6 +147,20 @@ def write_jsonl(
     writer.json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — for Hive-ecosystem consumers; zlib-compressed by
+    default, stripe min/max indexes written automatically."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def zorder_value(cols, mins, maxs, bits: int = 16):
     """Morton (Z-order) key from N numeric columns: each column is
     scaled to a ``bits``-bit integer grid over its [min, max] range,

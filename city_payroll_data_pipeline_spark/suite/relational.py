@@ -2622,6 +2622,189 @@ ORDER BY numwait DESC, s_name
 
 
 # --------------------------------------------------------------------------
+# Time-series gap fill: resample each user's irregular event series
+# onto an hourly grid with linear interpolation (back-/forward-fill at
+# the edges) — the hypertable/metrics-rollup shape. Scale: one shuffle
+# on user_id; the spine fan-out is bounded by each user's own time
+# span (never a global cross join), and both neighbor lookups are
+# IGNORE NULLS window passes over the SAME sort — Spark runs them in
+# one Window stage, no as-of join and no per-row subquery. All
+# interpolation arithmetic is +,-,*,/ on IEEE doubles (correctly
+# rounded in every engine) — deterministic without the decimal route.
+# --------------------------------------------------------------------------
+
+def q_gap_fill_interpolate(spark, sf_dir):
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .select("user_id", "ts", "value", "event_id")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_spine"),
+        F.lit(-1).cast("bigint").alias("event_id"),
+    )
+    u = ev.select(
+        "user_id", "ts", "value", F.lit(0).alias("is_spine"), "event_id"
+    ).unionByName(spine)
+    order = [F.col("ts"), F.col("is_spine"), F.col("event_id")]
+    wprev = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wnext = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    ev_val = F.when(F.col("is_spine") == 0, F.col("value"))
+    ev_us = F.when(F.col("is_spine") == 0, F.unix_micros(F.col("ts")))
+    ann = u.select(
+        "user_id",
+        "ts",
+        "is_spine",
+        F.last(ev_val, ignorenulls=True).over(wprev).alias("prev_val"),
+        F.last(ev_us, ignorenulls=True).over(wprev).alias("prev_us"),
+        F.first(ev_val, ignorenulls=True).over(wnext).alias("next_val"),
+        F.first(ev_us, ignorenulls=True).over(wnext).alias("next_us"),
+    )
+    frac = (F.unix_micros(F.col("ts")) - F.col("prev_us")) / (
+        F.col("next_us") - F.col("prev_us")
+    ).cast("double")
+    return (
+        ann.filter(F.col("is_spine") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("hour_ts"),
+            F.when(F.col("prev_us").isNull(), F.lit("bfill"))
+            .when(F.col("next_us").isNull(), F.lit("ffill"))
+            .otherwise(F.lit("interp"))
+            .alias("fill_kind"),
+            F.round(
+                F.when(F.col("prev_us").isNull(), F.col("next_val"))
+                .when(F.col("next_us").isNull(), F.col("prev_val"))
+                .otherwise(
+                    F.col("prev_val")
+                    + (F.col("next_val") - F.col("prev_val")) * frac
+                ),
+                6,
+            ).alias("value"),
+        )
+        .orderBy("user_id", "hour_ts")
+    )
+
+
+GAP_FILL_INTERPOLATE_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, value, event_id FROM events WHERE user_id % 20 = 0
+),
+bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM ev GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS ts,
+         CAST(NULL AS DOUBLE) AS value, 1 AS is_spine,
+         CAST(-1 AS BIGINT) AS event_id
+  FROM bounds
+),
+u AS (
+  SELECT user_id, ts, value, 0 AS is_spine, event_id FROM ev
+  UNION ALL SELECT user_id, ts, value, is_spine, event_id FROM spine
+),
+ann AS (
+  SELECT user_id, ts, is_spine,
+    LAST_VALUE(CASE WHEN is_spine = 0 THEN value END IGNORE NULLS)
+      OVER wprev AS prev_val,
+    LAST_VALUE(CASE WHEN is_spine = 0 THEN epoch_us(ts) END IGNORE NULLS)
+      OVER wprev AS prev_us,
+    FIRST_VALUE(CASE WHEN is_spine = 0 THEN value END IGNORE NULLS)
+      OVER wnext AS next_val,
+    FIRST_VALUE(CASE WHEN is_spine = 0 THEN epoch_us(ts) END IGNORE NULLS)
+      OVER wnext AS next_us
+  FROM u
+  WINDOW
+    wprev AS (PARTITION BY user_id ORDER BY ts, is_spine, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wnext AS (PARTITION BY user_id ORDER BY ts, is_spine, event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ts AS hour_ts,
+  CASE WHEN prev_us IS NULL THEN 'bfill'
+       WHEN next_us IS NULL THEN 'ffill'
+       ELSE 'interp' END AS fill_kind,
+  round(CASE WHEN prev_us IS NULL THEN next_val
+             WHEN next_us IS NULL THEN prev_val
+             ELSE prev_val + (next_val - prev_val)
+                  * ((epoch_us(ts) - prev_us)
+                     / CAST(next_us - prev_us AS DOUBLE)) END, 6) AS value
+FROM ann WHERE is_spine = 1
+ORDER BY user_id, hour_ts
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-user EWMA: exponentially weighted moving average of event values
+# — the smoothing/anomaly-baseline primitive Spark has no built-in
+# for (no ordered-recursive aggregate). Re-expressed as a per-key
+# ordered fold: collect the user's series once (bounded by per-user
+# cardinality, never corpus-sized), then a codegen'd F.aggregate
+# replays acc = α·x + (1−α)·acc in (ts, event_id) order. One shuffle
+# on user_id. Both engines fold the SAME sequence with the SAME IEEE
+# ops left-to-right, so the result is bit-deterministic — the oracle
+# replays it with DuckDB's list_reduce. At 100 TB a user's history is
+# KBs; for pathological hot keys, pre-aggregate per (user, hour)
+# before folding.
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+def q_ewma_user_value(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    arr = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda x: x["value"])
+    a = F.lit(_EWMA_ALPHA)
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+    )
+    return arr.select(
+        "user_id",
+        F.size("s").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    ).orderBy("user_id")
+
+
+EWMA_USER_VALUE_SQL = f"""
+WITH arr AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events WHERE user_id % 10 = 0
+  GROUP BY user_id
+)
+SELECT user_id, len(vals) AS n_events,
+       round(list_reduce(vals,
+             (acc, x) -> {_EWMA_ALPHA} * x + {1.0 - _EWMA_ALPHA} * acc), 6)
+         AS ewma_value
+FROM arr ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Range-sharded ordered export (operators/sharding.py): the at-scale
 # generalization of the reference's ORDER BY full export — explicit
 # exact-quantile shard boundaries, branch-free shard tagging, hive
@@ -2683,6 +2866,16 @@ QUERIES = {
         q_range_sharded_export,
         RANGE_SHARDED_EXPORT_SQL,
         ("export", "sharding", "terasort"),
+    ),
+    "gap_fill_interpolate": Query(
+        q_gap_fill_interpolate,
+        GAP_FILL_INTERPOLATE_SQL,
+        ("timeseries", "resample", "interpolate", "window"),
+    ),
+    "ewma_user_value": Query(
+        q_ewma_user_value,
+        EWMA_USER_VALUE_SQL,
+        ("timeseries", "ewma", "fold"),
     ),
     "order_lineitem_join": Query(
         q_order_lineitem_join, ORDER_LINEITEM_JOIN_SQL, ("join", "shuffle")

@@ -2009,6 +2009,98 @@ ORDER BY cur, rank
 """
 
 
+def q_source_divergence(spark, sf_dir):
+    """Token-distribution divergence of each source from the corpus:
+    total-variation distance TV(p_s, q) = ½ Σ_t |p_s(t) − q(t)| — the
+    training-mix diagnostic ('which slice looks least like the
+    blend'). TV over the tokens PRESENT in the source plus the mass of
+    absent tokens, (1 − Σ_present q), so no zero-filled source×vocab
+    frame is ever materialized. Everything runs on the (source, token)
+    count frame (≤ sources·vocab rows, corpus-independent); per-source
+    and per-token totals are window sums on that frame, the grand
+    total a 1-row broadcast. TV is chosen over KL deliberately:
+    rational arithmetic only (+,-,*,/,abs are correctly-rounded IEEE
+    everywhere, and the final sums route through exact decimals), so
+    the result is bit-deterministic across engines — a log-based
+    divergence would hang parity on libm rounding."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    st = (
+        docs.select("source", F.explode(word_tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n_st"))
+    )
+    n_s = F.sum("n_st").over(W.partitionBy("source"))
+    n_t = F.sum("n_st").over(W.partitionBy("token"))
+    total = st.agg(F.sum("n_st").alias("n_total"))
+    scored = (
+        st.withColumn("n_s", n_s)
+        .withColumn("n_t", n_t)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_st") / F.col("n_s")).alias("p"),
+            (F.col("n_t") / F.col("n_total")).alias("q"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            _sum_dec12(F.abs(F.col("p") - F.col("q")), "sum_absdiff"),
+            _sum_dec12(F.col("q"), "sum_q"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                0.5 * (F.col("sum_absdiff") + (1.0 - F.col("sum_q"))), 6
+            ).alias("tv_distance"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sum_dec12(col, alias):
+    """Order-independent sum of small doubles (|x| ≤ 2) via exact
+    decimal(18,12) accumulation — same parity discipline as
+    ``parity._dec_sum`` at probability scale."""
+    return F.sum(col.cast("decimal(18,12)")).cast("double").alias(alias)
+
+
+SOURCE_DIVERGENCE_SQL = r"""
+WITH st AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS token
+  FROM documents
+),
+counts AS (SELECT source, token, COUNT(*) AS n_st FROM st GROUP BY source, token),
+totals AS (
+  SELECT source, token, n_st,
+         SUM(n_st) OVER (PARTITION BY source) AS n_s,
+         SUM(n_st) OVER (PARTITION BY token) AS n_t,
+         SUM(n_st) OVER () AS n_total
+  FROM counts
+),
+scored AS (
+  SELECT source, n_s,
+         n_st / CAST(n_s AS DOUBLE) AS p,
+         n_t / CAST(n_total AS DOUBLE) AS q
+  FROM totals
+)
+SELECT source, MAX(n_s) AS n_tokens,
+       round(0.5 * (
+         CAST(SUM(CAST(abs(p - q) AS DECIMAL(18,12))) AS DOUBLE)
+         + (1.0 - CAST(SUM(CAST(q AS DECIMAL(18,12))) AS DOUBLE))
+       ), 6) AS tv_distance
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
 _VOCAB_TOP_N = 20
 
 
@@ -2074,6 +2166,11 @@ QUERIES = {
     ),
     "vocab_coverage": Query(
         q_vocab_coverage, VOCAB_COVERAGE_SQL, ("text", "vocab", "zipf")
+    ),
+    "source_divergence": Query(
+        q_source_divergence,
+        SOURCE_DIVERGENCE_SQL,
+        ("text", "divergence", "training-mix"),
     ),
     "bpe_merges": Query(
         q_bpe_merges, None, ("text", "bpe", "tokenizer", "iterative")

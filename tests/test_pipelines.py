@@ -5,6 +5,7 @@ boundaries, fte defaults."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 FROZEN = "2024-06-01T12:00:00"
 
@@ -201,6 +202,32 @@ def test_jsonl_roundtrip_documents(spark, tmp_path):
     a = sorted(tuple(r) for r in docs.select(*sorted(docs.columns)).collect())
     b = sorted(tuple(r) for r in back.select(*sorted(docs.columns)).collect())
     assert a == b
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """documents → ORC → read back identical; a filtered projection
+    reaches the ORC scan as pushed filters + pruned schema."""
+    from city_payroll_data_pipeline_spark.sources.readers import read_orc
+    from city_payroll_data_pipeline_spark.sources.sinks import write_orc
+    from city_payroll_data_pipeline_spark.suite import table
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out, partition_by=["lang"])
+    back = read_orc(spark, out)
+    a = sorted(tuple(r) for r in docs.select(*sorted(docs.columns)).collect())
+    b = sorted(tuple(r) for r in back.select(*sorted(docs.columns)).collect())
+    assert a == b
+    plan = (
+        back.filter(F.col("doc_id") > 100)
+        .select("doc_id", "source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in plan
+    assert "struct<doc_id:bigint,source:string>" in plan.replace(" ", "")
 
 
 def test_versioned_merge_upsert_and_time_travel(spark, tmp_path):

@@ -211,6 +211,7 @@ _INTENTIONAL_BNLJ = {
     "tfidf_top_terms",        # broadcast 1-row corpus count
     "training_mix_report",    # broadcast 1-row min-token + 1-row total
     "vocab_coverage",         # broadcast 1-row grand-total scalar
+    "source_divergence",      # broadcast 1-row grand-total scalar
 }
 
 
