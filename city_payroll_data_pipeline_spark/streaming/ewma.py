@@ -1,0 +1,63 @@
+"""Streaming EWMA — a custom stateful smoothing operator built on
+``applyInPandasWithState``: the streaming twin of the batch fold in
+``suite.relational.q_ewma_user_value``.
+
+Per user key, the running average lives in group state as (ewma,
+n_events, last_us). Each micro-batch folds its rows in (ts, event_id)
+order onto the carried accumulator — so across any micro-batch
+boundary placement, the final value equals the batch fold over the
+whole series (the agreement the test asserts). State is three scalars
+per ACTIVE user: update mode emits the refreshed value each batch and
+the per-key footprint is constant, so state size tracks the keyspace,
+not stream length — safe on an unbounded feed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, ewma_value double"
+STATE_SCHEMA = "ewma double, n_events bigint, last_us bigint"
+
+
+def ewma_stream(
+    events: DataFrame,
+    alpha: float = 0.3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """acc = α·x + (1−α)·acc in (ts, order_col) order, first value
+    seeds the accumulator — identical IEEE fold to the batch twin."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values([ts_col, order_col])
+        if state.exists:
+            ewma, n, last_us = state.get
+        else:
+            ewma, n, last_us = None, 0, 0
+        for x in batch[value_col]:
+            x = float(x)
+            ewma = x if ewma is None else alpha * x + (1.0 - alpha) * ewma
+            n += 1
+        last_us = int(batch[ts_col].max().timestamp() * 1_000_000)
+        state.update((ewma, n, last_us))
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "ewma_value": ewma}]
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

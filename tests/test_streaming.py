@@ -383,3 +383,57 @@ def test_stream_stream_join_colliding_columns(spark, tmp_path):
     # the deduplicated name is selectable without AMBIGUOUS_REFERENCE
     row = spark.table("collide_out").select("value", "value_r").collect()[0]
     assert row["value"] == "left-payload" and row["value_r"] == "right-payload"
+
+
+def test_streaming_ewma_agrees_with_batch_fold(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1) splitting each user's
+    series mid-stream: the final stateful EWMA must equal the batch
+    fold over the whole series — the accumulator carries across the
+    batch boundary exactly."""
+    import datetime as dt
+
+    from city_payroll_data_pipeline_spark.streaming.ewma import ewma_stream
+    from city_payroll_data_pipeline_spark.streaming.jobs import run_to_memory
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = tmp_path / "ev"
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    rows1 = [
+        (1, t0 + dt.timedelta(minutes=i), i, float(10 + i)) for i in range(3)
+    ] + [(2, t0, 100, 5.0)]
+    rows2 = [
+        (1, t0 + dt.timedelta(minutes=10 + i), 50 + i, float(i)) for i in range(2)
+    ] + [(2, t0 + dt.timedelta(minutes=1), 101, 7.0)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_to_memory(ewma_stream(stream, alpha=0.3), "ewma_out", output_mode="update")
+    # update mode: take the LAST emitted row per user (highest n_events)
+    out = {}
+    for r in spark.table("ewma_out").collect():
+        if r["user_id"] not in out or r["n_events"] > out[r["user_id"]][0]:
+            out[r["user_id"]] = (r["n_events"], r["ewma_value"])
+
+    def fold(vals):
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = 0.3 * x + 0.7 * acc
+        return acc
+
+    series = {
+        1: [10.0, 11.0, 12.0, 0.0, 1.0],  # (ts, event_id) order
+        2: [5.0, 7.0],
+    }
+    for uid, vals in series.items():
+        n, ewma = out[uid]
+        assert n == len(vals)
+        assert ewma == fold(vals), (uid, ewma, fold(vals))
