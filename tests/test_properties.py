@@ -136,3 +136,28 @@ def test_bucket_expr_monotone_total(spark, values, n_buckets):
     by_val = sorted(out, key=lambda r: r["x"])
     buckets = [r["bucket"] for r in by_val]
     assert buckets == sorted(buckets)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_trainer_matches_reference_on_random_corpora(spark, words):
+    """The distributed BPE trainer agrees merge-for-merge with the
+    sequential reference algorithm on arbitrary small corpora —
+    including heavy-tie cases ('aaa...' words), where the
+    lexicographic tie-break must pick identically."""
+    from city_payroll_data_pipeline_spark.operators.bpe import train_bpe
+    from tests.test_training_ops import _reference_bpe
+
+    corpus = spark.createDataFrame([(" ".join(words),)], "text string")
+    hist: dict[str, int] = {}
+    for w in words:
+        hist[w] = hist.get(w, 0) + 1
+    got = train_bpe(corpus, "text", n_merges=4)
+    want = _reference_bpe(hist, 4)
+    assert got == want, f"{words}: {got} != {want}"
