@@ -92,6 +92,8 @@ HEADLINE = [
     # time series
     "gap_fill_interpolate",
     "ewma_user_value",
+    # mergeable sketches
+    "approx_rolling_users",
 ]
 
 

@@ -2752,6 +2752,52 @@ ORDER BY user_id, hour_ts
 
 
 # --------------------------------------------------------------------------
+# Sketch-based rolling active users: the 100 TB path for
+# rolling_active_users. The exact form re-counts every (day, user)
+# pair inside each trailing window — the fact-sized day-spine fan-out
+# is paid on every query. The sketch form pays ONE corpus pass to a
+# per-day HLL sketch (KBs/day, mergeable), then any window is a
+# union-merge over the tiny per-day frame: adding a 30-day or 365-day
+# window costs nothing more at the fact scan. This pre-aggregate-then-
+# merge property is exactly why production rollups store sketches, not
+# distinct counts (distinct counts don't add across days; sketches
+# union). Estimates are deterministic (hash-based, order-independent)
+# but engine-specific → no SQL oracle; the accuracy bound vs the exact
+# twin is asserted in tests/test_training_ops.py.
+# --------------------------------------------------------------------------
+
+def q_approx_rolling_users(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    est_dau = daily.select(
+        "day", F.hll_sketch_estimate("sk").alias("est_dau")
+    )
+    merged = (
+        daily.alias("p")
+        .join(
+            F.broadcast(daily.select("day").alias("d")),
+            (F.col("p.day") <= F.col("d.day"))
+            & (F.col("p.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("p.sk"))).alias(
+                "est_wau7"
+            )
+        )
+    )
+    return (
+        est_dau.join(merged, "day")
+        .select("day", "est_dau", "est_wau7")
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-user EWMA: exponentially weighted moving average of event values
 # — the smoothing/anomaly-baseline primitive Spark has no built-in
 # for (no ordered-recursive aggregate). Re-expressed as a per-key
@@ -2876,6 +2922,11 @@ QUERIES = {
         q_ewma_user_value,
         EWMA_USER_VALUE_SQL,
         ("timeseries", "ewma", "fold"),
+    ),
+    "approx_rolling_users": Query(
+        q_approx_rolling_users,
+        None,
+        ("sketch", "hll", "mergeable", "rolling"),
     ),
     "order_lineitem_join": Query(
         q_order_lineitem_join, ORDER_LINEITEM_JOIN_SQL, ("join", "shuffle")

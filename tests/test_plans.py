@@ -207,6 +207,7 @@ _INTENTIONAL_BNLJ = {
     "idle_rich_customers",    # broadcast 1-row avg-balance scalar
     "important_parts",        # broadcast 1-row revenue-threshold scalar
     "rolling_active_users",   # broadcast day spine, fan-out ≤ window
+    "approx_rolling_users",   # broadcast day spine over per-day sketches
     "sq8_ann_topk",           # broadcast query set vs corpus
     "tfidf_top_terms",        # broadcast 1-row corpus count
     "training_mix_report",    # broadcast 1-row min-token + 1-row total

@@ -491,3 +491,23 @@ def test_write_range_sharded_sorted_disjoint_files(spark, tmp_path):
         pq.read_table(f).num_rows for f in glob.glob(f"{path}/shard=*/*.parquet")
     )
     assert total == orders.count()
+
+
+def test_hll_rolling_users_tracks_exact(spark):
+    """The sketch-based rolling-users estimates must stay within HLL
+    error (<5% at default lgConfigK=12) of the exact distinct counts,
+    for both the daily and the merged trailing-7d window — merging
+    per-day sketches must not compound the error."""
+    from city_payroll_data_pipeline_spark.suite import build_suite
+
+    s = build_suite()
+    exact = {
+        r["day"]: (r["dau"], r["wau7"])
+        for r in s["rolling_active_users"].spark(spark, SF_CORRECT).collect()
+    }
+    approx = s["approx_rolling_users"].spark(spark, SF_CORRECT).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        dau, wau = exact[r["day"]]
+        assert abs(r["est_dau"] - dau) / dau < 0.05, (r["day"], r["est_dau"], dau)
+        assert abs(r["est_wau7"] - wau) / wau < 0.05, (r["day"], r["est_wau7"], wau)
