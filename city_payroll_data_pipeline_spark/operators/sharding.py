@@ -46,6 +46,8 @@ def range_shard_boundaries(
     aggregation pass; the result is a handful of scalars collected to
     the driver — the same thing ``repartitionByRange``'s sampler does,
     but deterministically."""
+    if n_shards <= 1:
+        return []  # F.percentile of an empty quantile list yields NULL
     qs = [i / n_shards for i in range(1, n_shards)]
     row = df.agg(
         F.percentile(key, F.array(*[F.lit(q) for q in qs])).alias("bs")

@@ -511,3 +511,54 @@ def test_hll_rolling_users_tracks_exact(spark):
         dau, wau = exact[r["day"]]
         assert abs(r["est_dau"] - dau) / dau < 0.05, (r["day"], r["est_dau"], dau)
         assert abs(r["est_wau7"] - wau) / wau < 0.05, (r["day"], r["est_wau7"], wau)
+
+
+def test_bpe_stops_when_no_pair_repeats(spark):
+    """A corpus whose every adjacent pair is unique learns zero merges
+    (min_pair_count=2) instead of memorizing noise."""
+    from city_payroll_data_pipeline_spark.operators.bpe import train_bpe
+
+    corpus = spark.createDataFrame([("abcdefg",)], "text string")
+    assert train_bpe(corpus, "text", n_merges=5) == []
+
+
+def test_single_shard_degenerates_to_identity(spark):
+    """n_shards=1 → no boundaries, every row in shard 0."""
+    from city_payroll_data_pipeline_spark.operators import sharding
+
+    df = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    bounds = sharding.range_shard_boundaries(df, "v", 1)
+    assert bounds == []
+    tagged = sharding.assign_range_shards(df, "v", bounds)
+    assert tagged.groupBy("shard").count().collect()[0]["shard"] == 0
+
+
+def test_gap_fill_single_event_user(spark):
+    """A user with one event back-fills the spine point before it —
+    no division, no NULL leak."""
+    import datetime as dt
+
+    from city_payroll_data_pipeline_spark.suite.relational import (
+        q_gap_fill_interpolate,
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        t0 = dt.datetime(2024, 1, 1, 0, 30)
+        spark.createDataFrame(
+            [(1, t0, 0, "e", 42.0, "{}")],
+            "user_id long, ts timestamp, event_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        # user_id 1 fails the %20 filter → use 20
+        spark.createDataFrame(
+            [(20, t0, 0, "e", 42.0, "{}")],
+            "user_id long, ts timestamp, event_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = q_gap_fill_interpolate(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["fill_kind"] == "bfill" and r["value"] == 42.0
