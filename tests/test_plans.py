@@ -265,3 +265,21 @@ def test_revenue_forecast_filters_reach_scan(suite, spark):
     seg = p[p.index("PushedFilters:"):].splitlines()[0]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in seg, seg
+
+
+def test_per_group_sample_uses_window_group_limit(suite, spark):
+    """Exact-k stratum sampling must plan the map-side WindowGroupLimit
+    (partial before the exchange) so only ~k rows per stratum per input
+    partition are shuffled — not the corpus."""
+    p = plan(_q(suite, spark, "per_group_sample"), mode="simple")
+    assert "WindowGroupLimit" in p, p
+    assert "Partial" in p.split("WindowGroupLimit")[1][:200] or \
+        p.count("WindowGroupLimit") == 2, p
+
+
+def test_bigram_topk_uses_window_group_limit(suite, spark):
+    """The top-3-continuations rank filter must also ride
+    WindowGroupLimit; the scan reads only the text column."""
+    p = plan(_q(suite, spark, "bigram_lm"), mode="formatted")
+    assert "WindowGroupLimit" in p, p
+    assert "ReadSchema: struct<text:string>" in p, p
