@@ -94,6 +94,8 @@ HEADLINE = [
     "ewma_user_value",
     # mergeable sketches
     "approx_rolling_users",
+    # snapshot ops
+    "corpus_snapshot_diff",
 ]
 
 

@@ -1217,6 +1217,84 @@ WHERE {_HASH_BUCKET_SQL} < {_STRATA_CASE_SQL}
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus snapshot diff: classify every doc as added / removed /
+# changed / unchanged between two corpus versions — the audit step
+# before promoting an incremental ingest (and the input to targeted
+# re-embedding: only 'added'+'changed' need reprocessing). One full
+# outer join on doc_id comparing content fingerprints; both sides
+# carry only (id, fingerprint) through the shuffle — the 100 TB text
+# never moves. The "previous snapshot" is synthesized deterministically
+# (drop %13 → added-in-current, mutate %7 → changed) so both engines
+# diff the same pair of corpora.
+# --------------------------------------------------------------------------
+
+def q_corpus_snapshot_diff(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    cur = docs.select(
+        "doc_id", content_fingerprint(F.col("text")).alias("fp")
+    )
+    prev = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            content_fingerprint(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" v2")),
+                ).otherwise(F.col("text"))
+            ).alias("fp"),
+        )
+    )
+    joined = cur.alias("c").join(
+        prev.alias("p"), F.col("c.doc_id") == F.col("p.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("p.doc_id").isNull(), F.lit("added"))
+        .when(F.col("c.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("c.fp") != F.col("p.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("c.doc_id"), F.col("p.doc_id")).alias("doc_id"),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("status")
+    )
+
+
+_FP_SQL = "md5(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')))"
+
+CORPUS_SNAPSHOT_DIFF_SQL = f"""
+WITH cur AS (
+  SELECT doc_id, {_FP_SQL.format(col='text')} AS fp FROM documents
+),
+prev AS (
+  SELECT doc_id,
+         {_FP_SQL.format(col="CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END")} AS fp
+  FROM documents WHERE doc_id % 13 != 0
+),
+joined AS (
+  SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+         CASE WHEN p.doc_id IS NULL THEN 'added'
+              WHEN c.doc_id IS NULL THEN 'removed'
+              WHEN c.fp != p.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+)
+SELECT status, COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM joined GROUP BY status ORDER BY status
+"""
+
+
 _PER_GROUP_K = 50
 
 
@@ -2260,6 +2338,11 @@ QUERIES = {
         q_per_group_sample,
         PER_GROUP_SAMPLE_SQL,
         ("sample", "exact-k", "window"),
+    ),
+    "corpus_snapshot_diff": Query(
+        q_corpus_snapshot_diff,
+        CORPUS_SNAPSHOT_DIFF_SQL,
+        ("diff", "incremental", "full-outer"),
     ),
     "train_val_test_split": Query(
         q_train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL, ("sample", "split")
