@@ -119,3 +119,34 @@ class Engine:
     def list_files(self, client_id: str, password: str, subdir: str = "Clean"):
         self.registry.authenticate(client_id, password)
         return self.registry.list_files(client_id, subdir)
+
+    def sql(
+        self,
+        client_id: str,
+        password: str,
+        upload_basename: str,
+        query: str,
+    ) -> DataFrame:
+        """Ad-hoc SQL over one tenant upload — beyond-parity: the
+        reference serves only two fixed queries (serve_flight.py:
+        291,295); Spark SQL makes the whole fact (and staging, if
+        materialized) queryable. The upload's tables register as
+        tenant-scoped temp views ``fct`` and (when present) ``stg`` —
+        view names carry no tenant data and auth happens before any
+        path resolves, so one tenant can never address another's
+        tables through this surface."""
+        tenant = self.registry.authenticate(client_id, password)
+        clean = self.registry.clean_path(client_id, upload_basename)
+        fct = self.spark.read.parquet(
+            os.path.join(clean, f"fct_{tenant.industry}")
+        )
+        fct.createOrReplaceTempView("fct")
+        # a stale "stg" from a previous sql() call must never leak into
+        # this upload's queries
+        self.spark.catalog.dropTempView("stg")
+        stg_path = os.path.join(clean, f"stg_{tenant.industry}")
+        try:
+            self.spark.read.parquet(stg_path).createOrReplaceTempView("stg")
+        except Exception:
+            pass  # staging not materialized for this upload
+        return self.spark.sql(query)

@@ -195,3 +195,23 @@ def test_write_sorted_parquet_disjoint_file_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, ranges  # disjoint, ordered ranges
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_adhoc_sql_over_tenant_upload(engine, corporate_csv):
+    """Engine.sql: ad-hoc queries over the upload's fct view (beyond
+    the reference's two fixed queries), auth-gated."""
+    import pytest as _pytest
+
+    engine.ingest("ACME", "secret", corporate_csv, processed_at="2024-06-01T00:00:00")
+    out = engine.sql(
+        "ACME", "secret", corporate_csv,
+        """SELECT department, COUNT(*) AS n,
+                  SUM(total_amount) AS dept_budget
+           FROM fct GROUP BY department ORDER BY dept_budget DESC""",
+    ).collect()
+    assert [r["department"] for r in out] == ["Fire", "Police"]
+    assert out[0]["dept_budget"] == _pytest.approx(390.0)
+    assert out[1]["n"] == 2
+    # wrong password never reaches the view registration
+    with _pytest.raises(PermissionError):
+        engine.sql("ACME", "wrong", corporate_csv, "SELECT 1")
