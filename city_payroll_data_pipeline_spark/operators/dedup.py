@@ -396,6 +396,78 @@ def connected_components(
     return labels
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond'): every node connects its LARGER neighbors to
+    the minimum of its neighborhood (incl. itself) — long chains
+    collapse toward small labels in parallel."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient edges (big → small); every node
+    rewires its smaller neighbors (and itself) to its minimum."""
+    d = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("mn"))
+    j = d.join(mins, "u")
+    rewired = j.filter(F.col("v") != F.col("mn")).select(
+        F.col("v").alias("u"), F.col("mn").alias("v")
+    )
+    self_edges = j.select("u", F.col("mn").alias("v"))
+    return rewired.union(self_edges).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """(doc_id, component) via the alternating large-star/small-star
+    contraction — O(log n) rounds on ANY graph shape, vs the
+    min-label propagation in :func:`connected_components` whose round
+    count is the component diameter. Use this for billion-edge graphs
+    whose components may be long chains (linked near-dup shingles,
+    citation chains); the simpler propagation wins on shallow near-dup
+    clusters. Each round is two groupBy+join passes over the edge
+    frame; convergence is an exact except-based fixpoint check on the
+    (small, post-contraction) edge set."""
+    e = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        if (
+            nxt.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(nxt).limit(1).count() == 0
+        ):
+            e = nxt
+            break
+        e = nxt
+    # converged edge set is a star forest: (node → root); roots appear
+    # only on the right — they label themselves
+    roots = e.select(F.col("v").alias("u"), F.col("v")).distinct()
+    return (
+        e.union(roots)
+        .distinct()
+        .select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -562,3 +562,76 @@ def test_gap_fill_single_event_user(spark):
     assert len(out) == 1
     r = out[0]
     assert r["fill_kind"] == "bfill" and r["value"] == 42.0
+
+
+def _cc_reference(edges):
+    """Union-find ground truth for component labeling."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_star_cc_agrees_with_propagation_and_union_find(spark):
+    """large-star/small-star must produce the identical (node → min-id
+    component) labeling as both the min-label propagation and a
+    union-find reference — on a graph with a long chain (the shape
+    where propagation needs O(diameter) rounds and star contraction
+    O(log n))."""
+    from city_payroll_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(10, 30)]          # 21-node chain
+        + [(100, 101), (101, 102), (100, 102)]       # triangle
+        + [(200, 201)]                                # pair
+        + [(300, 301), (302, 301), (303, 300)]       # star-ish
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = _cc_reference(edges)
+    star = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(pairs).collect()
+    }
+    prop = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, max_iters=40).collect()
+    }
+    assert star == want
+    assert prop == want
+
+
+def test_star_cc_on_minhash_pairs_matches_propagation(spark):
+    """On the real near-dup pair graph at sf0.01 the two algorithms
+    agree exactly."""
+    from city_payroll_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+        minhash_dedup_pairs,
+    )
+    from city_payroll_data_pipeline_spark.suite.textops import _near_corpus
+
+    pairs = minhash_dedup_pairs(
+        _near_corpus(spark, SF_CORRECT), "doc_id", "text", threshold=0.5
+    ).select("doc_a", "doc_b").localCheckpoint()
+    star = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(pairs).collect()
+    }
+    prop = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert star == prop and len(star) > 0
