@@ -329,6 +329,17 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.connected_components(pairs).orderBy("doc_id")
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same clustering through the O(log n) large-star/small-star
+    engine (the billion-edge path for chain-shaped graphs) — checked
+    against the SAME recursive-CTE oracle, so both CC engines carry an
+    independent cross-engine correctness gate."""
+    pairs = dedup.minhash_dedup_pairs(
+        _near_corpus(spark, sf_dir), "doc_id", "text", threshold=0.5
+    ).select("doc_a", "doc_b")
+    return dedup.connected_components_star(pairs).orderBy("doc_id")
+
+
 DEDUP_CLUSTERS_SQL = rf"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({MINHASH_DEDUP_PAIRS_SQL.strip()})
@@ -2268,6 +2279,11 @@ QUERIES = {
     ),
     "dedup_clusters": Query(
         q_dedup_clusters, DEDUP_CLUSTERS_SQL, ("dedup", "components", "iterative")
+    ),
+    "dedup_clusters_star": Query(
+        q_dedup_clusters_star,
+        DEDUP_CLUSTERS_SQL,
+        ("dedup", "components", "iterative", "star-contraction"),
     ),
     "ngram_jaccard_pairs": Query(
         q_ngram_jaccard_pairs, NGRAM_JACCARD_PAIRS_SQL, ("dedup", "ngram", "jaccard")
