@@ -96,6 +96,7 @@ HEADLINE = [
     "approx_rolling_users",
     # snapshot ops
     "corpus_snapshot_diff",
+    "dataset_manifest",
 ]
 
 

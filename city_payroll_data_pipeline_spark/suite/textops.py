@@ -1229,6 +1229,53 @@ WHERE {_HASH_BUCKET_SQL} < {_STRATA_CASE_SQL}
 
 
 # --------------------------------------------------------------------------
+# Dataset manifest: per-source row/char/token totals plus an
+# order-insensitive content checksum — the integrity artifact shipped
+# alongside a corpus so the receiving system can verify a transfer
+# without re-reading source-of-truth. The checksum is the exact
+# integer sum of each doc's 48-bit content fingerprint (decimal(38,0)
+# accumulation — no overflow below ~10^26 docs) reduced mod 2^48:
+# order-insensitive by construction, so any partitioning/engine
+# computes the same value; a single flipped character changes it with
+# probability ~1-2^-48. All-integer arithmetic → bit-exact parity.
+# --------------------------------------------------------------------------
+
+def q_dataset_manifest(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    fp48 = (
+        F.conv(F.substring(content_fingerprint(F.col("text")), 1, 12), 16, 10)
+        .cast("decimal(38,0)")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(token_count(F.col("text"))).alias("total_tokens"),
+            (F.sum(fp48) % F.lit(1 << 48).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("content_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+DATASET_MANIFEST_SQL = r"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       SUM(len(regexp_extract_all(text, '\S+', 0))) AS total_tokens,
+       CAST(SUM(CAST(CAST('0x' || substr(
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 12)
+              AS BIGINT) AS HUGEINT)) % (1::HUGEINT << 48) AS BIGINT)
+         AS content_checksum
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Corpus snapshot diff: classify every doc as added / removed /
 # changed / unchanged between two corpus versions — the audit step
 # before promoting an incremental ingest (and the input to targeted
@@ -2359,6 +2406,11 @@ QUERIES = {
         q_corpus_snapshot_diff,
         CORPUS_SNAPSHOT_DIFF_SQL,
         ("diff", "incremental", "full-outer"),
+    ),
+    "dataset_manifest": Query(
+        q_dataset_manifest,
+        DATASET_MANIFEST_SQL,
+        ("manifest", "integrity", "checksum"),
     ),
     "train_val_test_split": Query(
         q_train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL, ("sample", "split")
