@@ -359,6 +359,94 @@ FROM reach GROUP BY doc ORDER BY doc_id
 """
 
 # --------------------------------------------------------------------------
+# Quality-aware keeper selection — the production dedup semantics:
+# collapsing a near-dup cluster keeps the HIGHEST-QUALITY member, not
+# an arbitrary id (truncated/mangled variants of a page must lose to
+# the clean original). Composition: pairs → connected components →
+# per-component argmax over the quality score, all payload-light
+# (text stays in the one quality pass; the component join and window
+# carry (id, component, score) only). The oracle replays the whole
+# chain — recursive-CTE components + the same quality expression.
+# --------------------------------------------------------------------------
+
+def q_dedup_best_keeper(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.5
+    ).select("doc_a", "doc_b")
+    comp = dedup.connected_components(pairs)
+    q = corpus.select("doc_id", quality_score(F.col("text")).alias("q"))
+    scored = comp.join(q, "doc_id")
+    wc = W.partitionBy("component")
+    return (
+        scored.withColumn(
+            "rk", F.row_number().over(wc.orderBy(F.desc("q"), "doc_id"))
+        )
+        .withColumn("group_size", F.count("*").over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_id"),
+            "group_size",
+            F.col("q").alias("keeper_quality"),
+        )
+        .orderBy("component")
+    )
+
+
+def _dedup_best_keeper_sql() -> str:
+    quality = f"""
+         0.4 * COALESCE(n_alpha / CAST(NULLIF(n_chars, 0) AS DOUBLE), 0.0)
+         + 0.3 * least(COALESCE(n_stop / CAST(NULLIF(n_tokens, 0) AS DOUBLE), 0.0) * 4, 1.0)
+         + 0.2 * greatest(0.0, 1.0 - COALESCE(n_punct / CAST(NULLIF(n_chars, 0) AS DOUBLE), 0.0) * 5)
+         + 0.1 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.3 END)
+    """
+    return rf"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_DEDUP_PAIRS_SQL.strip()})
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.doc
+),
+comp AS (
+  SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc
+),
+corpus2 AS ({_NEAR_CORPUS_SQL}),
+feat AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z]', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+         len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
+  FROM corpus2
+),
+scored AS (
+  SELECT comp.component, comp.doc_id,
+         {_sql_round(quality, 6)} AS q,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY {_sql_round(quality, 6)} DESC, comp.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY component) AS group_size
+  FROM comp JOIN feat ON comp.doc_id = feat.doc_id
+)
+SELECT component, scored.doc_id AS keep_id, group_size, q AS keeper_quality
+FROM scored WHERE rk = 1 ORDER BY component
+"""
+
+
+DEDUP_BEST_KEEPER_SQL = _dedup_best_keeper_sql()
+
+
+# --------------------------------------------------------------------------
 # SimHash near-dup (one-token-appended variants)
 # --------------------------------------------------------------------------
 
@@ -2331,6 +2419,11 @@ QUERIES = {
         q_dedup_clusters_star,
         DEDUP_CLUSTERS_SQL,
         ("dedup", "components", "iterative", "star-contraction"),
+    ),
+    "dedup_best_keeper": Query(
+        q_dedup_best_keeper,
+        DEDUP_BEST_KEEPER_SQL,
+        ("dedup", "components", "quality", "keeper"),
     ),
     "ngram_jaccard_pairs": Query(
         q_ngram_jaccard_pairs, NGRAM_JACCARD_PAIRS_SQL, ("dedup", "ngram", "jaccard")
