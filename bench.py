@@ -97,6 +97,8 @@ HEADLINE = [
     # snapshot ops
     "corpus_snapshot_diff",
     "dataset_manifest",
+    # embedding eval
+    "nearest_centroid_eval",
 ]
 
 

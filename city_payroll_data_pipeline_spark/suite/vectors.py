@@ -451,8 +451,104 @@ def kmeans_cached(spark, sf_dir):
     return _KMEANS_CACHE[key]
 
 
+# --------------------------------------------------------------------------
+# Nearest-centroid evaluation: per-label centroids over the labeled
+# embeddings, classify every vector by max cosine to a centroid, emit
+# the confusion matrix — the embedding-quality probe (how separable
+# are the labels) run entirely in-plan. Scale shape: centroid sums are
+# one explode+groupBy over (label, dim) — corpus-sized map work, tiny
+# shuffle (labels × dims rows); the scoring pass broadcasts the
+# label-count-sized centroid table, so the corpus never shuffles.
+# Determinism: centroids stay UNnormalized integer sum-vectors — the
+# 1/n and 1/QUANT factors cancel inside cosine, so dot and both norms
+# are exact bigint arithmetic and the only float ops (mul, sqrt, div)
+# run on identical integers in both engines.
+# --------------------------------------------------------------------------
+
+def q_nearest_centroid_eval(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "label", sim.quantize(F.col("embedding")).alias("q")
+    )
+    sums = (
+        emb.select("label", F.posexplode("q").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"))
+    )
+    cents = (
+        sums.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ).alias("c")
+        )
+        .select(F.col("label").alias("clabel"), "c")
+        .withColumn("n2c", sim.norm2_q(F.col("c")))
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        (
+            sim.dot_q(F.col("q"), F.col("c")).cast("double")
+            / F.sqrt(
+                sim.norm2_q(F.col("q")).cast("double")
+                * F.col("n2c").cast("double")
+            )
+        ).alias("cos"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), "clabel")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("label", F.col("clabel").alias("predicted"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "predicted")
+    )
+
+
+NEAREST_CENTROID_EVAL_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label, {_QUANT_SQL} AS q FROM embeddings
+),
+pos AS (
+  SELECT label, p.pos AS pos, q[p.pos] AS val
+  FROM q CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS pos) p
+),
+sums AS (SELECT label, pos, SUM(val) AS s FROM pos GROUP BY label, pos),
+cents AS (
+  SELECT label AS clabel, list(s ORDER BY pos) AS c FROM sums GROUP BY label
+),
+cents2 AS (SELECT clabel, c, {_dot_sql('c', 'c')} AS n2c FROM cents),
+scored AS (
+  SELECT q.vec_id, q.label, cents2.clabel,
+         CAST({_dot_sql('q.q', 'cents2.c')} AS DOUBLE)
+           / sqrt(CAST({_dot_sql('q.q', 'q.q')} AS DOUBLE)
+                  * CAST(n2c AS DOUBLE)) AS cos
+  FROM q CROSS JOIN cents2
+),
+ranked AS (
+  SELECT vec_id, label, clabel,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, clabel) AS rk
+  FROM scored
+)
+SELECT label, clabel AS predicted, COUNT(*) AS n
+FROM ranked WHERE rk = 1
+GROUP BY label, clabel
+ORDER BY label, predicted
+"""
+
+
 QUERIES = {
     "embedding_norms": Query(q_embedding_norms, EMBEDDING_NORMS_SQL, ("vector",)),
+    "nearest_centroid_eval": Query(
+        q_nearest_centroid_eval,
+        NEAREST_CENTROID_EVAL_SQL,
+        ("vector", "classification", "centroid"),
+    ),
     "kmeans_clusters": Query(
         q_kmeans_clusters, None, ("vector", "clustering", "iterative")
     ),

@@ -213,6 +213,7 @@ _INTENTIONAL_BNLJ = {
     "training_mix_report",    # broadcast 1-row min-token + 1-row total
     "vocab_coverage",         # broadcast 1-row grand-total scalar
     "source_divergence",      # broadcast 1-row grand-total scalar
+    "nearest_centroid_eval",  # broadcast label-count-sized centroid table
 }
 
 
