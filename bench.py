@@ -99,6 +99,7 @@ HEADLINE = [
     "dataset_manifest",
     # embedding eval
     "nearest_centroid_eval",
+    "rrf_fused_topk",
 ]
 
 

@@ -328,3 +328,50 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], rrf_k: int = 60, top: int = 5
+) -> DataFrame:
+    """Reciprocal-rank fusion of retriever rankings (Cormack et al.):
+    score(d) = Σ_retrievers 1/(rrf_k + rank_r(d)) — the standard way to
+    combine heterogeneous retrievers (exact + quantized, dense +
+    sparse) without calibrating their score scales, since only ranks
+    enter. Each input needs (query_id, neighbor_id, rank).
+
+    Scale: inputs are already top-k frames (queries × k rows each), so
+    fusion runs on retriever-output-sized data — the corpus is never
+    touched again. Determinism: 1/(rrf_k+rank) is one IEEE division of
+    identical integers in any engine; per-candidate contributions are
+    cast to decimal(18,12) before summing so the cross-retriever sum
+    is order-independent."""
+    from functools import reduce
+
+    tagged = [
+        r.select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank")))
+            .cast("decimal(18,12)")
+            .alias("contrib"),
+        )
+        for r in rankings
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), tagged)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("contrib").cast("double").alias("rrf_score"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("rrf_score", 6).alias("rrf_score"),
+        )
+    )

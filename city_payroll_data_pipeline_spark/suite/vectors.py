@@ -452,6 +452,50 @@ def kmeans_cached(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Reciprocal-rank fusion of the exact and SQ8 retrievers — the
+# multi-retriever pattern of production RAG stacks: only RANKS enter
+# (no score calibration across retrievers), and fusion runs on the
+# retriever-output-sized frames, never re-touching the corpus.
+# --------------------------------------------------------------------------
+
+def q_rrf_fused_topk(spark, sf_dir):
+    exact = q_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    sq8 = q_sq8_ann_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    return sim.rrf_fuse([exact, sq8], rrf_k=60, top=K)
+
+
+RRF_FUSED_TOPK_SQL = f"""
+WITH exact_r AS (SELECT * FROM ({COSINE_TOPK_SQL.strip()})),
+sq8_r AS (SELECT * FROM ({SQ8_ANN_TOPK_SQL.strip()})),
+contribs AS (
+  SELECT query_id, neighbor_id,
+         CAST(1.0 / (60 + rank) AS DECIMAL(18,12)) AS contrib
+  FROM exact_r
+  UNION ALL
+  SELECT query_id, neighbor_id,
+         CAST(1.0 / (60 + rank) AS DECIMAL(18,12)) AS contrib
+  FROM sq8_r
+),
+fused AS (
+  SELECT query_id, neighbor_id, CAST(SUM(contrib) AS DOUBLE) AS rrf_score
+  FROM contribs GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, rrf_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, neighbor_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, rank, neighbor_id, {_sql_round('rrf_score', 6)} AS rrf_score
+FROM ranked WHERE rank <= {K}
+"""
+
+
+# --------------------------------------------------------------------------
 # Nearest-centroid evaluation: per-label centroids over the labeled
 # embeddings, classify every vector by max cosine to a centroid, emit
 # the confusion matrix — the embedding-quality probe (how separable
@@ -548,6 +592,11 @@ QUERIES = {
         q_nearest_centroid_eval,
         NEAREST_CENTROID_EVAL_SQL,
         ("vector", "classification", "centroid"),
+    ),
+    "rrf_fused_topk": Query(
+        q_rrf_fused_topk,
+        RRF_FUSED_TOPK_SQL,
+        ("vector", "retrieval", "fusion", "rrf"),
     ),
     "kmeans_clusters": Query(
         q_kmeans_clusters, None, ("vector", "clustering", "iterative")

@@ -214,6 +214,7 @@ _INTENTIONAL_BNLJ = {
     "vocab_coverage",         # broadcast 1-row grand-total scalar
     "source_divergence",      # broadcast 1-row grand-total scalar
     "nearest_centroid_eval",  # broadcast label-count-sized centroid table
+    "rrf_fused_topk",         # inherits cosine/sq8 broadcast query sets
 }
 
 
