@@ -136,7 +136,7 @@ WITH report AS (
   FROM orders GROUP BY o_orderpriority
 )
 SELECT {_sql_dec_sum('total_budget', 'sum_total_budget')},
-       SUM(total_employee) AS sum_total_employee,
+       CAST(SUM(total_employee) AS BIGINT) AS sum_total_employee,
        {_sql_round('CAST(SUM(CAST(total_budget AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(SUM(total_employee), 0)', 2)} AS avg_salary,
        COUNT(*) AS n_positions,
        MAX(total_budget) AS max_budget,

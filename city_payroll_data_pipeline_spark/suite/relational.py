@@ -943,9 +943,9 @@ flagged AS (
 ),
 numbered AS (
   SELECT user_id, s,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY s
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY s
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+           AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -982,7 +982,7 @@ def q_json_event_props(spark, sf_dir):
 JSON_EVENT_PROPS_SQL = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events

@@ -603,7 +603,7 @@ scored AS (
   SELECT source, n_tokens, {lang_case} AS lang_detected, {quality} AS quality
   FROM feat
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        {_sql_round('CAST(SUM(CAST(quality AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)', 6)}
          AS avg_quality
 FROM scored
@@ -1351,8 +1351,8 @@ def q_dataset_manifest(spark, sf_dir):
 DATASET_MANIFEST_SQL = r"""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
-       SUM(len(regexp_extract_all(text, '\S+', 0))) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(regexp_extract_all(text, '\S+', 0))) AS BIGINT) AS total_tokens,
        CAST(SUM(CAST(CAST('0x' || substr(
                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 12)
               AS BIGINT) AS HUGEINT)) % (1::HUGEINT << 48) AS BIGINT)
@@ -1531,8 +1531,8 @@ sampled AS (
   FROM docs d JOIN rates r USING (lang)
   WHERE {_HASH_BUCKET_SQL} < r.rate_pct
 )
-SELECT lang, max(rate_pct) AS rate_pct, count(*) AS n_docs,
-       sum(n_tok) AS sampled_tokens
+SELECT lang, CAST(max(rate_pct) AS BIGINT) AS rate_pct, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sampled_tokens
 FROM sampled GROUP BY lang ORDER BY lang
 """
 
@@ -1696,7 +1696,7 @@ mix AS (
 per_lang AS (
   SELECT lang, count(*) AS n_docs, sum(n_tok) AS tokens FROM mix GROUP BY lang
 )
-SELECT lang, n_docs, tokens,
+SELECT lang, n_docs, CAST(tokens AS BIGINT) AS tokens,
        round(CAST(tokens AS DOUBLE)
              / (SELECT sum(tokens) FROM per_lang), 6) AS budget_share
 FROM per_lang ORDER BY lang
@@ -2075,7 +2075,8 @@ assigned AS (
                - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
   FROM sized
 )
-SELECT source, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+SELECT source, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM assigned
 GROUP BY source, pack_id
@@ -2314,7 +2315,7 @@ scored AS (
          n_t / CAST(n_total AS DOUBLE) AS q
   FROM totals
 )
-SELECT source, MAX(n_s) AS n_tokens,
+SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
        round(0.5 * (
          CAST(SUM(CAST(abs(p - q) AS DECIMAL(18,12))) AS DOUBLE)
          + (1.0 - CAST(SUM(CAST(q AS DECIMAL(18,12))) AS DOUBLE))

@@ -31,13 +31,53 @@ def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse a dtype to the kind the driver's hash is sensitive to.
+
+    Calibrated against the driver (round 2): int32-vs-int64 and
+    datetime ns-vs-us are tolerated; integer-vs-floating is NOT
+    (DuckDB SUM(BIGINT)→HUGEINT→pandas float64 vs Spark int64 broke
+    kpi_stats / event_sessions / json_event_props in r01+r02 even
+    though every value matched).
+    """
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "integer"
+    if pd.api.types.is_float_dtype(s):
+        return "floating"
+    return "other"
+
+
+def assert_dtype_kinds_match(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str
+):
+    """Fail when Spark and the oracle disagree on a column's numeric
+    kind — BEFORE canonicalize() coerces each side independently and
+    masks exactly the drift the driver's type-sensitive hash rejects."""
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
+    )
+    bad = []
+    for c in sorted(spark_pdf.columns):
+        ks, ko = _dtype_kind(spark_pdf[c]), _dtype_kind(oracle_pdf[c])
+        if ks != ko:
+            bad.append(
+                f"{c}: spark {spark_pdf[c].dtype} ({ks}) vs oracle "
+                f"{oracle_pdf[c].dtype} ({ko})"
+            )
+    assert not bad, (
+        f"{name}: dtype-kind drift (driver hash WILL fail): " + "; ".join(bad)
+    )
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}"
     )
-    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
-        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
-    )
+    assert_dtype_kinds_match(spark_pdf, oracle_pdf, name)
     a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
