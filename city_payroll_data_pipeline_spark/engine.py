@@ -130,23 +130,26 @@ class Engine:
         """Ad-hoc SQL over one tenant upload — beyond-parity: the
         reference serves only two fixed queries (serve_flight.py:
         291,295); Spark SQL makes the whole fact (and staging, if
-        materialized) queryable. The upload's tables register as
-        tenant-scoped temp views ``fct`` and (when present) ``stg`` —
-        view names carry no tenant data and auth happens before any
-        path resolves, so one tenant can never address another's
-        tables through this surface."""
+        materialized) queryable.
+
+        Isolation model: every call runs in a fresh
+        ``SparkSession.newSession()`` — same SparkContext (no JVM
+        cost), but a private temp-view namespace and SQLConf. Only
+        this upload's ``fct`` / ``stg`` views exist there, so
+        interleaved calls from concurrent tenants (e.g. via the
+        threaded Flight facade) can never observe each other's views.
+        ``spark.sql.runSQLOnFiles`` is disabled in the subsession, so
+        direct path addressing (``SELECT * FROM parquet.`/any/path```)
+        fails analysis instead of bypassing the auth/path scoping."""
         tenant = self.registry.authenticate(client_id, password)
         clean = self.registry.clean_path(client_id, upload_basename)
-        fct = self.spark.read.parquet(
-            os.path.join(clean, f"fct_{tenant.industry}")
-        )
+        session = self.spark.newSession()
+        session.conf.set("spark.sql.runSQLOnFiles", "false")
+        fct = session.read.parquet(os.path.join(clean, f"fct_{tenant.industry}"))
         fct.createOrReplaceTempView("fct")
-        # a stale "stg" from a previous sql() call must never leak into
-        # this upload's queries
-        self.spark.catalog.dropTempView("stg")
         stg_path = os.path.join(clean, f"stg_{tenant.industry}")
         try:
-            self.spark.read.parquet(stg_path).createOrReplaceTempView("stg")
+            session.read.parquet(stg_path).createOrReplaceTempView("stg")
         except Exception:
             pass  # staging not materialized for this upload
-        return self.spark.sql(query)
+        return session.sql(query)

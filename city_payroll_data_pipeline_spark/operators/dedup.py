@@ -449,6 +449,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         nxt = _small_star(_large_star(e)).localCheckpoint()
         if (
@@ -456,8 +457,17 @@ def connected_components_star(
             and e.exceptAll(nxt).limit(1).count() == 0
         ):
             e = nxt
+            converged = True
             break
         e = nxt
+    if not converged:
+        # the star-forest assumption below only holds at the fixpoint;
+        # labeling a non-converged edge set would silently split
+        # components, so fail loudly instead
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_iters} "
+            "rounds (expected O(log n)); raise max_iters"
+        )
     # converged edge set is a star forest: (node → root); roots appear
     # only on the right — they label themselves
     roots = e.select(F.col("v").alias("u"), F.col("v")).distinct()

@@ -49,10 +49,17 @@ def range_shard_boundaries(
     if n_shards <= 1:
         return []  # F.percentile of an empty quantile list yields NULL
     qs = [i / n_shards for i in range(1, n_shards)]
+    # round IN-PLAN: F.round is HALF_UP, matching DuckDB's round();
+    # Python round() is half-even and would disagree on an exact .5 at
+    # the last kept decimal, re-introducing the cross-engine
+    # boundary-straddle the rounding exists to absorb
     row = df.agg(
-        F.percentile(key, F.array(*[F.lit(q) for q in qs])).alias("bs")
+        F.transform(
+            F.percentile(key, F.array(*[F.lit(q) for q in qs])),
+            lambda b: F.round(b, round_dp),
+        ).alias("bs")
     ).collect()[0]
-    return [float(round(b, round_dp)) for b in row["bs"]]
+    return [float(b) for b in row["bs"]]
 
 
 def assign_range_shards(

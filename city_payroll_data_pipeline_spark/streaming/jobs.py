@@ -217,17 +217,23 @@ def join_streams(
     left_payload = [c for c in left.columns if c not in (key, left_ts)]
     right_payload = [c for c in right.columns if c not in (key, right_ts)]
     taken = {key, left_ts} | set(left_payload)
-    right_ts_out = right_ts if right_ts not in taken else f"{right_ts}_r"
-    taken.add(right_ts_out)
+
+    def claim(name: str) -> str:
+        # keep appending _r until free, and RECORD the claim — a right
+        # side carrying both `value` and `value_r` must not produce two
+        # `value_r` output columns
+        while name in taken:
+            name = f"{name}_r"
+        taken.add(name)
+        return name
+
+    right_ts_out = claim(right_ts)
     return l.join(r, cond, how).select(
         F.col(f"l.{key}").alias(key),
         F.col(f"l.{left_ts}").alias(left_ts),
         F.col(f"r.{right_ts}").alias(right_ts_out),
         *[F.col(f"l.{c}").alias(c) for c in left_payload],
-        *[
-            F.col(f"r.{c}").alias(c if c not in taken else f"{c}_r")
-            for c in right_payload
-        ],
+        *[F.col(f"r.{c}").alias(claim(c)) for c in right_payload],
     )
 
 

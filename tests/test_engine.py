@@ -215,3 +215,68 @@ def test_adhoc_sql_over_tenant_upload(engine, corporate_csv):
     # wrong password never reaches the view registration
     with _pytest.raises(PermissionError):
         engine.sql("ACME", "wrong", corporate_csv, "SELECT 1")
+
+
+def test_sql_blocks_direct_path_addressing(engine, corporate_csv):
+    """runSQLOnFiles is disabled in the per-call subsession: a tenant
+    cannot read arbitrary paths (another tenant's parquet, or the
+    users.json registry with password hashes) via file-format tables."""
+    from pyspark.errors import AnalysisException
+
+    engine.ingest("ACME", "secret", corporate_csv, processed_at="2024-06-01T00:00:00")
+    clean = engine.registry.clean_path("ACME", corporate_csv)
+    users = engine.registry._users_path
+    for escape in (
+        f"SELECT * FROM parquet.`{clean}/fct_corporate`",
+        f"SELECT * FROM json.`{users}`",
+    ):
+        with pytest.raises(AnalysisException):
+            engine.sql("ACME", "secret", corporate_csv, escape).collect()
+    # the engine's own session is untouched by the per-call conf
+    assert engine.spark.conf.get("spark.sql.runSQLOnFiles") != "false"
+
+
+def test_sql_concurrent_tenants_no_view_race(engine, spark, tmp_path_factory):
+    """Two tenants issuing interleaved Engine.sql calls from threads:
+    each call's fct view is private to its newSession(), so neither
+    tenant can ever observe the other's row count."""
+    import threading
+
+    from city_payroll_data_pipeline_spark.schemas import CORPORATE_RAW_COLUMNS
+
+    up = tmp_path_factory.mktemp("uploads2")
+    sizes = {"T_ONE": 3, "T_TWO": 5}
+    paths = {}
+    for cid, n in sizes.items():
+        engine.registry.register(cid, "corporate", "pw")
+        p = str(up / f"corporate_{cid.lower()}.csv")
+        with open(p, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(CORPORATE_RAW_COLUMNS)
+            for i in range(n):
+                w.writerow(
+                    [str(i), "2013", "Dept", f"Role{i}", "FT",
+                     f"${100 + i}.00", "", "", ""]
+                )
+        engine.ingest(cid, "pw", p, processed_at="2024-06-01T00:00:00")
+        paths[cid] = p
+
+    errors = []
+
+    def worker(cid):
+        try:
+            for _ in range(8):
+                n = engine.sql(
+                    cid, "pw", paths[cid], "SELECT COUNT(*) AS n FROM fct"
+                ).collect()[0]["n"]
+                if n != sizes[cid]:
+                    errors.append(f"{cid}: saw {n}, expected {sizes[cid]}")
+        except Exception as e:  # pragma: no cover - surfaced via errors
+            errors.append(f"{cid}: {e!r}")
+
+    threads = [threading.Thread(target=worker, args=(cid,)) for cid in sizes]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
