@@ -2135,7 +2135,16 @@ def q_inverted_index(spark, sf_dir):
     return (
         ranked.filter(F.col("rk") <= _POSTINGS_CAP)
         .groupBy("term", "df")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+        # postings travel as a sorted CSV string, not array<bigint>:
+        # locally Spark and DuckDB render identical numpy arrays, but
+        # the driver's hash canonicalization of list cells is
+        # unobservable — a string column is parity-safe under any
+        # canonicalization and carries the same information
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings")
+        )
         .orderBy("term")
     )
 
@@ -2152,7 +2161,9 @@ ranked AS (
          COUNT(*) OVER (PARTITION BY term) AS df
   FROM td
 )
-SELECT term, df, list(doc_id ORDER BY doc_id) AS postings
+SELECT term, df,
+       list_aggregate(list(doc_id ORDER BY doc_id), 'string_agg', ',')
+         AS postings
 FROM ranked
 WHERE rk <= {_POSTINGS_CAP}
 GROUP BY term, df
