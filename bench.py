@@ -53,6 +53,7 @@ HEADLINE = [
     "pii_scrub",
     "length_zscores",
     "media_feature_extract",
+    "media_thumbnail",
     "cosine_topk",
     "ivf_ann_topk",
     # added with the Q13/Q18/Q2/Q16, hygiene, and diagnostics batch

@@ -8,11 +8,13 @@ public lakehouse pipelines use for training data:
                       n_frames int, mime string>)
 
 The Spark-side plumbing (schemas, Arrow-batched ``mapInPandas``
-operators, partition sizing) is real and tested; the actual byte
-decoding is STUBBED — this container has no image/audio libraries, so
-``decode_image_batch`` raises ``NotImplementedError`` unless handed a
-``decoder=`` callable, and ``fake_feature_extract`` provides a
-deterministic stand-in (byte-histogram features) used by tests.
+operators, partition sizing) is real and tested. Byte decoding ships a
+pure-numpy binary-netpbm (PGM/PPM) codec + nearest-neighbor resizer as
+the default — fully functional without any image library; other
+formats (JPEG/PNG/...) take an injected ``decoder=``/``resizer=``
+callable (e.g. Pillow wrappers) in deployments that ship one.
+``fake_feature_extract`` provides a deterministic stand-in for a
+learned featurizer (byte-histogram features) used by tests.
 
 Scale notes: ``mapInPandas`` streams Arrow batches — peak memory is
 one batch per core, not one partition; cap
@@ -71,19 +73,81 @@ def media_metadata(df: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_batch(content: pd.Series, decoder: Callable | None = None):
-    """Decode a batch of image blobs.
+def decode_ppm(b: bytes):
+    """Pure-numpy decoder for binary netpbm images (P5 grayscale /
+    P6 RGB) — the one raster format decodable without a codec library.
+    Returns a ``uint8``/``uint16`` array shaped (h, w) or (h, w, 3).
 
-    STUB: real decoding needs an image library not present in this
-    container; pass ``decoder=`` (e.g. ``PIL.Image.open`` wrapper) in a
-    real deployment.
+    Header per the netpbm spec: magic, whitespace-separated width,
+    height, maxval (with ``#`` comments legal anywhere in the header),
+    one whitespace byte, then the raw sample plane (big-endian 2-byte
+    samples when maxval > 255).
     """
-    if decoder is None:
-        raise NotImplementedError(
-            "image decoding requires an image library (e.g. Pillow); "
-            "pass decoder=..."
+    import numpy as np
+
+    if not b or b[:2] not in (b"P5", b"P6"):
+        raise ValueError(
+            "not a binary PGM/PPM blob; pass decoder= for other formats"
         )
-    return content.map(decoder)
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        if i >= len(b):
+            raise ValueError("truncated netpbm header")
+        c = b[i : i + 1]
+        if c == b"#":  # comment runs to end-of-line
+            i = b.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(b) and not b[j : j + 1].isspace():
+                j += 1
+            fields.append(int(b[i:j]))
+            i = j
+    i += 1  # exactly one whitespace byte separates header from raster
+    w, h, maxval = fields
+    channels = 3 if b[:2] == b"P6" else 1
+    dt = np.dtype(">u2") if maxval > 255 else np.uint8
+    n = w * h * channels
+    arr = np.frombuffer(b, dtype=dt, count=n, offset=i).astype(
+        np.uint16 if maxval > 255 else np.uint8
+    )
+    return arr.reshape((h, w, 3)) if channels == 3 else arr.reshape((h, w))
+
+
+def encode_ppm(arr) -> bytes:
+    """Inverse of :func:`decode_ppm`: (h, w) → P5, (h, w, 3) → P6."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    magic = b"P6" if a.ndim == 3 else b"P5"
+    maxval = 65535 if a.dtype.itemsize > 1 else 255
+    h, w = a.shape[:2]
+    raster = a.astype(">u2" if maxval > 255 else np.uint8).tobytes()
+    return magic + b"\n%d %d\n%d\n" % (w, h, maxval) + raster
+
+
+def resize_nearest(arr, width: int, height: int):
+    """Nearest-neighbor resample to (height, width) via pure-numpy
+    index gather — O(output pixels), no interpolation kernel."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return arr[rows][:, cols]
+
+
+def decode_image_batch(content: pd.Series, decoder: Callable | None = None):
+    """Decode a batch of image blobs to numpy arrays.
+
+    Default decoder handles binary PGM/PPM (:func:`decode_ppm`) —
+    fully functional without any codec library. For JPEG/PNG/etc pass
+    ``decoder=`` (e.g. a ``PIL.Image.open`` wrapper) in a deployment
+    that ships one; the batch contract is unchanged.
+    """
+    return content.map(decoder or decode_ppm)
 
 
 def resize_image_batch(
@@ -92,18 +156,18 @@ def resize_image_batch(
     height: int,
     resizer: Callable | None = None,
 ):
-    """Resize a batch of image blobs to (width, height).
+    """Resize a batch of image blobs to (width, height), returning
+    re-encoded blobs.
 
-    STUB: real resizing needs an image library not present in this
-    container; pass ``resizer=`` (e.g. a PIL thumbnail wrapper) in a
-    real deployment. The batch shape is the contract: a Series of
+    Default path: PGM/PPM decode → nearest-neighbor resample →
+    re-encode, all numpy. Pass ``resizer=(bytes, w, h) -> bytes`` to
+    swap in a real codec. The batch shape is the contract: a Series of
     bytes in, a Series of bytes out, applied inside ``mapInPandas`` so
     Arrow amortizes the Python boundary per batch, not per image.
     """
     if resizer is None:
-        raise NotImplementedError(
-            "image resizing requires an image library (e.g. Pillow); "
-            "pass resizer=..."
+        resizer = lambda b, w, h: encode_ppm(  # noqa: E731
+            resize_nearest(decode_ppm(b), w, h)
         )
     return content.map(lambda b: resizer(b, width, height))
 

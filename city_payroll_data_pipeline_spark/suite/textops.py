@@ -1952,6 +1952,89 @@ FROM media m JOIN ranked r ON r.media_id = m.media_id AND r.rn = 1
 """
 
 
+_THUMB_W = 4
+_THUMB_H = 4
+_IMG_W = 16  # synthesized source images are 16px-wide grayscale
+
+
+def q_media_thumbnail(spark, sf_dir):
+    """End-to-end image codec path inside Arrow batches: synthesize a
+    P5 (grayscale netpbm) blob per doc from its text bytes, then run
+    the REAL pipeline — ``resize_image_batch`` (decode → nearest-
+    neighbor 4×4 → re-encode) and ``decode_image_batch`` — and reduce
+    each thumbnail to SQL-checkable scalars (dims + exact pixel sum).
+    Nearest-neighbor sampling is pure integer index math, so the
+    DuckDB oracle replays pixel selection exactly; the codec round-
+    trip itself is what the value check certifies. One ``mapInPandas``
+    pass, no shuffle; blobs never leave their partition."""
+    import numpy as np
+    import pandas as pd
+
+    from city_payroll_data_pipeline_spark.functions import multimodal as mm
+    from city_payroll_data_pipeline_spark.session import ship_package
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    ship_package(docs.sparkSession)
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                h = len(b) // _IMG_W
+                if h < 1:
+                    continue
+                src = np.frombuffer(
+                    b[: h * _IMG_W], dtype=np.uint8
+                ).reshape(h, _IMG_W)
+                blob = mm.encode_ppm(src)
+                thumb_blob = mm.resize_image_batch(
+                    pd.Series([blob]), _THUMB_W, _THUMB_H
+                )[0]
+                thumb = mm.decode_image_batch(pd.Series([thumb_blob]))[0]
+                assert thumb.shape == (_THUMB_H, _THUMB_W)
+                rows.append(
+                    (int(doc_id), int(h), int(thumb.sum(dtype=np.int64)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "src_h", "thumb_sum"]
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(op, "media_id bigint, src_h bigint, thumb_sum bigint")
+        .orderBy("media_id")
+    )
+
+
+# the oracle replays the nearest-neighbor gather: thumbnail pixel
+# (r, c) = source byte at row (r*h)//TH, col (c*W)//TW (1-indexed
+# substr); the corpus is ASCII so text bytes == code points
+MEDIA_THUMBNAIL_SQL = f"""
+WITH src AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) // {_IMG_W} AS h
+  FROM documents
+  WHERE octet_length(encode(text)) >= {_IMG_W}
+),
+px AS (
+  SELECT media_id, h,
+         ord(substr(text,
+             CAST(((r * h) // {_THUMB_H}) * {_IMG_W}
+                  + (c * {_IMG_W}) // {_THUMB_W} + 1 AS INT),
+             1)) AS v
+  FROM src,
+       unnest(range(0, {_THUMB_H})) AS tr(r),
+       unnest(range(0, {_THUMB_W})) AS tc(c)
+)
+SELECT media_id, CAST(MAX(h) AS BIGINT) AS src_h,
+       CAST(SUM(v) AS BIGINT) AS thumb_sum
+FROM px
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Context-window chunking — split each document into fixed-size
 # overlapping token chunks (size 64, stride 48 → 16-token overlap),
@@ -2534,6 +2617,11 @@ QUERIES = {
     ),
     "media_feature_extract": Query(
         q_media_feature_extract, MEDIA_FEATURE_EXTRACT_SQL, ("multimodal", "pandas_udf")
+    ),
+    "media_thumbnail": Query(
+        q_media_thumbnail,
+        MEDIA_THUMBNAIL_SQL,
+        ("multimodal", "codec", "pandas_udf"),
     ),
     "doc_chunks": Query(
         q_doc_chunks, DOC_CHUNKS_SQL, ("text", "chunking", "context-window")

@@ -114,15 +114,28 @@ def test_multimodal_plumbing(spark, docs):
     assert frames.count() >= vid  # ≥1 sampled frame per video
 
 
-def test_decode_stub_raises(spark):
+def test_decode_ppm_default_and_unknown_format(spark):
+    import numpy as np
     import pandas as pd
 
     from city_payroll_data_pipeline_spark.functions.multimodal import (
         decode_image_batch,
+        decode_ppm,
+        encode_ppm,
     )
 
-    with pytest.raises(NotImplementedError):
+    # non-netpbm bytes are an explicit error, not a silent decode
+    with pytest.raises(ValueError):
         decode_image_batch(pd.Series([b"123"]))
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    gray16 = np.array([[0, 300], [65535, 7]], dtype=np.uint16)
+    # header comments + roundtrip for P6/uint8 and P5/uint16
+    blob = encode_ppm(rgb).replace(b"\n3 2\n", b"\n# c\n3 2\n", 1)
+    out = decode_image_batch(pd.Series([blob, encode_ppm(gray16)]))
+    assert (out[0] == rgb).all() and out[0].dtype == np.uint8
+    assert (out[1] == gray16).all() and out[1].dtype == np.uint16
+    assert (decode_ppm(encode_ppm(gray16)) == gray16).all()
 
 
 def test_lang_id_markers(spark):
@@ -219,16 +232,29 @@ def test_sanitize_text_strips_and_restores(spark):
     assert out == ["ab", "a b c", "already clean", "bom prefix"]
 
 
-def test_resize_stub_raises(spark):
+def test_resize_default_ppm_and_injected_resizer(spark):
+    import numpy as np
     import pandas as pd
 
     from city_payroll_data_pipeline_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
         resize_image_batch,
     )
 
-    with pytest.raises(NotImplementedError):
+    # default path: decode → nearest-neighbor → re-encode, pure numpy
+    rgb = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_image_batch(pd.Series([encode_ppm(rgb)]), 3, 2)
+    small = decode_ppm(out[0])
+    assert small.shape == (2, 3, 3)
+    assert (small == rgb[::2, ::2]).all()  # exact 2× decimation
+    # upscale keeps corner pixels
+    up = decode_ppm(resize_image_batch(pd.Series([encode_ppm(rgb)]), 12, 8)[0])
+    assert up.shape == (8, 12, 3)
+    assert (up[0, 0] == rgb[0, 0]).all() and (up[-1, -1] == rgb[-1, -1]).all()
+    # non-netpbm bytes need an injected resizer
+    with pytest.raises(ValueError):
         resize_image_batch(pd.Series([b"\x89PNG"]), 64, 64)
-    # with a resizer callable the batch contract holds
     out = resize_image_batch(
         pd.Series([b"abc", b"de"]), 2, 2, resizer=lambda b, w, h: b[: w * h // 2]
     )
