@@ -98,6 +98,7 @@ HEADLINE = [
     # snapshot ops
     "corpus_snapshot_diff",
     "dataset_manifest",
+    "scd2_customer_history",
     # embedding eval
     "nearest_centroid_eval",
     "rrf_fused_topk",

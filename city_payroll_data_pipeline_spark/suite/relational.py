@@ -2906,6 +2906,86 @@ FROM tagged GROUP BY shard ORDER BY shard
 RANGE_SHARDED_EXPORT_SQL = _range_sharded_export_sql()
 
 
+# --------------------------------------------------------------------------
+# SCD2 dimension history (operators/scd.py): bootstrap a customer
+# dimension at T1, merge a synthesized T2 snapshot (every 5th key
+# changes market segment, every 13th key spawns a brand-new customer),
+# and return the full history with validity intervals. Deterministic
+# in-plan update synthesis (same device as corpus_snapshot_diff) so
+# both engines merge identical inputs. The only shuffle is the
+# current⟗updates key join; closed history never enters an exchange.
+# --------------------------------------------------------------------------
+
+_SCD_T1 = "2024-01-01 00:00:00"
+_SCD_T2 = "2024-06-01 00:00:00"
+
+
+def q_scd2_customer_history(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators import scd
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    hist = scd.scd2_init(cust, _SCD_T1)
+    upd = cust.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.concat(F.lit("MOVED:"), F.col("c_mktsegment")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_nationkey",
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 13 == 0).select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.lit("NEW").alias("c_mktsegment"),
+            F.col("c_nationkey"),
+        )
+    )
+    merged = scd.scd2_merge(
+        hist, upd, "c_custkey", ["c_mktsegment", "c_nationkey"], _SCD_T2
+    )
+    return merged.orderBy("c_custkey", "valid_from")
+
+
+SCD2_CUSTOMER_HISTORY_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+),
+upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'MOVED:' || c_mktsegment
+              ELSE c_mktsegment END AS c_mktsegment,
+         c_nationkey
+  FROM cust
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW', c_nationkey
+  FROM cust WHERE c_custkey % 13 = 0
+),
+flags AS (
+  SELECT c.c_custkey,
+         (u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+          OR u.c_nationkey IS DISTINCT FROM c.c_nationkey) AS changed
+  FROM cust c JOIN upd u ON u.c_custkey = c.c_custkey
+)
+SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey,
+       TIMESTAMP '{_SCD_T1}' AS valid_from,
+       CASE WHEN f.changed THEN TIMESTAMP '{_SCD_T2}' END AS valid_to,
+       NOT f.changed AS is_current
+FROM cust c JOIN flags f ON f.c_custkey = c.c_custkey
+UNION ALL
+SELECT u.c_custkey, u.c_mktsegment, u.c_nationkey,
+       TIMESTAMP '{_SCD_T2}' AS valid_from,
+       NULL AS valid_to,
+       TRUE AS is_current
+FROM upd u LEFT JOIN cust c ON c.c_custkey = u.c_custkey
+LEFT JOIN flags f ON f.c_custkey = u.c_custkey
+WHERE c.c_custkey IS NULL OR f.changed
+ORDER BY c_custkey, valid_from
+"""
+
+
 QUERIES = {
     "region_revenue": Query(q_region_revenue, REGION_REVENUE_SQL, ("join", "broadcast")),
     "range_sharded_export": Query(
@@ -3095,6 +3175,11 @@ QUERIES = {
     ),
     "join_key_skew": Query(
         q_join_key_skew, JOIN_KEY_SKEW_SQL, ("diagnostic", "skew", "topk")
+    ),
+    "scd2_customer_history": Query(
+        q_scd2_customer_history,
+        SCD2_CUSTOMER_HISTORY_SQL,
+        ("scd2", "merge", "dimension-history"),
     ),
     "winsorized_price_stats": Query(
         q_winsorized_price_stats,

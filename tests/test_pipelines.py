@@ -360,3 +360,54 @@ def test_zorder_write_shrinks_per_file_ranges(spark, tmp_path):
 
     for idx in (0, 1):  # user_id, value
         assert avg_span(zpath, idx) < 0.7 * avg_span(npath, idx), idx
+
+
+def test_scd2_merge_lifecycle(spark):
+    """Two merge batches over a tiny dimension: change, no-change,
+    new-key, value->NULL (null-safe change), and re-change of an
+    already-versioned key all produce the right interval chains."""
+    from city_payroll_data_pipeline_spark.operators import scd
+
+    t1, t2, t3 = (
+        "2024-01-01 00:00:00",
+        "2024-02-01 00:00:00",
+        "2024-03-01 00:00:00",
+    )
+    snap = spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 20), (3, "C", None)],
+        "k int, seg string, attr int",
+    )
+    hist = scd.scd2_init(snap, t1)
+
+    upd2 = spark.createDataFrame(
+        [(1, "A2", 10), (2, "B", 20), (3, "C", 7), (4, "D", 40)],
+        "k int, seg string, attr int",
+    )
+    h2 = scd.scd2_merge(hist, upd2, "k", ["seg", "attr"], t2)
+    rows = {(r["k"], str(r["valid_from"])): r.asDict() for r in h2.collect()}
+    assert len(rows) == 6  # 3 originals + changed(1), null->7(3), new(4)
+    assert rows[(1, "2024-01-01 00:00:00")]["is_current"] is False
+    assert str(rows[(1, "2024-01-01 00:00:00")]["valid_to"]) == t2
+    assert rows[(1, "2024-02-01 00:00:00")]["seg"] == "A2"
+    assert rows[(2, "2024-01-01 00:00:00")]["is_current"] is True
+    assert rows[(2, "2024-01-01 00:00:00")]["valid_to"] is None
+    assert rows[(3, "2024-01-01 00:00:00")]["is_current"] is False  # NULL->7
+    assert rows[(4, "2024-02-01 00:00:00")]["is_current"] is True
+
+    # second merge: key 1 changes AGAIN; key 4 reverts nothing; key 2
+    # drops attr to NULL (change); absent key 3 stays current untouched
+    upd3 = spark.createDataFrame(
+        [(1, "A3", 10), (2, "B", None), (4, "D", 40)],
+        "k int, seg string, attr int",
+    )
+    h3 = scd.scd2_merge(h2, upd3, "k", ["seg", "attr"], t3)
+    out = {(r["k"], str(r["valid_from"])): r.asDict() for r in h3.collect()}
+    assert len(out) == 8
+    chain1 = sorted(str(vf) for (k, vf) in out if k == 1)
+    assert chain1 == [t1, t2, t3]
+    assert out[(1, t3)]["is_current"] is True
+    assert out[(2, t3)]["attr"] is None and out[(2, t3)]["is_current"] is True
+    assert out[(3, t2)]["is_current"] is True  # absent from upd3 -> untouched
+    # exactly one current row per key, intervals abut exactly
+    cur = [k for (k, _), r in out.items() if r["is_current"]]
+    assert sorted(cur) == [1, 2, 3, 4]
