@@ -99,6 +99,7 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "dataset_manifest",
     "scd2_customer_history",
+    "orders_pit_segment",
     # embedding eval
     "nearest_centroid_eval",
     "rrf_fused_topk",

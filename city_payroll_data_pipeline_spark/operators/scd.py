@@ -98,3 +98,38 @@ def scd2_merge(
         F.lit(True).alias(IS_CURRENT),
     )
     return closed.select(*survivors.columns).unionByName(survivors).unionByName(opened)
+
+
+def as_of_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    fact_key: str,
+    ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: attach to each fact row the dimension
+    attributes that were valid at the fact's own timestamp —
+    ``valid_from <= ts < valid_to`` (open ``valid_to`` = still
+    current). The reason SCD2 history exists: attribution queries
+    ("revenue by the segment the customer was in WHEN they ordered")
+    are wrong under a current-state join.
+
+    Plan shape: an equi join on the key with the interval predicate as
+    a post-join filter — per-key history is a handful of versions, so
+    the equi join dominates and the fan-out before filtering is
+    bounded by versions-per-key, not table size. No window over facts,
+    no as-of sort-merge needed.
+    """
+    ts = F.col(f"f.{ts_col}").cast("timestamp")
+    cond = (
+        (F.col(f"f.{fact_key}") == F.col(f"h.{key}"))
+        & (ts >= F.col(f"h.{VALID_FROM}"))
+        & (F.col(f"h.{VALID_TO}").isNull() | (ts < F.col(f"h.{VALID_TO}")))
+    )
+    dim_cols = [c for c in history.columns if c not in (VALID_FROM, VALID_TO, IS_CURRENT, key)]
+    return (
+        facts.alias("f")
+        .join(history.alias("h"), cond, how)
+        .select("f.*", *[F.col(f"h.{c}").alias(c) for c in dim_cols])
+    )

@@ -2918,15 +2918,23 @@ RANGE_SHARDED_EXPORT_SQL = _range_sharded_export_sql()
 
 _SCD_T1 = "2024-01-01 00:00:00"
 _SCD_T2 = "2024-06-01 00:00:00"
+# point-in-time variant: interval boundary inside the orders date range
+# (testdata orders span 1995..2001) so the as-of join exercises both
+# dimension versions
+_PIT_T1 = "1995-01-01 00:00:00"
+_PIT_T2 = "1998-01-01 00:00:00"
 
 
-def q_scd2_customer_history(spark, sf_dir):
+def _scd2_customer_history(spark, sf_dir, t1, t2):
+    """Shared fixture: bootstrap the customer dim at t1, merge a
+    deterministic t2 snapshot (every 5th key changes segment, every
+    13th spawns a new key)."""
     from city_payroll_data_pipeline_spark.operators import scd
 
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_nationkey"
     )
-    hist = scd.scd2_init(cust, _SCD_T1)
+    hist = scd.scd2_init(cust, t1)
     upd = cust.select(
         "c_custkey",
         F.when(
@@ -2943,14 +2951,49 @@ def q_scd2_customer_history(spark, sf_dir):
             F.col("c_nationkey"),
         )
     )
-    merged = scd.scd2_merge(
-        hist, upd, "c_custkey", ["c_mktsegment", "c_nationkey"], _SCD_T2
+    return scd.scd2_merge(
+        hist, upd, "c_custkey", ["c_mktsegment", "c_nationkey"], t2
     )
-    return merged.orderBy("c_custkey", "valid_from")
 
 
-SCD2_CUSTOMER_HISTORY_SQL = f"""
-WITH cust AS (
+def q_scd2_customer_history(spark, sf_dir):
+    return _scd2_customer_history(spark, sf_dir, _SCD_T1, _SCD_T2).orderBy(
+        "c_custkey", "valid_from"
+    )
+
+
+def q_orders_pit_segment(spark, sf_dir):
+    """Point-in-time attribution over the SCD2 history: revenue by the
+    market segment each customer was in WHEN the order was placed —
+    orders before the T2 segment change attribute to the old segment,
+    later ones to the new. The join is equi-on-key with the validity
+    interval as a post-join filter (operators/scd.py::as_of_lookup);
+    fan-out is bounded by versions-per-key (2 here), never table
+    size."""
+    from city_payroll_data_pipeline_spark.operators import scd
+
+    hist = _scd2_customer_history(spark, sf_dir, _PIT_T1, _PIT_T2)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    pit = scd.as_of_lookup(
+        orders, hist, key="c_custkey", fact_key="o_custkey",
+        ts_col="o_orderdate", how="inner",
+    )
+    return (
+        pit.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+def _scd2_hist_cte(t1: str, t2: str) -> str:
+    """CTE block replaying the shared SCD2 fixture in DuckDB."""
+    return f"""
+cust AS (
   SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
 ),
 upd AS (
@@ -2968,21 +3011,41 @@ flags AS (
          (u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
           OR u.c_nationkey IS DISTINCT FROM c.c_nationkey) AS changed
   FROM cust c JOIN upd u ON u.c_custkey = c.c_custkey
-)
-SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey,
-       TIMESTAMP '{_SCD_T1}' AS valid_from,
-       CASE WHEN f.changed THEN TIMESTAMP '{_SCD_T2}' END AS valid_to,
-       NOT f.changed AS is_current
-FROM cust c JOIN flags f ON f.c_custkey = c.c_custkey
-UNION ALL
-SELECT u.c_custkey, u.c_mktsegment, u.c_nationkey,
-       TIMESTAMP '{_SCD_T2}' AS valid_from,
-       NULL AS valid_to,
-       TRUE AS is_current
-FROM upd u LEFT JOIN cust c ON c.c_custkey = u.c_custkey
-LEFT JOIN flags f ON f.c_custkey = u.c_custkey
-WHERE c.c_custkey IS NULL OR f.changed
+),
+hist AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey,
+         TIMESTAMP '{t1}' AS valid_from,
+         CASE WHEN f.changed THEN TIMESTAMP '{t2}' END AS valid_to,
+         NOT f.changed AS is_current
+  FROM cust c JOIN flags f ON f.c_custkey = c.c_custkey
+  UNION ALL
+  SELECT u.c_custkey, u.c_mktsegment, u.c_nationkey,
+         TIMESTAMP '{t2}' AS valid_from,
+         NULL AS valid_to,
+         TRUE AS is_current
+  FROM upd u LEFT JOIN cust c ON c.c_custkey = u.c_custkey
+  LEFT JOIN flags f ON f.c_custkey = u.c_custkey
+  WHERE c.c_custkey IS NULL OR f.changed
+)"""
+
+
+SCD2_CUSTOMER_HISTORY_SQL = f"""
+WITH {_scd2_hist_cte(_SCD_T1, _SCD_T2)}
+SELECT * FROM hist
 ORDER BY c_custkey, valid_from
+"""
+
+ORDERS_PIT_SEGMENT_SQL = f"""
+WITH {_scd2_hist_cte(_PIT_T1, _PIT_T2)}
+SELECT h.c_mktsegment AS segment,
+       COUNT(*) AS n_orders,
+       {_sql_dec_sum('o_totalprice', 'revenue')}
+FROM orders o
+JOIN hist h ON h.c_custkey = o.o_custkey
+           AND o.o_orderdate >= h.valid_from
+           AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+GROUP BY segment
+ORDER BY segment
 """
 
 
@@ -3180,6 +3243,11 @@ QUERIES = {
         q_scd2_customer_history,
         SCD2_CUSTOMER_HISTORY_SQL,
         ("scd2", "merge", "dimension-history"),
+    ),
+    "orders_pit_segment": Query(
+        q_orders_pit_segment,
+        ORDERS_PIT_SEGMENT_SQL,
+        ("scd2", "point-in-time", "as-of", "attribution"),
     ),
     "winsorized_price_stats": Query(
         q_winsorized_price_stats,

@@ -411,3 +411,40 @@ def test_scd2_merge_lifecycle(spark):
     # exactly one current row per key, intervals abut exactly
     cur = [k for (k, _), r in out.items() if r["is_current"]]
     assert sorted(cur) == [1, 2, 3, 4]
+
+
+def test_scd2_as_of_lookup_boundaries(spark):
+    """Interval semantics: ts exactly at valid_from hits the NEW
+    version (half-open intervals), ts before any version gets NULLs on
+    a left join, open-ended current rows match arbitrarily late ts."""
+    from city_payroll_data_pipeline_spark.operators import scd
+
+    hist = scd.scd2_init(
+        spark.createDataFrame([(1, "OLD")], "k int, seg string"),
+        "2024-01-01 00:00:00",
+    )
+    hist = scd.scd2_merge(
+        hist,
+        spark.createDataFrame([(1, "NEW")], "k int, seg string"),
+        "k",
+        ["seg"],
+        "2024-02-01 00:00:00",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, 1, "2023-12-31 23:59:59"),  # before history -> NULL
+            (2, 1, "2024-01-01 00:00:00"),  # exactly v1 open -> OLD
+            (3, 1, "2024-01-31 23:59:59"),  # last second of v1 -> OLD
+            (4, 1, "2024-02-01 00:00:00"),  # exactly boundary -> NEW
+            (5, 1, "2030-01-01 00:00:00"),  # far future -> NEW (open)
+            (6, 9, "2024-03-01 00:00:00"),  # unknown key -> NULL
+        ],
+        "fid int, k int, ts string",
+    )
+    out = {
+        r["fid"]: r["seg"]
+        for r in scd.as_of_lookup(
+            facts, hist, key="k", fact_key="k", ts_col="ts"
+        ).collect()
+    }
+    assert out == {1: None, 2: "OLD", 3: "OLD", 4: "NEW", 5: "NEW", 6: None}
