@@ -100,6 +100,7 @@ HEADLINE = [
     "dataset_manifest",
     "scd2_customer_history",
     "orders_pit_segment",
+    "lineitem_quarantine",
     # embedding eval
     "nearest_centroid_eval",
     "rrf_fused_topk",

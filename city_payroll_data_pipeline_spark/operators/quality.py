@@ -70,6 +70,28 @@ def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     )
 
 
+def quarantine(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Row-level quality routing: tag every row with the list of rules
+    it violates (``quarantine_reasons``, rule-declaration order) and a
+    ``is_quarantined`` flag. The caller splits on the flag — good rows
+    flow on, quarantined rows land in a side table with machine-
+    readable reasons for reprocessing, which is the production shape:
+    a gate that silently DROPS rows destroys the audit trail, and one
+    that only counts violations (:func:`check_rules`) can't route.
+
+    Pure narrow projection — the reason array is a compact of
+    per-rule CASE tags, codegen'd into the scan; zero shuffles, and
+    splitting pass/fail downstream reuses one cached scan."""
+    reasons = F.array_compact(
+        F.array(
+            *[F.when(~cond, F.lit(name)) for name, cond in rules.items()]
+        )
+    )
+    return df.withColumn("quarantine_reasons", reasons).withColumn(
+        "is_quarantined", F.size("quarantine_reasons") > 0
+    )
+
+
 def observed(
     df: DataFrame, name: str, metrics: dict[str, Column]
 ) -> tuple[DataFrame, "Observation"]:

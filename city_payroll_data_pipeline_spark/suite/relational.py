@@ -1064,6 +1064,82 @@ ORDER BY rule
 """
 
 
+def q_lineitem_quarantine(spark, sf_dir):
+    """Row-level quarantine routing (operators/quality.py::quarantine):
+    deterministic dirt is injected in-plan (clean testdata — same
+    device as unicode_sanitize), rows are tagged with their violated
+    rules, and the quarantined side is summarized per reason
+    combination with an id range for triage. Reasons stay in rule-
+    declaration order via concat_ws over CASE tags — both engines
+    compute the identical string, no array canonicalization in play."""
+    from city_payroll_data_pipeline_spark.operators.quality import quarantine
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 37 == 0, -F.col("l_quantity"))
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+        F.when(F.col("l_orderkey") % 41 == 0, F.lit(1.5))
+        .otherwise(F.col("l_discount"))
+        .alias("l_discount"),
+        F.when(F.col("l_orderkey") % 43 == 0, F.lit(None))
+        .otherwise(F.col("l_shipdate"))
+        .alias("l_shipdate"),
+    )
+    tagged = quarantine(
+        li,
+        {
+            "quantity_positive": F.col("l_quantity") > 0,
+            "discount_in_range": (F.col("l_discount") >= 0)
+            & (F.col("l_discount") <= 1),
+            "shipdate_present": F.col("l_shipdate").isNotNull(),
+        },
+    )
+    return (
+        tagged.filter(F.col("is_quarantined"))
+        .groupBy(
+            F.array_join("quarantine_reasons", ",").alias("reasons")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_orderkey").alias("first_key"),
+            F.max("l_orderkey").alias("last_key"),
+        )
+        .orderBy("reasons")
+    )
+
+
+LINEITEM_QUARANTINE_SQL = """
+WITH dirty AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 37 = 0 THEN -l_quantity
+              ELSE l_quantity END AS l_quantity,
+         CASE WHEN l_orderkey % 41 = 0 THEN 1.5
+              ELSE l_discount END AS l_discount,
+         CASE WHEN l_orderkey % 43 = 0 THEN NULL
+              ELSE l_shipdate END AS l_shipdate
+  FROM lineitem
+),
+tagged AS (
+  SELECT l_orderkey,
+         concat_ws(',',
+           CASE WHEN NOT (l_quantity > 0) THEN 'quantity_positive' END,
+           CASE WHEN NOT (l_discount >= 0 AND l_discount <= 1)
+                THEN 'discount_in_range' END,
+           CASE WHEN l_shipdate IS NULL THEN 'shipdate_present' END
+         ) AS reasons
+  FROM dirty
+)
+SELECT reasons, COUNT(*) AS n_rows,
+       MIN(l_orderkey) AS first_key, MAX(l_orderkey) AS last_key
+FROM tagged
+WHERE reasons <> ''
+GROUP BY reasons
+ORDER BY reasons
+"""
+
+
 # --------------------------------------------------------------------------
 # TPC-H Q6 shape — the maximally-selective single-table agg. Every
 # predicate must reach the parquet scan (PushedFilters); the agg is a
@@ -3248,6 +3324,11 @@ QUERIES = {
         q_orders_pit_segment,
         ORDERS_PIT_SEGMENT_SQL,
         ("scd2", "point-in-time", "as-of", "attribution"),
+    ),
+    "lineitem_quarantine": Query(
+        q_lineitem_quarantine,
+        LINEITEM_QUARANTINE_SQL,
+        ("quality", "quarantine", "routing"),
     ),
     "winsorized_price_stats": Query(
         q_winsorized_price_stats,

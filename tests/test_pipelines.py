@@ -448,3 +448,27 @@ def test_scd2_as_of_lookup_boundaries(spark):
         ).collect()
     }
     assert out == {1: None, 2: "OLD", 3: "OLD", 4: "NEW", 5: "NEW", 6: None}
+
+
+def test_quarantine_routing(spark):
+    """Pass rows keep an empty reason list; multi-violation rows list
+    reasons in rule-declaration order; split sides partition the
+    input exactly."""
+    from city_payroll_data_pipeline_spark.operators.quality import quarantine
+
+    df = spark.createDataFrame(
+        [(1, 5, "x"), (2, -1, "x"), (3, -2, None), (4, 7, None)],
+        "id int, qty int, tag string",
+    )
+    out = quarantine(
+        df,
+        {"qty_pos": F.col("qty") > 0, "tag_present": F.col("tag").isNotNull()},
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["quarantine_reasons"] == [] and not rows[1]["is_quarantined"]
+    assert rows[2]["quarantine_reasons"] == ["qty_pos"]
+    assert rows[3]["quarantine_reasons"] == ["qty_pos", "tag_present"]
+    assert rows[4]["quarantine_reasons"] == ["tag_present"]
+    good = out.filter(~F.col("is_quarantined")).count()
+    bad = out.filter(F.col("is_quarantined")).count()
+    assert (good, bad) == (1, 3)
