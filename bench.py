@@ -49,6 +49,7 @@ HEADLINE = [
     "doc_repetition",
     "tfidf_top_terms",
     "common_phrases",
+    "repeated_spans",
     "contamination_check",
     "pii_scrub",
     "length_zscores",

@@ -712,6 +712,91 @@ LIMIT 20
 """
 
 
+_SPAN_LEN = 16
+_SPAN_STRIDE = 8
+_SPAN_TOP_K = 20
+
+
+def q_repeated_spans(spark, sf_dir):
+    """Cross-document repeated LONG spans (16-token windows, stride 8)
+    — the span-granularity dedup signal behind exact-substring
+    deduplication: phrases short enough to be idiom (3-grams,
+    `common_phrases`) are fine to repeat; a 16-token span shared
+    verbatim across documents is boilerplate or a copy and should be
+    cut or down-weighted.
+
+    Scale shape: the heavy shuffle carries only (span_hash, doc_id) —
+    never span text; counts + distinct-doc counts reduce per hash, the
+    HAVING >= 2 docs filter and top-k shrink to a bounded frame, and
+    ONLY then is one representative text recovered by re-deriving
+    spans and broadcast-semi-joining the ≤k surviving hashes (the
+    classic candidates-then-rehydrate pattern — same discipline as the
+    dedup family: full text never crosses an exchange)."""
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id", F.expr(r"regexp_extract_all(trim(text), '\\S+', 0)").alias("t")
+    ).filter(F.size("t") >= _SPAN_LEN)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {_SPAN_LEN}, {_SPAN_STRIDE}),"
+                f" i -> array_join(slice(t, i + 1, {_SPAN_LEN}), ' '))"
+            )
+        ).alias("span"),
+    ).select("doc_id", F.md5("span").alias("h"), "span")
+    top = (
+        spans.groupBy("h")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("h"))
+        .limit(_SPAN_TOP_K)
+    )
+    # rehydrate: semi-join the ≤k winning hashes back FIRST (broadcast,
+    # map-side), so only the surviving sliver of span text ever reduces
+    rep = (
+        spans.join(F.broadcast(top.select("h")), "h")
+        .groupBy("h")
+        .agg(F.min("span").alias("span"))
+    )
+    return (
+        top.join(F.broadcast(rep), "h")
+        .select("span", "n_docs", "n_occurrences")
+        .orderBy(F.desc("n_occurrences"), F.asc("span"))
+    )
+
+
+REPEATED_SPANS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+', 0) AS t
+  FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, i + 1, i + {_SPAN_LEN}), ' ') AS span
+  FROM toks,
+       unnest(range(0, len(t) - {_SPAN_LEN} + 1, {_SPAN_STRIDE})) AS g(i)
+  WHERE len(t) >= {_SPAN_LEN}
+),
+agg AS (
+  SELECT md5(span) AS h, MIN(span) AS span,
+         COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM spans
+  GROUP BY md5(span)
+  HAVING COUNT(DISTINCT doc_id) >= 2
+  ORDER BY n_occurrences DESC, h ASC
+  LIMIT {_SPAN_TOP_K}
+)
+SELECT span, n_docs, n_occurrences
+FROM agg
+ORDER BY n_occurrences DESC, span ASC
+"""
+
+
 def q_contamination_check(spark, sf_dir):
     """Benchmark decontamination: docs 0-4 act as the held-out
     'benchmark'; report how many other corpus docs share ≥3 of each
@@ -2561,6 +2646,11 @@ QUERIES = {
     ),
     "common_phrases": Query(
         q_common_phrases, COMMON_PHRASES_SQL, ("text", "phrases", "boilerplate")
+    ),
+    "repeated_spans": Query(
+        q_repeated_spans,
+        REPEATED_SPANS_SQL,
+        ("text", "dedup", "substring", "boilerplate"),
     ),
     "contamination_check": Query(
         q_contamination_check,
