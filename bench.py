@@ -105,6 +105,12 @@ HEADLINE = [
     # embedding eval
     "nearest_centroid_eval",
     "rrf_fused_topk",
+    # graph / sampling / drift / layout analytics
+    "trade_pagerank",
+    "pps_weighted_sample",
+    "ks_source_drift",
+    "blocked_fuzzy_match",
+    "zorder_layout_stats",
 ]
 
 

@@ -1,0 +1,127 @@
+"""Iterative graph analytics on edge-list DataFrames: PageRank.
+
+Beyond-parity operator family (the reference — a payroll CSV→report
+pipeline, serve_flight.py — has no graph surface at all): a
+training-data pipeline at 100 TB needs link/authority analysis for
+source weighting (domain authority → corpus mix weights), and the
+same join-aggregate iteration pattern as connected components
+(operators/dedup.py) applies.
+
+Determinism contract: ranks are held as **integer-scaled BIGINTs**
+(rank × 10^9) and every update uses exact integer arithmetic —
+multiply, truncating division (all operands positive, so trunc ==
+floor in both Spark ``div`` and DuckDB ``//``), and integer sums.
+Float enters only in the final display division by 10^9, which is a
+single exact-operand double division — bit-identical across engines.
+This is the same strategy as the suite's DECIMAL-routed money sums:
+never let an order-dependent float sum cross an aggregation.
+
+Scale: each iteration is one shuffle-join of edges⋈ranks on ``src``
+plus one group-by shuffle on ``dst`` — the same budget as a single
+large join; `localCheckpoint` every few rounds truncates the lineage
+exactly as connected_components does (operators/dedup.py:335+,
+measured plan-growth blowup documented there). Edge normalization
+(out-degree totals) is computed once, outside the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**9  # rank fixed-point scale: 1e-9 resolution
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    iters: int = 8,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Exact integer-scaled PageRank over ``edges(src, dst, weight)``.
+
+    ``weight`` must be a positive integer (e.g. an interaction count).
+    Returns ``(node, rank_scaled)`` where ``rank_scaled`` ≈ rank × 1e9.
+
+    The update per node v is the standard damped rank with truncating
+    integer division applied at each step (the oracle unrolls the same
+    expression, so truncation is part of the spec, not an error term):
+
+        contrib(u→v) = (rank[u] * w(u,v)) div out_w(u)
+        rank'[v] = ((den-num) * SCALE div den) div N
+                   + (num * Σ_u contrib(u→v)) div den
+                   + (num * dangling) div (den * N)
+
+    Dangling mass (nodes with no out-edges) is redistributed uniformly,
+    keeping total mass ≈ SCALE (up to truncation dust — bounded by
+    N + E per iteration, i.e. < 1e-3 at 1e-9 resolution for graphs
+    under a million edges per node).
+    """
+    # node universe: anything appearing as src or dst (dedup shuffle, once)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # scalar; required by the formula itself
+
+    # per-source total outgoing weight, computed once outside the loop
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    norm_edges = edges.join(out_w, "src").select("src", "dst", "weight", "out_w")
+    norm_edges = norm_edges.persist()
+
+    base = (damping_den - damping_num) * SCALE // damping_den // n_nodes
+    ranks = nodes.withColumn("rank_scaled", F.lit(SCALE // n_nodes).cast("long"))
+
+    # nodes with no outgoing edge contribute their mass uniformly.
+    # Materialized once: when the graph has none (typical for
+    # interaction graphs where every node acts), the per-iteration
+    # dangling-mass collect is skipped entirely — saving one full
+    # evaluation of the rank lineage per round.
+    dangling_nodes = nodes.join(
+        out_w.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+    has_dangling = dangling_nodes.count() > 0
+
+    for i in range(iters):
+        contribs = (
+            norm_edges.join(ranks, norm_edges.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank_scaled * weight) div out_w").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_contrib"))
+        )
+        if has_dangling:
+            dangling = (
+                dangling_nodes.join(ranks, "node")
+                .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("d"))
+                .collect()[0]["d"]
+            )  # bounded scalar (one long), same as CC convergence checks
+            dangling_share = damping_num * int(dangling) // (damping_den * n_nodes)
+        else:
+            dangling_share = 0
+        ranks = (
+            ranks.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(in_contrib, 0))"
+                        f" div {damping_den}"
+                    )
+                    + F.lit(dangling_share)
+                ).alias("rank_scaled"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            # truncate lineage: the iterative plan otherwise doubles per
+            # round (same pathology measured in connected_components)
+            ranks = ranks.localCheckpoint(eager=True)
+
+    norm_edges.unpersist()
+    dangling_nodes.unpersist()
+    return ranks

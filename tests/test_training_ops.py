@@ -661,3 +661,55 @@ def test_star_cc_on_minhash_pairs_matches_propagation(spark):
         for r in connected_components(pairs).collect()
     }
     assert star == prop and len(star) > 0
+
+
+# --------------------------------------------------------------------------
+# graph: integer-scaled PageRank (operators/graph.py)
+# --------------------------------------------------------------------------
+
+
+def test_pagerank_two_node_symmetric(spark):
+    """Two nodes linking only to each other: ranks stay uniform (0.5
+    each, at integer scale) regardless of iteration count."""
+    from city_payroll_data_pipeline_spark.operators.graph import SCALE, pagerank_scaled
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (2, 1, 10)], "src long, dst long, weight long"
+    )
+    out = {r["node"]: r["rank_scaled"] for r in pagerank_scaled(edges, iters=3).collect()}
+    assert out == {1: SCALE // 2, 2: SCALE // 2}
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    """Star graph 2,3,4 → 1 plus a back-edge 1 → 2: the 1↔2 cycle
+    accumulates nearly all the mass (2 highest — it receives ALL of
+    1's rank while 1 only gets the leaves' and 2's donations), leaves
+    3,4 keep only the uniform teleport share, and total mass stays
+    ≈ SCALE (truncation dust only)."""
+    from city_payroll_data_pipeline_spark.operators.graph import SCALE, pagerank_scaled
+
+    edges = spark.createDataFrame(
+        [(2, 1, 1), (3, 1, 1), (4, 1, 1), (1, 2, 1)],
+        "src long, dst long, weight long",
+    )
+    rows = pagerank_scaled(edges, iters=10).collect()
+    ranks = {r["node"]: r["rank_scaled"] for r in rows}
+    assert ranks[2] > ranks[1] > ranks[3] == ranks[4]
+    assert ranks[1] > 5 * ranks[3]
+    assert ranks[3] == 15 * SCALE // 100 // 4  # pure teleport share
+    assert abs(sum(ranks.values()) - SCALE) < 1000  # dust ≪ resolution
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """Node 2 has no out-edges (dangling): its mass must be recycled —
+    total stays ≈ SCALE instead of leaking 85% of node 2's rank."""
+    from city_payroll_data_pipeline_spark.operators.graph import SCALE, pagerank_scaled
+
+    edges = spark.createDataFrame([(1, 2, 5)], "src long, dst long, weight long")
+    ranks = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_scaled(edges, iters=6).collect()
+    }
+    assert set(ranks) == {1, 2}
+    assert abs(sum(ranks.values()) - SCALE) < 1000
+    assert ranks[2] > ranks[1]  # 2 receives 1's links AND the uniform share
