@@ -111,6 +111,10 @@ HEADLINE = [
     "ks_source_drift",
     "blocked_fuzzy_match",
     "zorder_layout_stats",
+    "touch_attribution",
+    "trade_triangles",
+    "histogram_quantiles",
+    "mad_outliers",
 ]
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from city_payroll_data_pipeline_spark.operators.graph import SCALE, pagerank_scaled
 from city_payroll_data_pipeline_spark.suite import Query, table
+from city_payroll_data_pipeline_spark.suite.parity import _sql_dec_sum
 
 # --------------------------------------------------------------------------
 # trade_pagerank — nation-level trade-flow authority.
@@ -370,6 +371,329 @@ ORDER BY bucket
 """
 
 
+# --------------------------------------------------------------------------
+# touch_attribution — first/last-touch marketing attribution.
+#
+# For every purchase, find the user's first and last touch (click or
+# view) in the preceding 7 days, then report conversion counts and
+# value by (first_touch, last_touch) channel pair — the standard
+# attribution matrix.
+#
+# Scale: the purchases⋈touches join is equi on user_id with an
+# interval predicate — fan-out is touches-per-user-per-week, never
+# corpus-wide. One row_number window per purchase picks the
+# deterministic first/last (ts, then event_id tiebreak). Money sums
+# route through DECIMAL per the suite rule.
+# --------------------------------------------------------------------------
+
+
+def q_touch_attribution(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from city_payroll_data_pipeline_spark.suite.parity import _dec_sum
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+        F.col("event_id").alias("t_id"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w_first = W.partitionBy("p_id").orderBy("t_ts", "t_id")
+    w_last = W.partitionBy("p_id").orderBy(F.desc("t_ts"), F.desc("t_id"))
+    ranked = joined.withColumn("rn_f", F.row_number().over(w_first)).withColumn(
+        "rn_l", F.row_number().over(w_last)
+    )
+    firsts = ranked.where(F.col("rn_f") == 1).select(
+        "p_id", F.col("t_type").alias("first_touch")
+    )
+    lasts = ranked.where(F.col("rn_l") == 1).select(
+        "p_id", "p_value", F.col("t_type").alias("last_touch")
+    )
+    attributed = lasts.join(firsts, "p_id")
+    return (
+        attributed.groupBy("first_touch", "last_touch")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            _dec_sum(F.col("p_value"), "attributed_value"),
+        )
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+TOUCH_ATTRIBUTION_SQL = f"""
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id AS t_user, ts AS t_ts, event_type AS t_type, event_id AS t_id
+  FROM events WHERE event_type IN ('click', 'view')
+),
+joined AS (
+  SELECT p.*, t.t_ts, t.t_type, t.t_id,
+         ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY t.t_ts, t.t_id) AS rn_f,
+         ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY t.t_ts DESC, t.t_id DESC) AS rn_l
+  FROM purchases p
+  JOIN touches t
+    ON p.p_user = t.t_user
+   AND t.t_ts < p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+),
+attributed AS (
+  SELECT l.p_id, l.p_value, f.t_type AS first_touch, l.t_type AS last_touch
+  FROM joined l
+  JOIN joined f ON f.p_id = l.p_id AND f.rn_f = 1
+  WHERE l.rn_l = 1
+)
+SELECT first_touch, last_touch,
+       COUNT(*) AS n_conversions,
+       {_sql_dec_sum('p_value', 'attributed_value')}
+FROM attributed
+GROUP BY first_touch, last_touch
+ORDER BY first_touch, last_touch
+"""
+
+# --------------------------------------------------------------------------
+# trade_triangles — triangle counting on the (undirected) trade graph.
+#
+# The clustering-coefficient signal for graph quality audits. The
+# classic scale trick: orient each undirected edge from the
+# lower-degree endpoint to the higher (ties by id), then count
+# wedge-closing joins — O(m^{3/2}) work instead of O(Σ deg²) on the
+# unoriented graph, and every join is an equi hash join.
+# --------------------------------------------------------------------------
+
+
+def q_trade_triangles(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    und = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient low-degree → high-degree (tiebreak on node id)
+    e = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("x2"), F.col("v").alias("z"))
+    # wedges centered at x, with y < z so each is generated once; the
+    # closing edge is looked up in the canonical (a < b) undirected
+    # list — a pure equi hash join (y < z already matches a < b).
+    wedges = e1.join(e2, (F.col("x") == F.col("x2")) & (F.col("y") < F.col("z"))).select(
+        "x", "y", "z"
+    )
+    tris = wedges.join(
+        und, (F.col("y") == und.a) & (F.col("z") == und.b)
+    )
+    return tris.agg(F.count("*").alias("n_triangles"))
+
+
+TRADE_TRIANGLES_SQL = """
+WITH und AS (
+  SELECT DISTINCT LEAST(c_nationkey, s_nationkey) AS a,
+                  GREATEST(c_nationkey, s_nationkey) AS b
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+e AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+              THEN und.a ELSE und.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b)
+              THEN und.b ELSE und.a END AS v
+  FROM und
+  JOIN deg da ON und.a = da.node
+  JOIN deg db ON und.b = db.node
+),
+wedges AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+)
+SELECT COUNT(*) AS n_triangles
+FROM wedges w
+JOIN und ON w.y = und.a AND w.z = und.b
+"""
+
+# --------------------------------------------------------------------------
+# histogram_quantiles — mergeable single-pass approximate quantiles.
+#
+# The 100 TB quantile path: fixed-width integer bins are mergeable
+# across partitions/days (unlike exact sort-based percentiles), and
+# because the bins are integers the whole estimate is deterministic —
+# no sketch randomness. Reports, per quantile, the bin lower edge
+# containing the q-th value (cents precision / $16 bins).
+#
+# Scale: one map-side bin projection + one groupBy over bin
+# cardinality (thousands), then a window cumsum over the tiny bin
+# frame. Error bound = bin width, known a priori.
+# --------------------------------------------------------------------------
+
+_HQ_BIN_CENTS = 1600  # $16 bins over l_extendedprice
+
+
+def q_histogram_quantiles(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    # cents via DECIMAL(18,2): exact — a double*100 truncation would
+    # differ between engines (Spark CAST truncates, DuckDB rounds)
+    bins = (
+        li.select(
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                f" div {_HQ_BIN_CENTS}"
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = bins.withColumn("cum", F.sum("n").over(w)).crossJoin(
+        F.broadcast(li.agg(F.count("*").alias("total")))
+    )
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q int")
+    return (
+        cum.join(F.broadcast(qs), F.col("cum") * 100 >= F.col("q") * F.col("total"))
+        .groupBy("q")
+        .agg(
+            F.min("bin").alias("qbin"),
+        )
+        .withColumn("approx_value", F.col("qbin") * _HQ_BIN_CENTS / F.lit(100))
+        .orderBy("q")
+    )
+
+
+HISTOGRAM_QUANTILES_SQL = f"""
+WITH bins AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // {_HQ_BIN_CENTS} AS bin,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT bin,
+         CAST(SUM(n) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM bins
+),
+tot AS (SELECT COUNT(*) AS total FROM lineitem),
+qs AS (SELECT UNNEST([50, 90, 99]) AS q)
+SELECT q, MIN(bin) AS qbin,
+       CAST(MIN(bin) * {_HQ_BIN_CENTS} AS DOUBLE) / 100 AS approx_value
+FROM cum, qs
+WHERE cum * 100 >= q * (SELECT total FROM tot)
+GROUP BY q
+ORDER BY q
+"""
+
+# --------------------------------------------------------------------------
+# mad_outliers — robust per-source outlier detection via median
+# absolute deviation (MAD).
+#
+# Mean/stddev outlier rules break on the heavy-tailed length
+# distributions web corpora have; the MAD rule (|x − med| > k·MAD) is
+# the robust standard. Two exact medians (value, then absolute
+# deviation) per source, then a broadcast join back — the per-group
+# median is sort-based, so at 100 TB swap in the histogram sketch
+# above; the exact form stays for audit parity.
+# --------------------------------------------------------------------------
+
+_MAD_K = 3.0
+
+
+def q_mad_outliers(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(F.median("n_chars").alias("med"))
+    dev = (
+        docs.join(F.broadcast(med), "source")
+        .withColumn("adev", F.abs(F.col("n_chars") - F.col("med")))
+        .groupBy("source")
+        .agg(F.first("med").alias("med"), F.median("adev").alias("mad"))
+    )
+    return (
+        docs.join(F.broadcast(dev), "source")
+        .withColumn(
+            "is_outlier",
+            F.abs(F.col("n_chars") - F.col("med")) > F.lit(_MAD_K) * F.col("mad"),
+        )
+        .groupBy("source")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias("n_outliers"),
+        )
+        .orderBy("source")
+    )
+
+
+MAD_OUTLIERS_SQL = f"""
+WITH med AS (
+  SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+),
+dev AS (
+  SELECT d.source, ANY_VALUE(m.med) AS med,
+         median(ABS(d.n_chars - m.med)) AS mad
+  FROM documents d JOIN med m ON d.source = m.source
+  GROUP BY d.source
+)
+SELECT d.source, ANY_VALUE(v.med) AS med, ANY_VALUE(v.mad) AS mad,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ABS(d.n_chars - v.med) > {_MAD_K} * v.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM documents d JOIN dev v ON d.source = v.source
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 QUERIES = {
     "trade_pagerank": Query(
         q_trade_pagerank, TRADE_PAGERANK_SQL, ("graph", "pagerank", "iterative")
@@ -391,5 +715,21 @@ QUERIES = {
         q_zorder_layout_stats,
         ZORDER_LAYOUT_STATS_SQL,
         ("layout", "zorder", "pruning"),
+    ),
+    "touch_attribution": Query(
+        q_touch_attribution,
+        TOUCH_ATTRIBUTION_SQL,
+        ("attribution", "window", "interval-join"),
+    ),
+    "trade_triangles": Query(
+        q_trade_triangles, TRADE_TRIANGLES_SQL, ("graph", "triangles")
+    ),
+    "histogram_quantiles": Query(
+        q_histogram_quantiles,
+        HISTOGRAM_QUANTILES_SQL,
+        ("quantiles", "sketch", "mergeable"),
+    ),
+    "mad_outliers": Query(
+        q_mad_outliers, MAD_OUTLIERS_SQL, ("robust-stats", "outliers")
     ),
 }

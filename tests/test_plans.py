@@ -210,6 +210,7 @@ _INTENTIONAL_BNLJ = {
     "approx_rolling_users",   # broadcast day spine over per-day sketches
     "pps_weighted_sample",    # broadcast 1-row weight-total scalar
     "ks_source_drift",        # broadcast 1-row group-sizes scalar
+    "histogram_quantiles",    # broadcast 1-row total + 3-row quantile probes
     "sq8_ann_topk",           # broadcast query set vs corpus
     "tfidf_top_terms",        # broadcast 1-row corpus count
     "training_mix_report",    # broadcast 1-row min-token + 1-row total
