@@ -58,6 +58,14 @@ def pagerank_scaled(
     N + E per iteration, i.e. < 1e-3 at 1e-9 resolution for graphs
     under a million edges per node).
     """
+    # Materialize the edge list once before anything else: node
+    # universe, out-weights, and the dangling probe all re-derive from
+    # it, and without this the (possibly expensive) upstream plan that
+    # produced the edges — e.g. a multi-way fact join — would be
+    # recomputed for each of those derivations. The aggregated edge
+    # frame is the small thing here; its producer is not.
+    edges = edges.localCheckpoint(eager=True)
+
     # node universe: anything appearing as src or dst (dedup shuffle, once)
     nodes = (
         edges.select(F.col("src").alias("node"))
