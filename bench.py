@@ -115,6 +115,9 @@ HEADLINE = [
     "trade_triangles",
     "histogram_quantiles",
     "mad_outliers",
+    "quality_logit_deciles",
+    "discriminative_terms",
+    "bpe_encode_tokens",
 ]
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from city_payroll_data_pipeline_spark.functions.text import lang_marker_pattern
 from city_payroll_data_pipeline_spark.operators.graph import SCALE, pagerank_scaled
 from city_payroll_data_pipeline_spark.suite import Query, table
 from city_payroll_data_pipeline_spark.suite.parity import _sql_dec_sum
@@ -694,6 +695,206 @@ ORDER BY d.source
 """
 
 
+# --------------------------------------------------------------------------
+# quality_logit_deciles — linear quality-model inference in-plan.
+#
+# The model-based counterpart of the heuristic doc_quality filter: a
+# trained linear classifier (weights fixed here; production would
+# broadcast them from a model registry) scored entirely in integer
+# arithmetic — features are exact counts, weights are integers, so
+# the logit is an exact BIGINT and the decile assignment is
+# bit-deterministic. NTILE(10) over (logit, doc_id) yields the
+# calibration table curation teams threshold against.
+#
+# Scale: scoring is map-side; the only shuffle is the decile window's
+# global sort — at 100 TB replace NTILE with thresholds interpolated
+# from histogram_quantiles (same suite) to keep it one pass.
+# --------------------------------------------------------------------------
+
+_QL_W = {"bias": -50, "tok": 3, "stop": 10, "punct": -8, "chars": 1}
+
+
+def q_quality_logit_deciles(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from city_payroll_data_pipeline_spark.functions.text import (
+        lang_marker_pattern,
+        token_count,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        (
+            F.lit(_QL_W["bias"])
+            + _QL_W["tok"] * token_count(t)
+            + _QL_W["stop"] * F.regexp_count(F.lower(t), F.lit(lang_marker_pattern("en")))
+            + _QL_W["punct"] * F.regexp_count(t, F.lit(r"[^\w\s]"))
+            + _QL_W["chars"] * F.length(t)
+        ).cast("long").alias("logit"),
+    )
+    w = W.orderBy("logit", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("logit").alias("min_logit"),
+            F.max("logit").alias("max_logit"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("decile")
+    )
+
+
+QUALITY_LOGIT_DECILES_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         CAST({_QL_W["bias"]}
+              + {_QL_W["tok"]} * len(regexp_extract_all(text, '\S+', 0))
+              + {_QL_W["stop"]} * len(regexp_extract_all(lower(text),
+                    '{lang_marker_pattern("en")}', 0))
+              + {_QL_W["punct"]} * len(regexp_extract_all(text, '[^\w\s]', 0))
+              + {_QL_W["chars"]} * length(text)
+           AS BIGINT) AS logit
+  FROM documents
+)
+SELECT decile, COUNT(*) AS n_docs,
+       MIN(logit) AS min_logit, MAX(logit) AS max_logit,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (SELECT *, NTILE(10) OVER (ORDER BY logit, doc_id) AS decile FROM scored)
+GROUP BY decile
+ORDER BY decile
+"""
+
+# --------------------------------------------------------------------------
+# discriminative_terms — per-source signature terms by odds ratio.
+#
+# Which words mark a source out against the rest of the corpus — the
+# domain-signature diagnostic used when deciding corpus mix weights.
+# Add-1 smoothed odds ratio on the 2×2 (source, term) contingency
+# table, computed as exact integer cross-products with ONE final
+# division (deterministic double), top-5 per source by
+# (odds desc, term).
+#
+# Scale: all work happens on the (source, token) count frame —
+# vocabulary-sized, not corpus-sized; totals are a tiny broadcast.
+# --------------------------------------------------------------------------
+
+_DT_MIN_COUNT = 50
+_DT_TOP_K = 5
+
+
+def q_discriminative_terms(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from city_payroll_data_pipeline_spark.functions.text import tokens_array
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    tok = docs.select(
+        "source", F.explode(tokens_array(F.col("text"))).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("a"))
+    term_tot = st.groupBy("term").agg(F.sum("a").alias("t_tot"))
+    src_tot = st.groupBy("source").agg(F.sum("a").alias("s_tot"))
+    grand = st.agg(F.sum("a").alias("g_tot"))
+    cells = (
+        st.join(term_tot, "term")
+        .join(src_tot, "source")
+        .crossJoin(F.broadcast(grand))
+        .where(F.col("a") >= _DT_MIN_COUNT)
+        .withColumn("b", F.col("t_tot") - F.col("a"))
+        .withColumn("c", F.col("s_tot") - F.col("a"))
+        .withColumn("d", F.col("g_tot") - F.col("t_tot") - F.col("c"))
+        .withColumn(
+            "odds",
+            ((F.col("a") + 1) * (F.col("d") + 1))
+            / ((F.col("b") + 1) * (F.col("c") + 1)),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.desc("odds"), "term")
+    return (
+        cells.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _DT_TOP_K)
+        .select("source", "rank", "term", "a", "odds")
+        .orderBy("source", "rank")
+    )
+
+
+DISCRIMINATIVE_TERMS_SQL = rf"""
+WITH tok AS (
+  SELECT source, UNNEST(regexp_extract_all(text, '\S+', 0)) AS term
+  FROM documents
+),
+st AS (SELECT source, term, COUNT(*) AS a FROM tok GROUP BY source, term),
+term_tot AS (SELECT term, CAST(SUM(a) AS BIGINT) AS t_tot FROM st GROUP BY term),
+src_tot AS (SELECT source, CAST(SUM(a) AS BIGINT) AS s_tot FROM st GROUP BY source),
+grand AS (SELECT CAST(SUM(a) AS BIGINT) AS g_tot FROM st),
+cells AS (
+  SELECT st.source, st.term, st.a,
+         t_tot - a AS b, s_tot - a AS c,
+         (SELECT g_tot FROM grand) - t_tot - (s_tot - a) AS d
+  FROM st JOIN term_tot USING (term) JOIN src_tot USING (source)
+  WHERE a >= {_DT_MIN_COUNT}
+),
+odds AS (
+  SELECT source, term, a,
+         CAST((a + 1) * (d + 1) AS DOUBLE) / ((b + 1) * (c + 1)) AS odds
+  FROM cells
+)
+SELECT source, rank, term, a, odds
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY odds DESC, term) AS rank
+      FROM odds)
+WHERE rank <= {_DT_TOP_K}
+ORDER BY source, rank
+"""
+
+# --------------------------------------------------------------------------
+# bpe_encode_tokens — corpus encoding with a trained BPE merge table.
+#
+# Completes the tokenizer story (train_bpe learns the merges —
+# bpe_merges query; this applies them): per-source token counts and
+# fertility (BPE tokens per whitespace word), the number that decides
+# whether a tokenizer suits a corpus. Greedy merge replay is a
+# codegen'd fold (operators/bpe.py::apply_bpe) — no Python in the
+# row path; the merge table itself is a bounded driver-side list
+# (the product of training, like model weights).
+#
+# No SQL oracle: the greedy iterative rewrite is not expressible in
+# one SQL query — covered by rows-only check here plus the
+# encode-vs-pure-Python parity test in tests/test_training_ops.py.
+# --------------------------------------------------------------------------
+
+
+def q_bpe_encode_tokens(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators.bpe import apply_bpe, train_bpe
+    from city_payroll_data_pipeline_spark.functions.text import token_count
+
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source", "text"
+    )
+    merges = train_bpe(docs, "text", n_merges=8)
+    encoded = apply_bpe(docs, "text", merges)
+    return (
+        encoded.select(
+            "source",
+            F.size("bpe_tokens").alias("n_bpe"),
+            token_count(F.col("text")).alias("n_words"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.sum("n_words").alias("words"),
+            (F.sum("n_bpe") / F.sum("n_words")).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "trade_pagerank": Query(
         q_trade_pagerank, TRADE_PAGERANK_SQL, ("graph", "pagerank", "iterative")
@@ -731,5 +932,18 @@ QUERIES = {
     ),
     "mad_outliers": Query(
         q_mad_outliers, MAD_OUTLIERS_SQL, ("robust-stats", "outliers")
+    ),
+    "quality_logit_deciles": Query(
+        q_quality_logit_deciles,
+        QUALITY_LOGIT_DECILES_SQL,
+        ("quality", "model-inference", "deciles"),
+    ),
+    "discriminative_terms": Query(
+        q_discriminative_terms,
+        DISCRIMINATIVE_TERMS_SQL,
+        ("text", "odds-ratio", "mix-weights"),
+    ),
+    "bpe_encode_tokens": Query(
+        q_bpe_encode_tokens, None, ("tokenizer", "bpe", "fertility")
     ),
 }

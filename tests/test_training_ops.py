@@ -713,3 +713,47 @@ def test_pagerank_dangling_mass_redistributed(spark):
     assert set(ranks) == {1, 2}
     assert abs(sum(ranks.values()) - SCALE) < 1000
     assert ranks[2] > ranks[1]  # 2 receives 1's links AND the uniform share
+
+
+def test_bpe_apply_matches_pure_python_replay(spark):
+    """apply_bpe's codegen'd fold must equal the classic sequential
+    greedy left-to-right merge replay, token for token — including the
+    no-re-match-within-a-pass rule (merged symbol can't be `left`
+    again in the same pass)."""
+    from city_payroll_data_pipeline_spark.operators.bpe import apply_bpe, train_bpe
+    from city_payroll_data_pipeline_spark.suite import table
+
+    def py_encode(text, merges):
+        out = []
+        for w in text.split():
+            syms = list(w)
+            for left, right, _ in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            out.extend(syms)
+        return out
+
+    docs = (
+        table(spark, SF_CORRECT, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    merges = train_bpe(docs, "text", n_merges=8)
+    assert len(merges) == 8
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in apply_bpe(docs, "text", merges).collect()
+    }
+    for r in docs.collect():
+        assert got[r["doc_id"]] == py_encode(r["text"], merges), r["doc_id"]
