@@ -118,6 +118,8 @@ HEADLINE = [
     "quality_logit_deciles",
     "discriminative_terms",
     "bpe_encode_tokens",
+    "dedup_rate_report",
+    "key_gini_skew",
 ]
 
 

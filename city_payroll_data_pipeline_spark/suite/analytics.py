@@ -895,6 +895,116 @@ def q_bpe_encode_tokens(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# dedup_rate_report — corpus-level exact-dedup impact summary.
+#
+# The one-row report a curation run logs: how many docs are exact
+# duplicates (whitespace/case-normalized fingerprint), and how many
+# characters deduplication saves. Keeper = lowest doc_id per
+# fingerprint, matching operators/dedup.py::drop_exact_duplicates.
+#
+# Scale: one shuffle on the 128-bit fingerprint; only (fp, doc_id,
+# n_chars) crosses the exchange, never text.
+# --------------------------------------------------------------------------
+
+
+def q_dedup_rate_report(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from city_payroll_data_pipeline_spark.functions.text import content_fingerprint
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", content_fingerprint(F.col("text")).alias("fp")
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_unique"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup"),
+        (
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            / F.count("*")
+        ).alias("dup_ratio"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)).alias(
+            "chars_saved"
+        ),
+    )
+
+
+_FP = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+DEDUP_RATE_REPORT_SQL = rf"""
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY {_FP} ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_ratio,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_saved
+FROM ranked
+"""
+
+# --------------------------------------------------------------------------
+# key_gini_skew — join-key distribution skew diagnostic.
+#
+# Before shipping a join at 100 TB you want its key histogram's shape:
+# Gini coefficient + heavy-hitter share tell you whether to salt.
+# Gini from the ascending-sorted counts by the exact rank formula
+# G = (2·Σ i·w_i − (n+1)·ΣW) / (n·ΣW) — all-integer cross products,
+# one final division; rank-tie order among equal counts cannot change
+# the sum, so the statistic is deterministic.
+#
+# Scale: runs on the (key, count) aggregate, not the fact; the sort
+# is over distinct keys. (operators/skew.py holds the salting fix the
+# diagnostic motivates; join_key_skew benches it.)
+# --------------------------------------------------------------------------
+
+
+def q_key_gini_skew(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    w = W.orderBy("cnt", "l_orderkey")
+    ranked = cnt.withColumn("rn", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_per_key"),
+        (F.max("cnt") / F.sum("cnt")).alias("top_key_share"),
+        (
+            (2 * F.sum(F.col("rn") * F.col("cnt")) - (F.count("*") + 1) * F.sum("cnt"))
+            / (F.count("*") * F.sum("cnt"))
+        ).alias("gini"),
+    )
+
+
+KEY_GINI_SKEW_SQL = """
+WITH cnt AS (
+  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, l_orderkey) AS rn FROM cnt
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       MAX(cnt) AS max_per_key,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_key_share,
+       CAST(2 * CAST(SUM(rn * cnt) AS BIGINT)
+            - (COUNT(*) + 1) * CAST(SUM(cnt) AS BIGINT) AS DOUBLE)
+         / (COUNT(*) * CAST(SUM(cnt) AS BIGINT)) AS gini
+FROM ranked
+"""
+
+
 QUERIES = {
     "trade_pagerank": Query(
         q_trade_pagerank, TRADE_PAGERANK_SQL, ("graph", "pagerank", "iterative")
@@ -945,5 +1055,11 @@ QUERIES = {
     ),
     "bpe_encode_tokens": Query(
         q_bpe_encode_tokens, None, ("tokenizer", "bpe", "fertility")
+    ),
+    "dedup_rate_report": Query(
+        q_dedup_rate_report, DEDUP_RATE_REPORT_SQL, ("dedup", "report")
+    ),
+    "key_gini_skew": Query(
+        q_key_gini_skew, KEY_GINI_SKEW_SQL, ("skew", "diagnostics", "gini")
     ),
 }

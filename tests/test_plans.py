@@ -289,3 +289,12 @@ def test_bigram_topk_uses_window_group_limit(suite, spark):
     p = plan(_q(suite, spark, "bigram_lm"), mode="formatted")
     assert "WindowGroupLimit" in p, p
     assert "ReadSchema: struct<text:string>" in p, p
+
+
+def test_bench_headline_names_exist(suite):
+    """Every bench.py HEADLINE name must be a real suite query — a typo
+    would silently shrink the benchmark instead of failing it."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in suite]
+    assert not missing, missing
