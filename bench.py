@@ -120,6 +120,10 @@ HEADLINE = [
     "bpe_encode_tokens",
     "dedup_rate_report",
     "key_gini_skew",
+    "k_anonymity_audit",
+    "incremental_report_maintenance",
+    "lineitem_corr",
+    "basket_pairs",
 ]
 
 

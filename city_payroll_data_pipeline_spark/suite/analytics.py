@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from city_payroll_data_pipeline_spark.functions.text import lang_marker_pattern
 from city_payroll_data_pipeline_spark.operators.graph import SCALE, pagerank_scaled
 from city_payroll_data_pipeline_spark.suite import Query, table
-from city_payroll_data_pipeline_spark.suite.parity import _sql_dec_sum
+from city_payroll_data_pipeline_spark.suite.parity import _sql_dec_sum, _sql_round
 
 # --------------------------------------------------------------------------
 # trade_pagerank — nation-level trade-flow authority.
@@ -1005,6 +1005,245 @@ FROM ranked
 """
 
 
+# --------------------------------------------------------------------------
+# k_anonymity_audit — privacy-governance gate before a data release.
+#
+# Quasi-identifier combinations (here: nation × market segment ×
+# account-balance band) with fewer than k members re-identify people;
+# the audit reports, per k-threshold, how many equivalence classes and
+# how many individual rows fall below it. The release rule a pipeline
+# enforces: suppress or generalize classes with group size < k.
+#
+# Scale: one groupBy on the QI tuple (the class frame is
+# |QI-combination|-sized), then a tiny threshold probe join —
+# the fact table is read once.
+# --------------------------------------------------------------------------
+
+_KA_THRESHOLDS = (2, 5, 10)
+
+
+def q_k_anonymity_audit(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            # floor, not truncating div: balances go negative, and
+            # Spark `div` truncates toward zero while DuckDB `//`
+            # floors — FLOOR of the same double is engine-identical
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count("*").alias("class_size"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _KA_THRESHOLDS], "k int")
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum(F.when(F.col("class_size") < F.col("k"), 1).otherwise(0)).alias(
+                "classes_below_k"
+            ),
+            F.sum(
+                F.when(F.col("class_size") < F.col("k"), F.col("class_size")).otherwise(0)
+            ).alias("rows_below_k"),
+        )
+        .orderBy("k")
+    )
+
+
+K_ANONYMITY_AUDIT_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS class_size
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, 3
+),
+ks AS (SELECT UNNEST([{", ".join(str(k) for k in _KA_THRESHOLDS)}]) AS k)
+SELECT k,
+       COUNT(*) AS n_classes,
+       CAST(SUM(CASE WHEN class_size < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k,
+       CAST(SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END) AS BIGINT)
+         AS rows_below_k
+FROM classes, ks
+GROUP BY k
+ORDER BY k
+"""
+
+
+# --------------------------------------------------------------------------
+# incremental_report_maintenance — incremental view maintenance (IVM)
+# for the flagship budget report.
+#
+# The 100 TB refresh rule: never rescan the fact table to refresh an
+# aggregate — combine the materialized per-group state with the
+# delta's partial aggregate (count/sum are self-mergeable). This query
+# demonstrates it end-to-end: base aggregate (orders with o_orderkey %
+# 10 != 0) merged with the delta aggregate (the remaining tenth)
+# must equal the full recompute — which is exactly what the DuckDB
+# oracle does, so the driver's hash-match IS the IVM correctness
+# proof.
+#
+# Scale: refresh cost is O(|delta| + |groups|), not O(|fact|);
+# operators/upsert.py::merge_upsert is the keyed-table counterpart.
+# --------------------------------------------------------------------------
+
+
+def q_incremental_report_maintenance(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.suite.parity import _dec_sum
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 10 != 0)
+    delta = orders.where(F.col("o_orderkey") % 10 == 0)
+
+    def agg(df):
+        return df.groupBy(F.col("o_orderpriority").alias("job_title")).agg(
+            F.count("*").alias("total_employee"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("dec_budget"),
+        )
+
+    merged = (
+        agg(base)
+        .unionByName(agg(delta))
+        .groupBy("job_title")
+        .agg(
+            F.sum("total_employee").alias("total_employee"),
+            F.sum("dec_budget").cast("double").alias("total_budget"),
+        )
+        .orderBy(F.desc("total_budget"))
+    )
+    return merged
+
+
+INCREMENTAL_REPORT_MAINTENANCE_SQL = """
+SELECT o_orderpriority AS job_title,
+       COUNT(*) AS total_employee,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_budget
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY total_budget DESC
+"""
+
+# --------------------------------------------------------------------------
+# lineitem_corr — exact-sum Pearson correlations per group.
+#
+# Moment sums (Σx, Σy, Σxy, Σx², Σy²) route through DECIMAL so the
+# shuffle order can't move a bit; the closed-form correlation then
+# uses only products, sums and sqrt of identical doubles — and IEEE
+# 754 requires sqrt to be correctly rounded (unlike ln/exp/pow), so
+# both engines produce the same 64 bits. corr() built-ins are NOT
+# used: their streaming accumulation is order-dependent.
+#
+# Scale: one partial/final agg pass, map-side combined; the moment
+# frame is |groups|-sized.
+# --------------------------------------------------------------------------
+
+
+def q_lineitem_corr(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    moments = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(d("l_quantity")).alias("sx"),
+        F.sum(d("l_extendedprice")).alias("sy"),
+        F.sum((d("l_quantity") * d("l_extendedprice")).cast("decimal(38,4)")).alias(
+            "sxy"
+        ),
+        F.sum((d("l_quantity") * d("l_quantity")).cast("decimal(38,4)")).alias("sxx"),
+        F.sum(
+            (d("l_extendedprice") * d("l_extendedprice")).cast("decimal(38,4)")
+        ).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    # one 10-dp round: DuckDB's DECIMAL→DOUBLE cast double-rounds
+    # (int128 then /10^scale) and can land 1 ulp off Spark's
+    # correctly-rounded BigDecimal cast; 1e-10 absorbs 1-ulp drift on
+    # a [-1,1] statistic with 8 digits to spare
+    return moments.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            10,
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+LINEITEM_CORR_SQL = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       {_sql_round('''(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))''', 10)} AS corr_qty_price
+FROM m
+ORDER BY l_returnflag
+"""
+
+# --------------------------------------------------------------------------
+# basket_pairs — frequent co-occurring item pairs (market-basket).
+#
+# Which parts ship together in the same order — the co-occurrence
+# mining that powers "related items" and, in corpus terms, co-citation
+# analysis. The self-join is bounded by construction: TPC-H-ish orders
+# have ≤ 7 lines, so candidate pairs per order are C(7,2) — the join
+# fans out per-order, never corpus-wide. Pairs are canonicalized
+# (a < b) and thresholded on support.
+#
+# Scale: one shuffle on orderkey for the self-join, one on the pair
+# for support counting. At 100 TB add a per-order line cap (already
+# structural here) and a support-threshold pre-filter on item
+# frequency (the a-priori pruning rule).
+# --------------------------------------------------------------------------
+
+_BP_MIN_SUPPORT = 3
+_BP_TOP_K = 20
+
+
+def q_basket_pairs(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= _BP_MIN_SUPPORT)
+        .orderBy(F.desc("support"), "pa", "pb")
+        .limit(_BP_TOP_K)
+    )
+
+
+BASKET_PAIRS_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY pa, pb
+HAVING COUNT(*) >= {_BP_MIN_SUPPORT}
+ORDER BY support DESC, pa, pb
+LIMIT {_BP_TOP_K}
+"""
+
+
 QUERIES = {
     "trade_pagerank": Query(
         q_trade_pagerank, TRADE_PAGERANK_SQL, ("graph", "pagerank", "iterative")
@@ -1061,5 +1300,19 @@ QUERIES = {
     ),
     "key_gini_skew": Query(
         q_key_gini_skew, KEY_GINI_SKEW_SQL, ("skew", "diagnostics", "gini")
+    ),
+    "k_anonymity_audit": Query(
+        q_k_anonymity_audit, K_ANONYMITY_AUDIT_SQL, ("privacy", "governance")
+    ),
+    "incremental_report_maintenance": Query(
+        q_incremental_report_maintenance,
+        INCREMENTAL_REPORT_MAINTENANCE_SQL,
+        ("ivm", "incremental", "merge"),
+    ),
+    "lineitem_corr": Query(
+        q_lineitem_corr, LINEITEM_CORR_SQL, ("stats", "correlation")
+    ),
+    "basket_pairs": Query(
+        q_basket_pairs, BASKET_PAIRS_SQL, ("cooccurrence", "market-basket")
     ),
 }
