@@ -124,6 +124,8 @@ HEADLINE = [
     "incremental_report_maintenance",
     "lineitem_corr",
     "basket_pairs",
+    "source_vocab_overlap",
+    "chunk_dedup_rate",
 ]
 
 

@@ -1244,6 +1244,122 @@ LIMIT {_BP_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# source_vocab_overlap — pairwise vocabulary Jaccard between sources.
+#
+# The corpus-similarity matrix used when deciding whether two sources
+# are redundant (high overlap → dedup across them matters) or
+# complementary (low overlap → both earn their mix share). Jaccard =
+# |A∩B| / (|A|+|B|−|A∩B|): intersection via a self-join of the
+# per-source DISTINCT vocabulary on term, one exact division per pair.
+#
+# Scale: all joins run on the (source, term) distinct frame —
+# vocabulary-sized; pair count is C(|sources|, 2), tiny.
+# --------------------------------------------------------------------------
+
+
+def q_source_vocab_overlap(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import tokens_array
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    vocab = docs.select(
+        "source", F.explode(tokens_array(F.col("text"))).alias("term")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("vsize"))
+    a = vocab.select(F.col("source").alias("src_a"), "term")
+    b = vocab.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .withColumnRenamed("vsize", "size_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b")), "src_b")
+        .withColumnRenamed("vsize", "size_b")
+        .select(
+            "src_a",
+            "src_b",
+            "size_a",
+            "size_b",
+            "inter",
+            (
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_VOCAB_OVERLAP_SQL = r"""
+WITH vocab AS (
+  SELECT DISTINCT source, UNNEST(regexp_extract_all(text, '\S+', 0)) AS term
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS vsize FROM vocab GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+  FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, sa.vsize AS size_a, sb.vsize AS size_b, inter,
+       CAST(inter AS DOUBLE) / (sa.vsize + sb.vsize - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON src_a = sa.source
+JOIN sizes sb ON src_b = sb.source
+ORDER BY src_a, src_b
+"""
+
+# --------------------------------------------------------------------------
+# chunk_dedup_rate — dedup impact at the context-window level.
+#
+# Doc-level dedup misses repeated passages inside distinct documents;
+# chunk-level fingerprinting (over the same overlapping windows
+# doc_chunks emits for training) is the finer signal. Composes the
+# chunking query — same layering a production pipeline uses.
+# --------------------------------------------------------------------------
+
+
+def q_chunk_dedup_rate(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.suite.textops import q_doc_chunks
+
+    chunks = q_doc_chunks(spark, sf_dir).select(F.md5("chunk_text").alias("fp"))
+    uniq = chunks.select("fp").distinct().agg(F.count("*").alias("n_unique"))
+    return (
+        chunks.agg(F.count("*").alias("n_chunks"))
+        .crossJoin(F.broadcast(uniq))
+        .select(
+            "n_chunks",
+            "n_unique",
+            (F.col("n_chunks") - F.col("n_unique")).alias("n_dup"),
+            (
+                (F.col("n_chunks") - F.col("n_unique")) / F.col("n_chunks")
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def _chunk_dedup_rate_sql() -> str:
+    from city_payroll_data_pipeline_spark.suite.textops import DOC_CHUNKS_SQL
+
+    return f"""
+WITH chunks AS ({DOC_CHUNKS_SQL}),
+fp AS (SELECT md5(chunk_text) AS fp FROM chunks),
+u AS (SELECT COUNT(DISTINCT fp) AS n_unique FROM fp)
+SELECT COUNT(*) AS n_chunks,
+       (SELECT n_unique FROM u) AS n_unique,
+       COUNT(*) - (SELECT n_unique FROM u) AS n_dup,
+       CAST(COUNT(*) - (SELECT n_unique FROM u) AS DOUBLE) / COUNT(*)
+         AS dup_ratio
+FROM fp
+"""
+
+
 QUERIES = {
     "trade_pagerank": Query(
         q_trade_pagerank, TRADE_PAGERANK_SQL, ("graph", "pagerank", "iterative")
@@ -1314,5 +1430,13 @@ QUERIES = {
     ),
     "basket_pairs": Query(
         q_basket_pairs, BASKET_PAIRS_SQL, ("cooccurrence", "market-basket")
+    ),
+    "source_vocab_overlap": Query(
+        q_source_vocab_overlap,
+        SOURCE_VOCAB_OVERLAP_SQL,
+        ("text", "jaccard", "corpus-similarity"),
+    ),
+    "chunk_dedup_rate": Query(
+        q_chunk_dedup_rate, _chunk_dedup_rate_sql(), ("dedup", "chunks")
     ),
 }
