@@ -300,3 +300,35 @@ def test_bench_headline_names_exist(suite):
 
     missing = [n for n in bench.HEADLINE if n not in suite]
     assert not missing, missing
+
+
+def test_touch_attribution_interval_join_is_hash_join(suite, spark):
+    """The purchases⋈touches join is equi on user with the 7-day window
+    as a post-join filter — it must plan as a hash/sort-merge join,
+    never a nested-loop time cross-join."""
+    p = plan(_q(suite, spark, "touch_attribution"))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
+
+
+def test_trade_triangles_closing_join_is_equi(suite, spark):
+    """Degree orientation makes the wedge-close lookup a pure equi join
+    on (y, z) = (a, b); an OR-predicate formulation would fall back to
+    a nested loop that cannot scale past toy graphs."""
+    p = plan(_q(suite, spark, "trade_triangles"))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_discriminative_terms_single_corpus_exchange(suite, spark):
+    """Corpus-sized data crosses exactly one exchange (the (source,
+    term) count groupBy); every later join/window runs on vocabulary-
+    sized frames. We pin the absence of a second corpus-wide shuffle by
+    checking the explode feeds straight into a partial aggregate."""
+    p = plan(_q(suite, spark, "discriminative_terms"), mode="simple")
+    assert "EvalPython" not in p
+    assert "Generate" in p  # the explode runs in-plan, not in Python
+    # map-side combine on the corpus-sized side before its exchange
+    assert "partial_" in p, p
+    assert "CartesianProduct" not in p
