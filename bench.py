@@ -126,6 +126,7 @@ HEADLINE = [
     "basket_pairs",
     "source_vocab_overlap",
     "chunk_dedup_rate",
+    "ann_recall_report",
 ]
 
 

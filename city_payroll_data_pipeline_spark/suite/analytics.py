@@ -1360,6 +1360,89 @@ FROM fp
 """
 
 
+# --------------------------------------------------------------------------
+# ann_recall_report — retrieval-quality eval of every approximate
+# retriever against the exact baseline, in one oracle-checked query.
+#
+# The eval harness an embedding pipeline runs after each index build:
+# recall@K per retriever = |approx ∩ exact top-K| / |exact top-K|.
+# Composes the existing retriever queries (and, on the oracle side,
+# their SQL verbatim) — so the driver's hash match certifies both the
+# retrievers and the eval logic in one row set.
+#
+# Scale: each retriever's output is (N_QUERIES × K) rows; the recall
+# joins run on those tiny frames, never the corpus.
+# --------------------------------------------------------------------------
+
+
+def q_ann_recall_report(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.suite.vectors import (
+        K,
+        N_QUERIES,
+        q_cosine_topk,
+        q_ivf_ann_topk,
+        q_lsh_ann_topk,
+        q_sq8_ann_topk,
+    )
+
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    total = K * N_QUERIES
+    parts = []
+    for name, fn in (
+        ("ivf", q_ivf_ann_topk),
+        ("lsh", q_lsh_ann_topk),
+        ("sq8", q_sq8_ann_topk),
+    ):
+        ap = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        parts.append(
+            ap.join(exact, ["query_id", "neighbor_id"]).agg(
+                F.lit(name).alias("retriever"),
+                F.count("*").alias("matched"),
+                F.lit(total).cast("long").alias("total"),
+                (F.count("*") / F.lit(total)).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("retriever")
+
+
+def _ann_recall_report_sql() -> str:
+    from city_payroll_data_pipeline_spark.suite.vectors import (
+        COSINE_TOPK_SQL,
+        IVF_ANN_TOPK_SQL,
+        K,
+        LSH_ANN_TOPK_SQL,
+        N_QUERIES,
+        SQ8_ANN_TOPK_SQL,
+    )
+
+    total = K * N_QUERIES
+    arms = []
+    for name, sql in (
+        ("ivf", IVF_ANN_TOPK_SQL),
+        ("lsh", LSH_ANN_TOPK_SQL),
+        ("sq8", SQ8_ANN_TOPK_SQL),
+    ):
+        arms.append(f"""
+SELECT '{name}' AS retriever,
+       COUNT(*) AS matched,
+       CAST({total} AS BIGINT) AS total,
+       CAST(COUNT(*) AS DOUBLE) / {total} AS recall_at_k
+FROM ({sql}) ap
+JOIN exact ON ap.query_id = exact.query_id
+          AND ap.neighbor_id = exact.neighbor_id""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM ({COSINE_TOPK_SQL})
+)
+{body}
+ORDER BY retriever
+"""
+
+
 QUERIES = {
     "trade_pagerank": Query(
         q_trade_pagerank, TRADE_PAGERANK_SQL, ("graph", "pagerank", "iterative")
@@ -1438,5 +1521,8 @@ QUERIES = {
     ),
     "chunk_dedup_rate": Query(
         q_chunk_dedup_rate, _chunk_dedup_rate_sql(), ("dedup", "chunks")
+    ),
+    "ann_recall_report": Query(
+        q_ann_recall_report, _ann_recall_report_sql(), ("vector", "eval", "recall")
     ),
 }
