@@ -333,3 +333,26 @@ def test_discriminative_terms_single_corpus_exchange(suite, spark):
     # map-side combine on the corpus-sized side before its exchange
     assert "partial_" in p, p
     assert "CartesianProduct" not in p
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(suite, spark, tmp_path):
+    """A fact table partitioned on the join key must be scanned with a
+    dynamicpruningexpression when joined to a filtered dimension — at
+    100 TB this skips every partition the dim filter rules out, before
+    any IO happens. (Catalyst provides this for free once the layout
+    is partitioned — sources/sinks.py::write_parquet partition_by.)"""
+    from pyspark.sql import functions as F
+
+    from city_payroll_data_pipeline_spark.suite import table as t
+
+    orders = t(spark, SF_CORRECT, "orders")
+    path = str(tmp_path / "orders_by_priority")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .where(F.col("o_custkey") < 10)
+    )
+    p = plan(fact.join(dim, "o_orderpriority").groupBy().count())
+    assert "dynamicpruningexpression" in p, p[:2000]
