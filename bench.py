@@ -127,6 +127,7 @@ HEADLINE = [
     "source_vocab_overlap",
     "chunk_dedup_rate",
     "ann_recall_report",
+    "nation_ppr",
 ]
 
 

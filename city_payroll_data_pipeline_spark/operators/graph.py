@@ -38,6 +38,7 @@ def pagerank_scaled(
     damping_den: int = 100,
     iters: int = 8,
     checkpoint_every: int = 4,
+    teleport_node=None,
 ) -> DataFrame:
     """Exact integer-scaled PageRank over ``edges(src, dst, weight)``.
 
@@ -57,6 +58,12 @@ def pagerank_scaled(
     keeping total mass ≈ SCALE (up to truncation dust — bounded by
     N + E per iteration, i.e. < 1e-3 at 1e-9 resolution for graphs
     under a million edges per node).
+
+    ``teleport_node``: when set, runs PERSONALIZED PageRank — the
+    teleport mass (and dangling mass) goes entirely to that node
+    instead of uniformly to all, ranking nodes by proximity to the
+    seed (related-entity ranking). rank_0 is likewise concentrated
+    on the seed.
     """
     # Materialize the edge list once before anything else: node
     # universe, out-weights, and the dangling probe all re-derive from
@@ -79,8 +86,24 @@ def pagerank_scaled(
     norm_edges = edges.join(out_w, "src").select("src", "dst", "weight", "out_w")
     norm_edges = norm_edges.persist()
 
-    base = (damping_den - damping_num) * SCALE // damping_den // n_nodes
-    ranks = nodes.withColumn("rank_scaled", F.lit(SCALE // n_nodes).cast("long"))
+    if teleport_node is None:
+        base_col = F.lit(
+            (damping_den - damping_num) * SCALE // damping_den // n_nodes
+        )
+        ranks = nodes.withColumn(
+            "rank_scaled", F.lit(SCALE // n_nodes).cast("long")
+        )
+    else:
+        seed_base = (damping_den - damping_num) * SCALE // damping_den
+        base_col = F.when(
+            F.col("node") == F.lit(teleport_node), F.lit(seed_base)
+        ).otherwise(F.lit(0))
+        ranks = nodes.withColumn(
+            "rank_scaled",
+            F.when(F.col("node") == F.lit(teleport_node), F.lit(SCALE))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
 
     # nodes with no outgoing edge contribute their mass uniformly.
     # Materialized once: when the graph has none (typical for
@@ -103,25 +126,33 @@ def pagerank_scaled(
             .agg(F.sum("contrib").alias("in_contrib"))
         )
         if has_dangling:
-            dangling = (
+            dangling = int(
                 dangling_nodes.join(ranks, "node")
                 .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("d"))
                 .collect()[0]["d"]
             )  # bounded scalar (one long), same as CC convergence checks
-            dangling_share = damping_num * int(dangling) // (damping_den * n_nodes)
+            if teleport_node is None:
+                share_col = F.lit(
+                    damping_num * dangling // (damping_den * n_nodes)
+                )
+            else:
+                share_col = F.when(
+                    F.col("node") == F.lit(teleport_node),
+                    F.lit(damping_num * dangling // damping_den),
+                ).otherwise(F.lit(0))
         else:
-            dangling_share = 0
+            share_col = F.lit(0)
         ranks = (
             ranks.join(contribs, "node", "left")
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_col
                     + F.expr(
                         f"({damping_num} * coalesce(in_contrib, 0))"
                         f" div {damping_den}"
                     )
-                    + F.lit(dangling_share)
+                    + share_col
                 ).alias("rank_scaled"),
             )
         )

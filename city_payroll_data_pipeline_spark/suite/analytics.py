@@ -124,6 +124,102 @@ ORDER BY rank_scaled DESC, nation
 
 TRADE_PAGERANK_SQL = _pagerank_oracle_sql()
 
+# --------------------------------------------------------------------------
+# nation_ppr — PERSONALIZED PageRank from a seed nation: teleport and
+# dangling mass go to the seed only, ranking nations by trade-flow
+# proximity to it (related-entity ranking; the corpus analogy is
+# "sources most connected to this trusted source"). Same integer
+# machinery and shuffle budget as trade_pagerank.
+# --------------------------------------------------------------------------
+
+_PPR_SEED = 0  # n_nationkey of the seed
+
+
+def q_nation_ppr(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            customer.c_nationkey.alias("src"), supplier.s_nationkey.alias("dst")
+        )
+        .agg(F.count("*").alias("weight"))
+    )
+    ranks = pagerank_scaled(edges, iters=_PR_ITERS, teleport_node=_PPR_SEED)
+    return (
+        ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("rank_scaled"),
+            (F.col("rank_scaled") / F.lit(SCALE)).alias("rank"),
+        )
+        .orderBy(F.desc("rank_scaled"), "nation")
+    )
+
+
+def _ppr_oracle_sql(iters: int = _PR_ITERS, seed: int = _PPR_SEED) -> str:
+    """Personalized variant of _pagerank_oracle_sql: teleport + dangling
+    mass concentrated on the seed node instead of uniform."""
+    head = f"""
+WITH edges AS MATERIALIZED (
+  SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY c_nationkey, s_nationkey
+),
+outw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS MATERIALIZED (
+  SELECT node,
+         CAST(CASE WHEN node = {seed} THEN {SCALE} ELSE 0 END AS BIGINT)
+           AS rank_scaled
+  FROM nodes
+)"""
+    steps = []
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        steps.append(f""",
+r{k} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(CASE WHEN n.node = {seed} THEN {15 * SCALE // 100} ELSE 0 END
+              + (85 * COALESCE(c.in_contrib, 0)) // 100
+              + CASE WHEN n.node = {seed}
+                     THEN (85 * (SELECT CAST(COALESCE(SUM(rd.rank_scaled), 0)
+                                             AS BIGINT)
+                                 FROM {prev} rd
+                                 WHERE rd.node NOT IN (SELECT src FROM edges)))
+                          // 100
+                     ELSE 0 END
+           AS BIGINT) AS rank_scaled
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((r.rank_scaled * e.w) // o.out_w) AS BIGINT) AS in_contrib
+    FROM edges e JOIN outw o ON e.src = o.src
+    JOIN {prev} r ON e.src = r.node
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)""")
+    tail = f"""
+SELECT n_name AS nation,
+       rank_scaled,
+       CAST(rank_scaled AS DOUBLE) / {SCALE} AS rank
+FROM r{iters}
+JOIN nation ON node = n_nationkey
+ORDER BY rank_scaled DESC, nation
+"""
+    return head + "".join(steps) + tail
+
+
+NATION_PPR_SQL = _ppr_oracle_sql()
+
 
 # --------------------------------------------------------------------------
 # pps_weighted_sample — probability-proportional-to-size Bernoulli
@@ -1524,5 +1620,8 @@ QUERIES = {
     ),
     "ann_recall_report": Query(
         q_ann_recall_report, _ann_recall_report_sql(), ("vector", "eval", "recall")
+    ),
+    "nation_ppr": Query(
+        q_nation_ppr, NATION_PPR_SQL, ("graph", "pagerank", "personalized")
     ),
 }

@@ -757,3 +757,19 @@ def test_bpe_apply_matches_pure_python_replay(spark):
     }
     for r in docs.collect():
         assert got[r["doc_id"]] == py_encode(r["text"], merges), r["doc_id"]
+
+
+def test_personalized_pagerank_seed_dominates(spark):
+    """PPR on a 3-cycle with seed 1: mass decays along hops from the
+    seed (1 > 2 > 3 after the cycle closes), and total mass ≈ SCALE."""
+    from city_payroll_data_pipeline_spark.operators.graph import SCALE, pagerank_scaled
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 1, 1)], "src long, dst long, weight long"
+    )
+    ranks = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_scaled(edges, iters=12, teleport_node=1).collect()
+    }
+    assert ranks[1] > ranks[2] > ranks[3]
+    assert abs(sum(ranks.values()) - SCALE) < 1000
