@@ -128,6 +128,11 @@ HEADLINE = [
     "chunk_dedup_rate",
     "ann_recall_report",
     "nation_ppr",
+    # runtime filter / event LM / time-weighted / novelty batch
+    "bloom_semi_join",
+    "markov_transitions",
+    "twap_price",
+    "bigram_novelty",
 ]
 
 

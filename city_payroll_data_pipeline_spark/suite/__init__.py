@@ -78,6 +78,7 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def build_suite() -> dict[str, Query]:
     from city_payroll_data_pipeline_spark.suite import (
+        advanced,
         analytics,
         parity,
         relational,
@@ -86,7 +87,7 @@ def build_suite() -> dict[str, Query]:
     )
 
     suite: dict[str, Query] = {}
-    for mod in (parity, relational, textops, vectors, analytics):
+    for mod in (parity, relational, textops, vectors, analytics, advanced):
         overlap = suite.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

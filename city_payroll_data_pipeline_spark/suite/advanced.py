@@ -1,0 +1,378 @@
+"""Advanced scale-pattern operators (round 3 batch B).
+
+Four operator families the reference cannot express, each built the
+Spark-first way with an exact DuckDB oracle:
+
+* ``bloom_semi_join`` — the runtime-filter pattern: a broadcast Bloom
+  bitset built from the dimension side prunes fact rows map-side
+  BEFORE any shuffle/join, then an exact semi-join recheck removes the
+  false positives, so the result equals the plain semi-join (which is
+  the oracle). Spark's own Runtime Filtering does this invisibly for
+  some shapes; this operator makes it explicit, tunable, and usable
+  where Catalyst doesn't inject it (e.g. ahead of an aggregate-only
+  consumer with no join in the plan).
+* ``markov_transitions`` — first-order event-type transition matrix
+  (the product-analytics "what happens next" / n-gram-LM-over-events
+  shape): one window pass for LEAD, one vocabulary²-bounded groupBy.
+* ``twap_price`` — time-weighted average: each observation weighted by
+  its holding duration until the next observation (per part), summed
+  per brand.  The canonical irregular-time-series aggregate (TWAP /
+  time-in-state); exact decimal arithmetic end-to-end, one final
+  division.
+* ``bigram_novelty`` — corpus-LM novelty: the share of a source's
+  distinct (doc, bigram) observations whose bigram appears in no other
+  document. High novelty ≈ unique/rare text (keep for diversity, or
+  inspect for noise); low ≈ templated/boilerplate. Integer counts,
+  one final division.
+
+Determinism rule (house style, see suite/__init__.py): keep everything
+integer / DECIMAL until one final division or ROUND so Spark's
+partial/final shuffle aggregation and DuckDB's serial fold agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from city_payroll_data_pipeline_spark.suite import Query, table
+from city_payroll_data_pipeline_spark.suite.parity import _dec_sum, _sql_dec_sum
+
+# --------------------------------------------------------------------------
+# bloom_semi_join — broadcast Bloom prefilter + exact recheck.
+#
+# Reference parity note: the reference engine (DuckDB under SQLMesh,
+# see SURVEY §2.3) has no user-facing runtime-filter surface either;
+# this is a beyond-parity scale primitive.
+#
+# Shape: dimension keys (customers with c_acctbal > threshold) are
+# hashed k ways into an m-bit Bloom set, materialized as ONE row
+# holding the sorted array of set bit positions and broadcast to every
+# probe task. Fact rows (orders) check all k of their positions with
+# array_contains — pure map-side work BEFORE the exchange — and only
+# survivors reach the exact LEFT SEMI recheck that removes Bloom false
+# positives. Output = exact semi-join result, aggregated per priority.
+#
+# Scale at 100 TB: the bitset is O(m) bytes regardless of fact size
+# (m = 2^14 here → ≤ 128 KiB worst case as an int array, one network
+# copy per executor). With n build keys, FP rate ≈ (1 − e^(−kn/m))^k;
+# at n ≈ 1.5 % of customers and m/n ≈ 50 this is < 1 %, so ~99 % of
+# non-matching fact rows never leave the scan task. The recheck join
+# is broadcast here (build side is small by construction); in a
+# shuffle-join deployment the same prefilter cuts shuffled bytes by
+# the match rate, which is the entire point of runtime filters.
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 14  # bits in the filter
+_BLOOM_SEEDS = (101, 202, 303)  # k = 3 independent xxhash64 seeds
+_BLOOM_MIN_BAL = 7000.0
+
+
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    return [
+        F.pmod(F.xxhash64(key, F.lit(s)), F.lit(_BLOOM_M)) for s in _BLOOM_SEEDS
+    ]
+
+
+def q_bloom_semi_join(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+
+    build = cust.filter(F.col("c_acctbal") > _BLOOM_MIN_BAL).select("c_custkey")
+    # one row: sorted distinct bit positions set by any build key
+    bits = build.select(
+        F.explode(F.array(*_bloom_positions(F.col("c_custkey")))).alias("pos")
+    ).agg(F.array_sort(F.collect_set("pos")).alias("bits"))
+
+    probe_checks = [
+        F.array_contains(F.col("bits"), p)
+        for p in _bloom_positions(F.col("o_custkey"))
+    ]
+    maybe = (
+        orders.join(F.broadcast(bits))  # 1-row bitset, broadcast scalar
+        .where(reduce(and_, probe_checks))
+        .drop("bits")
+    )
+    hit = maybe.join(
+        F.broadcast(build),
+        maybe.o_custkey == build.c_custkey,
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "sum_totalprice"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BLOOM_SEMI_JOIN_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {_sql_dec_sum('o_totalprice', 'sum_totalprice')}
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_MIN_BAL}
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# markov_transitions — per-user next-event transition probabilities.
+#
+# The "what happens after X" product-analytics matrix and the
+# first-order Markov/LM over event streams: P(dst | src) =
+# count(src→dst) / Σ_dst count(src→·). LEAD over (user, time) gives
+# each event its successor; ties on ts break on event_id so both
+# engines see the same ordering. One window shuffle on user_id (the
+# natural key facts are usually already bucketed by), then a
+# |event-type|²-bounded groupBy — corpus-independent output size.
+# Probability = integer ÷ integer window total, rounded once.
+# --------------------------------------------------------------------------
+
+
+def q_markov_transitions(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count("*").alias("n"))
+    wsrc = W.partitionBy("src")
+    return (
+        counts.withColumn("src_total", F.sum("n").over(wsrc))
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n") / F.col("src_total"), 6).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+MARKOV_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS dst
+  FROM events
+),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n
+  FROM pairs WHERE dst IS NOT NULL
+  GROUP BY src, dst
+)
+SELECT src, dst, n,
+       round(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+FROM counts
+ORDER BY src, dst
+"""
+
+
+# --------------------------------------------------------------------------
+# twap_price — duration-weighted average price per brand.
+#
+# Irregular time series: consecutive shipments of a part define
+# holding intervals; each interval's price is weighted by its length
+# in days (zero-length intervals contribute zero weight, parts with a
+# single shipment contribute nothing). Brand TWAP =
+# Σ price·days / Σ days over all the brand's part intervals.
+#
+# Exactness: price routes through DECIMAL(18,2) (shipment prices have
+# two decimals), days is an integer, so the weighted sum is exact
+# decimal arithmetic in both engines; ONE final division produces the
+# double. Ordering ties (same part, same shipdate) break on
+# (l_orderkey, l_linenumber) identically in both engines.
+#
+# Scale: one window shuffle on l_partkey (the fact's natural
+# bucketing key), a broadcast join to the part dim for brand, and a
+# 25-row output aggregate. No self-join, no re-scan.
+# --------------------------------------------------------------------------
+
+
+def q_twap_price(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    w = W.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    seg = (
+        li.select(
+            "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+            "l_extendedprice",
+        )
+        .withColumn("next_ship", F.lead("l_shipdate").over(w))
+        .where(F.col("next_ship").isNotNull())
+        .withColumn(
+            "days",
+            F.datediff(F.col("next_ship").cast("date"),
+                       F.col("l_shipdate").cast("date")),
+        )
+    )
+    weighted = seg.select(
+        "l_partkey",
+        "days",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * F.col("days")).alias(
+            "px_days"
+        ),
+    )
+    return (
+        weighted.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                      weighted.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_intervals"),
+            F.sum("days").alias("sum_days"),
+            (F.sum("px_days").cast("double")
+             / F.nullif(F.sum("days"), F.lit(0)).cast("double")
+             ).alias("twap"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+TWAP_PRICE_SQL = """
+WITH seg AS (
+  SELECT l_partkey, l_extendedprice,
+         date_diff('day',
+                   CAST(l_shipdate AS DATE),
+                   CAST(LEAD(l_shipdate) OVER (
+                     PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ) AS DATE)) AS days
+  FROM lineitem
+)
+SELECT p_brand,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(days) AS BIGINT) AS sum_days,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * days) AS DOUBLE)
+         / CAST(NULLIF(SUM(days), 0) AS DOUBLE) AS twap
+FROM seg JOIN part ON l_partkey = p_partkey
+WHERE days IS NOT NULL
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# bigram_novelty — per-source share of corpus-unique bigrams.
+#
+# The LM-flavored novelty/boilerplate diagnostic on the documents
+# corpus: a (doc, bigram) observation is "novel" when its bigram's
+# document frequency is exactly 1 — no other document in the corpus
+# contains it. Template/boilerplate-heavy sources score low; unique
+# prose scores high. This is the aggregate cousin of the MinHash
+# near-dup family (dedup.py): both work on the same distinct
+# (doc, shingle) frame, but here the output is a per-source audit
+# number rather than candidate pairs.
+#
+# Scale: two shuffles, both on bounded frames — distinct(doc, bigram)
+# (corpus-bigram-bounded, text itself never re-shuffled) and the
+# vocabulary²-bounded doc-frequency groupBy. The df join back is on
+# the same bigram key (no extra exchange under AQE reuse), and the
+# per-source rollup output is |sources| rows. Integer counts, one
+# final division.
+# --------------------------------------------------------------------------
+
+
+def q_bigram_novelty(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import word_tokens
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", "source", word_tokens(F.col("text")).alias("w"))
+    bg = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                    lambda x, i: F.concat_ws(
+                        " ", x, F.element_at(F.col("w"), i + 2)
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .distinct()
+    )
+    df_counts = bg.groupBy("bg").agg(F.count("*").alias("df"))
+    return (
+        bg.join(df_counts, "bg")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_doc_bigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+BIGRAM_NOVELTY_SQL = r"""
+WITH bg AS (
+  SELECT DISTINCT doc_id, source, bg
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(
+             range(0, len(w) - 1), i -> w[i+1] || ' ' || w[i+2]
+           )) AS bg
+    FROM (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z]+', 0) AS w
+      FROM documents
+    )
+    WHERE len(w) >= 2
+  )
+),
+dfc AS (
+  SELECT bg, COUNT(*) AS df FROM bg GROUP BY bg
+)
+SELECT source,
+       COUNT(*) AS n_doc_bigrams,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM bg JOIN dfc USING (bg)
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "bloom_semi_join": Query(
+        q_bloom_semi_join,
+        BLOOM_SEMI_JOIN_SQL,
+        ("runtime-filter", "bloom", "semi-join"),
+    ),
+    "markov_transitions": Query(
+        q_markov_transitions,
+        MARKOV_TRANSITIONS_SQL,
+        ("events", "markov", "window"),
+    ),
+    "twap_price": Query(
+        q_twap_price, TWAP_PRICE_SQL, ("time-series", "twap", "integer-exact")
+    ),
+    "bigram_novelty": Query(
+        q_bigram_novelty, BIGRAM_NOVELTY_SQL, ("text", "ngram", "novelty")
+    ),
+}

@@ -222,6 +222,7 @@ _INTENTIONAL_BNLJ = {
     "source_divergence",      # broadcast 1-row grand-total scalar
     "nearest_centroid_eval",  # broadcast label-count-sized centroid table
     "rrf_fused_topk",         # inherits cosine/sq8 broadcast query sets
+    "bloom_semi_join",        # broadcast 1-row Bloom bitset array
 }
 
 
