@@ -133,6 +133,9 @@ HEADLINE = [
     "markov_transitions",
     "twap_price",
     "bigram_novelty",
+    # sharded row ids + random projection
+    "stable_doc_ids",
+    "jl_projection_error",
 ]
 
 

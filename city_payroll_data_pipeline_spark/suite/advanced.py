@@ -40,7 +40,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from city_payroll_data_pipeline_spark.suite import Query, table
-from city_payroll_data_pipeline_spark.suite.parity import _dec_sum, _sql_dec_sum
+from city_payroll_data_pipeline_spark.suite.parity import (
+    _dec_sum,
+    _sql_dec_sum,
+    _sql_round,
+)
 
 # --------------------------------------------------------------------------
 # bloom_semi_join — broadcast Bloom prefilter + exact recheck.
@@ -358,6 +362,170 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# stable_doc_ids — contiguous global row numbering without a global
+# sort (operators/rowids.py). The oracle runs the naive global
+# ROW_NUMBER; the hash match proves the sharded two-phase plan is
+# bit-identical to it while its largest sort is 1/n_shards of the
+# data.
+# --------------------------------------------------------------------------
+
+_RID_SHARDS = 8
+
+
+def q_stable_doc_ids(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators.rowids import stable_row_ids
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stable_row_ids(docs, "doc_id", n_shards=_RID_SHARDS).select(
+        "row_id", "doc_id", "source"
+    ).orderBy("row_id")
+
+
+STABLE_DOC_IDS_SQL = """
+SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS row_id, doc_id, source
+FROM documents
+ORDER BY row_id
+"""
+
+
+# --------------------------------------------------------------------------
+# jl_projection_error — Johnson–Lindenstrauss ±1 random projection
+# with an exact-integer error report.
+#
+# Projecting d=64-dim embeddings to k=16 dims with a ±1 sign matrix
+# (Achlioptas 2001: database-friendly random projections) preserves
+# dot products in expectation: E[⟨Pq, Px⟩] = k·⟨q, x⟩. This query
+# measures how well, per query vector, against the whole corpus:
+# sign-agreement count and the RMS residual of proj_dot − k·true_dot
+# — the go/no-go check before swapping full-dim scoring for projected
+# scoring in a retrieval pipeline.
+#
+# Determinism: embeddings ride the 1e-4 integer grid
+# (operators/similarity.py contract), the sign matrix is a fixed LCG
+# literal embedded in BOTH engines, so projections, dots and residuals
+# are exact BIGINT; residual squares route through DECIMAL(38,0)
+# (they exceed int64) and ONE final sqrt/divide chain produces the
+# double.
+#
+# Scale: the projection is a map-side expression (k dot products per
+# row); the query set is a broadcast (same pattern as cosine_topk).
+# At 100 TB you'd materialize the k-dim projection once and score on
+# it — 4× fewer bytes per vector here, more at higher d/k ratios.
+# --------------------------------------------------------------------------
+
+_JL_K = 16
+_JL_D = 64
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Deterministic ±1 from one 64-bit LCG step on the cell index."""
+    x = ((i * _JL_K + j) * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+    return 1 if (x >> 33) & 1 else -1
+
+
+_JL_SIGNS = [[_jl_sign(i, j) for i in range(_JL_D)] for j in range(_JL_K)]
+
+
+def q_jl_projection_error(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators import similarity as sim
+    from city_payroll_data_pipeline_spark.suite.vectors import N_QUERIES
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    q = emb.select("vec_id", sim.quantize(F.col("embedding")).alias("qv"))
+
+    def project(col: F.Column) -> F.Column:
+        return F.array(
+            *[
+                sim.dot_q(
+                    col,
+                    F.array(*[F.lit(s).cast("bigint") for s in _JL_SIGNS[j]]),
+                )
+                for j in range(_JL_K)
+            ]
+        )
+
+    proj = q.select("vec_id", "qv", project(F.col("qv")).alias("pv"))
+    queries = proj.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("pv").alias("q_pv"),
+    )
+    pairs = proj.join(F.broadcast(queries)).select(
+        "query_id",
+        sim.dot_q(F.col("q_qv"), F.col("qv")).alias("true_dot"),
+        sim.dot_q(F.col("q_pv"), F.col("pv")).alias("proj_dot"),
+    )
+    r = (F.col("proj_dot") - _JL_K * F.col("true_dot")).cast("decimal(38,0)")
+    scale = float(_JL_K) * sim.QUANT * sim.QUANT
+    return (
+        pairs.groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    F.signum("proj_dot") == F.signum("true_dot"), 1
+                ).otherwise(0)
+            ).alias("sign_agree"),
+            # cast the exact decimal sum to double BEFORE dividing
+            # (matching the oracle's CAST(SUM(..) AS DOUBLE)/COUNT);
+            # decimal-division-then-cast rounds differently by 1 ulp.
+            # The 10-dp round absorbs any residual last-ulp drift in
+            # the conversion chain (house pattern, see lineitem_corr).
+            F.round(
+                F.sqrt(F.sum(r * r).cast("double") / F.count("*"))
+                / F.lit(scale),
+                10,
+            ).alias("rmse"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _jl_oracle_sql() -> str:
+    from city_payroll_data_pipeline_spark.suite.vectors import (
+        N_QUERIES,
+        _QUANT_SQL,
+        _dot_sql,
+    )
+
+    sign_lists = ", ".join(
+        "[" + ", ".join(str(s) for s in _JL_SIGNS[j]) + "]"
+        for j in range(_JL_K)
+    )
+    scale = float(_JL_K) * 10_000 * 10_000
+    return f"""
+WITH q AS (
+  SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings
+),
+proj AS (
+  SELECT vec_id, qv,
+         list_transform([{sign_lists}], s -> {_dot_sql('qv', 's')}) AS pv
+  FROM q
+),
+pairs AS (
+  SELECT a.vec_id AS query_id,
+         {_dot_sql('a.qv', 'b.qv')} AS true_dot,
+         {_dot_sql('a.pv', 'b.pv')} AS proj_dot
+  FROM proj a, proj b
+  WHERE a.vec_id < {N_QUERIES}
+)
+SELECT query_id,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN sign(proj_dot) = sign(true_dot) THEN 1 ELSE 0 END)
+            AS BIGINT) AS sign_agree,
+       {_sql_round(
+           f"sqrt(CAST(SUM(CAST(proj_dot - {_JL_K} * true_dot AS HUGEINT)"
+           f" * CAST(proj_dot - {_JL_K} * true_dot AS HUGEINT)) AS DOUBLE)"
+           f" / COUNT(*)) / {scale}",
+           10,
+       )} AS rmse
+FROM pairs
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
 QUERIES = {
     "bloom_semi_join": Query(
         q_bloom_semi_join,
@@ -374,5 +542,15 @@ QUERIES = {
     ),
     "bigram_novelty": Query(
         q_bigram_novelty, BIGRAM_NOVELTY_SQL, ("text", "ngram", "novelty")
+    ),
+    "stable_doc_ids": Query(
+        q_stable_doc_ids,
+        STABLE_DOC_IDS_SQL,
+        ("row-ids", "sharded", "no-global-sort"),
+    ),
+    "jl_projection_error": Query(
+        q_jl_projection_error,
+        _jl_oracle_sql(),
+        ("embeddings", "random-projection", "integer-exact"),
     ),
 }

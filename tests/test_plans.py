@@ -223,6 +223,7 @@ _INTENTIONAL_BNLJ = {
     "nearest_centroid_eval",  # broadcast label-count-sized centroid table
     "rrf_fused_topk",         # inherits cosine/sq8 broadcast query sets
     "bloom_semi_join",        # broadcast 1-row Bloom bitset array
+    "jl_projection_error",    # broadcast projected query set vs corpus
 }
 
 

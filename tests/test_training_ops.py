@@ -773,3 +773,28 @@ def test_personalized_pagerank_seed_dominates(spark):
     }
     assert ranks[1] > ranks[2] > ranks[3]
     assert abs(sum(ranks.values()) - SCALE) < 1000
+
+
+def test_stable_row_ids_contiguous_and_ordered(spark):
+    """Skewed keys across few shards: IDs must be exactly 1..n in key
+    order regardless of shard boundaries (including empty shards and
+    all rows landing in one shard)."""
+    from city_payroll_data_pipeline_spark.operators.rowids import stable_row_ids
+
+    rows = [(k,) for k in [7, 7, 7, 7, 100, 3, 50, 7, 2, 99]]
+    df = spark.createDataFrame(rows, "k long").withColumn(
+        "uid", F.monotonically_increasing_id()
+    )
+    # tiebreaker needed because k has duplicates
+    out = stable_row_ids(df, "k", tiebreakers=("uid",), n_shards=4).collect()
+    got = sorted((r["row_id"], r["k"]) for r in out)
+    assert [rid for rid, _ in got] == list(range(1, 11))
+    assert [k for _, k in got] == sorted(r[0] for r in rows)
+
+
+def test_stable_row_ids_single_shard_degenerate(spark):
+    from city_payroll_data_pipeline_spark.operators.rowids import stable_row_ids
+
+    df = spark.createDataFrame([(i,) for i in [5, 1, 9]], "k long")
+    out = {r["k"]: r["row_id"] for r in stable_row_ids(df, "k", n_shards=1).collect()}
+    assert out == {1: 1, 5: 2, 9: 3}
