@@ -136,6 +136,8 @@ HEADLINE = [
     # sharded row ids + random projection
     "stable_doc_ids",
     "jl_projection_error",
+    # lossless prefix-filtered set-similarity join
+    "prefix_jaccard_pairs",
 ]
 
 

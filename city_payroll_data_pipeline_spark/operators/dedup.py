@@ -327,6 +327,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (the PPJoin family: Chaudhuri
+    et al. SSJoin/ICDE'06, Xiao et al. PPJoin/WWW'08) — the LOSSLESS
+    alternative to ``ngram_jaccard_pairs``'s DF-cap heuristics.
+
+    Order every document's shingles by a global total order (ascending
+    document frequency — rarest first — tie-broken on the hash) and
+    keep only the first |A| − ⌈t·|A|⌉ + 1 as the document's *prefix*.
+    Theorem: two sets with Jaccard ≥ t MUST share at least one prefix
+    element under any common total order, so joining on prefix
+    shingles alone generates a candidate superset with NO false
+    negatives — which is why the oracle for this operator is the pure
+    brute-force Jaccard SQL with no candidate-stage guards at all.
+    A length filter (t·|A| ≤ |B| ∧ t·|B| ≤ |A|, necessary since
+    |A∩B| ≤ min and ≥ t·max) prunes size-incompatible pairs inside
+    the same join.
+
+    Scale: rarest-first ordering makes prefixes meet almost only on
+    rare shingles (the same Σ df² economics as the DF-cap variant, but
+    earned instead of assumed), candidate volume shrinks as t grows
+    (prefix length → 1 as t → 1), and exactness is preserved — use
+    this when missing a true near-dup pair is not acceptable; use
+    minhash/LSH when approximate recall is fine and the corpus is too
+    hot for exact verification of every candidate."""
+    sh = shingle_frame(df, id_col, text_col, shingle_n).persist()
+    from pyspark.sql import Window as W
+
+    dfreq = sh.groupBy("a", "b").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfreq, ["a", "b"])
+    w_rank = W.partitionBy("doc_id").orderBy("df", "a", "b")
+    w_size = W.partitionBy("doc_id")
+    pref = (
+        ranked.withColumn("sz", F.count("*").over(w_size))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("doc_id", "a", "b", "sz")
+    )
+    cands = (
+        pref.alias("x")
+        .join(
+            pref.alias("y"),
+            (F.col("x.a") == F.col("y.a"))
+            & (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.lit(threshold) * F.col("x.sz") <= F.col("y.sz"))
+            & (F.lit(threshold) * F.col("y.sz") <= F.col("x.sz")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return jaccard_verify(
+        df, cands, id_col, text_col, shingle_n, threshold, _shingles=sh
+    )
+
+
 # --------------------------------------------------------------------------
 # Pair clustering (connected components) — the last dedup stage:
 # near-dup PAIRS become GROUPS, one canonical keeper per group

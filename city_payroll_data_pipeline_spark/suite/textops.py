@@ -637,6 +637,36 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_prefix_jaccard_pairs(spark, sf_dir):
+    """Lossless PPJoin-style near-dup join: because prefix filtering
+    has NO false negatives, the oracle below is the pure brute-force
+    exact-Jaccard SQL with no candidate guards — the hash match
+    certifies the whole candidate-generation theorem, not just the
+    verify step."""
+    return dedup.prefix_jaccard_pairs(
+        _near_corpus(spark, sf_dir), "doc_id", "text", threshold=0.5
+    )
+
+
+PREFIX_JACCARD_PAIRS_SQL = rf"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+{_SHINGLE_AB_CTES}
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM sh x JOIN sh y
+    ON x.a = y.a AND x.b = y.b AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_common / CAST(za.n + zb.n - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE n_common / CAST(za.n + zb.n - n_common AS DOUBLE) >= 0.5
+"""
+
+
 NGRAM_JACCARD_PAIRS_SQL = rf"""
 WITH corpus AS ({_NEAR_CORPUS_SQL}),
 {_SHINGLE_AB_CTES}
@@ -2607,6 +2637,11 @@ QUERIES = {
     ),
     "ngram_jaccard_pairs": Query(
         q_ngram_jaccard_pairs, NGRAM_JACCARD_PAIRS_SQL, ("dedup", "ngram", "jaccard")
+    ),
+    "prefix_jaccard_pairs": Query(
+        q_prefix_jaccard_pairs,
+        PREFIX_JACCARD_PAIRS_SQL,
+        ("dedup", "ppjoin", "prefix-filter", "lossless"),
     ),
     "corpus_clean_pipeline": Query(
         q_corpus_clean_pipeline,
