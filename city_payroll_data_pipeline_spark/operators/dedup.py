@@ -356,13 +356,45 @@ def prefix_jaccard_pairs(
     (prefix length → 1 as t → 1), and exactness is preserved — use
     this when missing a true near-dup pair is not acceptable; use
     minhash/LSH when approximate recall is fine and the corpus is too
-    hot for exact verification of every candidate."""
-    sh = shingle_frame(df, id_col, text_col, shingle_n).persist()
+    hot for exact verification of every candidate.
+
+    At moderate thresholds the prefix is long (t=0.5 → half the set),
+    so candidate volume is orders of magnitude above the heuristic
+    variants (measured 342k pairs vs <1k at sf0.1) — two design
+    choices absorb that:
+    * PPJoin's POSITIONAL filter (also lossless): a match at 1-based
+      rarity-ranks (i, j) bounds the achievable overlap by
+      1 + min(|A|−i, |B|−j), which must reach the Jaccard-≥-t minimum
+      overlap t/(1+t)·(|A|+|B|) for the pair to survive.
+    * compact verification (:func:`jaccard_verify_compact`): per-pair
+      local set intersection over gathered arrays instead of the
+      per-shingle-row join — the row-join verify explodes to
+      |pairs|·|shingles-per-doc| shuffle rows (45M at sf0.1, measured
+      >500 s), the compact one moves each doc's set once and scores
+      pairs with codegen'd array_intersect.
+
+    Shingle identity here is a single 60-bit bigint c = a·2^12 +
+    (b mod 2^12) folded from the shared (a, b) md5 halves — NOT the
+    struct pair: ``array_intersect`` (and the hash joins) take the
+    primitive fast path for bigint but an O(n·m) generic path for
+    struct elements (measured 13× slower on 300k pair verifications).
+    The fold is replayed verbatim by the oracle, so even a collision
+    (≈2^-60 per shingle pair) would be mirrored deterministically in
+    both engines."""
     from pyspark.sql import Window as W
 
-    dfreq = sh.groupBy("a", "b").agg(F.count("*").alias("df"))
-    ranked = sh.join(dfreq, ["a", "b"])
-    w_rank = W.partitionBy("doc_id").orderBy("df", "a", "b")
+    sh = shingle_frame(df, id_col, text_col, shingle_n)
+    shc = (
+        sh.select(
+            "doc_id",
+            (F.col("a") * 4096 + F.pmod(F.col("b"), 4096)).alias("c"),
+        )
+        .distinct()
+        .persist()
+    )
+    dfreq = shc.groupBy("c").agg(F.count("*").alias("df"))
+    ranked = shc.join(dfreq, ["c"])
+    w_rank = W.partitionBy("doc_id").orderBy("df", "c")
     w_size = W.partitionBy("doc_id")
     pref = (
         ranked.withColumn("sz", F.count("*").over(w_size))
@@ -371,25 +403,82 @@ def prefix_jaccard_pairs(
             F.col("rn")
             <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
         )
-        .select("doc_id", "a", "b", "sz")
+        .select("doc_id", "c", "sz", "rn")
+        .persist()  # the self-join reads it twice; windows paid once
+    )
+    min_overlap = (F.lit(threshold) / (1 + threshold)) * (
+        F.col("x.sz") + F.col("y.sz")
     )
     cands = (
         pref.alias("x")
         .join(
             pref.alias("y"),
-            (F.col("x.a") == F.col("y.a"))
-            & (F.col("x.b") == F.col("y.b"))
+            (F.col("x.c") == F.col("y.c"))
             & (F.col("x.doc_id") < F.col("y.doc_id"))
+            # length filter: |A∩B| ≤ min and ≥ t·max ⇒ sizes within 1/t
             & (F.lit(threshold) * F.col("x.sz") <= F.col("y.sz"))
-            & (F.lit(threshold) * F.col("y.sz") <= F.col("x.sz")),
+            & (F.lit(threshold) * F.col("y.sz") <= F.col("x.sz"))
+            # positional filter: overlap reachable from ranks (i, j)
+            & (
+                1 + F.least(
+                    F.col("x.sz") - F.col("x.rn"),
+                    F.col("y.sz") - F.col("y.rn"),
+                )
+                >= min_overlap
+            ),
         )
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .distinct()
     )
-    return jaccard_verify(
-        df, cands, id_col, text_col, shingle_n, threshold, _shingles=sh
+    return jaccard_verify_compact(cands, shc, threshold)
+
+
+def jaccard_verify_compact(
+    candidates: DataFrame,
+    keyed: DataFrame,
+    threshold: float,
+    key: str = "c",
+) -> DataFrame:
+    """Exact Jaccard for HIGH-VOLUME candidate sets: gather each doc's
+    hashed shingle set into one sorted bigint array row, equi-join the
+    two array rows onto each pair, and intersect LOCALLY with the
+    primitive-fast-path ``array_intersect`` — O(|pairs|) rows through
+    the shuffle instead of the |pairs|·|shingles-per-doc| blow-up of
+    the row-level join in :func:`jaccard_verify` (which remains the
+    right shape when candidates are few and docs are huge: arrays
+    require a doc's shingle set to fit comfortably in a row — true for
+    bounded-length training documents, not for unbounded blobs).
+
+    ``keyed``: (doc_id, <key>) distinct frame; key must be a primitive
+    (bigint) for the fast path — see prefix_jaccard_pairs' 60-bit
+    fold."""
+    sets_ = keyed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(key)).alias("s"),
+        F.count("*").alias("n"),
+    )
+    return (
+        candidates.join(
+            sets_.alias("za"), F.col("doc_a") == F.col("za.doc_id")
+        )
+        .join(sets_.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("za.s", "zb.s")).alias("n_common"),
+            F.col("za.n").alias("na"),
+            F.col("zb.n").alias("nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -651,11 +651,14 @@ def q_prefix_jaccard_pairs(spark, sf_dir):
 PREFIX_JACCARD_PAIRS_SQL = rf"""
 WITH corpus AS ({_NEAR_CORPUS_SQL}),
 {_SHINGLE_AB_CTES}
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shc AS (
+  SELECT DISTINCT doc_id, a * 4096 + b % 4096 AS c FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
-  FROM sh x JOIN sh y
-    ON x.a = y.a AND x.b = y.b AND x.doc_id < y.doc_id
+  FROM shc x JOIN shc y
+    ON x.c = y.c AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
