@@ -138,6 +138,9 @@ HEADLINE = [
     "jl_projection_error",
     # lossless prefix-filtered set-similarity join
     "prefix_jaccard_pairs",
+    # mixing weights + class geometry
+    "temperature_mixture",
+    "label_centroid_sim",
 ]
 
 

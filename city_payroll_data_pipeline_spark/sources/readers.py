@@ -9,6 +9,7 @@ guarantees stable schemas across uploads.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from city_payroll_data_pipeline_spark.schemas import (
     all_string_schema,
@@ -56,6 +57,40 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     predicates and column pruning into the scan, and ORC's stripe-level
     min/max indexes serve data skipping."""
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw media ingestion: every file under ``path`` as one row
+    (path, modificationTime, length, content: binary) via Spark's
+    built-in ``binaryFile`` source — the entry point of the multimodal
+    pipeline (functions/multimodal.py consumes exactly this shape).
+
+    * ``glob`` filters by filename pattern scan-side
+      (``pathGlobFilter``, e.g. ``"*.png"``) — non-matching files are
+      never opened.
+    * ``max_bytes`` guards the executor: binaryFile loads each file
+      whole into one row, so a stray multi-GB blob would OOM a task.
+      The filter runs on the ``length`` metadata column BEFORE content
+      is materialized for downstream operators; oversized assets
+      belong on the chunked path (media_chunk_plan) instead.
+
+    Scale: one file = one row = one task-splittable unit; Spark
+    parallelizes over files, so ingest bandwidth scales with executor
+    count. Pair with compact_parquet after writing — millions of tiny
+    media files should land as few large parquet files of
+    (path, meta, content)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict:

@@ -526,6 +526,167 @@ ORDER BY query_id
 """
 
 
+# --------------------------------------------------------------------------
+# temperature_mixture — temperature-scaled sampling weights per source.
+#
+# The multilingual/multi-source mixing rule (e.g. the α-smoothed
+# sampling of mBERT/XLM-R and data-mix papers): sampling probability
+# p_s ∝ tokens_s^α with α = 0.5 — upweights small sources relative to
+# proportional sampling without letting any source dominate. Output is
+# the mix table a training-data pipeline feeds its sampler: per-source
+# token mass, temperature weight, sampling probability, and the token
+# allocation out of a fixed budget.
+#
+# Determinism: tokens^0.5 = sqrt (IEEE correctly-rounded, unlike
+# pow/ln), rounded once to 6 dp and routed through DECIMAL(24,6) so
+# the normalization sum is order-independent; the probability and
+# allocation derive from the same two decimals in both engines.
+# Scale: one groupBy over sources + a broadcast 1-row total.
+# --------------------------------------------------------------------------
+
+_TEMP_BUDGET = 1_000_000  # token budget to allocate across sources
+
+
+def q_temperature_mixture(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("n_tokens")
+    )
+    per = per.withColumn(
+        "w", F.round(F.sqrt("n_tokens"), 6).cast("decimal(24,6)")
+    )
+    tot = per.agg(F.sum("w").alias("tw"))
+    p = F.col("w").cast("double") / F.col("tw").cast("double")
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.col("w").cast("double").alias("weight"),
+            F.round(p, 6).alias("p_sample"),
+            F.floor(F.lit(_TEMP_BUDGET) * p).cast("bigint").alias(
+                "alloc_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_MIXTURE_SQL = rf"""
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(text, '\S+', 0))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_tokens,
+         -- Spark's round(sqrt, 6)->DECIMAL(24,6): 6-dp HALF_UP on the
+         -- shortest decimal repr (VARCHAR route), exact decimal out
+         CAST(ROUND(CAST(CAST(sqrt(n_tokens) AS VARCHAR)
+                         AS DECIMAL(38,20)), 6) AS DECIMAL(24,6)) AS wd
+  FROM per
+),
+tot AS (SELECT SUM(wd) AS tw FROM w)
+SELECT source, n_tokens,
+       CAST(wd AS DOUBLE) AS weight,
+       {_sql_round('CAST(wd AS DOUBLE) / CAST(tw AS DOUBLE)', 6)} AS p_sample,
+       CAST(floor({_TEMP_BUDGET} * (CAST(wd AS DOUBLE) / CAST(tw AS DOUBLE)))
+            AS BIGINT) AS alloc_tokens
+FROM w, tot
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# label_centroid_sim — pairwise cosine between per-label centroids.
+#
+# The embedding-space class-geometry audit: which labels' centroids
+# sit close together (confusable / candidate merge) and which are well
+# separated. Reuses the nearest_centroid_eval machinery: UNNORMALIZED
+# integer sum-centroids on the 1e-4 grid keep every dot/norm exact
+# BIGINT, and cosine is scale-invariant so the un-divided sums are
+# the correct centroids to compare. The pairwise stage runs on the
+# |labels|-row centroid frame — the corpus is read once and never
+# shuffled beyond the (label, pos) partial-sum aggregate.
+# --------------------------------------------------------------------------
+
+
+def q_label_centroid_sim(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators import similarity as sim
+
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
+        "label", sim.quantize(F.col("embedding")).alias("q")
+    )
+    sums = (
+        emb.select("label", F.posexplode("q").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"))
+    )
+    cents = (
+        sums.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ).alias("c")
+        )
+        .withColumn("n2", F.expr("aggregate(transform(c, x -> x * x), 0L, (a, x) -> a + x)"))
+    )
+    pairs = cents.alias("x").join(
+        cents.alias("y"), F.col("x.label") < F.col("y.label")
+    )
+    from city_payroll_data_pipeline_spark.operators.similarity import dot_q
+
+    return pairs.select(
+        F.col("x.label").alias("label_a"),
+        F.col("y.label").alias("label_b"),
+        F.round(
+            dot_q(F.col("x.c"), F.col("y.c")).cast("double")
+            / F.sqrt(
+                F.col("x.n2").cast("double") * F.col("y.n2").cast("double")
+            ),
+            6,
+        ).alias("cos"),
+    ).orderBy("label_a", "label_b")
+
+
+def _label_centroid_sim_sql() -> str:
+    from city_payroll_data_pipeline_spark.suite.vectors import (
+        DIM,
+        _QUANT_SQL,
+        _dot_sql,
+    )
+
+    return f"""
+WITH q AS (
+  SELECT label, {_QUANT_SQL} AS q FROM embeddings
+),
+pos AS (
+  SELECT label, p.pos AS pos, q[p.pos] AS val
+  FROM q CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS pos) p
+),
+sums AS (
+  SELECT label, pos, CAST(SUM(val) AS BIGINT) AS s
+  FROM pos GROUP BY label, pos
+),
+cents AS (
+  SELECT label, list(s ORDER BY pos) AS c FROM sums GROUP BY label
+),
+cents2 AS (SELECT label, c, {_dot_sql('c', 'c')} AS n2 FROM cents)
+SELECT x.label AS label_a, y.label AS label_b,
+       {_sql_round(
+           f"CAST({_dot_sql('x.c', 'y.c')} AS DOUBLE)"
+           f" / sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE))",
+           6,
+       )} AS cos
+FROM cents2 x JOIN cents2 y ON x.label < y.label
+ORDER BY label_a, label_b
+"""
+
+
 QUERIES = {
     "bloom_semi_join": Query(
         q_bloom_semi_join,
@@ -552,5 +713,15 @@ QUERIES = {
         q_jl_projection_error,
         _jl_oracle_sql(),
         ("embeddings", "random-projection", "integer-exact"),
+    ),
+    "temperature_mixture": Query(
+        q_temperature_mixture,
+        TEMPERATURE_MIXTURE_SQL,
+        ("mixing", "temperature-sampling", "decimal-exact"),
+    ),
+    "label_centroid_sim": Query(
+        q_label_centroid_sim,
+        _label_centroid_sim_sql(),
+        ("embeddings", "centroids", "integer-exact"),
     ),
 }

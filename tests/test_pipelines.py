@@ -472,3 +472,23 @@ def test_quarantine_routing(spark):
     good = out.filter(~F.col("is_quarantined")).count()
     bad = out.filter(F.col("is_quarantined")).count()
     assert (good, bad) == (1, 3)
+
+
+def test_binary_file_ingest(spark, tmp_path):
+    """binaryFile source: glob filter keeps non-matching files closed,
+    max_bytes guard drops oversized blobs on the metadata column, and
+    content round-trips byte-exact."""
+    from city_payroll_data_pipeline_spark.sources.readers import read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG-fake-a")
+    (d / "b.png").write_bytes(b"\x89PNG-fake-bb")
+    (d / "big.png").write_bytes(b"x" * 4096)
+    (d / "notes.txt").write_bytes(b"not media")
+
+    df = read_binary_files(spark, str(d), glob="*.png", max_bytes=1024)
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.png", "b.png"}
+    assert bytes(rows["a.png"]["content"]) == b"\x89PNG-fake-a"
+    assert rows["b.png"]["length"] == 12

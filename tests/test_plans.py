@@ -224,6 +224,8 @@ _INTENTIONAL_BNLJ = {
     "rrf_fused_topk",         # inherits cosine/sq8 broadcast query sets
     "bloom_semi_join",        # broadcast 1-row Bloom bitset array
     "jl_projection_error",    # broadcast projected query set vs corpus
+    "temperature_mixture",    # broadcast 1-row weight-total scalar
+    "label_centroid_sim",     # |labels|-row centroid pairwise (non-equi)
 }
 
 
