@@ -141,6 +141,8 @@ HEADLINE = [
     # mixing weights + class geometry
     "temperature_mixture",
     "label_centroid_sim",
+    # winnowing fingerprints (MOSS)
+    "winnow_fingerprints",
 ]
 
 

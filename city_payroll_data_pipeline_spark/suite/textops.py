@@ -637,6 +637,130 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# winnow_fingerprints — winnowing document fingerprints (Schleimer,
+# Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
+# Fingerprinting", SIGMOD'03 — the MOSS algorithm).
+#
+# Selection guarantee the other fingerprint ops lack: taking the MIN
+# k-gram hash in every window of w consecutive k-grams ensures any
+# shared run of w+k-1 tokens is detected by at least one shared
+# fingerprint, while storing only ~2/(w+1) of all k-gram hashes.
+# doc_fingerprint (whole-doc hash) detects only exact duplicates;
+# repeated_spans keeps every 16-token span hash; winnowing is the
+# principled middle: bounded fingerprint density with a detection
+# guarantee. Output: document pairs sharing ≥ m winnowed fingerprints
+# — the plagiarism/overlap candidate report.
+#
+# Scale: k-gram hashing + the min-window are one per-doc window pass
+# (doc-bounded partitions); the pair join runs on DISTINCT winnowed
+# fingerprints with a DF cap (same stop-shingle economics as
+# ngram_jaccard_pairs) — never on raw text.
+# --------------------------------------------------------------------------
+
+_WIN_K = 5   # tokens per k-gram
+_WIN_W = 4   # winnow window (k-gram hashes per window)
+_WIN_MAX_DF = 20
+_WIN_MIN_SHARED = 5
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from city_payroll_data_pipeline_spark.functions.text import (
+        shingles as _sh,
+        tokens_array as _ta,
+    )
+
+    corpus = _near_corpus(spark, sf_dir)
+    toks = corpus.select("doc_id", _ta(F.col("text")).alias("t"))
+    grams = toks.select(
+        "doc_id", F.posexplode(_sh(F.col("t"), _WIN_K)).alias("pos", "g")
+    )
+    hashed = grams.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("g"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    w_doc = W.partitionBy("doc_id")
+    w_min = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    fps = (
+        hashed.withColumn("n", F.count("*").over(w_doc))
+        .withColumn("mh", F.min("h").over(w_min))
+        # only FULL windows (positions with w hashes after them) —
+        # matches the paper's definition and keeps the tail exact
+        .filter(F.col("pos") <= F.col("n") - _WIN_W)
+        .select("doc_id", "mh")
+        .distinct()
+        .persist()
+    )
+    dfc = (
+        fps.groupBy("mh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _WIN_MAX_DF)
+        .select("mh")
+    )
+    rfp = fps.join(dfc, "mh")
+    return (
+        rfp.alias("x")
+        .join(
+            rfp.alias("y"),
+            (F.col("x.mh") == F.col("y.mh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+WINNOW_FINGERPRINTS_SQL = rf"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\S+', 0) AS t FROM corpus
+),
+grams AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3]
+           || ' ' || t[u.i+4] AS g
+  FROM toks
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(1, len(t) - {_WIN_K} + 2)) AS i
+  ) u
+  WHERE len(t) >= {_WIN_K}
+),
+hashed AS (
+  SELECT doc_id, pos,
+         CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS h
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, mh FROM (
+    SELECT doc_id, pos,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {_WIN_W - 1} FOLLOWING) AS mh
+    FROM hashed
+  ) WHERE pos <= n - {_WIN_W}
+),
+kept AS (
+  SELECT mh FROM fps GROUP BY mh HAVING COUNT(*) <= {_WIN_MAX_DF}
+),
+rfp AS (SELECT fps.doc_id, fps.mh FROM fps JOIN kept USING (mh))
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM rfp x JOIN rfp y ON x.mh = y.mh AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_prefix_jaccard_pairs(spark, sf_dir):
     """Lossless PPJoin-style near-dup join: because prefix filtering
     has NO false negatives, the oracle below is the pure brute-force
@@ -2645,6 +2769,11 @@ QUERIES = {
         q_prefix_jaccard_pairs,
         PREFIX_JACCARD_PAIRS_SQL,
         ("dedup", "ppjoin", "prefix-filter", "lossless"),
+    ),
+    "winnow_fingerprints": Query(
+        q_winnow_fingerprints,
+        WINNOW_FINGERPRINTS_SQL,
+        ("fingerprinting", "winnowing", "moss"),
     ),
     "corpus_clean_pipeline": Query(
         q_corpus_clean_pipeline,
