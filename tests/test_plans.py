@@ -360,3 +360,63 @@ def test_dynamic_partition_pruning_on_partitioned_fact(suite, spark, tmp_path):
     )
     p = plan(fact.join(dim, "o_orderpriority").groupBy().count())
     assert "dynamicpruningexpression" in p, p[:2000]
+
+
+def test_bloom_semi_join_probes_before_exchange(suite, spark):
+    """The Bloom probe (array_contains on the broadcast bitset) must
+    be a map-side filter and the exact recheck a broadcast semi join —
+    never a shuffle of the fact table."""
+    p = plan(_q(suite, spark, "bloom_semi_join"), mode="simple")
+    assert "array_contains" in p, p
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_stable_doc_ids_window_is_shard_partitioned(suite, spark):
+    """The data-sized row_number window must run per-shard (parallel),
+    not on a single partition — the whole point of the operator. The
+    only single-partition work allowed is the n_shards-row offset
+    prefix-sum and the presentational output sort."""
+    p = plan(_q(suite, spark, "stable_doc_ids"), mode="simple")
+    assert "hashpartitioning(shard" in p, p
+
+
+def test_prefix_jaccard_uses_compact_array_verify(suite, spark):
+    """Verification must be the local array_intersect on gathered
+    bigint sets — the row-level shingle join blows up to
+    |pairs|x|shingles-per-doc| shuffle rows (measured >500s at
+    sf0.1 vs 4.6s compact)."""
+    p = plan(_q(suite, spark, "prefix_jaccard_pairs"), mode="simple")
+    assert "array_intersect" in p, p
+
+
+def test_twap_single_window_broadcast_dim(suite, spark):
+    """One LEAD window on l_partkey is the only lineitem shuffle; the
+    part dim joins broadcast."""
+    p = plan(_q(suite, spark, "twap_price"), mode="simple")
+    assert p.count("Window [") == 1, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_markov_two_window_passes(suite, spark):
+    """LEAD over (user, time) + the per-src total: exactly two window
+    nodes, nothing else touches the events table twice."""
+    p = plan(_q(suite, spark, "markov_transitions"), mode="simple")
+    assert p.count("Window [") == 2, p
+
+
+def test_winnow_windows_are_doc_partitioned(suite, spark):
+    """Every window in the winnowing pass is partitioned by doc_id
+    (doc-bounded, parallel) — no global window anywhere. (The cached
+    fingerprint frame's lineage prints multiple times pre-execution,
+    so count distinct specs, not nodes.)"""
+    p = plan(_q(suite, spark, "winnow_fingerprints"), mode="simple")
+    specs = {
+        line.split("windowspecdefinition", 1)[1][:40]
+        for line in p.splitlines()
+        if "windowspecdefinition" in line
+    }
+    assert len(specs) == 2, specs  # per-doc count + per-doc min
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(doc_id" in line, line
