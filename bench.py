@@ -143,6 +143,8 @@ HEADLINE = [
     "label_centroid_sim",
     # winnowing fingerprints (MOSS)
     "winnow_fingerprints",
+    # two-pass exact heavy hitters
+    "heavy_hitter_tokens",
 ]
 
 

@@ -1,0 +1,85 @@
+"""Heavy hitters (frequent items) with the two-pass sketch shape.
+
+The naive way to find tokens above an ε share of a corpus is a full
+``groupBy(token)`` — a vocabulary-wide shuffle where 99.9 % of the
+keys are long-tail singletons that can never qualify. The scalable
+shape is candidate-generation + exact recheck:
+
+1. **Local pass (no shuffle):** inside each partition, count tokens
+   and emit only those with local share ≥ ε. Pigeonhole guarantee: if
+   freq(x) > ε·N globally then Σ_p local_p(x) > ε·Σ_p n_p, so some
+   partition has local share > ε — a true heavy hitter can NEVER be
+   missed, no matter how its occurrences are distributed. (Same
+   guarantee family as Misra-Gries/SpaceSaving; this variant trades a
+   slightly looser candidate bound for a trivially mergeable stateless
+   pass.)
+2. **Exact recheck (candidate-sized shuffle):** re-count ONLY the
+   candidates (broadcast semi-join probe) and keep those above the
+   global threshold.
+
+The candidate SET depends on partitioning (more partitions → more
+false candidates), but the final output is partitioning-independent:
+exactly the tokens with global count > ε·N — which is why the suite
+oracle is the plain exact SQL with no sketch at all.
+
+The local pass is a Pandas ``mapInPandas`` operator — one of the
+sanctioned Python boundaries (SURVEY §2.10): per-partition stateful
+counting is exactly what built-in DataFrame ops cannot express
+without the vocabulary-wide shuffle this operator exists to avoid.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def local_heavy_hitter_candidates(
+    tokens: DataFrame, token_col: str, epsilon: float
+) -> DataFrame:
+    """Tokens whose share WITHIN their partition is ≥ epsilon — a
+    superset of the global-ε heavy hitters (pigeonhole), produced with
+    zero shuffle: Arrow batches stream through a per-partition Counter
+    whose size is bounded by the partition's distinct-token count (at
+    most 1/ε survivors are emitted)."""
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: Counter = Counter()
+        total = 0
+        for pdf in batches:
+            col = pdf[token_col]
+            counts.update(col.tolist())
+            total += len(col)
+        if total:
+            floor_n = epsilon * total
+            out = [t for t, c in counts.items() if c >= floor_n]
+            yield pd.DataFrame({token_col: out})
+
+    return tokens.mapInPandas(per_partition, schema=f"{token_col} string")
+
+
+def heavy_hitters(
+    tokens: DataFrame, token_col: str, epsilon: float
+) -> DataFrame:
+    """Exact frequent-item table: every token with global count >
+    ε·total, with its exact count and share. Output is independent of
+    partitioning (candidates are a guaranteed superset; the recheck is
+    exact)."""
+    cands = local_heavy_hitter_candidates(tokens, token_col, epsilon).distinct()
+    total = tokens.agg(F.count("*").alias("n_total"))
+    return (
+        tokens.join(F.broadcast(cands), token_col, "left_semi")
+        .groupBy(token_col)
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(total))
+        .filter(F.col("cnt") > F.lit(epsilon) * F.col("n_total"))
+        .select(
+            token_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_total"), 6).alias("share"),
+        )
+    )

@@ -687,6 +687,46 @@ ORDER BY label_a, label_b
 """
 
 
+# --------------------------------------------------------------------------
+# heavy_hitter_tokens — exact frequent tokens via the two-pass sketch
+# (operators/heavyhitters.py). The local mapInPandas pass generates a
+# pigeonhole-guaranteed candidate superset with NO shuffle; the exact
+# recheck shuffles only candidates. Output = exactly the tokens above
+# the global ε share, so the oracle is plain exact SQL — the hash
+# match certifies the no-false-negative guarantee.
+# --------------------------------------------------------------------------
+
+_HH_EPSILON = 0.002  # tokens above 0.2% of the corpus
+
+
+def q_heavy_hitter_tokens(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import word_tokens
+    from city_payroll_data_pipeline_spark.operators.heavyhitters import (
+        heavy_hitters,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters(toks, "tok", _HH_EPSILON).orderBy(
+        F.desc("cnt"), F.asc("tok")
+    )
+
+
+HEAVY_HITTER_TOKENS_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS tok
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n_total FROM toks)
+SELECT tok, COUNT(*) AS cnt,
+       {_sql_round('COUNT(*) / CAST(n_total AS DOUBLE)', 6)} AS share
+FROM toks, tot
+GROUP BY tok, n_total
+HAVING COUNT(*) > {_HH_EPSILON} * n_total
+ORDER BY cnt DESC, tok
+"""
+
+
 QUERIES = {
     "bloom_semi_join": Query(
         q_bloom_semi_join,
@@ -723,5 +763,10 @@ QUERIES = {
         q_label_centroid_sim,
         _label_centroid_sim_sql(),
         ("embeddings", "centroids", "integer-exact"),
+    ),
+    "heavy_hitter_tokens": Query(
+        q_heavy_hitter_tokens,
+        HEAVY_HITTER_TOKENS_SQL,
+        ("sketch", "heavy-hitters", "lossless"),
     ),
 }

@@ -226,6 +226,15 @@ _INTENTIONAL_BNLJ = {
     "jl_projection_error",    # broadcast projected query set vs corpus
     "temperature_mixture",    # broadcast 1-row weight-total scalar
     "label_centroid_sim",     # |labels|-row centroid pairwise (non-equi)
+    "heavy_hitter_tokens",    # broadcast 1-row corpus-total scalar
+}
+
+# Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
+# logic DataFrame ops can't express without defeating the operator's
+# purpose. Everything else must stay JVM-side.
+_SANCTIONED_PYTHON = {
+    "media_feature_extract",   # media decode/feature stub pipeline
+    "heavy_hitter_tokens",     # zero-shuffle local candidate counting
 }
 
 
@@ -240,7 +249,7 @@ def test_no_scale_red_flags_in_any_query(suite, spark):
         flags = []
         if "CartesianProduct" in p:
             flags.append("CartesianProduct")
-        if "EvalPython" in p and name != "media_feature_extract":
+        if "EvalPython" in p and name not in _SANCTIONED_PYTHON:
             flags.append("EvalPython")
         if "BroadcastNestedLoopJoin" in p and name not in _INTENTIONAL_BNLJ:
             flags.append("unexpected BNLJ")

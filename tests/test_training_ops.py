@@ -798,3 +798,19 @@ def test_stable_row_ids_single_shard_degenerate(spark):
     df = spark.createDataFrame([(i,) for i in [5, 1, 9]], "k long")
     out = {r["k"]: r["row_id"] for r in stable_row_ids(df, "k", n_shards=1).collect()}
     assert out == {1: 1, 5: 2, 9: 3}
+
+
+def test_heavy_hitters_pigeonhole_guarantee(spark):
+    """Adversarial spread: a true heavy hitter scattered thinly across
+    partitions must still be found (pigeonhole: some partition sees
+    local share >= epsilon), and sub-threshold tokens must not."""
+    from city_payroll_data_pipeline_spark.operators.heavyhitters import heavy_hitters
+
+    # 'hot' = 30/100 tokens spread over all partitions; 'warm' = 10/100
+    rows = [("hot",)] * 30 + [("warm",)] * 10 + [(f"t{i}",) for i in range(60)]
+    toks = spark.createDataFrame(rows, "tok string").repartition(8)
+    got = {r["tok"]: r["cnt"] for r in heavy_hitters(toks, "tok", 0.2).collect()}
+    assert got == {"hot": 30}
+
+    got2 = {r["tok"] for r in heavy_hitters(toks, "tok", 0.05).collect()}
+    assert got2 == {"hot", "warm"}
