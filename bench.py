@@ -145,6 +145,8 @@ HEADLINE = [
     "winnow_fingerprints",
     # two-pass exact heavy hitters
     "heavy_hitter_tokens",
+    # customer lifecycle segmentation
+    "rfm_segments",
 ]
 
 

@@ -688,6 +688,82 @@ ORDER BY label_a, label_b
 
 
 # --------------------------------------------------------------------------
+# rfm_segments — recency/frequency/monetary customer segmentation.
+#
+# The classic lifecycle-marketing segmentation: per customer, days
+# since last order (R), order count (F), decimal-exact spend (M),
+# each scored into quintiles, customers grouped by the 3-digit RFM
+# code. Recency anchors on the corpus max order date (deterministic,
+# no wall clock). NTILE ties break on c_custkey in both engines.
+#
+# Scale: one groupBy on the fact's customer key, three quintile
+# windows over the |customers| frame (at 100 TB swap NTILE for
+# histogram_quantiles thresholds to stay single-pass — same note as
+# quality_logit_deciles), |codes|-sized output.
+# --------------------------------------------------------------------------
+
+
+def q_rfm_segments(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per = (
+        orders.join(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff(F.col("maxd").cast("date"),
+                           F.col("o_orderdate").cast("date"))
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            _dec_sum(F.col("o_totalprice"), "monetary"),
+        )
+    )
+    w_r = W.orderBy("recency_days", "o_custkey")
+    w_f = W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = W.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    scored = (
+        per.withColumn("r_score", F.ntile(5).over(w_r))
+        .withColumn("f_score", F.ntile(5).over(w_f))
+        .withColumn("m_score", F.ntile(5).over(w_m))
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dec_sum(F.col("monetary"), "segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+RFM_SEGMENTS_SQL = f"""
+WITH anchor AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+per AS (
+  SELECT o_custkey,
+         MIN(date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(maxd AS DATE))) AS recency_days,
+         COUNT(*) AS frequency,
+         {_sql_dec_sum('o_totalprice', 'monetary')}
+  FROM orders, anchor
+  GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+         NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM per
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       {_sql_dec_sum('monetary', 'segment_value')}
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+# --------------------------------------------------------------------------
 # heavy_hitter_tokens — exact frequent tokens via the two-pass sketch
 # (operators/heavyhitters.py). The local mapInPandas pass generates a
 # pigeonhole-guaranteed candidate superset with NO shuffle; the exact
@@ -768,5 +844,10 @@ QUERIES = {
         q_heavy_hitter_tokens,
         HEAVY_HITTER_TOKENS_SQL,
         ("sketch", "heavy-hitters", "lossless"),
+    ),
+    "rfm_segments": Query(
+        q_rfm_segments,
+        RFM_SEGMENTS_SQL,
+        ("product-analytics", "rfm", "segmentation"),
     ),
 }

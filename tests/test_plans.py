@@ -227,6 +227,7 @@ _INTENTIONAL_BNLJ = {
     "temperature_mixture",    # broadcast 1-row weight-total scalar
     "label_centroid_sim",     # |labels|-row centroid pairwise (non-equi)
     "heavy_hitter_tokens",    # broadcast 1-row corpus-total scalar
+    "rfm_segments",           # broadcast 1-row max-date anchor
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
