@@ -161,3 +161,60 @@ def test_bpe_trainer_matches_reference_on_random_corpora(spark, words):
     got = train_bpe(corpus, "text", n_merges=4)
     want = _reference_bpe(hist, 4)
     assert got == want, f"{words}: {got} != {want}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000),
+             min_size=1, max_size=40, unique=True),
+    st.integers(min_value=1, max_value=6),
+)
+def test_stable_row_ids_match_global_row_number(spark, keys, n_shards):
+    """For ANY unique key set and shard count, the sharded two-phase
+    numbering equals the single-reducer ROW_NUMBER result."""
+    from city_payroll_data_pipeline_spark.operators.rowids import stable_row_ids
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["row_id"]
+        for r in stable_row_ids(df, "k", n_shards=n_shards).collect()
+    }
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_prefix_jaccard_equals_brute_force(spark, tokenlists):
+    """Lossless claim under random corpora: prefix-filtered pairs ==
+    brute-force exact Jaccard pairs over the same hashed shingles."""
+    from itertools import combinations
+
+    from city_payroll_data_pipeline_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = [(i, " ".join(toks * 2)) for i, toks in enumerate(tokenlists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_jaccard_pairs(df, "doc_id", "text", shingle_n=2,
+                                      threshold=0.5).collect()
+    }
+
+    def sh2(toks):
+        t = (toks * 2)
+        return {" ".join(t[i:i + 2]) for i in range(len(t) - 1)}
+
+    want = set()
+    for (ia, ta), (ib, tb) in combinations(enumerate(tokenlists), 2):
+        a, b = sh2(ta), sh2(tb)
+        if a and b and len(a & b) / len(a | b) >= 0.5:
+            want.add((min(ia, ib), max(ia, ib)))
+    assert got == want
