@@ -147,6 +147,9 @@ HEADLINE = [
     "heavy_hitter_tokens",
     # customer lifecycle segmentation
     "rfm_segments",
+    # embedding-training negative sampling
+    "hard_negative_topk",
+    "contrastive_negatives",
 ]
 
 

@@ -803,6 +803,167 @@ ORDER BY cnt DESC, tok
 """
 
 
+# --------------------------------------------------------------------------
+# hard_negative_topk — hard-negative mining for embedding training.
+#
+# Contrastive/retrieval training wants negatives that are SIMILAR to
+# the anchor but differently labeled — the examples that actually move
+# the loss. Per query vector: top-k cosine neighbors restricted to
+# label ≠ anchor label. Same exact-integer cosine machinery as
+# cosine_topk (1e-4 grid, BIGINT dots, one float chain), plus the
+# label-mismatch predicate INSIDE the broadcast join so disqualified
+# pairs never reach scoring.
+#
+# Scale: corpus scanned once, query set broadcast (the cosine_topk
+# pattern); per-query top-k rides the WindowGroupLimit.
+# --------------------------------------------------------------------------
+
+_HN_K = 5
+
+
+def q_hard_negative_topk(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators import similarity as sim
+    from city_payroll_data_pipeline_spark.suite.vectors import N_QUERIES
+
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "label", sim.quantize(F.col("embedding")).alias("q")
+    ).withColumn("n2", sim.norm2_q(F.col("q")))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    scored = emb.join(
+        F.broadcast(queries), F.col("label") != F.col("qlabel")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("negative_id"),
+        sim.cosine_q(
+            sim.dot_q(F.col("qq"), F.col("q")), F.col("qn2"), F.col("n2")
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select("query_id", "rank", "negative_id",
+                F.round("cosine", 6).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hard_negative_sql() -> str:
+    from city_payroll_data_pipeline_spark.suite.parity import _sql_round as _r
+    from city_payroll_data_pipeline_spark.suite.vectors import (
+        N_QUERIES,
+        _COSINE_SQL,
+        _QUANT_SQL,
+        _dot_sql,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, {_QUANT_SQL} AS q FROM embeddings
+),
+qv AS (
+  SELECT vec_id, label, q, {_dot_sql('q', 'q')} AS n2 FROM base
+),
+pairs AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS negative_id,
+         {_dot_sql('p.q', 'c.q')} AS dot, p.n2 AS n2a, c.n2 AS n2b
+  FROM qv p JOIN qv c
+    ON p.vec_id < {N_QUERIES} AND c.label <> p.label
+),
+scored AS (
+  SELECT query_id, negative_id, {_COSINE_SQL} AS cosine FROM pairs
+),
+ranked AS (
+  SELECT query_id, negative_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, negative_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, negative_id, {_r('cosine', 6)} AS cosine
+FROM ranked WHERE rank <= {_HN_K}
+ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# contrastive_negatives — deterministic uniform negative sampling.
+#
+# The cheap complement to hard-negative mining: K pseudo-random
+# differently-labeled negatives per anchor, chosen by an md5-derived
+# order both engines compute identically — reproducible epoch-to-
+# epoch, seedable by changing the salt. CRUCIALLY this is a
+# metadata-only query: it reads (vec_id, label) and never touches the
+# embedding column, so the parquet scan prunes the vectors entirely —
+# negative sampling over 100 TB of embeddings costs a scan of two
+# thin columns.
+# --------------------------------------------------------------------------
+
+_CN_K = 8
+
+
+def q_contrastive_negatives(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.suite.vectors import N_QUERIES
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("query_id"), F.col("vec_id"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+    pairs = emb.join(
+        F.broadcast(queries), F.col("label") != F.col("qlabel")
+    ).select("query_id", F.col("vec_id").alias("negative_id"), h)
+    w = W.partitionBy("query_id").orderBy("h", "negative_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CN_K)
+        .select("query_id", "rank", "negative_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _contrastive_negatives_sql() -> str:
+    from city_payroll_data_pipeline_spark.suite.vectors import N_QUERIES
+
+    return f"""
+WITH queries AS (
+  SELECT vec_id AS query_id, label AS qlabel FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS negative_id,
+         CAST('0x' || substr(md5(q.query_id || ':' || e.vec_id), 1, 12)
+              AS BIGINT) AS h
+  FROM embeddings e JOIN queries q ON e.label <> q.qlabel
+),
+ranked AS (
+  SELECT query_id, negative_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY h, negative_id) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, negative_id
+FROM ranked WHERE rank <= {_CN_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "bloom_semi_join": Query(
         q_bloom_semi_join,
@@ -849,5 +1010,15 @@ QUERIES = {
         q_rfm_segments,
         RFM_SEGMENTS_SQL,
         ("product-analytics", "rfm", "segmentation"),
+    ),
+    "hard_negative_topk": Query(
+        q_hard_negative_topk,
+        _hard_negative_sql(),
+        ("embeddings", "contrastive", "hard-negatives"),
+    ),
+    "contrastive_negatives": Query(
+        q_contrastive_negatives,
+        _contrastive_negatives_sql(),
+        ("embeddings", "negative-sampling", "metadata-only"),
     ),
 }

@@ -228,6 +228,8 @@ _INTENTIONAL_BNLJ = {
     "label_centroid_sim",     # |labels|-row centroid pairwise (non-equi)
     "heavy_hitter_tokens",    # broadcast 1-row corpus-total scalar
     "rfm_segments",           # broadcast 1-row max-date anchor
+    "hard_negative_topk",     # broadcast query set, label-mismatch join
+    "contrastive_negatives",  # broadcast query set, label-mismatch join
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
@@ -430,3 +432,12 @@ def test_winnow_windows_are_doc_partitioned(suite, spark):
     for line in p.splitlines():
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(doc_id" in line, line
+
+
+def test_contrastive_negatives_prunes_embeddings(suite, spark):
+    """Negative sampling is metadata-only: the embeddings scan must
+    read (vec_id, label) and NEVER the vector column — at 100 TB the
+    vectors are ~99% of the table's bytes."""
+    p = plan(_q(suite, spark, "contrastive_negatives"))
+    reads = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert reads and all("embedding" not in r for r in reads), reads
