@@ -174,6 +174,59 @@ def stream_merge_to_table(
     return q
 
 
+def streaming_topk_to_table(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Continuously-maintained top-k leaderboard per time window (the
+    live "trending event types" view).
+
+    Rank-over-stream is not expressible in a pure streaming plan
+    (non-time window functions are unsupported on unbounded input), so
+    this composes the two sanctioned pieces: a watermarked windowed
+    COUNT keeps bounded streaming state, and ``foreachBatch`` ranks
+    the complete aggregate and atomically overwrites the k·|windows|
+    result table each micro-batch. State is window-count-bounded
+    (watermark evicts closed windows); the ranked frame is tiny by
+    construction, so the per-batch sort is never the stream's
+    bottleneck."""
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def rank_and_publish(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("win").orderBy(F.desc("n"), F.asc("event_type"))
+        top = (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("win.start").alias("window_start"),
+                "rank",
+                "event_type",
+                "n",
+            )
+        )
+        top.write.mode("overwrite").parquet(path)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(rank_and_publish)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def join_streams(
     left: DataFrame,
     right: DataFrame,

@@ -437,3 +437,39 @@ def test_streaming_ewma_agrees_with_batch_fold(spark, tmp_path):
         n, ewma = out[uid]
         assert n == len(vals)
         assert ewma == fold(vals), (uid, ewma, fold(vals))
+
+
+def test_streaming_topk_leaderboard(spark, tmp_path):
+    """Two micro-batches; the published table holds the top-2 event
+    types per window from the COMPLETE aggregate (batch 2 overturns
+    batch 1's leader)."""
+    import datetime as dt
+
+    from city_payroll_data_pipeline_spark.streaming.jobs import (
+        streaming_topk_to_table,
+    )
+
+    src = tmp_path / "tk_src"
+    t0 = dt.datetime(2024, 1, 1, 10, 15, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "ts timestamp, event_type string").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    write_batch([(t0, "view")] * 3 + [(t0, "click")] * 2 + [(t0, "buy")])
+    write_batch([(t0, "click")] * 4)  # click overtakes view: 6 vs 3
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .parquet(str(src))
+    )
+    out = tmp_path / "tk_out"
+    streaming_topk_to_table(
+        stream, str(out), str(tmp_path / "tk_chk"), k=2, window="1 hour"
+    )
+    rows = {
+        (r["rank"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert rows == {(1, "click"): 6, (2, "view"): 3}
