@@ -102,14 +102,31 @@ def read_jsonl(
     spark: SparkSession,
     path: str,
     schema: str | None = None,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """JSON-lines reader — the interchange format of corpus pipelines
     (one document object per line; gzip/zstd handled transparently by
     the codec layer). Pass an explicit DDL ``schema`` in production:
     like CSV inference, sampling-based JSON schema inference is a full
     extra scan at 100 TB and can mis-type sparse fields.
-    """
+
+    ``keep_corrupt=True``: PERMISSIVE quarantine — malformed lines
+    surface as rows with every data field NULL and the raw line in
+    ``_corrupt_record`` instead of killing the job (one bad line in
+    100 TB must not fail the ingest) or silently vanishing
+    (DROPMALFORMED). Route them with
+    ``df.filter("_corrupt_record IS NOT NULL")`` to a quarantine sink
+    — same reason-routing philosophy as operators/quality.py. Requires
+    an explicit ``schema`` (the corrupt column must be declared, not
+    inferred)."""
     reader = spark.read
+    if keep_corrupt:
+        if schema is None:
+            raise ValueError("keep_corrupt=True requires an explicit schema")
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+        schema = schema + ", _corrupt_record string"
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

@@ -492,3 +492,32 @@ def test_binary_file_ingest(spark, tmp_path):
     assert set(rows) == {"a.png", "b.png"}
     assert bytes(rows["a.png"]["content"]) == b"\x89PNG-fake-a"
     assert rows["b.png"]["length"] == 12
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    """One malformed line in a JSONL shard must neither kill the read
+    nor vanish: it surfaces with NULL fields and the raw line in
+    _corrupt_record, while good rows parse normally."""
+    from city_payroll_data_pipeline_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        '{"doc_id": 2, "text": "also good"}\n'
+        '{"doc_id": 3, "text": "broken...\n'
+    )
+    df = read_jsonl(
+        spark, str(p), schema="doc_id long, text string", keep_corrupt=True
+    )
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0]["doc_id"] is None
+    assert bad_rows[0]["_corrupt_record"].startswith('{"doc_id": 3')
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_jsonl(spark, str(p), keep_corrupt=True)
