@@ -1,0 +1,67 @@
+"""Partitioning-invariance sweep — the 1000-executor determinism claim.
+
+Every suite query is supposed to produce BIT-IDENTICAL results no
+matter how the data is partitioned: on a real cluster the shuffle
+partition count, input split layout, and executor count all differ
+from local[32], and any query whose values depend on them (a raw
+double sum folded in shuffle order, a rank with an under-specified
+ORDER BY, a first()/head() masquerading as a reduction) would pass
+every fixed-layout test and still be wrong in production.
+
+This sweep re-runs a representative query subset with a hostile
+layout — a prime shuffle-partition count and the inputs themselves
+repartitioned — and asserts exact frame equality against the default
+layout. It is the local stand-in for "would the answer change on a
+1000-executor cluster?".
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import assert_frames_match
+
+# One representative per determinism-sensitive mechanism:
+#   decimal-routed sums, window ranks, integer-exact statistics,
+#   dedup candidate pipelines, sketch + recheck, sharded numbering,
+#   rational-arithmetic reports, time-series windows.
+REPRESENTATIVES = [
+    "budget_report",            # decimal-routed SUM + global sort
+    "kpi_stats",                # grand totals + exact median
+    "pricing_summary",          # multi-agg decimal routing
+    "top_orders_per_priority",  # window rank with tie-breaks
+    "event_sessions",           # gap sessionization windows
+    "exact_dedup_groups",       # hash-fingerprint groupBy
+    "minhash_dedup_pairs",      # shingle→LSH→verify pipeline
+    "prefix_jaccard_pairs",     # prefix filter + compact verify
+    "heavy_hitter_tokens",      # partition-dependent candidates, exact result
+    "stable_doc_ids",           # sharded two-phase numbering
+    "rfm_segments",             # NTILE quintiles + decimal sums
+    "jl_projection_error",      # DECIMAL(38,0) residual sums
+    "training_mix_report",      # composed rational-arithmetic plan
+    "gap_fill_interpolate",     # spine fan-out + IGNORE NULLS windows
+    "markov_transitions",       # LEAD over (user, time)
+]
+
+
+@pytest.fixture(scope="module")
+def suite():
+    from city_payroll_data_pipeline_spark.suite import build_suite
+
+    return build_suite()
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_result_invariant_under_partitioning(name, suite, spark):
+    q = suite[name]
+    baseline = q.spark(spark, SF_SMOKE).toPandas()
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        hostile = q.spark(spark, SF_SMOKE).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    assert_frames_match(hostile, baseline, f"{name} [shuffle=7 vs {saved}]")
