@@ -150,6 +150,8 @@ HEADLINE = [
     # embedding-training negative sampling
     "hard_negative_topk",
     "contrastive_negatives",
+    # ranked retrieval
+    "bm25_search",
 ]
 
 

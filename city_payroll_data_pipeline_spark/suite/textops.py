@@ -638,6 +638,135 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# bm25_search — ranked retrieval over the corpus (Robertson BM25,
+# k1=1.2, b=0.75) for a fixed query-term set. Completes the retrieval
+# story: inverted_index builds the index shape, tfidf_top_terms does
+# keyword extraction, this is the actual search scoring.
+#
+# Determinism: the tf saturation term is cleared of fractions by
+# multiplying through by 10·total_tokens —
+#   tf_part = 22·tf·total / (10·tf·total + 3·total + 9·dl·N)
+# (exact BIGINTs, one double division). idf is the Lucene variant
+# ln(1 + (N−df+0.5)/(df+0.5)) — non-negative for any df, and the
+# argument folds to the exact integer ratio (2N+2)/(2df+1); the ln is
+# the single transcendental, rounded to 8 dp in BOTH engines
+# immediately, and per-(doc,term) scores route through DECIMAL(18,8)
+# so the per-doc sum is order-independent. Top-20 with doc_id
+# tie-break.
+#
+# Scale: tf is one (doc, term) groupBy over the exploded corpus
+# FILTERED to the query terms map-side (the explode never leaves the
+# scan stage for non-query tokens); df/totals are term-count- and
+# 1-row-sized broadcasts; ranking runs on the |matching docs| frame.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "vector", "key")
+_BM25_TOP = 20
+
+
+def q_bm25_search(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from city_payroll_data_pipeline_spark.functions.text import word_tokens
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", word_tokens(F.col("text")).alias("w"))
+    lens = toks.select("doc_id", F.size("w").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("w").alias("t"))
+        .filter(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("t").agg(F.count("*").alias("df"))
+    totals = lens.agg(
+        F.sum("dl").alias("total"), F.count("*").alias("n_docs")
+    )
+    scored = (
+        tf.join(lens, "doc_id")
+        .join(F.broadcast(dft), "t")
+        .join(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (2 * F.col("n_docs") + 2) / (2 * F.col("df") + 1)
+                ),
+                8,
+            ).alias("idf"),
+            (
+                (22 * F.col("tf") * F.col("total")).cast("double")
+                / (
+                    10 * F.col("tf") * F.col("total")
+                    + 3 * F.col("total")
+                    + 9 * F.col("dl") * F.col("n_docs")
+                ).cast("double")
+            ).alias("tf_part"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("idf") * F.col("tf_part"), 8)
+            .cast("decimal(18,8)")
+            .alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("s").cast("double").alias("score")
+    )
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOP)
+        .select("rank", "doc_id", "score")
+        .orderBy("rank")
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+BM25_SEARCH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS w
+  FROM documents
+),
+lens AS (SELECT doc_id, len(w) AS dl FROM toks),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+  WHERE t IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, t
+),
+dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+totals AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS total, COUNT(*) AS n_docs FROM lens
+),
+scored AS (
+  SELECT doc_id,
+         CAST(round(CAST(CAST(
+             ln((2*n_docs + 2) / CAST(2*df + 1 AS DOUBLE))
+           AS VARCHAR) AS DECIMAL(38,20)), 8) AS DOUBLE) AS idf,
+         CAST(22*tf*total AS DOUBLE)
+           / CAST(10*tf*total + 3*total + 9*dl*n_docs AS DOUBLE) AS tf_part
+  FROM tf JOIN lens USING (doc_id) JOIN dft USING (t), totals
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(round(CAST(CAST(idf * tf_part AS VARCHAR)
+                   AS DECIMAL(38,20)), 8) AS DECIMAL(18,8))) AS DOUBLE)
+           AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM per_doc
+)
+WHERE rank <= {_BM25_TOP}
+ORDER BY rank
+"""
+
+
+# --------------------------------------------------------------------------
 # winnow_fingerprints — winnowing document fingerprints (Schleimer,
 # Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
 # Fingerprinting", SIGMOD'03 — the MOSS algorithm).
@@ -2774,6 +2903,9 @@ QUERIES = {
         q_winnow_fingerprints,
         WINNOW_FINGERPRINTS_SQL,
         ("fingerprinting", "winnowing", "moss"),
+    ),
+    "bm25_search": Query(
+        q_bm25_search, BM25_SEARCH_SQL, ("retrieval", "bm25", "ranking")
     ),
     "corpus_clean_pipeline": Query(
         q_corpus_clean_pipeline,
