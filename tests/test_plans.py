@@ -230,6 +230,7 @@ _INTENTIONAL_BNLJ = {
     "rfm_segments",           # broadcast 1-row max-date anchor
     "hard_negative_topk",     # broadcast query set, label-mismatch join
     "contrastive_negatives",  # broadcast query set, label-mismatch join
+    "bm25_search",            # broadcast 1-row corpus-totals scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
