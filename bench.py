@@ -152,6 +152,9 @@ HEADLINE = [
     "contrastive_negatives",
     # ranked retrieval
     "bm25_search",
+    # drift + forensic audits
+    "psi_drift",
+    "benford_audit",
 ]
 
 

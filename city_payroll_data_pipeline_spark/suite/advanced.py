@@ -764,6 +764,205 @@ ORDER BY r_score, f_score, m_score
 
 
 # --------------------------------------------------------------------------
+# psi_drift — Population Stability Index between document sources.
+#
+# The model-monitoring sibling of ks_source_drift: PSI =
+# Σ_b (p_b − q_b)·ln(p_b/q_b) over fixed buckets, the industry
+# standard drift gate (rule of thumb: <0.1 stable, >0.25 action).
+# Here: distribution of doc length (n_chars) in fixed power-of-two
+# buckets, each source vs the rest of the corpus. Laplace +1
+# smoothing keeps empty buckets finite — and makes every p, q a ratio
+# of exact integers.
+#
+# Determinism: p_b−q_b is a rational of exact integers; ln(p/q) folds
+# to ln of an integer ratio, rounded to 8 dp in both engines (the
+# bm25 pattern); per-bucket terms route through DECIMAL(18,10) so the
+# bucket sum is order-independent.
+#
+# Scale: one groupBy on (source, bucket) — |sources|·|buckets| frame;
+# corpus read once, totals broadcast.
+# --------------------------------------------------------------------------
+
+_PSI_BUCKETS = 8  # power-of-two doc-length buckets (clamped)
+
+
+def q_psi_drift(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    # exact integer floor(log2 n): length of the binary string - 1
+    b = F.least(
+        F.greatest(
+            F.length(F.bin(F.greatest(F.col("n_chars"), F.lit(1)))) - 7,
+            F.lit(0),
+        ),
+        F.lit(_PSI_BUCKETS - 1),
+    ).alias("bucket")
+    bucketed = docs.select("source", b)
+    counts = bucketed.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_sb")
+    )
+    per_src = counts.groupBy("source").agg(F.sum("n_sb").alias("n_src"))
+    per_bkt = counts.groupBy("bucket").agg(F.sum("n_sb").alias("n_bkt"))
+    tot = bucketed.agg(F.count("*").alias("n_all"))
+    # dense (source x bucket) grid so empty buckets contribute via +1
+    grid = (
+        per_src.crossJoin(
+            per_src.sparkSession.range(_PSI_BUCKETS).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+        .join(counts, ["source", "bucket"], "left")
+        .withColumn("n_sb", F.coalesce("n_sb", F.lit(0)))
+        .join(F.broadcast(per_bkt), "bucket")
+        .join(F.broadcast(tot))
+    )
+    # p = (n_sb+1)/(n_src+B), q = (n_rest_b+1)/(n_rest+B); all integers
+    n_rest_b = F.col("n_bkt") - F.col("n_sb")
+    n_rest = F.col("n_all") - F.col("n_src")
+    p_num, p_den = F.col("n_sb") + 1, F.col("n_src") + _PSI_BUCKETS
+    q_num, q_den = n_rest_b + 1, n_rest + _PSI_BUCKETS
+    diff = (
+        p_num.cast("double") / p_den.cast("double")
+        - q_num.cast("double") / q_den.cast("double")
+    )
+    lnr = F.round(
+        F.log((p_num * q_den).cast("double") / (p_den * q_num).cast("double")),
+        8,
+    )
+    term = F.round(diff * lnr, 10).cast("decimal(18,10)")
+    return (
+        grid.groupBy("source")
+        .agg(F.sum(term).cast("double").alias("psi"))
+        .orderBy("source")
+    )
+
+
+PSI_DRIFT_SQL = f"""
+WITH bucketed AS (
+  SELECT source,
+         LEAST(GREATEST(length(bin(GREATEST(n_chars, 1))) - 7, 0),
+               {_PSI_BUCKETS - 1}) AS bucket
+  FROM documents
+),
+counts AS (
+  SELECT source, bucket, COUNT(*) AS n_sb FROM bucketed GROUP BY 1, 2
+),
+per_src AS (
+  SELECT source, CAST(SUM(n_sb) AS BIGINT) AS n_src FROM counts GROUP BY 1
+),
+per_bkt AS (
+  SELECT bucket, CAST(SUM(n_sb) AS BIGINT) AS n_bkt FROM counts GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n_all FROM bucketed),
+grid AS (
+  SELECT s.source, b.bucket,
+         COALESCE(c.n_sb, 0) AS n_sb, s.n_src, pb.n_bkt, t.n_all
+  FROM per_src s
+  CROSS JOIN (SELECT unnest(range(0, {_PSI_BUCKETS})) AS bucket) b
+  LEFT JOIN counts c ON c.source = s.source AND c.bucket = b.bucket
+  JOIN per_bkt pb ON pb.bucket = b.bucket
+  CROSS JOIN tot t
+),
+terms AS (
+  SELECT source,
+         CAST(round(CAST(CAST(
+           (CAST(n_sb + 1 AS DOUBLE) / (n_src + {_PSI_BUCKETS})
+            - CAST(n_bkt - n_sb + 1 AS DOUBLE)
+              / (n_all - n_src + {_PSI_BUCKETS}))
+           * CAST(round(CAST(CAST(
+               ln(CAST((n_sb + 1) * (n_all - n_src + {_PSI_BUCKETS})
+                  AS DOUBLE)
+                  / CAST((n_src + {_PSI_BUCKETS}) * (n_bkt - n_sb + 1)
+                    AS DOUBLE))
+             AS VARCHAR) AS DECIMAL(38,20)), 8) AS DOUBLE)
+          AS VARCHAR) AS DECIMAL(38,20)), 10) AS DECIMAL(18,10)) AS term
+  FROM grid
+)
+SELECT source, CAST(SUM(term) AS DOUBLE) AS psi
+FROM terms GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# benford_audit — first-digit distribution vs Benford's law.
+#
+# The forensic-accounting / synthetic-data smell test: naturally
+# occurring money amounts follow P(d) = log10(1 + 1/d); fabricated or
+# truncated data doesn't. Per leading digit of o_totalprice: observed
+# count/share, the Benford expectation, and the chi-square
+# contribution (obs − exp)²/exp — the per-digit evidence ledger.
+#
+# Determinism: the expected probabilities are PYTHON-computed literals
+# embedded identically in both engines (no runtime transcendentals at
+# all); first-digit extraction is integer/string ops; contributions
+# are rounded once into DECIMAL. Scale: digit extraction is map-side,
+# the aggregate is 9 groups.
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def q_benford_audit(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    tot = counts.agg(F.sum("n_obs").alias("n_all"))
+    p_expr = F.element_at(
+        F.create_map(
+            *[x for d in range(1, 10) for x in (F.lit(d), F.lit(_BENFORD_P[d]))]
+        ),
+        F.col("digit"),
+    )
+    exp_n = p_expr * F.col("n_all")
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("n_all"), 6).alias("obs_share"),
+            F.round(p_expr, 6).alias("exp_share"),
+            F.round(
+                (F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_sql() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {_BENFORD_P[d]!r}" for d in range(1, 10)
+    )
+    # explicit DOUBLE: DuckDB parses decimal literals as DECIMAL and
+    # overflows squaring the (obs - exp) residual at scale 38
+    p = f"CAST((CASE digit {cases} END) AS DOUBLE)"
+    return f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_all FROM counts)
+SELECT digit, n_obs,
+       {_sql_round('n_obs / CAST(n_all AS DOUBLE)', 6)} AS obs_share,
+       {_sql_round(p, 6)} AS exp_share,
+       {_sql_round(f'(n_obs - {p} * n_all) * (n_obs - {p} * n_all) / ({p} * n_all)', 6)} AS chi2_term
+FROM counts, tot
+ORDER BY digit
+"""
+
+
+# --------------------------------------------------------------------------
 # heavy_hitter_tokens — exact frequent tokens via the two-pass sketch
 # (operators/heavyhitters.py). The local mapInPandas pass generates a
 # pigeonhole-guaranteed candidate superset with NO shuffle; the exact
@@ -1010,6 +1209,12 @@ QUERIES = {
         q_rfm_segments,
         RFM_SEGMENTS_SQL,
         ("product-analytics", "rfm", "segmentation"),
+    ),
+    "psi_drift": Query(
+        q_psi_drift, PSI_DRIFT_SQL, ("drift", "psi", "monitoring")
+    ),
+    "benford_audit": Query(
+        q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
     ),
     "hard_negative_topk": Query(
         q_hard_negative_topk,

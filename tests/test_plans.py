@@ -231,6 +231,8 @@ _INTENTIONAL_BNLJ = {
     "hard_negative_topk",     # broadcast query set, label-mismatch join
     "contrastive_negatives",  # broadcast query set, label-mismatch join
     "bm25_search",            # broadcast 1-row corpus-totals scalar
+    "psi_drift",              # broadcast 1-row corpus-total + bucket spine
+    "benford_audit",          # broadcast 1-row digit-total scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
