@@ -155,6 +155,8 @@ HEADLINE = [
     # drift + forensic audits
     "psi_drift",
     "benford_audit",
+    # dedup-aware split audit
+    "split_leakage_check",
 ]
 
 

@@ -2101,6 +2101,70 @@ ORDER BY source, split
 """
 
 # --------------------------------------------------------------------------
+# split_leakage_check — train/test contamination audit.
+#
+# Hash-bucket splits are reproducible but NOT dedup-aware: two copies
+# of the same text under different ids hash to different buckets and
+# can land on opposite sides of the train/test wall — the eval is then
+# contaminated and scores are inflated. This audit runs on the
+# duplicate-bearing corpus: per ordered split pair, how many distinct
+# content fingerprints appear in BOTH splits. Non-zero leakage = split
+# AFTER dedup (or split by fingerprint, not id).
+#
+# Scale: the join runs on the distinct (fingerprint, split) frame —
+# ≤ 3 rows per fingerprint — never on text.
+# --------------------------------------------------------------------------
+
+
+def q_split_leakage_check(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import (
+        content_fingerprint,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    per = (
+        corpus.select(
+            content_fingerprint(F.col("text")).alias("fp"), split.alias("split")
+        )
+        .distinct()
+    )
+    return (
+        per.alias("a")
+        .join(
+            per.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.split") < F.col("b.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+        )
+        .agg(F.count("*").alias("n_leaked_fps"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+SPLIT_LEAKAGE_CHECK_SQL = rf"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+per AS (
+  SELECT DISTINCT
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         CASE WHEN {_HASH_BUCKET_SQL} < 80 THEN 'train'
+              WHEN {_HASH_BUCKET_SQL} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM corpus
+)
+SELECT a.split AS split_a, b.split AS split_b, COUNT(*) AS n_leaked_fps
+FROM per a JOIN per b ON a.fp = b.fp AND a.split < b.split
+GROUP BY 1, 2
+ORDER BY split_a, split_b
+"""
+
+
+# --------------------------------------------------------------------------
 # Blocked fuzzy matching (Levenshtein) — edit-distance pairs without
 # the O(n²) cross join: block on (first char, length band) so only
 # plausibly-close strings are compared.
@@ -2991,6 +3055,11 @@ QUERIES = {
     ),
     "train_val_test_split": Query(
         q_train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL, ("sample", "split")
+    ),
+    "split_leakage_check": Query(
+        q_split_leakage_check,
+        SPLIT_LEAKAGE_CHECK_SQL,
+        ("split", "contamination", "dedup-aware"),
     ),
     "fuzzy_name_pairs": Query(
         q_fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL, ("fuzzy", "levenshtein")
