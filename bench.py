@@ -157,6 +157,8 @@ HEADLINE = [
     "benford_audit",
     # dedup-aware split audit
     "split_leakage_check",
+    # monotone calibration (applyInPandas PAV)
+    "isotonic_token_curve",
 ]
 
 

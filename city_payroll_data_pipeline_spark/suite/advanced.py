@@ -688,6 +688,44 @@ ORDER BY label_a, label_b
 
 
 # --------------------------------------------------------------------------
+# isotonic_token_curve — per-source monotone calibration curve
+# (operators/calibration.py). Fits token count as a non-decreasing
+# function of document length via pool-adjacent-violators — the
+# score→outcome calibration shape. PAV's cascading merges are not
+# expressible as a window/aggregate plan (sanctioned applyInPandas →
+# no SQL oracle; the driver records a rows-only check, and pytest
+# verifies the kernel against hand-checked cases plus monotonicity /
+# mean-preservation invariants). The summary reports how much pooling
+# happened (n_blocks < n_points ⇔ violations existed).
+# --------------------------------------------------------------------------
+
+
+def q_isotonic_token_curve(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import token_count
+    from city_payroll_data_pipeline_spark.operators.calibration import (
+        isotonic_fit,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        "doc_id",
+    )
+    fit = isotonic_fit(docs, "source", "n_chars", "n_tokens", "doc_id")
+    return (
+        fit.groupBy("source")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.count_distinct("y_hat").alias("n_blocks"),
+            F.round(F.min("y_hat"), 6).alias("fit_min"),
+            F.round(F.max("y_hat"), 6).alias("fit_max"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
 # rfm_segments — recency/frequency/monetary customer segmentation.
 #
 # The classic lifecycle-marketing segmentation: per customer, days
@@ -1215,6 +1253,11 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "isotonic_token_curve": Query(
+        q_isotonic_token_curve,
+        None,  # PAV is not SQL-expressible; rows-only + kernel tests
+        ("calibration", "isotonic", "applyInPandas"),
     ),
     "hard_negative_topk": Query(
         q_hard_negative_topk,

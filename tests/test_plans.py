@@ -241,6 +241,7 @@ _INTENTIONAL_BNLJ = {
 _SANCTIONED_PYTHON = {
     "media_feature_extract",   # media decode/feature stub pipeline
     "heavy_hitter_tokens",     # zero-shuffle local candidate counting
+    "isotonic_token_curve",    # PAV: sequential per-group merges
 }
 
 

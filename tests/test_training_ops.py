@@ -814,3 +814,55 @@ def test_heavy_hitters_pigeonhole_guarantee(spark):
 
     got2 = {r["tok"] for r in heavy_hitters(toks, "tok", 0.05).collect()}
     assert got2 == {"hot", "warm"}
+
+
+def test_pav_kernel_known_cases():
+    """Hand-checked PAV fixtures: violation pooling, already-monotone
+    passthrough, total pooling, and weights."""
+    from city_payroll_data_pipeline_spark.operators.calibration import pav
+
+    assert pav([3, 1, 2]) == [2, 2, 2]
+    assert pav([1, 2, 3]) == [1, 2, 3]
+    assert pav([3, 2, 1]) == [2, 2, 2]
+    assert pav([1, 3, 2, 4]) == [1, 2.5, 2.5, 4]
+    # weight 3 on the first point drags the pooled block toward it
+    assert pav([4, 0], [3, 1]) == [3, 3]
+
+
+def test_pav_invariants_random():
+    """Monotone output + mean preservation on pseudo-random inputs."""
+    from city_payroll_data_pipeline_spark.operators.calibration import pav
+
+    seq = [((i * 1103515245 + 12345) % 97) / 7.0 for i in range(200)]
+    fit = pav(seq)
+    assert all(a <= b + 1e-12 for a, b in zip(fit, fit[1:]))
+    assert abs(sum(fit) - sum(seq)) < 1e-6
+
+
+def test_isotonic_fit_distributed_matches_kernel(spark):
+    """The applyInPandas fit equals the pure-Python kernel applied to
+    each group's (x, tiebreak)-sorted ys."""
+    from city_payroll_data_pipeline_spark.operators.calibration import (
+        isotonic_fit,
+        pav,
+    )
+
+    rows = [
+        ("a", 1, 5, 1), ("a", 2, 3, 2), ("a", 3, 4, 3),
+        ("b", 1, 1, 4), ("b", 1, 3, 5), ("b", 2, 2, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, n_chars long, n_tokens long, doc_id long"
+    ).repartition(4)
+    got = {}
+    for r in isotonic_fit(df, "source", "n_chars", "n_tokens", "doc_id").collect():
+        got.setdefault(r["source"], []).append(
+            (r["n_chars"], r["n_tokens"], r["y_hat"])
+        )
+    for src in got:
+        got[src].sort()
+    want_a = pav([5, 3, 4])
+    ys_b = [1, 3, 2]  # sorted by (x, doc_id): (1,d4)->1, (1,d5)->3, (2,d6)->2
+    want_b = pav(ys_b)
+    assert [y for _, _, y in got["a"]] == want_a
+    assert [y for _, _, y in got["b"]] == want_b
