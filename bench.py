@@ -159,6 +159,8 @@ HEADLINE = [
     "split_leakage_check",
     # monotone calibration (applyInPandas PAV)
     "isotonic_token_curve",
+    # intra-document language switches
+    "mixed_lang_docs",
 ]
 
 

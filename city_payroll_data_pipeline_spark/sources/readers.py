@@ -39,10 +39,21 @@ def read_csv_all_string(
     return normalize_columns(df) if normalize_names else df
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """Parquet scan — Catalyst pushes filters/column pruning into the
-    scan (check ``PushedFilters`` / ``ReadSchema`` in .explain)."""
-    return spark.read.parquet(path)
+    scan (check ``PushedFilters`` / ``ReadSchema`` in .explain).
+
+    ``merge_schema=True``: reconcile evolved schemas across files
+    (columns added over time surface as NULL in older files) — the
+    long-lived-dataset read mode. Off by default: schema merging
+    footer-reads every file at planning time, a real cost at 100 TB
+    file counts; datasets with settled schemas should skip it."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def from_pandas(spark: SparkSession, pdf) -> DataFrame:

@@ -117,6 +117,88 @@ FROM (SELECT doc_id, lang, text, {scores_sql} FROM documents)
 DOC_LANG_ID_SQL = _lang_id_sql()
 
 # --------------------------------------------------------------------------
+# mixed_lang_docs — intra-document language-switch audit.
+#
+# Web-scraped documents frequently glue two languages together
+# (boilerplate + content, quoted passages); a whole-doc language ID
+# hides this and the doc pollutes monolingual training slices. Split
+# each doc in half and language-ID each half with the same marker
+# argmax as doc_lang_id: halves that disagree (both confidently) mark
+# a mixed document. Reported per source as the mix-rate table.
+#
+# Scale: pure map-side expressions (two substrings + marker regex
+# counts), one |sources|-group aggregate. Exact integer rate.
+# --------------------------------------------------------------------------
+
+
+def q_mixed_lang_docs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    # integer division, NOT cast-of-double: Spark's double→INT cast
+    # truncates while DuckDB's rounds, so odd-length docs would split
+    # one char apart between engines
+    left = F.expr("substr(text, 1, length(text) DIV 2)")
+    right = F.expr("substr(text, length(text) DIV 2 + 1)")
+    flagged = docs.select(
+        "source",
+        lang_id(left).alias("l_det"),
+        lang_id(right).alias("r_det"),
+    ).select(
+        "source",
+        (
+            (F.col("l_det") != F.col("r_det"))
+            & (F.col("l_det") != "und")
+            & (F.col("r_det") != "und")
+        ).cast("int").alias("mixed"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("mixed").alias("n_mixed"),
+            F.round(F.sum("mixed") / F.count("*"), 6).alias("mixed_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mixed_lang_sql() -> str:
+    langs = list(LANG_MARKERS)
+
+    def det(expr: str, tag: str) -> tuple[str, str]:
+        scores = ", ".join(
+            f"len(regexp_extract_all(lower({expr}), "
+            f"'{lang_marker_pattern(la)}', 0)) AS s_{tag}_{la}"
+            for la in langs
+        )
+        greatest = "greatest(" + ", ".join(f"s_{tag}_{la}" for la in langs) + ")"
+        case = "CASE " + " ".join(
+            f"WHEN s_{tag}_{la} = {greatest} THEN '{la}'" for la in langs
+        ) + " END"
+        return scores, f"CASE WHEN {greatest} > 0 THEN {case} ELSE 'und' END"
+
+    lscores, ldet = det("substr(text, 1, length(text) // 2)", "l")
+    rscores, rdet = det("substr(text, length(text) // 2 + 1)", "r")
+    return f"""
+WITH scored AS (
+  SELECT source, {lscores}, {rscores} FROM documents
+),
+flagged AS (
+  SELECT source,
+         CASE WHEN ({ldet}) <> ({rdet})
+               AND ({ldet}) <> 'und' AND ({rdet}) <> 'und'
+              THEN 1 ELSE 0 END AS mixed
+  FROM scored
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(mixed) AS BIGINT) AS n_mixed,
+       round(SUM(mixed) / CAST(COUNT(*) AS DOUBLE), 6) AS mixed_rate
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+MIXED_LANG_DOCS_SQL = _mixed_lang_sql()
+
+# --------------------------------------------------------------------------
 # Quality scoring
 # --------------------------------------------------------------------------
 
@@ -2931,6 +3013,9 @@ QUERIES = {
     ),
     "doc_bpe_tokens": Query(q_doc_bpe_tokens, DOC_BPE_TOKENS_SQL, ("text", "bpe")),
     "doc_lang_id": Query(q_doc_lang_id, DOC_LANG_ID_SQL, ("text", "langid")),
+    "mixed_lang_docs": Query(
+        q_mixed_lang_docs, MIXED_LANG_DOCS_SQL, ("text", "langid", "mixed")
+    ),
     "doc_quality": Query(q_doc_quality, DOC_QUALITY_SQL, ("text", "quality")),
     "doc_fingerprint": Query(q_doc_fingerprint, DOC_FINGERPRINT_SQL, ("text",)),
     "exact_dedup_groups": Query(

@@ -521,3 +521,24 @@ def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_jsonl(spark, str(p), keep_corrupt=True)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A column added in later files surfaces corpus-wide with NULLs
+    for the old files under merge_schema=True; the default read keeps
+    one file's schema (no silent column loss assertion — just the
+    evolved-read contract)."""
+    from city_payroll_data_pipeline_spark.sources.readers import read_parquet
+
+    d = tmp_path / "evolved"
+    spark.createDataFrame([(1, "a")], "id long, text string").write.parquet(
+        str(d / "batch=1")
+    )
+    spark.createDataFrame(
+        [(2, "b", "en")], "id long, text string, lang string"
+    ).write.parquet(str(d / "batch=2"))
+
+    df = read_parquet(spark, str(d), merge_schema=True)
+    assert set(df.columns) >= {"id", "text", "lang"}
+    rows = {r["id"]: r["lang"] for r in df.collect()}
+    assert rows == {1: None, 2: "en"}
