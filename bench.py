@@ -161,6 +161,8 @@ HEADLINE = [
     "isotonic_token_curve",
     # intra-document language switches
     "mixed_lang_docs",
+    # content-defined chunking
+    "cdc_chunks",
 ]
 
 

@@ -21,6 +21,7 @@ from city_payroll_data_pipeline_spark.functions.text import (
     quality_score,
     sanitize_text,
     token_count,
+    tokens_array,
     word_tokens,
 )
 from city_payroll_data_pipeline_spark.operators import bpe, dedup
@@ -115,6 +116,145 @@ FROM (SELECT doc_id, lang, text, {scores_sql} FROM documents)
 
 
 DOC_LANG_ID_SQL = _lang_id_sql()
+
+# --------------------------------------------------------------------------
+# cdc_chunks — content-defined chunking (the rolling-hash boundary
+# family: Rabin/LBFS, FastCDC). Fixed-size chunking (doc_chunks)
+# breaks dedup the moment one token is inserted — every downstream
+# chunk shifts. Content-defined boundaries cut where a rolling
+# content hash hits a mask (here: md5 of the trailing token 3-gram
+# ≡ 0 mod 16, expected chunk ≈ 16 tokens), so an edit only disturbs
+# the chunk it touches and identical passages re-align — which is
+# what makes chunk-level dedup work under drift.
+#
+# Output: per-source chunk-size distribution + the duplicate-chunk
+# rate over the content-addressed (chunk-hash) frame.
+#
+# Scale: boundary marking + chunk-id assignment are one per-doc
+# window pass (doc-bounded); chunk hashing groups by (doc, chunk) —
+# corpus-chunk-sized; the dedup rate runs on distinct chunk hashes.
+# --------------------------------------------------------------------------
+
+_CDC_MASK = 16  # boundary when trailing-3-gram hash % 16 == 0
+
+
+def q_cdc_chunks(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(tokens_array(F.col("text"))).alias("pos", "tok")
+    )
+    # rolling content hash: trailing 3-gram (previous two tokens + this
+    # one); first two positions can't close a window → never boundaries
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    tri = F.concat_ws(
+        " ",
+        F.lag("tok", 2).over(w_doc),
+        F.lag("tok", 1).over(w_doc),
+        F.col("tok"),
+    )
+    h = F.conv(F.substring(F.md5(tri), 1, 12), 16, 10).cast("bigint")
+    marked = toks.withColumn(
+        "boundary",
+        (
+            (F.col("pos") >= 2) & (F.pmod(h, F.lit(_CDC_MASK)) == 0)
+        ).cast("int"),
+    )
+    # chunk id = boundaries strictly BEFORE this token (a boundary
+    # token STARTS the next chunk)
+    chunked = marked.withColumn(
+        "chunk",
+        F.coalesce(
+            F.sum("boundary").over(
+                W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    # collect_list order inside groupBy is not guaranteed — rebuild
+    # the chunk text deterministically via position-sorted structs
+    chunks = chunked.groupBy("doc_id", "source", "chunk").agg(
+        F.count("*").alias("n_toks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            )
+        ).alias("chash"),
+    )
+    dupes = chunks.groupBy("chash").agg(F.count("*").alias("n_copies"))
+    return (
+        chunks.join(dupes, "chash")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.round(F.avg("n_toks"), 6).alias("mean_chunk_toks"),
+            F.max("n_toks").alias("max_chunk_toks"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CDC_CHUNKS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, u.i - 1 AS pos, t[u.i] AS tok
+  FROM (
+    SELECT doc_id, source, regexp_extract_all(trim(text), '\S+', 0) AS t
+    FROM documents
+  )
+  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u
+),
+tri AS (
+  SELECT doc_id, source, pos, tok,
+         concat_ws(' ',
+           LAG(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+           LAG(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+           tok) AS tg
+  FROM toks
+),
+marked AS (
+  SELECT doc_id, source, pos, tok,
+         CASE WHEN pos >= 2
+               AND CAST('0x' || substr(md5(tg), 1, 12) AS BIGINT)
+                   % {_CDC_MASK} = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM tri
+),
+chunked AS (
+  SELECT doc_id, source, pos, tok,
+         COALESCE(SUM(boundary) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS chunk
+  FROM marked
+),
+chunks AS (
+  SELECT doc_id, source, chunk,
+         COUNT(*) AS n_toks,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+  FROM chunked GROUP BY doc_id, source, chunk
+),
+dupes AS (SELECT chash, COUNT(*) AS n_copies FROM chunks GROUP BY chash)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       round(AVG(n_toks), 6) AS mean_chunk_toks,
+       MAX(n_toks) AS max_chunk_toks,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks
+FROM chunks JOIN dupes USING (chash)
+GROUP BY source
+ORDER BY source
+"""
+
 
 # --------------------------------------------------------------------------
 # mixed_lang_docs — intra-document language-switch audit.
@@ -3015,6 +3155,9 @@ QUERIES = {
     "doc_lang_id": Query(q_doc_lang_id, DOC_LANG_ID_SQL, ("text", "langid")),
     "mixed_lang_docs": Query(
         q_mixed_lang_docs, MIXED_LANG_DOCS_SQL, ("text", "langid", "mixed")
+    ),
+    "cdc_chunks": Query(
+        q_cdc_chunks, CDC_CHUNKS_SQL, ("chunking", "cdc", "rolling-hash")
     ),
     "doc_quality": Query(q_doc_quality, DOC_QUALITY_SQL, ("text", "quality")),
     "doc_fingerprint": Query(q_doc_fingerprint, DOC_FINGERPRINT_SQL, ("text",)),
