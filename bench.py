@@ -163,6 +163,8 @@ HEADLINE = [
     "mixed_lang_docs",
     # content-defined chunking
     "cdc_chunks",
+    # experimentation readout
+    "ab_test_analysis",
 ]
 
 

@@ -921,6 +921,141 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# ab_test_analysis — two-proportion experiment readout.
+#
+# The product-experiment primitive: users hash-split 50/50 into
+# variants (deterministic md5 assignment — the same salt-seedable
+# bucketing the samplers use), conversion = user emitted a 'purchase'
+# event. Reports per-variant rates and the pooled two-proportion
+# z-statistic — the number an experimentation platform thresholds at
+# ±1.96.
+#
+# Determinism: counts are exact integers; rate/z are one fixed chain
+# of integer-derived doubles + IEEE sqrt, rounded once. Scale: one
+# user-level aggregate (conversion flag via max), one 2-row variant
+# aggregate, one 1-row readout.
+# --------------------------------------------------------------------------
+
+
+def q_ab_test_analysis(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    variant = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(2),
+        )
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    # conversion: purchase-heavy user — purchases are ≥ 1/5 of the
+    # user's events (integer cross-multiplied, scale-free so the
+    # metric splits at every SF; a has-any-purchase flag saturates to
+    # 100% on this data)
+    per_user = (
+        ev.select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purch"),
+            F.count("*").alias("n_ev"),
+        )
+        .select(
+            variant.alias("variant"),
+            (5 * F.col("n_purch") >= F.col("n_ev")).cast("int").alias(
+                "converted"
+            ),
+        )
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = (
+        arms.groupBy()
+        .pivot("variant", ["control", "treatment"])
+        .agg(F.first("n_users").alias("n"), F.first("n_converted").alias("x"))
+    )
+    nc, xc = F.col("control_n"), F.col("control_x")
+    nt, xt = F.col("treatment_n"), F.col("treatment_x")
+    p_pool = (xc + xt).cast("double") / (nc + nt).cast("double")
+    # NULLIF-guard: a degenerate experiment (everyone or no one
+    # converts → pooled variance 0) reads NULL, not a crash
+    z = (
+        xt.cast("double") / nt.cast("double")
+        - xc.cast("double") / nc.cast("double")
+    ) / F.nullif(
+        F.sqrt(
+            p_pool
+            * (1 - p_pool)
+            * (F.lit(1.0) / nc.cast("double") + F.lit(1.0) / nt.cast("double"))
+        ),
+        F.lit(0.0),
+    )
+    return wide.select(
+        nc.alias("n_control"),
+        xc.alias("x_control"),
+        nt.alias("n_treatment"),
+        xt.alias("x_treatment"),
+        F.round(xc.cast("double") / nc.cast("double"), 6).alias("rate_control"),
+        F.round(xt.cast("double") / nt.cast("double"), 6).alias(
+            "rate_treatment"
+        ),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+AB_TEST_ANALYSIS_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN 5 * SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) >= COUNT(*)
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+tagged AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS variant,
+         converted
+  FROM per_user
+),
+wide AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_control,
+    CAST(SUM(CASE WHEN variant = 'control' THEN converted ELSE 0 END)
+         AS BIGINT) AS x_control,
+    CAST(SUM(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_treatment,
+    CAST(SUM(CASE WHEN variant = 'treatment' THEN converted ELSE 0 END)
+         AS BIGINT) AS x_treatment
+  FROM tagged
+)
+SELECT n_control, x_control, n_treatment, x_treatment,
+       {_sql_round('x_control / CAST(n_control AS DOUBLE)', 6)}
+         AS rate_control,
+       {_sql_round('x_treatment / CAST(n_treatment AS DOUBLE)', 6)}
+         AS rate_treatment,
+       {_sql_round(
+           '(x_treatment / CAST(n_treatment AS DOUBLE)'
+           ' - x_control / CAST(n_control AS DOUBLE))'
+           ' / NULLIF(sqrt((x_control + x_treatment)'
+           '        / CAST(n_control + n_treatment AS DOUBLE)'
+           '   * (1 - (x_control + x_treatment)'
+           '          / CAST(n_control + n_treatment AS DOUBLE))'
+           '   * (1.0 / n_control + 1.0 / n_treatment)), 0)',
+           6,
+       )} AS z_stat
+FROM wide
+"""
+
+
+# --------------------------------------------------------------------------
 # benford_audit — first-digit distribution vs Benford's law.
 #
 # The forensic-accounting / synthetic-data smell test: naturally
@@ -1253,6 +1388,11 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "ab_test_analysis": Query(
+        q_ab_test_analysis,
+        AB_TEST_ANALYSIS_SQL,
+        ("experimentation", "ab-test", "z-test"),
     ),
     "isotonic_token_curve": Query(
         q_isotonic_token_curve,
