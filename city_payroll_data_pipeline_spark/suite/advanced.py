@@ -921,6 +921,141 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# cusum_changepoint — integer-exact CUSUM changepoint detection.
+#
+# error_spikes flags days that breach a trailing-window threshold;
+# CUSUM (Page 1954) answers the different question "WHEN did the error
+# rate shift" — the cumulative sum of deviations from the global mean
+# peaks at the changepoint. Cleared of floats entirely: with per-day
+# errors e_j / events n_j and totals E / N,
+#   S_i = Σ_{j≤i} (e_j·N − n_j·E)
+# is an exact BIGINT running sum (the rate deviation cross-multiplied
+# by N·total), its running max |S_i| is the CUSUM statistic and the
+# argmax day is the changepoint estimate.
+#
+# Scale: one day-level aggregate, a 1-row totals broadcast, one
+# ordered window over the |days| frame.
+# --------------------------------------------------------------------------
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("n_ev"),
+        F.count_if(F.col("event_type") == "error").alias("n_err"),
+    )
+    tot = daily.agg(
+        F.sum("n_ev").alias("tot_ev"), F.sum("n_err").alias("tot_err")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        daily.join(F.broadcast(tot))
+        .withColumn(
+            "s",
+            F.sum(
+                F.col("n_err") * F.col("tot_ev")
+                - F.col("n_ev") * F.col("tot_err")
+            ).over(w),
+        )
+        .withColumn("abs_s", F.abs(F.col("s")))
+    )
+    w_rank = W.orderBy(F.desc("abs_s"), F.asc("day"))
+    return (
+        cum.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.col("abs_s").alias("max_abs_cusum"),
+            F.col("s").alias("cusum_signed"),
+        )
+    )
+
+
+CUSUM_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         COUNT(*) AS n_ev,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_ev) AS BIGINT) AS tot_ev,
+         CAST(SUM(n_err) AS BIGINT) AS tot_err
+  FROM daily
+),
+cum AS (
+  SELECT day,
+         CAST(SUM(n_err * tot_ev - n_ev * tot_err)
+              OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS s
+  FROM daily, tot
+)
+SELECT day AS changepoint_day,
+       CAST(abs(s) AS BIGINT) AS max_abs_cusum,
+       s AS cusum_signed
+FROM cum
+ORDER BY abs(s) DESC, day
+LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
+# event_trigram_mining — top event-type sequences (sequence-mining
+# lite). The "what do users actually do" 3-step patterns: sliding
+# trigrams over each user's time-ordered event stream (two LEADs in
+# the same window pass), counted corpus-wide, top-10 with
+# deterministic tie-breaks. |event types|³-bounded output.
+# --------------------------------------------------------------------------
+
+_TRIGRAM_TOP = 10
+
+
+def q_event_trigram_mining(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("trigram")
+        )
+    )
+    counts = tri.groupBy("trigram").agg(F.count("*").alias("n"))
+    w_rank = W.orderBy(F.desc("n"), F.asc("trigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _TRIGRAM_TOP)
+        .select("rank", "trigram", "n")
+        .orderBy("rank")
+    )
+
+
+EVENT_TRIGRAM_MINING_SQL = f"""
+WITH tri AS (
+  SELECT event_type || '>' ||
+         LEAD(event_type, 1) OVER w || '>' ||
+         LEAD(event_type, 2) OVER w AS trigram
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+  SELECT trigram, COUNT(*) AS n FROM tri
+  WHERE trigram IS NOT NULL GROUP BY trigram
+)
+SELECT rank, trigram, n FROM (
+  SELECT trigram, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, trigram) AS rank
+  FROM counts
+)
+WHERE rank <= {_TRIGRAM_TOP}
+ORDER BY rank
+"""
+
+
+# --------------------------------------------------------------------------
 # ab_test_analysis — two-proportion experiment readout.
 #
 # The product-experiment primitive: users hash-split 50/50 into
@@ -1388,6 +1523,16 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "cusum_changepoint": Query(
+        q_cusum_changepoint,
+        CUSUM_CHANGEPOINT_SQL,
+        ("changepoint", "cusum", "integer-exact"),
+    ),
+    "event_trigram_mining": Query(
+        q_event_trigram_mining,
+        EVENT_TRIGRAM_MINING_SQL,
+        ("sequence-mining", "events", "window"),
     ),
     "ab_test_analysis": Query(
         q_ab_test_analysis,
