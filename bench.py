@@ -168,6 +168,9 @@ HEADLINE = [
     # changepoint + sequence mining
     "cusum_changepoint",
     "event_trigram_mining",
+    # training-loader manifest + truncation eval
+    "epoch_shuffle_plan",
+    "matryoshka_recall",
 ]
 
 

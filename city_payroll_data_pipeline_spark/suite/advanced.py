@@ -921,6 +921,202 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# epoch_shuffle_plan — deterministic per-epoch training order.
+#
+# The data-loader contract for reproducible multi-epoch training:
+# every epoch needs a DIFFERENT pseudo-random permutation of the
+# corpus, every rerun of the same epoch needs the SAME one, and
+# resuming mid-epoch needs positions, not a shuffled copy of the
+# data. Composes stable_doc_ids (contiguous addresses) with an
+# md5(epoch:doc) sort key: the output is the (epoch, position →
+# doc_id) manifest a loader seeks by. Emitted for 2 epochs over the
+# corpus head so the driver-hashed frame stays small; the plan is
+# corpus-size-independent per epoch.
+#
+# Scale: the shuffle order is a window rank per epoch — at 100 TB
+# swap the global rank for the sharded stable_row_ids machinery (the
+# manifest IS addresses, so shards compose); the md5 keys make any
+# epoch reconstructible from scratch with no stored state.
+# --------------------------------------------------------------------------
+
+_EPOCHS = 2
+_SHUFFLE_HEAD = 100  # manifest rows per epoch in the suite output
+
+
+def q_epoch_shuffle_plan(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.sparkSession.range(_EPOCHS).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    keyed = docs.join(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint").alias("k"),
+    )
+    w = W.partitionBy("epoch").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("position", F.row_number().over(w))
+        .filter(F.col("position") <= _SHUFFLE_HEAD)
+        .select("epoch", "position", "doc_id")
+        .orderBy("epoch", "position")
+    )
+
+
+EPOCH_SHUFFLE_PLAN_SQL = f"""
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id,
+         CAST('0x' || substr(md5(e.epoch || ':' || d.doc_id), 1, 12)
+              AS BIGINT) AS k
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, {_EPOCHS})) AS epoch) e
+)
+SELECT epoch, position, doc_id FROM (
+  SELECT epoch, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+           AS position
+  FROM keyed
+)
+WHERE position <= {_SHUFFLE_HEAD}
+ORDER BY epoch, position
+"""
+
+
+# --------------------------------------------------------------------------
+# matryoshka_recall — prefix-truncated embedding retrieval eval.
+#
+# Matryoshka-style representations promise that the FIRST k dims of
+# an embedding carry most of the signal, letting retrieval run on a
+# d/k-times-smaller index. Before flipping that switch, measure it:
+# exact top-k retrieval on the 16-dim prefix vs the 64-dim exact
+# baseline, recall@k per truncation. Same integer-grid machinery as
+# the other retrievers (slice the quantized array — exact), so the
+# whole eval is oracle-checkable.
+#
+# Scale: identical to cosine_topk (corpus scanned once per
+# truncation, query set broadcast); the report frame is
+# |truncations|-rows.
+# --------------------------------------------------------------------------
+
+_MATRYOSHKA_DIMS = (16, 32)
+
+
+def q_matryoshka_recall(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators import similarity as sim
+    from city_payroll_data_pipeline_spark.suite.vectors import K, N_QUERIES
+
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", sim.quantize(F.col("embedding")).alias("q")
+    )
+
+    def topk(frame, d):
+        sliced = frame.select(
+            "vec_id",
+            (F.slice("q", 1, d) if d is not None else F.col("q")).alias("qs"),
+        ).withColumn("n2", sim.norm2_q(F.col("qs")))
+        qry = sliced.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qs").alias("qq"),
+            F.col("n2").alias("qn2"),
+        )
+        scored = sliced.join(
+            F.broadcast(qry), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.cosine_q(
+                sim.dot_q(F.col("qq"), F.col("qs")), F.col("qn2"), F.col("n2")
+            ).alias("cos"),
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= K)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = topk(emb, None)
+    total = K * N_QUERIES
+    parts = []
+    for d in _MATRYOSHKA_DIMS:
+        hit = topk(emb, d).join(exact, ["query_id", "neighbor_id"])
+        parts.append(
+            hit.agg(
+                F.lit(d).alias("prefix_dims"),
+                F.count("*").alias("matched"),
+                F.lit(total).cast("long").alias("total"),
+                F.round(F.count("*") / F.lit(total), 6).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("prefix_dims")
+
+
+def _matryoshka_sql() -> str:
+    from city_payroll_data_pipeline_spark.suite.vectors import (
+        K,
+        N_QUERIES,
+        _COSINE_SQL,
+        _QUANT_SQL,
+        _dot_sql,
+    )
+
+    total = K * N_QUERIES
+
+    def topk_cte(d, tag):
+        sl = f"q[1:{d}]" if d is not None else "q"
+        return f"""
+qv_{tag} AS (
+  SELECT vec_id, {sl} AS qs FROM base
+),
+qn_{tag} AS (
+  SELECT vec_id, qs, {_dot_sql('qs', 'qs')} AS n2 FROM qv_{tag}
+),
+scored_{tag} AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_dot_sql('p.qs', 'c.qs')} AS dot, p.n2 AS n2a, c.n2 AS n2b
+  FROM qn_{tag} p JOIN qn_{tag} c
+    ON p.vec_id < {N_QUERIES} AND c.vec_id <> p.vec_id
+),
+top_{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_COSINE_SQL} DESC,
+                                       neighbor_id) AS rk
+    FROM scored_{tag}
+  ) WHERE rk <= {K}
+)"""
+
+    ctes = ",".join(
+        [topk_cte(None, "full")]
+        + [topk_cte(d, f"d{d}") for d in _MATRYOSHKA_DIMS]
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT {d} AS prefix_dims, COUNT(*) AS matched,
+       CAST({total} AS BIGINT) AS total,
+       round(COUNT(*) / CAST({total} AS DOUBLE), 6) AS recall_at_k
+FROM top_d{d} JOIN top_full USING (query_id, neighbor_id)"""
+        for d in _MATRYOSHKA_DIMS
+    )
+    return f"""
+WITH base AS (SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings),
+{ctes}
+{selects}
+ORDER BY prefix_dims
+"""
+
+
+# --------------------------------------------------------------------------
 # cusum_changepoint — integer-exact CUSUM changepoint detection.
 #
 # error_spikes flags days that breach a trailing-window threshold;
@@ -1523,6 +1719,16 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "epoch_shuffle_plan": Query(
+        q_epoch_shuffle_plan,
+        EPOCH_SHUFFLE_PLAN_SQL,
+        ("training-loader", "shuffle", "deterministic"),
+    ),
+    "matryoshka_recall": Query(
+        q_matryoshka_recall,
+        _matryoshka_sql(),
+        ("embeddings", "matryoshka", "retrieval-eval"),
     ),
     "cusum_changepoint": Query(
         q_cusum_changepoint,

@@ -233,6 +233,9 @@ _INTENTIONAL_BNLJ = {
     "bm25_search",            # broadcast 1-row corpus-totals scalar
     "psi_drift",              # broadcast 1-row corpus-total + bucket spine
     "benford_audit",          # broadcast 1-row digit-total scalar
+    "epoch_shuffle_plan",     # broadcast |epochs|-row spine
+    "matryoshka_recall",      # broadcast query sets per truncation
+    "cusum_changepoint",      # broadcast 1-row totals scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
