@@ -171,6 +171,9 @@ HEADLINE = [
     # training-loader manifest + truncation eval
     "epoch_shuffle_plan",
     "matryoshka_recall",
+    # label-noise audit + cross-source normalization
+    "knn_label_noise",
+    "quantile_normalize_lengths",
 ]
 
 

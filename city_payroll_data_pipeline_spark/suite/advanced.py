@@ -921,6 +921,208 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# knn_label_noise — neighborhood-disagreement mislabel audit.
+#
+# The data-centric cleaning pass (Confident Learning's cheap cousin):
+# a vector whose exact k-nearest neighbors' majority label disagrees
+# with its own label is a mislabel suspect. Audits a deterministic
+# sample of the corpus (vec_id < N) against the WHOLE corpus with the
+# exact integer cosine machinery; reports per (own label, neighbor
+# majority) the suspect counts — the confusion ledger a labeling team
+# triages.
+#
+# Majority tie-break: smallest label (mirrored in both engines).
+# Scale: the sampled audit is the production shape too — you audit a
+# rotating sample per run, not the full corpus at once; corpus
+# scanned once per run, sample broadcast.
+# --------------------------------------------------------------------------
+
+_KNN_NOISE_K = 5
+_KNN_NOISE_SAMPLE = 100  # vec_id < 100 audited
+
+
+def q_knn_label_noise(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators import similarity as sim
+
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "label", sim.quantize(F.col("embedding")).alias("q")
+    ).withColumn("n2", sim.norm2_q(F.col("q")))
+    sample = emb.filter(F.col("vec_id") < _KNN_NOISE_SAMPLE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("own_label"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("qn2"),
+    )
+    scored = emb.join(
+        F.broadcast(sample), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "own_label",
+        F.col("label").alias("nbr_label"),
+        F.col("vec_id").alias("neighbor_id"),
+        sim.cosine_q(
+            sim.dot_q(F.col("qq"), F.col("q")), F.col("qn2"), F.col("n2")
+        ).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    knn = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KNN_NOISE_K
+    )
+    votes = knn.groupBy("query_id", "own_label", "nbr_label").agg(
+        F.count("*").alias("v")
+    )
+    w_maj = W.partitionBy("query_id").orderBy(
+        F.desc("v"), F.asc("nbr_label")
+    )
+    majority = (
+        votes.withColumn("mrk", F.row_number().over(w_maj))
+        .filter(F.col("mrk") == 1)
+        .select("query_id", "own_label", F.col("nbr_label").alias("majority"))
+    )
+    return (
+        majority.filter(F.col("own_label") != F.col("majority"))
+        .groupBy("own_label", "majority")
+        .agg(F.count("*").alias("n_suspects"))
+        .orderBy("own_label", "majority")
+    )
+
+
+def _knn_label_noise_sql() -> str:
+    from city_payroll_data_pipeline_spark.suite.vectors import (
+        _COSINE_SQL,
+        _QUANT_SQL,
+        _dot_sql,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, {_QUANT_SQL} AS q FROM embeddings
+),
+qn AS (SELECT vec_id, label, q, {_dot_sql('q', 'q')} AS n2 FROM base),
+scored AS (
+  SELECT p.vec_id AS query_id, p.label AS own_label,
+         c.label AS nbr_label, c.vec_id AS neighbor_id,
+         {_dot_sql('p.q', 'c.q')} AS dot, p.n2 AS n2a, c.n2 AS n2b
+  FROM qn p JOIN qn c
+    ON p.vec_id < {_KNN_NOISE_SAMPLE} AND c.vec_id <> p.vec_id
+),
+knn AS (
+  SELECT query_id, own_label, nbr_label FROM (
+    SELECT query_id, own_label, nbr_label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_COSINE_SQL} DESC,
+                                       neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk <= {_KNN_NOISE_K}
+),
+votes AS (
+  SELECT query_id, own_label, nbr_label, COUNT(*) AS v
+  FROM knn GROUP BY 1, 2, 3
+),
+majority AS (
+  SELECT query_id, own_label, nbr_label AS majority FROM (
+    SELECT query_id, own_label, nbr_label, v,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY v DESC, nbr_label) AS mrk
+    FROM votes
+  ) WHERE mrk = 1
+)
+SELECT own_label, majority, COUNT(*) AS n_suspects
+FROM majority
+WHERE own_label <> majority
+GROUP BY 1, 2
+ORDER BY own_label, majority
+"""
+
+
+# --------------------------------------------------------------------------
+# quantile_normalize_lengths — cross-source quantile normalization.
+#
+# The batch-effect correction of bioinformatics applied to corpus
+# mixing: map each source's doc-length distribution onto the POOLED
+# distribution so sources become comparable (a doc at its source's
+# p-th length percentile gets the pooled p-th percentile value).
+# Rank within source → aligned rank in the pooled order — both exact
+# integer window ranks, and the mapped value is an exact element
+# lookup, so the whole transform is integer/element-exact.
+#
+# Output: per source, the mapped values at the quartile positions —
+# the audit slice of the full transform (which is row-per-doc).
+#
+# Scale: two window ranks (per-source, pooled) + one aligned-rank
+# join; all frames are |docs|-sized, text untouched.
+# --------------------------------------------------------------------------
+
+
+def q_quantile_normalize_lengths(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_all = W.orderBy("n_chars", "doc_id")
+    ranked = docs.withColumn("r_src", F.row_number().over(w_src)).withColumn(
+        "n_src", F.count("*").over(W.partitionBy("source"))
+    )
+    pooled = docs.select(
+        F.row_number().over(w_all).alias("r_all"),
+        F.col("n_chars").alias("pooled_value"),
+    )
+    tot = docs.agg(F.count("*").alias("n_all"))
+    # floor-division, NOT cast-of-double (Spark truncates, DuckDB
+    # rounds — the mixed_lang_docs lesson)
+    aligned = ranked.join(F.broadcast(tot)).withColumn(
+        "r_aligned",
+        F.floor(
+            ((F.col("r_src") * 2 - 1) * F.col("n_all"))
+            / (F.col("n_src") * 2)
+        ).cast("int")
+        + 1,
+    )
+    mapped = aligned.join(pooled, aligned.r_aligned == pooled.r_all)
+    # audit slice: min / median / max positions per source
+    qpos = mapped.filter(
+        (F.col("r_src") == 1)
+        | (F.col("r_src") == F.floor(F.col("n_src") / 2).cast("int"))
+        | (F.col("r_src") == F.col("n_src"))
+    )
+    return qpos.select(
+        "source",
+        "r_src",
+        "n_src",
+        F.col("n_chars").alias("original"),
+        "pooled_value",
+    ).orderBy("source", "r_src")
+
+
+QUANTILE_NORMALIZE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r_src,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+),
+pooled AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r_all,
+         n_chars AS pooled_value
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n_all FROM documents),
+aligned AS (
+  SELECT r.*,
+         CAST(floor((r.r_src * 2 - 1) * t.n_all / (r.n_src * 2.0)) AS INT)
+           + 1 AS r_aligned
+  FROM ranked r, tot t
+)
+SELECT source, r_src, CAST(n_src AS BIGINT) AS n_src,
+       n_chars AS original, pooled_value
+FROM aligned JOIN pooled ON r_aligned = r_all
+WHERE r_src = 1 OR r_src = CAST(floor(n_src / 2.0) AS INT) OR r_src = n_src
+ORDER BY source, r_src
+"""
+
+
+# --------------------------------------------------------------------------
 # epoch_shuffle_plan — deterministic per-epoch training order.
 #
 # The data-loader contract for reproducible multi-epoch training:
@@ -1719,6 +1921,16 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "knn_label_noise": Query(
+        q_knn_label_noise,
+        _knn_label_noise_sql(),
+        ("data-cleaning", "knn", "label-noise"),
+    ),
+    "quantile_normalize_lengths": Query(
+        q_quantile_normalize_lengths,
+        QUANTILE_NORMALIZE_SQL,
+        ("normalization", "quantile", "batch-effect"),
     ),
     "epoch_shuffle_plan": Query(
         q_epoch_shuffle_plan,

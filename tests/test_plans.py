@@ -236,6 +236,8 @@ _INTENTIONAL_BNLJ = {
     "epoch_shuffle_plan",     # broadcast |epochs|-row spine
     "matryoshka_recall",      # broadcast query sets per truncation
     "cusum_changepoint",      # broadcast 1-row totals scalar
+    "knn_label_noise",        # broadcast audited sample vs corpus
+    "quantile_normalize_lengths",  # broadcast 1-row pooled-count scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
