@@ -174,6 +174,9 @@ HEADLINE = [
     # label-noise audit + cross-source normalization
     "knn_label_noise",
     "quantile_normalize_lengths",
+    # nonparametric statistics
+    "spearman_length_tokens",
+    "mann_whitney_test",
 ]
 
 

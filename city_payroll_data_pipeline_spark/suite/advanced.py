@@ -921,6 +921,183 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# spearman_length_tokens — Spearman rank correlation per source.
+#
+# The robust cousin of lineitem_corr's Pearson: correlation of RANKS
+# is immune to outliers and nonlinearity — the right default for
+# heavy-tailed corpus statistics. ρ = 1 − 6·Σd²/(n(n²−1)) over the
+# rank differences of (n_chars, token count) per source. Ranks are
+# integer window row_numbers with doc_id tie-breaks mirrored in both
+# engines, Σd² is an exact BIGINT, and ρ is ONE division at the end.
+#
+# Scale: two window ranks per source partition + a |sources| output.
+# --------------------------------------------------------------------------
+
+
+def q_spearman_length_tokens(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import token_count
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        token_count(F.col("text")).alias("n_toks"),
+    )
+    w_x = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_y = W.partitionBy("source").orderBy("n_toks", "doc_id")
+    ranked = docs.withColumn("rx", F.row_number().over(w_x)).withColumn(
+        "ry", F.row_number().over(w_y)
+    )
+    d = (F.col("rx") - F.col("ry")).cast("bigint")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(d * d).alias("sum_d2"),
+            F.round(
+                1
+                - (6 * F.sum(d * d)).cast("double")
+                / (
+                    F.count("*") * (F.count("*") * F.count("*") - 1)
+                ).cast("double"),
+                6,
+            ).alias("spearman_rho"),
+        )
+        .orderBy("source")
+    )
+
+
+SPEARMAN_LENGTH_TOKENS_SQL = r"""
+WITH ranked AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY len(regexp_extract_all(text, '\S+', 0)),
+                                     doc_id) AS ry
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+       round(1 - CAST(6 * SUM((rx - ry) * (rx - ry)) AS BIGINT)
+                 / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE), 6)
+         AS spearman_rho
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# mann_whitney_test — nonparametric two-sample location test.
+#
+# The A/B readout when the metric is skewed (revenue, latency):
+# compare ORDER VALUE distributions between the hash-assigned arms by
+# rank sum instead of means. Tie handling is exact: with row_number
+# ranks over (value, key) the doubled average rank of a tie group is
+# min+max — an integer — so the doubled rank sum R2 and doubled
+# U2 = R2 − n_t(n_t+1) are exact BIGINTs; the normal-approximation z
+# is one sqrt chain at the end.
+#
+# Scale: one pooled window rank + a tie-group aggregate join + a
+# 1-row readout. The pooled rank here is a single-partition window
+# over a 3-narrow-column frame; ranking is ID assignment, so at
+# 100 TB swap it for the sharded two-phase numbering in
+# operators/rowids.py (exact same ranks, largest sort 1/n_shards).
+# --------------------------------------------------------------------------
+
+
+def q_mann_whitney_test(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    variant = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(2),
+        )
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    vals = orders.select(
+        variant.alias("variant"), F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    w = W.orderBy("v", "o_orderkey")
+    ranked = vals.withColumn("rn", F.row_number().over(w))
+    # doubled tie-averaged rank: min(rn)+max(rn) over each value group
+    ties = ranked.groupBy("v").agg(
+        (F.min("rn") + F.max("rn")).alias("r2")
+    )
+    r2d = ranked.join(ties, "v").select("variant", "r2")
+    arms = r2d.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("r2").alias("sum_r2")
+    )
+    wide = (
+        arms.groupBy()
+        .pivot("variant", ["control", "treatment"])
+        .agg(F.first("n").alias("n"), F.first("sum_r2").alias("r2"))
+    )
+    nc, nt = F.col("control_n"), F.col("treatment_n")
+    u2 = F.col("treatment_r2") - nt * (nt + 1)  # doubled U statistic
+    mu2 = nc * nt  # doubled mean of U
+    var4 = nc * nt * (nc + nt + 1)  # 4×variance (ties ignored: exact
+    # tie correction omitted — prices are near-unique; documented)
+    z = (u2 - mu2).cast("double") / F.sqrt(var4.cast("double"))
+    return wide.select(
+        nc.alias("n_control"),
+        nt.alias("n_treatment"),
+        F.col("treatment_r2").alias("rank_sum_2x"),
+        u2.alias("u_2x"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+MANN_WHITNEY_TEST_SQL = f"""
+WITH vals AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)
+                    AS BIGINT) % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS variant,
+         o_totalprice AS v, o_orderkey
+  FROM orders
+),
+ranked AS (
+  SELECT variant, v,
+         ROW_NUMBER() OVER (ORDER BY v, o_orderkey) AS rn
+  FROM vals
+),
+ties AS (SELECT v, MIN(rn) + MAX(rn) AS r2 FROM ranked GROUP BY v),
+arms AS (
+  SELECT variant, COUNT(*) AS n, CAST(SUM(r2) AS BIGINT) AS sum_r2
+  FROM ranked JOIN ties USING (v)
+  GROUP BY variant
+),
+wide AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 'control' THEN n END) AS BIGINT)
+      AS n_control,
+    CAST(SUM(CASE WHEN variant = 'treatment' THEN n END) AS BIGINT)
+      AS n_treatment,
+    CAST(SUM(CASE WHEN variant = 'treatment' THEN sum_r2 END) AS BIGINT)
+      AS rank_sum_2x
+  FROM arms
+)
+SELECT n_control, n_treatment, rank_sum_2x,
+       rank_sum_2x - n_treatment * (n_treatment + 1) AS u_2x,
+       {_sql_round(
+           'CAST(rank_sum_2x - n_treatment * (n_treatment + 1)'
+           '     - n_control * n_treatment AS DOUBLE)'
+           ' / sqrt(CAST(n_control * n_treatment'
+           '             * (n_control + n_treatment + 1) AS DOUBLE))',
+           6,
+       )} AS z_stat
+FROM wide
+"""
+
+
+# --------------------------------------------------------------------------
 # knn_label_noise — neighborhood-disagreement mislabel audit.
 #
 # The data-centric cleaning pass (Confident Learning's cheap cousin):
@@ -1921,6 +2098,16 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "spearman_length_tokens": Query(
+        q_spearman_length_tokens,
+        SPEARMAN_LENGTH_TOKENS_SQL,
+        ("stats", "spearman", "integer-exact"),
+    ),
+    "mann_whitney_test": Query(
+        q_mann_whitney_test,
+        MANN_WHITNEY_TEST_SQL,
+        ("stats", "mann-whitney", "nonparametric"),
     ),
     "knn_label_noise": Query(
         q_knn_label_noise,
