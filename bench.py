@@ -177,6 +177,8 @@ HEADLINE = [
     # nonparametric statistics
     "spearman_length_tokens",
     "mann_whitney_test",
+    # activation lag
+    "conversion_lag_quantiles",
 ]
 
 

@@ -921,6 +921,92 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# conversion_lag_quantiles — time-to-convert distribution.
+#
+# The activation metric funnels don't give: how LONG from a user's
+# first signup to their first purchase. Per user: min(signup ts) and
+# min(purchase ts), lag in whole seconds; users whose first purchase
+# precedes their first signup (pre-existing buyers) are excluded.
+# Reports exact quartiles + mean of the lag distribution. Exact arithmetic: lags are integer
+# seconds (epoch micros div 1_000_000), quartiles are exact
+# percentiles over integers (both engines interpolate at p·(n−1) —
+# engine-identical on integer inputs after the shared 6-dp round),
+# the mean routes through one integer sum.
+#
+# Scale: one user-level min-aggregate (map-side combinable), then a
+# |users|-frame percentile — at 100 TB swap exact percentiles for the
+# histogram_quantiles sketch (documented there).
+# --------------------------------------------------------------------------
+
+
+def q_conversion_lag_quantiles(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "signup",
+                    F.unix_micros(F.col("ts")),
+                )
+            ).alias("t_signup"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.unix_micros(F.col("ts")),
+                )
+            ).alias("t_purchase"),
+        )
+        .where(
+            F.col("t_signup").isNotNull()
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_purchase") >= F.col("t_signup"))
+        )
+        .select(
+            # floor, not cast-of-double (Spark truncates, DuckDB rounds)
+            F.floor(
+                (F.col("t_purchase") - F.col("t_signup"))
+                / F.lit(1_000_000)
+            ).cast("bigint").alias("lag_s")
+        )
+    )
+    qs = F.percentile("lag_s", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.element_at(qs, 1), 6).alias("p25_s"),
+        F.round(F.element_at(qs, 2), 6).alias("p50_s"),
+        F.round(F.element_at(qs, 3), 6).alias("p75_s"),
+        F.round(
+            F.sum("lag_s").cast("double") / F.count("*"), 6
+        ).alias("mean_s"),
+    )
+
+
+CONVERSION_LAG_QUANTILES_SQL = """
+WITH per_user AS (
+  SELECT CAST(floor((t_purchase - t_signup) / 1000000.0) AS BIGINT) AS lag_s
+  FROM (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup'
+                    THEN epoch_us(ts) END) AS t_signup,
+           MIN(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) AS t_purchase
+    FROM events GROUP BY user_id
+  )
+  WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+    AND t_purchase >= t_signup
+)
+SELECT COUNT(*) AS n_users,
+       round(quantile_cont(lag_s, 0.25), 6) AS p25_s,
+       round(quantile_cont(lag_s, 0.50), 6) AS p50_s,
+       round(quantile_cont(lag_s, 0.75), 6) AS p75_s,
+       round(CAST(SUM(lag_s) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS mean_s
+FROM per_user
+"""
+
+
+# --------------------------------------------------------------------------
 # spearman_length_tokens — Spearman rank correlation per source.
 #
 # The robust cousin of lineitem_corr's Pearson: correlation of RANKS
@@ -2098,6 +2184,11 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "conversion_lag_quantiles": Query(
+        q_conversion_lag_quantiles,
+        CONVERSION_LAG_QUANTILES_SQL,
+        ("product-analytics", "activation", "quantiles"),
     ),
     "spearman_length_tokens": Query(
         q_spearman_length_tokens,
