@@ -179,6 +179,8 @@ HEADLINE = [
     "mann_whitney_test",
     # activation lag
     "conversion_lag_quantiles",
+    # one-row corpus summary
+    "corpus_health_report",
 ]
 
 

@@ -921,6 +921,96 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# corpus_health_report — the one-row executive summary.
+#
+# The first thing anyone asks of a corpus: how big, how duplicated,
+# how long, what language mix. One row joining four tiny independent
+# aggregates (each is its own full-scan reduction; Spark runs them as
+# parallel stages and the joins are 1-row broadcasts):
+#   volume (docs, chars, whitespace tokens), exact-dup rate
+#   (distinct content fingerprints vs docs), length quartiles, and
+#   english share by stored lang tag. Everything integer or one
+#   division; quartiles on integer n_chars.
+#
+# Scale: 4 scans of thin columns (or one multi-agg scan if fused —
+# kept separate here for clarity; Catalyst caches nothing between
+# them, so at 100 TB fuse volume+lang into one agg, as
+# dataset_manifest does).
+# --------------------------------------------------------------------------
+
+
+def q_corpus_health_report(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import (
+        content_fingerprint,
+        token_count,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    vol = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+    )
+    dup = docs.select(
+        content_fingerprint(F.col("text")).alias("fp")
+    ).agg(F.count_distinct("fp").alias("n_distinct_fp"))
+    qs = F.percentile("n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    lenq = docs.agg(
+        F.round(F.element_at(qs, 1), 6).alias("len_p25"),
+        F.round(F.element_at(qs, 2), 6).alias("len_p50"),
+        F.round(F.element_at(qs, 3), 6).alias("len_p75"),
+    )
+    return (
+        vol.join(F.broadcast(dup))
+        .join(F.broadcast(lenq))
+        .select(
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "n_distinct_fp",
+            F.round(
+                1 - F.col("n_distinct_fp") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            F.round(F.col("n_en") / F.col("n_docs"), 6).alias("en_share"),
+            "len_p25",
+            "len_p50",
+            "len_p75",
+        )
+    )
+
+
+CORPUS_HEALTH_REPORT_SQL = r"""
+WITH vol AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(len(regexp_extract_all(text, '\S+', 0))) AS BIGINT)
+           AS total_tokens,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_en
+  FROM documents
+),
+dup AS (
+  SELECT COUNT(DISTINCT
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+           AS n_distinct_fp
+  FROM documents
+),
+lenq AS (
+  SELECT round(quantile_cont(n_chars, 0.25), 6) AS len_p25,
+         round(quantile_cont(n_chars, 0.50), 6) AS len_p50,
+         round(quantile_cont(n_chars, 0.75), 6) AS len_p75
+  FROM documents
+)
+SELECT n_docs, total_chars, total_tokens, n_distinct_fp,
+       round(1 - n_distinct_fp / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+       round(n_en / CAST(n_docs AS DOUBLE), 6) AS en_share,
+       len_p25, len_p50, len_p75
+FROM vol, dup, lenq
+"""
+
+
+# --------------------------------------------------------------------------
 # conversion_lag_quantiles — time-to-convert distribution.
 #
 # The activation metric funnels don't give: how LONG from a user's
@@ -2184,6 +2274,11 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "corpus_health_report": Query(
+        q_corpus_health_report,
+        CORPUS_HEALTH_REPORT_SQL,
+        ("report", "corpus-health", "summary"),
     ),
     "conversion_lag_quantiles": Query(
         q_conversion_lag_quantiles,

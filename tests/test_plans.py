@@ -238,6 +238,7 @@ _INTENTIONAL_BNLJ = {
     "cusum_changepoint",      # broadcast 1-row totals scalar
     "knn_label_noise",        # broadcast audited sample vs corpus
     "quantile_normalize_lengths",  # broadcast 1-row pooled-count scalar
+    "corpus_health_report",   # 1-row summary joins
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
