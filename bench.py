@@ -181,6 +181,8 @@ HEADLINE = [
     "conversion_lag_quantiles",
     # one-row corpus summary
     "corpus_health_report",
+    # categorical association
+    "cramers_v",
 ]
 
 

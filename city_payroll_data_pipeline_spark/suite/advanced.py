@@ -921,6 +921,105 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# cramers_v — categorical association (order priority × status).
+#
+# The χ²-based effect size for two categorical columns — the "are
+# these fields related at all" screen that runs before any modeling
+# on categorical features. χ² = Σ (o_ij − e_ij)²/e_ij with expected
+# e_ij = r_i·c_j/N; V = sqrt(χ²/(N·(min(R,C)−1))).
+#
+# Determinism: observed/row/col/N are exact integers; each cell's
+# term is (o·N − r·c)²/(r·c·N) — numerator an exact integer squared
+# (DECIMAL(38,0)-routed, it exceeds int64), ONE double division per
+# cell rounded into DECIMAL(18,10) before the cell sum, one final
+# sqrt. Scale: one groupBy on the pair, margins broadcast; the cell
+# frame is |R|·|C|.
+# --------------------------------------------------------------------------
+
+
+def q_cramers_v(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("o")
+    )
+    rows = cells.groupBy("o_orderpriority").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("o_orderstatus").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("o_orderpriority").alias("nr"),
+        F.count_distinct("o_orderstatus").alias("nc"),
+    )
+    j = (
+        cells.join(F.broadcast(rows), "o_orderpriority")
+        .join(F.broadcast(cols), "o_orderstatus")
+        .join(F.broadcast(tot))
+    )
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast(
+        "decimal(38,0)"
+    )
+    term = F.round(
+        (num * num).cast("double")
+        / (F.col("r") * F.col("c")).cast("double")
+        / F.col("n").cast("double"),
+        10,
+    ).cast("decimal(18,10)")
+    return j.agg(
+        F.first("n").alias("n_rows"),
+        F.round(F.sum(term).cast("double"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum(term).cast("double")
+                / (
+                    F.first("n")
+                    * (F.least(F.first("nr"), F.first("nc")) - 1)
+                ).cast("double")
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+CRAMERS_V_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT o_orderpriority, CAST(SUM(o) AS BIGINT) AS r
+  FROM cells GROUP BY 1
+),
+cols_ AS (
+  SELECT o_orderstatus, CAST(SUM(o) AS BIGINT) AS c
+  FROM cells GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         COUNT(DISTINCT o_orderpriority) AS nr,
+         COUNT(DISTINCT o_orderstatus) AS nc
+  FROM cells
+),
+terms AS (
+  SELECT n, nr, nc,
+         CAST(round(CAST(CAST(
+           CAST(CAST(o * n - r * c AS HUGEINT)
+                * CAST(o * n - r * c AS HUGEINT) AS DOUBLE)
+           / CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)
+         AS VARCHAR) AS DECIMAL(38,20)), 10) AS DECIMAL(18,10)) AS term
+  FROM cells JOIN rows_ USING (o_orderpriority)
+             JOIN cols_ USING (o_orderstatus)
+  CROSS JOIN tot
+)
+SELECT ANY_VALUE(n) AS n_rows,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+       round(sqrt(CAST(SUM(term) AS DOUBLE)
+                  / CAST(ANY_VALUE(n)
+                         * (LEAST(ANY_VALUE(nr), ANY_VALUE(nc)) - 1)
+                    AS DOUBLE)), 6) AS cramers_v
+FROM terms
+"""
+
+
+# --------------------------------------------------------------------------
 # corpus_health_report — the one-row executive summary.
 #
 # The first thing anyone asks of a corpus: how big, how duplicated,
@@ -2274,6 +2373,9 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "cramers_v": Query(
+        q_cramers_v, CRAMERS_V_SQL, ("stats", "chi-square", "categorical")
     ),
     "corpus_health_report": Query(
         q_corpus_health_report,

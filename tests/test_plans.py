@@ -239,6 +239,7 @@ _INTENTIONAL_BNLJ = {
     "knn_label_noise",        # broadcast audited sample vs corpus
     "quantile_normalize_lengths",  # broadcast 1-row pooled-count scalar
     "corpus_health_report",   # 1-row summary joins
+    "cramers_v",              # broadcast 1-row margins/total scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
