@@ -42,6 +42,10 @@ REPRESENTATIVES = [
     "training_mix_report",      # composed rational-arithmetic plan
     "gap_fill_interpolate",     # spine fan-out + IGNORE NULLS windows
     "markov_transitions",       # LEAD over (user, time)
+    "bm25_search",              # rounded-ln idf + decimal score sums
+    "cdc_chunks",               # rolling-hash boundaries + window chunk ids
+    "cramers_v",                # decimal-routed chi-square cell sums
+    "mann_whitney_test",        # pooled rank sums with tie averaging
 ]
 
 
