@@ -183,6 +183,8 @@ HEADLINE = [
     "corpus_health_report",
     # categorical association
     "cramers_v",
+    # rendezvous sharding
+    "rendezvous_shards",
 ]
 
 

@@ -921,6 +921,98 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# rendezvous_shards — Highest-Random-Weight (rendezvous) sharding
+# with the minimal-reassignment property proven in-query.
+#
+# Mod-N hashing reassigns ~(N−1)/N of ALL keys when a shard leaves;
+# rendezvous hashing (Thaler & Ravishankar '96 — the consistent-
+# hashing alternative with no ring state) assigns each key to
+# argmax_s h(key, s) and moves ONLY the departed shard's keys. The
+# query computes assignments over shards {0..7} and again over
+# {0..6} (shard 7 removed) and reports, per original shard, how many
+# docs moved — the hash match against the oracle certifies that rows
+# with shard ≠ 7 moved ZERO, which IS the minimal-reassignment
+# theorem on this corpus.
+#
+# Scale: assignment is a map-side argmax over N hash evaluations per
+# key (no state, no ring, no lookup table) — the shard-routing
+# primitive for writers and stateful services alike.
+# --------------------------------------------------------------------------
+
+_HRW_SHARDS = 8
+
+
+def _hrw_weight(key: F.Column, shard: int) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("#", key, F.lit(shard))), 1, 12), 16, 10
+    ).cast("bigint")
+
+
+def _hrw_assign(key: F.Column, n_shards: int) -> F.Column:
+    pairs = F.array(
+        *[
+            F.struct(
+                _hrw_weight(key, s).alias("w"), F.lit(s).alias("s")
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return F.array_max(pairs)["s"]
+
+
+def q_rendezvous_shards(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    key = F.col("doc_id").cast("string")
+    assigned = docs.select(
+        "doc_id",
+        _hrw_assign(key, _HRW_SHARDS).alias("shard_before"),
+        _hrw_assign(key, _HRW_SHARDS - 1).alias("shard_after"),
+    )
+    return (
+        assigned.groupBy("shard_before")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard_after") != F.col("shard_before"), 1)
+                .otherwise(0)
+            ).alias("n_moved"),
+        )
+        .orderBy("shard_before")
+    )
+
+
+def _hrw_sql() -> str:
+    def weight(s):
+        return (
+            f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#{s}'),"
+            f" 1, 12) AS BIGINT)"
+        )
+
+    def assign(n, alias):
+        structs = ", ".join(
+            f"{{'w': {weight(s)}, 's': {s}}}" for s in range(n)
+        )
+        return (
+            f"list_max([{structs}])['s'] AS {alias}"
+        )
+
+    return f"""
+WITH assigned AS (
+  SELECT doc_id,
+         {assign(_HRW_SHARDS, 'shard_before')},
+         {assign(_HRW_SHARDS - 1, 'shard_after')}
+  FROM documents
+)
+SELECT shard_before, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN shard_after <> shard_before THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM assigned
+GROUP BY shard_before
+ORDER BY shard_before
+"""
+
+
+# --------------------------------------------------------------------------
 # cramers_v — categorical association (order priority × status).
 #
 # The χ²-based effect size for two categorical columns — the "are
@@ -2373,6 +2465,11 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "rendezvous_shards": Query(
+        q_rendezvous_shards,
+        _hrw_sql(),
+        ("sharding", "rendezvous-hashing", "minimal-reassignment"),
     ),
     "cramers_v": Query(
         q_cramers_v, CRAMERS_V_SQL, ("stats", "chi-square", "categorical")
