@@ -185,6 +185,8 @@ HEADLINE = [
     "cramers_v",
     # rendezvous sharding
     "rendezvous_shards",
+    # line-level boilerplate stripping
+    "c4_line_filter",
 ]
 
 

@@ -118,6 +118,121 @@ FROM (SELECT doc_id, lang, text, {scores_sql} FROM documents)
 DOC_LANG_ID_SQL = _lang_id_sql()
 
 # --------------------------------------------------------------------------
+# c4_line_filter — line-level boilerplate stripping (the C4 /
+# RefinedWeb cleaning family). Document-level quality gates keep or
+# drop whole docs; the line filter rescues mostly-good documents by
+# dropping only their junk lines: here, lines with fewer than 3
+# whitespace tokens (nav crumbs, stray fragments). Documents are
+# reassembled from surviving lines in order and the audit reports
+# per-source line/char attrition. (The testdata corpus is
+# single-line, so sentences — '.'-separated — stand in for lines;
+# the operator shape is identical.)
+#
+# The corpus has no sentence punctuation at all, so the suite input
+# synthesizes the web-page shape deterministically: each doc becomes
+# three '.'-separated lines — a body prefix, a 2-token nav crumb
+# ("home login"), and the body remainder — and the filter must strip
+# exactly the crumb (keep_rate 2/3 where the body splits, else 1/2).
+#
+# Scale: explode → filter → position-ordered re-agg, all inside one
+# per-doc pipeline; no shuffle beyond the doc-key re-agg.
+# --------------------------------------------------------------------------
+
+_C4_MIN_TOKENS = 3
+
+
+def q_c4_line_filter(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.expr("substr(text, 1, 100)"),
+            F.lit(".home login."),
+            F.expr("substr(text, 101)"),
+        ).alias("text"),
+    )
+    lines = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.col("text"), r"\.")).alias("pos", "line"),
+    )
+    kept = lines.withColumn(
+        "keep",
+        (F.regexp_count(F.col("line"), F.lit(r"\S+")) >= _C4_MIN_TOKENS)
+        .cast("int"),
+    )
+    per_doc = kept.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("keep").alias("n_kept"),
+        F.length(
+            F.concat_ws(
+                ".",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep") == 1,
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            )
+        ).alias("clean_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_lines").alias("total_lines"),
+            F.sum("n_kept").alias("kept_lines"),
+            F.round(F.sum("n_kept") / F.sum("n_lines"), 6).alias("keep_rate"),
+            F.sum("clean_chars").alias("clean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+C4_LINE_FILTER_SQL = rf"""
+WITH paged AS (
+  SELECT doc_id, source,
+         substr(text, 1, 100) || '.home login.' || substr(text, 101)
+           AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, source, u.i - 1 AS pos, parts[u.i] AS line
+  FROM (SELECT doc_id, source, string_split(text, '.') AS parts
+        FROM paged)
+  CROSS JOIN LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) u
+),
+kept AS (
+  SELECT doc_id, source, pos, line,
+         CASE WHEN len(regexp_extract_all(line, '\S+', 0))
+                   >= {_C4_MIN_TOKENS}
+              THEN 1 ELSE 0 END AS keep
+  FROM lines
+),
+per_doc AS (
+  SELECT doc_id, source,
+         COUNT(*) AS n_lines,
+         CAST(SUM(keep) AS BIGINT) AS n_kept,
+         length(string_agg(CASE WHEN keep = 1 THEN line END, '.'
+                           ORDER BY pos)) AS clean_chars
+  FROM kept GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+       CAST(SUM(n_kept) AS BIGINT) AS kept_lines,
+       round(SUM(n_kept) / CAST(SUM(n_lines) AS DOUBLE), 6) AS keep_rate,
+       CAST(SUM(clean_chars) AS BIGINT) AS clean_chars
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # cdc_chunks — content-defined chunking (the rolling-hash boundary
 # family: Rabin/LBFS, FastCDC). Fixed-size chunking (doc_chunks)
 # breaks dedup the moment one token is inserted — every downstream
@@ -3158,6 +3273,11 @@ QUERIES = {
     ),
     "cdc_chunks": Query(
         q_cdc_chunks, CDC_CHUNKS_SQL, ("chunking", "cdc", "rolling-hash")
+    ),
+    "c4_line_filter": Query(
+        q_c4_line_filter,
+        C4_LINE_FILTER_SQL,
+        ("cleaning", "line-filter", "c4"),
     ),
     "doc_quality": Query(q_doc_quality, DOC_QUALITY_SQL, ("text", "quality")),
     "doc_fingerprint": Query(q_doc_fingerprint, DOC_FINGERPRINT_SQL, ("text",)),
