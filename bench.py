@@ -187,6 +187,8 @@ HEADLINE = [
     "rendezvous_shards",
     # line-level boilerplate stripping
     "c4_line_filter",
+    # hierarchical integrity manifest
+    "merkle_bucket_manifest",
 ]
 
 

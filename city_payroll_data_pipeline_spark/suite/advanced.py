@@ -921,6 +921,86 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# merkle_bucket_manifest — hierarchical integrity checksums.
+#
+# dataset_manifest proves two corpus copies equal with ONE number;
+# when they differ, a flat checksum can't say WHERE. The two-level
+# (Merkle-style) manifest can: docs hash into 64 buckets by id, each
+# bucket gets an ORDER-INSENSITIVE additive digest (sum of 48-bit
+# content fingerprints mod 2^48 — commutative, so bucket digests
+# merge map-side at any scale), and the root digests the ordered
+# 64-bucket frame. Compare roots → equal/not; compare bucket rows →
+# which 1/64th to re-transfer. Integer-exact end to end.
+#
+# Scale: one groupBy on the bucket key; the bucket frame is 64 rows
+# regardless of corpus size; only (bucket, fp48) crosses the shuffle.
+# --------------------------------------------------------------------------
+
+_MERKLE_BUCKETS = 64
+_FP_MOD = 1 << 48
+
+
+def q_merkle_bucket_manifest(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import (
+        content_fingerprint,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    leaf = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(_MERKLE_BUCKETS)).alias("bucket"),
+        F.conv(
+            F.substring(content_fingerprint(F.col("text")), 1, 12), 16, 10
+        ).cast("bigint").alias("fp48"),
+    )
+    buckets = leaf.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.pmod(F.sum("fp48"), F.lit(_FP_MOD)).alias("digest"),
+    )
+    root = buckets.agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket", "digest"))
+                    ),
+                    lambda x: F.concat_ws(":", x["bucket"], x["digest"]),
+                ),
+            )
+        ).alias("root_hash")
+    )
+    return (
+        buckets.join(F.broadcast(root))
+        .select("bucket", "n_docs", "digest", "root_hash")
+        .orderBy("bucket")
+    )
+
+
+MERKLE_BUCKET_MANIFEST_SQL = rf"""
+WITH leaf AS (
+  SELECT doc_id % {_MERKLE_BUCKETS} AS bucket,
+         CAST('0x' || substr(
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 12)
+           AS BIGINT) AS fp48
+  FROM documents
+),
+buckets AS (
+  SELECT bucket, COUNT(*) AS n_docs,
+         CAST(SUM(fp48) % {_FP_MOD} AS BIGINT) AS digest
+  FROM leaf GROUP BY bucket
+),
+root AS (
+  SELECT md5(string_agg(bucket || ':' || digest, ',' ORDER BY bucket))
+           AS root_hash
+  FROM buckets
+)
+SELECT bucket, n_docs, digest, root_hash
+FROM buckets, root
+ORDER BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
 # rendezvous_shards — Highest-Random-Weight (rendezvous) sharding
 # with the minimal-reassignment property proven in-query.
 #
@@ -2465,6 +2545,11 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "merkle_bucket_manifest": Query(
+        q_merkle_bucket_manifest,
+        MERKLE_BUCKET_MANIFEST_SQL,
+        ("integrity", "merkle", "mergeable"),
     ),
     "rendezvous_shards": Query(
         q_rendezvous_shards,
