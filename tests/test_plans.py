@@ -240,6 +240,7 @@ _INTENTIONAL_BNLJ = {
     "quantile_normalize_lengths",  # broadcast 1-row pooled-count scalar
     "corpus_health_report",   # 1-row summary joins
     "cramers_v",              # broadcast 1-row margins/total scalar
+    "merkle_bucket_manifest", # broadcast 1-row root-hash scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
