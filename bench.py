@@ -189,6 +189,8 @@ HEADLINE = [
     "c4_line_filter",
     # hierarchical integrity manifest
     "merkle_bucket_manifest",
+    # pre-join cardinality safety
+    "join_fanout_audit",
 ]
 
 

@@ -921,6 +921,74 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# join_fanout_audit — pre-join cardinality safety check.
+#
+# The question to ask BEFORE shipping a fact-fact join: what will it
+# produce? Per join key k the output is n_left(k)·n_right(k) rows, so
+# the exact predicted size is Σ_k n_l·n_r — computable from the two
+# per-key count frames without running the join. Reports per-side key
+# stats (max/avg fanout), the exact predicted output size, and the
+# blowup factor vs the larger input. A predicted size far above both
+# inputs means a missed predicate or a many-to-many key — caught here
+# for the cost of two aggregates instead of a melted cluster.
+# key_gini_skew profiles ONE side's shape; this predicts the JOIN.
+#
+# Scale: two per-key partial-agg count frames joined on the key —
+# the same shuffle the real join would do but carrying two bigints
+# per key instead of full rows. Integer-exact throughout.
+# --------------------------------------------------------------------------
+
+
+def q_join_fanout_audit(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    lc = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("nl")
+    )
+    rc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("nr")
+    )
+    j = lc.join(rc, "k", "full_outer").select(
+        F.coalesce("nl", F.lit(0)).alias("nl"),
+        F.coalesce("nr", F.lit(0)).alias("nr"),
+    )
+    return j.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("nl").alias("left_rows"),
+        F.sum("nr").alias("right_rows"),
+        F.max("nl").alias("max_left_fanout"),
+        F.max("nr").alias("max_right_fanout"),
+        F.sum(F.col("nl") * F.col("nr")).alias("predicted_join_rows"),
+        F.round(
+            F.sum(F.col("nl") * F.col("nr")).cast("double")
+            / F.greatest(F.sum("nl"), F.sum("nr")).cast("double"),
+            6,
+        ).alias("blowup_vs_larger_input"),
+    )
+
+
+JOIN_FANOUT_AUDIT_SQL = """
+WITH lc AS (SELECT o_orderkey AS k, COUNT(*) AS nl FROM orders GROUP BY 1),
+rc AS (SELECT l_orderkey AS k, COUNT(*) AS nr FROM lineitem GROUP BY 1),
+j AS (
+  SELECT COALESCE(nl, 0) AS nl, COALESCE(nr, 0) AS nr
+  FROM lc FULL OUTER JOIN rc USING (k)
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(nl) AS BIGINT) AS left_rows,
+       CAST(SUM(nr) AS BIGINT) AS right_rows,
+       MAX(nl) AS max_left_fanout,
+       MAX(nr) AS max_right_fanout,
+       CAST(SUM(nl * nr) AS BIGINT) AS predicted_join_rows,
+       round(CAST(SUM(nl * nr) AS BIGINT)
+             / CAST(GREATEST(CAST(SUM(nl) AS BIGINT),
+                             CAST(SUM(nr) AS BIGINT)) AS DOUBLE), 6)
+         AS blowup_vs_larger_input
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
 # merkle_bucket_manifest — hierarchical integrity checksums.
 #
 # dataset_manifest proves two corpus copies equal with ONE number;
@@ -2545,6 +2613,11 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "join_fanout_audit": Query(
+        q_join_fanout_audit,
+        JOIN_FANOUT_AUDIT_SQL,
+        ("join-safety", "cardinality", "integer-exact"),
     ),
     "merkle_bucket_manifest": Query(
         q_merkle_bucket_manifest,
