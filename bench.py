@@ -191,6 +191,8 @@ HEADLINE = [
     "merkle_bucket_manifest",
     # pre-join cardinality safety
     "join_fanout_audit",
+    # sweep-line capacity planning
+    "peak_concurrency",
 ]
 
 

@@ -921,6 +921,93 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# peak_concurrency — sweep-line maximum overlapping sessions.
+#
+# The capacity-planning number: the most sessions ever active at
+# once. Classic sweep line — sessions become (+1 at start, −1 at
+# end+1) deltas, per-tick NET deltas (aggregated first, so within-
+# tick ordering can't matter), a running sum over ticks, and the max.
+# Sessions come from the same gap-sessionizer as event_sessions.
+#
+# Scale: the sweep runs on the SESSION frame (orders of magnitude
+# smaller than events); its ordered window is the audit-grade global
+# pass — at 100 TB partition the sweep by day after splitting
+# sessions at midnight, or rank ticks with operators/rowids.py.
+# --------------------------------------------------------------------------
+
+
+def q_peak_concurrency(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators.sessions import (
+        assign_sessions,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    secs = F.unix_timestamp(F.col("ts"))
+    sessions = (
+        assign_sessions(ev, gap_seconds=3600)
+        .groupBy("user_id", "session_id")
+        .agg(F.min(secs).alias("t0"), F.max(secs).alias("t1"))
+    )
+    deltas = sessions.select(
+        F.col("t0").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        sessions.select((F.col("t1") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    ticks = deltas.groupBy("t").agg(F.sum("d").alias("net"))
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    live = ticks.withColumn("active", F.sum("net").over(w))
+    w_rank = W.orderBy(F.desc("active"), F.asc("t"))
+    return (
+        live.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("active").alias("peak_concurrent"),
+            F.timestamp_seconds(F.col("t")).alias("at_time"),
+        )
+    )
+
+
+PEAK_CONCURRENCY_SQL = """
+WITH secs AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s,
+         CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 3600
+              THEN 1 ELSE 0 END AS new_session
+  FROM secs
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+numbered AS (
+  SELECT user_id, s,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY s
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id, MIN(s) AS t0, MAX(s) AS t1
+  FROM numbered GROUP BY 1, 2
+),
+deltas AS (
+  SELECT t0 AS t, 1 AS d FROM sessions
+  UNION ALL
+  SELECT t1 + 1 AS t, -1 AS d FROM sessions
+),
+ticks AS (SELECT t, SUM(d) AS net FROM deltas GROUP BY t),
+live AS (
+  SELECT t, CAST(SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS active
+  FROM ticks
+)
+SELECT active AS peak_concurrent, make_timestamp(t * 1000000) AS at_time
+FROM live
+ORDER BY active DESC, t
+LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------------
 # join_fanout_audit — pre-join cardinality safety check.
 #
 # The question to ask BEFORE shipping a fact-fact join: what will it
@@ -2613,6 +2700,11 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "peak_concurrency": Query(
+        q_peak_concurrency,
+        PEAK_CONCURRENCY_SQL,
+        ("sessions", "sweep-line", "capacity"),
     ),
     "join_fanout_audit": Query(
         q_join_fanout_audit,
