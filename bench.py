@@ -193,6 +193,7 @@ HEADLINE = [
     "join_fanout_audit",
     # sweep-line capacity planning
     "peak_concurrency",
+    "session_coverage",
 ]
 
 

@@ -967,6 +967,113 @@ def q_peak_concurrency(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# session_coverage — interval-union length (same sweep line).
+#
+# The other number the sweep gives for free: how many wall-clock
+# seconds had ≥1 active session (the union length of overlapping
+# intervals — utilization), vs the sum of per-session durations
+# (the overlap factor). A segment between consecutive ticks is
+# covered iff the running count entering it is positive; its length
+# is lead(t) − t. All integers.
+# --------------------------------------------------------------------------
+
+
+def q_session_coverage(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators.sessions import (
+        assign_sessions,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    secs = F.unix_timestamp(F.col("ts"))
+    sessions = (
+        assign_sessions(ev, gap_seconds=3600)
+        .groupBy("user_id", "session_id")
+        .agg(F.min(secs).alias("t0"), F.max(secs).alias("t1"))
+    )
+    deltas = sessions.select(
+        F.col("t0").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        sessions.select((F.col("t1") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    ticks = deltas.groupBy("t").agg(F.sum("d").alias("net"))
+    w = W.orderBy("t")
+    live = ticks.withColumn(
+        "active", F.sum("net").over(w.rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("t_next", F.lead("t").over(w))
+    covered = live.where(
+        (F.col("active") > 0) & F.col("t_next").isNotNull()
+    ).agg(F.sum(F.col("t_next") - F.col("t")).alias("covered_s"))
+    totals = sessions.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("t1") - F.col("t0") + 1).alias("session_seconds"),
+    )
+    return (
+        totals.join(F.broadcast(covered))
+        .select(
+            "n_sessions",
+            "session_seconds",
+            "covered_s",
+            F.round(
+                F.col("session_seconds").cast("double")
+                / F.col("covered_s").cast("double"),
+                6,
+            ).alias("overlap_factor"),
+        )
+    )
+
+
+SESSION_COVERAGE_SQL = """
+WITH secs AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s,
+         CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 3600
+              THEN 1 ELSE 0 END AS new_session
+  FROM secs
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+numbered AS (
+  SELECT user_id, s,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY s
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id, MIN(s) AS t0, MAX(s) AS t1
+  FROM numbered GROUP BY 1, 2
+),
+deltas AS (
+  SELECT t0 AS t, 1 AS d FROM sessions
+  UNION ALL
+  SELECT t1 + 1 AS t, -1 AS d FROM sessions
+),
+ticks AS (SELECT t, SUM(d) AS net FROM deltas GROUP BY t),
+live AS (
+  SELECT t,
+         CAST(SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS active,
+         LEAD(t) OVER (ORDER BY t) AS t_next
+  FROM ticks
+),
+covered AS (
+  SELECT CAST(SUM(t_next - t) AS BIGINT) AS covered_s
+  FROM live WHERE active > 0 AND t_next IS NOT NULL
+),
+totals AS (
+  SELECT COUNT(*) AS n_sessions,
+         CAST(SUM(t1 - t0 + 1) AS BIGINT) AS session_seconds
+  FROM sessions
+)
+SELECT n_sessions, session_seconds, covered_s,
+       round(session_seconds / CAST(covered_s AS DOUBLE), 6)
+         AS overlap_factor
+FROM totals, covered
+"""
+
+
 PEAK_CONCURRENCY_SQL = """
 WITH secs AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
@@ -2705,6 +2812,11 @@ QUERIES = {
         q_peak_concurrency,
         PEAK_CONCURRENCY_SQL,
         ("sessions", "sweep-line", "capacity"),
+    ),
+    "session_coverage": Query(
+        q_session_coverage,
+        SESSION_COVERAGE_SQL,
+        ("sessions", "interval-union", "utilization"),
     ),
     "join_fanout_audit": Query(
         q_join_fanout_audit,
