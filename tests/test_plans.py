@@ -241,6 +241,7 @@ _INTENTIONAL_BNLJ = {
     "corpus_health_report",   # 1-row summary joins
     "cramers_v",              # broadcast 1-row margins/total scalar
     "merkle_bucket_manifest", # broadcast 1-row root-hash scalar
+    "session_coverage",       # broadcast 1-row covered-seconds scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
