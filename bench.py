@@ -194,6 +194,9 @@ HEADLINE = [
     # sweep-line capacity planning
     "peak_concurrency",
     "session_coverage",
+    # corpus statistics + abuse screening
+    "zipf_slope",
+    "event_burstiness",
 ]
 
 

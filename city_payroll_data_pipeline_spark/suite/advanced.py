@@ -921,6 +921,139 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# zipf_slope — fitted Zipf exponent of the token distribution.
+#
+# Natural-language token frequencies follow freq ∝ rank^(−s) with
+# s ≈ 1; synthetic, templated, or heavily-deduplicated text drifts
+# off. The fit is OLS on (ln rank, ln freq) over the top-500 ranks:
+# slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²). Per-point logs round to
+# 10 dp (engine-identical on integer inputs — the bm25 pattern), all
+# four moment sums route through DECIMAL so the closed form sees
+# bit-identical inputs, one final division chain.
+#
+# Scale: ranks ride TakeOrdered on the vocabulary frame (top-500),
+# the regression runs on 500 rows.
+# --------------------------------------------------------------------------
+
+_ZIPF_TOP = 500
+
+
+def q_zipf_slope(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import word_tokens
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    freqs = (
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = (
+        freqs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ZIPF_TOP)
+        .select(
+            F.round(F.log("rank"), 10).cast("decimal(28,10)").alias("x"),
+            F.round(F.log("n"), 10).cast("decimal(28,10)").alias("y"),
+        )
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum((F.col("x") * F.col("y")).cast("decimal(38,20)"))
+    sxx = F.sum((F.col("x") * F.col("x")).cast("decimal(38,20)"))
+    return ranked.agg(
+        n.alias("n_ranks"),
+        F.round(
+            (n * sxy.cast("double") - sx.cast("double") * sy.cast("double"))
+            / (
+                n * sxx.cast("double")
+                - sx.cast("double") * sx.cast("double")
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+ZIPF_SLOPE_SQL = f"""
+WITH freqs AS (
+  SELECT tok, COUNT(*) AS n
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS tok
+        FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT CAST(round(CAST(CAST(ln(rank) AS VARCHAR) AS DECIMAL(38,20)), 10)
+              AS DECIMAL(28,10)) AS x,
+         CAST(round(CAST(CAST(ln(n) AS VARCHAR) AS DECIMAL(38,20)), 10)
+              AS DECIMAL(28,10)) AS y
+  FROM (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank
+        FROM freqs)
+  WHERE rank <= {_ZIPF_TOP}
+)
+SELECT COUNT(*) AS n_ranks,
+       round((COUNT(*) * CAST(SUM(CAST(x * y AS DECIMAL(38,20))) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+             / (COUNT(*) * CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)
+                - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6)
+         AS zipf_slope
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
+# event_burstiness — dispersion index of per-user daily activity.
+#
+# Fano factor F = variance/mean of events-per-user-per-day: F ≈ 1 is
+# Poisson-like organic traffic, F ≫ 1 is bursty (bots, batch
+# replays, scraping) — a one-number abuse/bot screen per event type.
+# Exact integer moments (Σc, Σc²) over the (user, day) count frame,
+# variance via the computational formula, one division.
+# --------------------------------------------------------------------------
+
+
+def q_event_burstiness(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("c"))
+    n = F.count("*")
+    s1 = F.sum("c")
+    s2 = F.sum(F.col("c") * F.col("c"))
+    # F = var/mean = (n·Σc² − (Σc)²) / (n·Σc)  — exact integers, 1 div
+    return (
+        counts.groupBy("event_type")
+        .agg(
+            n.alias("n_user_days"),
+            s1.alias("n_events"),
+            F.round(
+                (n * s2 - s1 * s1).cast("double") / (n * s1).cast("double"),
+                6,
+            ).alias("fano_factor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_BURSTINESS_SQL = """
+WITH counts AS (
+  SELECT event_type, user_id, date_trunc('day', ts) AS day,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       COUNT(*) AS n_user_days,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       round(CAST(COUNT(*) * CAST(SUM(c * c) AS BIGINT)
+                  - CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)
+                  AS DOUBLE)
+             / CAST(COUNT(*) * CAST(SUM(c) AS BIGINT) AS DOUBLE), 6)
+         AS fano_factor
+FROM counts
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # peak_concurrency — sweep-line maximum overlapping sessions.
 #
 # The capacity-planning number: the most sessions ever active at
@@ -2807,6 +2940,14 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "zipf_slope": Query(
+        q_zipf_slope, ZIPF_SLOPE_SQL, ("corpus-stats", "zipf", "regression")
+    ),
+    "event_burstiness": Query(
+        q_event_burstiness,
+        EVENT_BURSTINESS_SQL,
+        ("abuse", "fano-factor", "integer-exact"),
     ),
     "peak_concurrency": Query(
         q_peak_concurrency,
