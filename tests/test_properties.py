@@ -218,3 +218,53 @@ def test_prefix_jaccard_equals_brute_force(spark, tokenlists):
         if a and b and len(a & b) / len(a | b) >= 0.5:
             want.add((min(ia, ib), max(ia, ib)))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdefghij"), min_size=5, max_size=120),
+    st.integers(min_value=1, max_value=8),
+)
+def test_heavy_hitters_exact_on_random_multisets(spark, toks, nparts):
+    """For ANY multiset and partitioning, the two-pass result equals
+    the exact ground truth at epsilon=0.15 (pigeonhole guarantee +
+    exact recheck ⇒ partitioning independence)."""
+    from collections import Counter
+
+    from city_payroll_data_pipeline_spark.operators.heavyhitters import (
+        heavy_hitters,
+    )
+
+    eps = 0.15
+    df = spark.createDataFrame([(t,) for t in toks], "tok string").repartition(
+        nparts
+    )
+    got = {r["tok"]: r["cnt"] for r in heavy_hitters(df, "tok", eps).collect()}
+    truth = {
+        t: c for t, c in Counter(toks).items() if c > eps * len(toks)
+    }
+    assert got == truth
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=1, max_size=60, unique=True))
+def test_rendezvous_minimal_reassignment_property(spark, keys):
+    """HRW theorem on random key sets: removing the last shard moves
+    exactly the keys assigned to it and nothing else."""
+    from pyspark.sql import functions as F
+
+    from city_payroll_data_pipeline_spark.suite.advanced import _hrw_assign
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    key = F.col("doc_id").cast("string")
+    rows = df.select(
+        "doc_id",
+        _hrw_assign(key, 8).alias("before"),
+        _hrw_assign(key, 7).alias("after"),
+    ).collect()
+    for r in rows:
+        if r["before"] == 7:
+            assert r["after"] != 7
+        else:
+            assert r["after"] == r["before"], r
