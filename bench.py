@@ -197,6 +197,9 @@ HEADLINE = [
     # corpus statistics + abuse screening
     "zipf_slope",
     "event_burstiness",
+    # concentration + vocabulary richness
+    "revenue_concentration",
+    "lexical_diversity",
 ]
 
 

@@ -921,6 +921,149 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# revenue_concentration — whale-share table (Lorenz cuts).
+#
+# "What share of revenue do the top 1% / 5% / 10% of customers
+# carry" — the concentration readout behind account-risk and
+# fairness decisions (key_gini_skew gives the one-number Gini; this
+# gives the actionable cuts). Customers rank by decimal-exact spend
+# (desc, custkey tie-break); the cumulative share at rank
+# ⌈p·n⌉ is an exact decimal ratio.
+#
+# Scale: one customer-level aggregate, one window pass over the
+# |customers| frame, 3-row output. At 100 TB the ranked cumsum is ID
+# assignment — the rowids sharded numbering applies.
+# --------------------------------------------------------------------------
+
+_CONC_CUTS = (1, 5, 10)  # percent
+
+
+def q_revenue_concentration(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    w = W.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    w_cum = w.rowsBetween(W.unboundedPreceding, 0)
+    ranked = (
+        per.withColumn("rn", F.row_number().over(w))
+        .withColumn("cum", F.sum("spend").over(w_cum))
+        .join(
+            F.broadcast(
+                per.agg(
+                    F.count("*").alias("n_cust"),
+                    F.sum("spend").alias("total"),
+                )
+            )
+        )
+    )
+    cuts = None
+    for p in _CONC_CUTS:
+        cut = (
+            ranked.filter(
+                F.col("rn") == F.ceil(F.col("n_cust") * p / 100)
+            )
+            .select(
+                F.lit(p).alias("top_pct"),
+                F.col("rn").alias("n_top_customers"),
+                F.round(
+                    F.col("cum").cast("double") / F.col("total").cast("double"),
+                    6,
+                ).alias("revenue_share"),
+            )
+        )
+        cuts = cut if cuts is None else cuts.unionAll(cut)
+    return cuts.orderBy("top_pct")
+
+
+REVENUE_CONCENTRATION_SQL = f"""
+WITH per AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT COUNT(*) AS n_cust, SUM(spend) AS total FROM per),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rn,
+         SUM(spend) OVER (ORDER BY spend DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per
+),
+cuts AS (SELECT unnest([{', '.join(str(p) for p in _CONC_CUTS)}]) AS top_pct)
+SELECT top_pct, rn AS n_top_customers,
+       round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS revenue_share
+FROM cuts
+JOIN tot ON TRUE
+JOIN ranked ON rn = CAST(ceil(n_cust * top_pct / 100.0) AS BIGINT)
+ORDER BY top_pct
+"""
+
+
+# --------------------------------------------------------------------------
+# lexical_diversity — vocabulary-richness audit per source.
+#
+# Type-token ratio (distinct words / words) and hapax share (words
+# occurring exactly once / distinct words): low TTR flags templated
+# or repetitive text, hapax share separates genuinely rich prose
+# from noise-inflated vocabularies (OCR garbage is ALL hapax).
+# Integer counts on the (source, token) frequency frame, two
+# divisions at the end.
+#
+# Scale: one (source, token) groupBy — vocabulary-bounded; the text
+# never re-shuffles.
+# --------------------------------------------------------------------------
+
+
+def q_lexical_diversity(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import word_tokens
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    tf = (
+        docs.select("source", F.explode(word_tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.round(F.count("*") / F.sum("c"), 6).alias("type_token_ratio"),
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("hapax_share"),
+        )
+        .orderBy("source")
+    )
+
+
+LEXICAL_DIVERSITY_SQL = """
+WITH tf AS (
+  SELECT source, t, COUNT(*) AS c
+  FROM (SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS t
+        FROM documents)
+  GROUP BY source, t
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(COUNT(*) / CAST(SUM(c) AS BIGINT)::DOUBLE, 6)
+         AS type_token_ratio,
+       round(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+FROM tf
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # zipf_slope — fitted Zipf exponent of the token distribution.
 #
 # Natural-language token frequencies follow freq ∝ rank^(−s) with
@@ -2940,6 +3083,16 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "revenue_concentration": Query(
+        q_revenue_concentration,
+        REVENUE_CONCENTRATION_SQL,
+        ("concentration", "lorenz", "whales"),
+    ),
+    "lexical_diversity": Query(
+        q_lexical_diversity,
+        LEXICAL_DIVERSITY_SQL,
+        ("corpus-stats", "ttr", "hapax"),
     ),
     "zipf_slope": Query(
         q_zipf_slope, ZIPF_SLOPE_SQL, ("corpus-stats", "zipf", "regression")

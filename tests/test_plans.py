@@ -242,6 +242,7 @@ _INTENTIONAL_BNLJ = {
     "cramers_v",              # broadcast 1-row margins/total scalar
     "merkle_bucket_manifest", # broadcast 1-row root-hash scalar
     "session_coverage",       # broadcast 1-row covered-seconds scalar
+    "revenue_concentration",  # broadcast 1-row customer-count/total scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
