@@ -200,6 +200,8 @@ HEADLINE = [
     # concentration + vocabulary richness
     "revenue_concentration",
     "lexical_diversity",
+    # dedup tuning curve
+    "dedup_threshold_sweep",
 ]
 
 

@@ -1104,6 +1104,74 @@ ORDER BY rank
 
 
 # --------------------------------------------------------------------------
+# dedup_threshold_sweep — how aggressive would dedup be at each
+# threshold? The tuning curve nobody should pick t without: exact
+# near-dup PAIR counts in Jaccard bands [0.5,0.6) … [0.9,1.0) and
+# the affected-doc count per band, in ONE pass. Pairs come from the
+# LOSSLESS prefix-filter join at t=0.5, so every band ≥0.5 is exact
+# by the same theorem; banding is integer arithmetic on the exact
+# n_common/union ratio (floor of 10·jaccard, clamped).
+#
+# Scale: identical to prefix_jaccard_pairs + a |bands|-row rollup.
+# --------------------------------------------------------------------------
+
+
+def q_dedup_threshold_sweep(spark, sf_dir):
+    pairs = dedup.prefix_jaccard_pairs(
+        _near_corpus(spark, sf_dir), "doc_id", "text", threshold=0.5
+    )
+    band = F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9))
+    per = pairs.select(
+        band.alias("band10"),
+        "doc_a",
+        "doc_b",
+    )
+    return (
+        per.groupBy("band10")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct("doc_b").alias("n_docs_droppable"),
+        )
+        .select(
+            (F.col("band10") / 10.0).alias("band_lo"),
+            "n_pairs",
+            "n_docs_droppable",
+        )
+        .orderBy("band_lo")
+    )
+
+
+DEDUP_THRESHOLD_SWEEP_SQL = rf"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+{_SHINGLE_AB_CTES}
+shc AS (
+  SELECT DISTINCT doc_id, a * 4096 + b % 4096 AS c FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM shc x JOIN shc y
+    ON x.c = y.c AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         n_common / CAST(za.n + zb.n - n_common AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sizes za ON za.doc_id = doc_a
+  JOIN sizes zb ON zb.doc_id = doc_b
+  WHERE n_common / CAST(za.n + zb.n - n_common AS DOUBLE) >= 0.5
+)
+SELECT LEAST(CAST(floor(jaccard * 10) AS INT), 9) / 10.0 AS band_lo,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT doc_b) AS n_docs_droppable
+FROM pairs
+GROUP BY 1
+ORDER BY band_lo
+"""
+
+
+# --------------------------------------------------------------------------
 # winnow_fingerprints — winnowing document fingerprints (Schleimer,
 # Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
 # Fingerprinting", SIGMOD'03 — the MOSS algorithm).
@@ -3310,6 +3378,11 @@ QUERIES = {
         q_prefix_jaccard_pairs,
         PREFIX_JACCARD_PAIRS_SQL,
         ("dedup", "ppjoin", "prefix-filter", "lossless"),
+    ),
+    "dedup_threshold_sweep": Query(
+        q_dedup_threshold_sweep,
+        DEDUP_THRESHOLD_SWEEP_SQL,
+        ("dedup", "tuning", "sensitivity"),
     ),
     "winnow_fingerprints": Query(
         q_winnow_fingerprints,
