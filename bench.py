@@ -202,6 +202,8 @@ HEADLINE = [
     "lexical_diversity",
     # dedup tuning curve
     "dedup_threshold_sweep",
+    # robust location estimator
+    "trimmed_mean_prices",
 ]
 
 

@@ -921,6 +921,74 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# trimmed_mean_prices — 10% symmetric trimmed mean per priority.
+#
+# The location estimator between mean (outlier-fragile) and median
+# (throws away 98% of the data): drop the lowest and highest 10% of
+# values per group, average the rest. winsorized_price_stats CAPS
+# outliers; trimming REMOVES them — both belong in the robust-stats
+# kit. Trim boundaries are integer rank cuts (floor(0.1·n)), kept
+# rows sum through DECIMAL(18,2), one final division.
+#
+# Scale: one rank window per group + a group-sized aggregate.
+# --------------------------------------------------------------------------
+
+_TRIM_PCT = 10
+
+
+def q_trimmed_mean_prices(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = W.partitionBy("o_orderpriority")
+    ranked = (
+        orders.select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    k = F.floor(F.col("n") * _TRIM_PCT / 100)
+    kept = ranked.filter(
+        (F.col("rn") > k) & (F.col("rn") <= F.col("n") - k)
+    )
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+TRIMMED_MEAN_PRICES_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+kept AS (
+  SELECT o_orderpriority, o_totalprice
+  FROM ranked
+  WHERE rn > floor(n * {_TRIM_PCT} / 100.0)
+    AND rn <= n - floor(n * {_TRIM_PCT} / 100.0)
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_kept,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS trimmed_mean
+FROM kept
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # revenue_concentration — whale-share table (Lorenz cuts).
 #
 # "What share of revenue do the top 1% / 5% / 10% of customers
@@ -3083,6 +3151,11 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "trimmed_mean_prices": Query(
+        q_trimmed_mean_prices,
+        TRIMMED_MEAN_PRICES_SQL,
+        ("robust-stats", "trimmed-mean"),
     ),
     "revenue_concentration": Query(
         q_revenue_concentration,
