@@ -204,6 +204,8 @@ HEADLINE = [
     "dedup_threshold_sweep",
     # robust location estimator
     "trimmed_mean_prices",
+    # O(n) within-class embedding dispersion
+    "embedding_scatter",
 ]
 
 

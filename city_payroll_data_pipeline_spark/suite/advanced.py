@@ -921,6 +921,96 @@ FROM terms GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# embedding_scatter — per-label within-class dispersion, O(n) not
+# O(n²): the identity  mean_{x,y}||x−y||² = 2(mean||x||² − ||mean x||²)
+# turns the all-pairs mean squared distance into two moment sums.
+# On the 1e-4 integer grid both moments are exact BIGINTs
+# (n·Σ||q||² and ||Σq||² cross-multiplied to keep ONE final
+# division), so the pairwise dispersion of millions of vectors costs
+# one aggregate pass. The cluster-quality audit for labels:
+# high dispersion = diffuse class, candidates for splitting.
+# --------------------------------------------------------------------------
+
+
+def q_embedding_scatter(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators import similarity as sim
+
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
+        "label", sim.quantize(F.col("embedding")).alias("q")
+    )
+    # per-label first moments per component + the second-moment norm
+    # sum (computed once per vector, not per component)
+    norms = emb.select("label", sim.norm2_q(F.col("q")).alias("n2"))
+    moments = norms.groupBy("label").agg(
+        F.count("*").alias("n_vecs"), F.sum("n2").alias("sum_n2")
+    )
+    comps = (
+        emb.select("label", F.posexplode("q").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("label")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("cnorm2"))
+    )
+    # mean pairwise squared distance (original units):
+    # 2·(n·Σ||q||² − ||Σq||²) / (n² · QUANT²)
+    scale = float(sim.QUANT) * sim.QUANT
+    return (
+        moments.join(comps, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                (
+                    2
+                    * (
+                        F.col("n_vecs") * F.col("sum_n2") - F.col("cnorm2")
+                    ).cast("double")
+                )
+                / (F.col("n_vecs") * F.col("n_vecs")).cast("double")
+                / F.lit(scale),
+                6,
+            ).alias("mean_pair_dist2"),
+        )
+        .orderBy("label")
+    )
+
+
+def _embedding_scatter_sql() -> str:
+    from city_payroll_data_pipeline_spark.suite.vectors import (
+        DIM,
+        _QUANT_SQL,
+        _dot_sql,
+    )
+
+    scale = 10_000.0 * 10_000.0
+    return f"""
+WITH q AS (SELECT label, {_QUANT_SQL} AS q FROM embeddings),
+norms AS (
+  SELECT label, COUNT(*) AS n_vecs,
+         CAST(SUM({_dot_sql('q', 'q')}) AS BIGINT) AS sum_n2
+  FROM q GROUP BY label
+),
+comps AS (
+  SELECT label,
+         CAST(SUM(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT)
+           AS cnorm2
+  FROM (
+    SELECT label, p.pos, CAST(SUM(q[p.pos]) AS BIGINT) AS s
+    FROM q CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS pos) p
+    GROUP BY label, p.pos
+  )
+  GROUP BY label
+)
+SELECT label, n_vecs,
+       round(2 * CAST(n_vecs * sum_n2 - cnorm2 AS DOUBLE)
+             / CAST(n_vecs * n_vecs AS DOUBLE) / {scale}, 6)
+         AS mean_pair_dist2
+FROM norms JOIN comps USING (label)
+ORDER BY label
+"""
+
+
+# --------------------------------------------------------------------------
 # trimmed_mean_prices — 10% symmetric trimmed mean per priority.
 #
 # The location estimator between mean (outlier-fragile) and median
@@ -3151,6 +3241,11 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "embedding_scatter": Query(
+        q_embedding_scatter,
+        _embedding_scatter_sql(),
+        ("embeddings", "scatter", "moment-trick"),
     ),
     "trimmed_mean_prices": Query(
         q_trimmed_mean_prices,
