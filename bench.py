@@ -206,6 +206,7 @@ HEADLINE = [
     "trimmed_mean_prices",
     # O(n) within-class embedding dispersion
     "embedding_scatter",
+    "calinski_harabasz",
 ]
 
 

@@ -975,6 +975,126 @@ def q_embedding_scatter(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# calinski_harabasz — cluster-separation index from the same moments.
+#
+# CH = (B/(k−1)) / (W/(n−k)): between-class vs within-class scatter —
+# the one-number "are these labels real clusters" score, again with
+# NO pairwise work: W = Σ_l (Σ||q||² − ||Σq||²/n_l) and
+# B = total_scatter − W, all from per-label component sums and norm
+# sums. Exact integers cross-multiplied (·n_l) until one final
+# division chain; QUANT² cancels in the ratio.
+# --------------------------------------------------------------------------
+
+
+def q_calinski_harabasz(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators import similarity as sim
+
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
+        "label", sim.quantize(F.col("embedding")).alias("q")
+    )
+    norms = emb.select("label", sim.norm2_q(F.col("q")).alias("n2"))
+    per_l = norms.groupBy("label").agg(
+        F.count("*").alias("nl"), F.sum("n2").alias("sum_n2")
+    )
+    comp_l = (
+        emb.select("label", F.posexplode("q").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("label")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("cnorm2"))
+    )
+    # per-label within scatter ·nl (stay integer): w_nl = nl·Σn2 − cnorm2
+    lab = per_l.join(comp_l, "label").select(
+        "nl",
+        "sum_n2",
+        (F.col("nl") * F.col("sum_n2") - F.col("cnorm2")).alias("w_nl"),
+    )
+    # global component sums for total scatter
+    gcomp = (
+        emb.select(F.posexplode("q").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"))
+        .agg(F.sum(F.col("s") * F.col("s")).alias("gnorm2"))
+    )
+    # per-label ratio rounded into DECIMAL so the k-label sum is
+    # order-independent (shuffle order would otherwise move the hash)
+    w_term = F.round(
+        F.col("w_nl").cast("double") / F.col("nl"), 6
+    ).cast("decimal(28,6)")
+    tot = lab.agg(
+        F.sum("nl").alias("n"),
+        F.count("*").alias("k"),
+        F.sum("sum_n2").alias("tot_n2"),
+        F.sum(w_term).cast("double").alias("w"),
+    ).join(F.broadcast(gcomp))
+    # W = Σ_l w_nl/nl ; T = Σn2 − gnorm2/n ; B = T − W
+    t_expr = F.col("tot_n2").cast("double") - F.col("gnorm2").cast(
+        "double"
+    ) / F.col("n")
+    ch = ((t_expr - F.col("w")) / (F.col("k") - 1)) / (
+        F.col("w") / (F.col("n") - F.col("k"))
+    )
+    return tot.select(
+        F.col("n").alias("n_vecs"),
+        F.col("k").alias("n_labels"),
+        F.round(ch, 6).alias("calinski_harabasz"),
+    )
+
+
+def _calinski_harabasz_sql() -> str:
+    from city_payroll_data_pipeline_spark.suite.vectors import (
+        DIM,
+        _QUANT_SQL,
+        _dot_sql,
+    )
+
+    return f"""
+WITH q AS (SELECT label, {_QUANT_SQL} AS q FROM embeddings),
+norms AS (
+  SELECT label, COUNT(*) AS nl,
+         CAST(SUM({_dot_sql('q', 'q')}) AS BIGINT) AS sum_n2
+  FROM q GROUP BY label
+),
+comp_l AS (
+  SELECT label,
+         CAST(SUM(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT)
+           AS cnorm2
+  FROM (
+    SELECT label, p.pos, CAST(SUM(q[p.pos]) AS BIGINT) AS s
+    FROM q CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS pos) p
+    GROUP BY label, p.pos
+  ) GROUP BY label
+),
+lab AS (
+  SELECT nl, sum_n2, nl * sum_n2 - cnorm2 AS w_nl
+  FROM norms JOIN comp_l USING (label)
+),
+gcomp AS (
+  SELECT CAST(SUM(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT)
+           AS gnorm2
+  FROM (
+    SELECT p.pos, CAST(SUM(q[p.pos]) AS BIGINT) AS s
+    FROM q CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS pos) p
+    GROUP BY p.pos
+  )
+),
+tot AS (
+  SELECT CAST(SUM(nl) AS BIGINT) AS n, COUNT(*) AS k,
+         CAST(SUM(sum_n2) AS BIGINT) AS tot_n2,
+         CAST(SUM(CAST(round(CAST(CAST(CAST(w_nl AS DOUBLE) / nl
+                 AS VARCHAR) AS DECIMAL(38,20)), 6) AS DECIMAL(28,6)))
+              AS DOUBLE) AS w
+  FROM lab
+)
+SELECT n AS n_vecs, k AS n_labels,
+       round(((CAST(tot_n2 AS DOUBLE) - CAST(gnorm2 AS DOUBLE) / n - w)
+              / (k - 1))
+             / (w / (n - k)), 6) AS calinski_harabasz
+FROM tot, gcomp
+"""
+
+
 def _embedding_scatter_sql() -> str:
     from city_payroll_data_pipeline_spark.suite.vectors import (
         DIM,
@@ -3241,6 +3361,11 @@ QUERIES = {
     ),
     "benford_audit": Query(
         q_benford_audit, _benford_sql(), ("dq", "benford", "forensics")
+    ),
+    "calinski_harabasz": Query(
+        q_calinski_harabasz,
+        _calinski_harabasz_sql(),
+        ("embeddings", "cluster-quality", "moment-trick"),
     ),
     "embedding_scatter": Query(
         q_embedding_scatter,

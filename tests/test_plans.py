@@ -243,6 +243,7 @@ _INTENTIONAL_BNLJ = {
     "merkle_bucket_manifest", # broadcast 1-row root-hash scalar
     "session_coverage",       # broadcast 1-row covered-seconds scalar
     "revenue_concentration",  # broadcast 1-row customer-count/total scalar
+    "calinski_harabasz",      # broadcast 1-row global-scatter scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
