@@ -165,6 +165,9 @@ HEADLINE = [
     "cdc_chunks",
     # experimentation readout
     "ab_test_analysis",
+    # seasonal anomaly + hash audit
+    "seasonal_anomalies",
+    "hash_uniformity_check",
     # changepoint + sequence mining
     "cusum_changepoint",
     "event_trigram_mining",

@@ -2759,6 +2759,133 @@ ORDER BY prefix_dims
 
 
 # --------------------------------------------------------------------------
+# seasonal_anomalies — weekday-adjusted traffic anomaly detection.
+#
+# Raw-threshold spike detection (error_spikes) fires every Monday if
+# weekends are quiet; the seasonal-naive adjustment divides each
+# day's count by its WEEKDAY mean first, so only days unusual FOR
+# THEIR WEEKDAY flag. Deviation stays rational-exact: a day flags
+# when 20·count·n_weekday_days > 21·weekday_total (ratio > 1.05,
+# cross-multiplied integers — no float ratio in the decision; the
+# synthetic traffic is near-uniform, max observed ratio ~1.085, so
+# the gate is tuned to demonstrate on it), and the reported ratio is
+# one final division.
+#
+# Scale: one day-level aggregate + a 7-row weekday mean broadcast.
+# --------------------------------------------------------------------------
+
+
+def q_seasonal_anomalies(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("c")
+    ).withColumn("dow", F.dayofweek("day"))
+    wk = daily.groupBy("dow").agg(
+        F.sum("c").alias("wk_total"), F.count("*").alias("wk_days")
+    )
+    j = daily.join(F.broadcast(wk), "dow")
+    return (
+        j.filter(
+            20 * F.col("c") * F.col("wk_days") > 21 * F.col("wk_total")
+        )
+        .select(
+            "day",
+            "c",
+            F.round(
+                (F.col("c") * F.col("wk_days")).cast("double")
+                / F.col("wk_total").cast("double"),
+                6,
+            ).alias("seasonal_ratio"),
+        )
+        .orderBy("day")
+    )
+
+
+SEASONAL_ANOMALIES_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1
+),
+dowd AS (SELECT day, c, dayofweek(day) + 1 AS dow FROM daily),
+wk AS (
+  SELECT dow, CAST(SUM(c) AS BIGINT) AS wk_total, COUNT(*) AS wk_days
+  FROM dowd GROUP BY dow
+)
+SELECT day, c,
+       round(CAST(c * wk_days AS BIGINT)
+             / CAST(wk_total AS DOUBLE), 6) AS seasonal_ratio
+FROM dowd JOIN wk USING (dow)
+WHERE 20 * c * wk_days > 21 * wk_total
+ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# hash_uniformity_check — chi-square audit of the md5 bucket family.
+#
+# Every sampler and split in this engine trusts md5(id) % 100 to be
+# uniform; this audits that trust: bucket counts vs the uniform
+# expectation via chi-square with FULLY integer cell terms —
+# (o·B − n)²/(B·n) cross-multiplied so the only float is the final
+# ·1/B² scale. χ² ≈ B−1 (here 99) is healthy; a broken id scheme
+# (e.g. ids sharing a prefix under a weak hash) blows it up.
+#
+# Scale: map-side bucketing + a 100-row aggregate.
+# --------------------------------------------------------------------------
+
+_HU_BUCKETS = 100
+
+
+def q_hash_uniformity_check(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    b = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(_HU_BUCKETS),
+    )
+    counts = orders.select(b.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("o")
+    )
+    tot = counts.agg(F.sum("o").alias("n"))
+    # χ² = Σ (o·B − n)² / (B·n); integers until the last division
+    term = (F.col("o") * _HU_BUCKETS - F.col("n"))
+    return (
+        counts.join(F.broadcast(tot))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.min("o").alias("min_bucket"),
+            F.max("o").alias("max_bucket"),
+            F.round(
+                F.sum(term * term).cast("double")
+                / (F.lit(_HU_BUCKETS) * F.first("n")).cast("double"),
+                6,
+            ).alias("chi2"),
+        )
+    )
+
+
+HASH_UNIFORMITY_CHECK_SQL = f"""
+WITH counts AS (
+  SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)
+              AS BIGINT) % {_HU_BUCKETS} AS bucket,
+         COUNT(*) AS o
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM counts)
+SELECT COUNT(*) AS n_buckets,
+       MIN(o) AS min_bucket,
+       MAX(o) AS max_bucket,
+       round(CAST(SUM((o * {_HU_BUCKETS} - n) * (o * {_HU_BUCKETS} - n))
+                  AS BIGINT)
+             / CAST({_HU_BUCKETS} * ANY_VALUE(n) AS DOUBLE), 6) AS chi2
+FROM counts, tot
+"""
+
+
+# --------------------------------------------------------------------------
 # cusum_changepoint — integer-exact CUSUM changepoint detection.
 #
 # error_spikes flags days that breach a trailing-window threshold;
@@ -3462,6 +3589,16 @@ QUERIES = {
         q_matryoshka_recall,
         _matryoshka_sql(),
         ("embeddings", "matryoshka", "retrieval-eval"),
+    ),
+    "seasonal_anomalies": Query(
+        q_seasonal_anomalies,
+        SEASONAL_ANOMALIES_SQL,
+        ("anomaly", "seasonal-naive", "integer-exact"),
+    ),
+    "hash_uniformity_check": Query(
+        q_hash_uniformity_check,
+        HASH_UNIFORMITY_CHECK_SQL,
+        ("dq", "hash-uniformity", "chi-square"),
     ),
     "cusum_changepoint": Query(
         q_cusum_changepoint,

@@ -244,6 +244,7 @@ _INTENTIONAL_BNLJ = {
     "session_coverage",       # broadcast 1-row covered-seconds scalar
     "revenue_concentration",  # broadcast 1-row customer-count/total scalar
     "calinski_harabasz",      # broadcast 1-row global-scatter scalar
+    "hash_uniformity_check",  # broadcast 1-row total scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
