@@ -165,6 +165,8 @@ HEADLINE = [
     "cdc_chunks",
     # experimentation readout
     "ab_test_analysis",
+    # vocabulary growth curve
+    "heaps_law_curve",
     # seasonal anomaly + hash audit
     "seasonal_anomalies",
     "hash_uniformity_check",

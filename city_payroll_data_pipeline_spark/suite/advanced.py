@@ -2759,6 +2759,93 @@ ORDER BY prefix_dims
 
 
 # --------------------------------------------------------------------------
+# heaps_law_curve — vocabulary-growth (first-seen) curve.
+#
+# Heaps' law: vocabulary grows ~ n^β as a corpus grows; the curve's
+# shape answers "will more data keep adding new words, or has the
+# vocabulary saturated" — the diminishing-returns readout for corpus
+# acquisition. Each token's FIRST document (min doc_id) buckets it
+# into the corpus decile where it first appeared; cumulative counts
+# over deciles are the growth curve. Exact integers end to end.
+#
+# Scale: token→min(doc_id) is one vocabulary-bounded groupBy; the
+# curve is a 10-row cumulative window.
+# --------------------------------------------------------------------------
+
+_HEAPS_BUCKETS = 10
+
+
+def q_heaps_law_curve(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import word_tokens
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    ids = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    first_seen = (
+        docs.select("doc_id", F.explode(word_tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    # decile by position in the doc_id range (integer arithmetic)
+    bucketed = first_seen.join(F.broadcast(ids)).select(
+        F.least(
+            F.floor(
+                (F.col("first_doc") - F.col("lo"))
+                * _HEAPS_BUCKETS
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("int"),
+            F.lit(_HEAPS_BUCKETS - 1),
+        ).alias("decile")
+    )
+    per = bucketed.groupBy("decile").agg(F.count("*").alias("new_types"))
+    spine = docs.sparkSession.range(_HEAPS_BUCKETS).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    dense = spine.join(per, "decile", "left").select(
+        "decile", F.coalesce("new_types", F.lit(0)).alias("new_types")
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        dense.withColumn("cum_vocab", F.sum("new_types").over(w))
+        .select("decile", "new_types", "cum_vocab")
+        .orderBy("decile")
+    )
+
+
+HEAPS_LAW_CURVE_SQL = f"""
+WITH ids AS (
+  SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+),
+first_seen AS (
+  SELECT t, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS t
+        FROM documents)
+  GROUP BY t
+),
+bucketed AS (
+  SELECT LEAST(CAST(floor((first_doc - lo) * {_HEAPS_BUCKETS}
+                          / (hi - lo + 1.0)) AS INT),
+               {_HEAPS_BUCKETS - 1}) AS decile
+  FROM first_seen, ids
+),
+per AS (SELECT decile, COUNT(*) AS new_types FROM bucketed GROUP BY decile),
+dense AS (
+  SELECT s.decile, CAST(COALESCE(per.new_types, 0) AS BIGINT) AS new_types
+  FROM (SELECT unnest(range(0, 10)) AS decile) s
+  LEFT JOIN per USING (decile)
+)
+SELECT decile, new_types,
+       CAST(SUM(new_types) OVER (ORDER BY decile
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_vocab
+FROM dense
+ORDER BY decile
+"""
+
+
+# --------------------------------------------------------------------------
 # seasonal_anomalies — weekday-adjusted traffic anomaly detection.
 #
 # Raw-threshold spike detection (error_spikes) fires every Monday if
@@ -3589,6 +3676,11 @@ QUERIES = {
         q_matryoshka_recall,
         _matryoshka_sql(),
         ("embeddings", "matryoshka", "retrieval-eval"),
+    ),
+    "heaps_law_curve": Query(
+        q_heaps_law_curve,
+        HEAPS_LAW_CURVE_SQL,
+        ("corpus-stats", "heaps-law", "vocabulary-growth"),
     ),
     "seasonal_anomalies": Query(
         q_seasonal_anomalies,

@@ -245,6 +245,7 @@ _INTENTIONAL_BNLJ = {
     "revenue_concentration",  # broadcast 1-row customer-count/total scalar
     "calinski_harabasz",      # broadcast 1-row global-scatter scalar
     "hash_uniformity_check",  # broadcast 1-row total scalar
+    "heaps_law_curve",        # broadcast 1-row id-range + decile spine
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
