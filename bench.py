@@ -165,8 +165,9 @@ HEADLINE = [
     "cdc_chunks",
     # experimentation readout
     "ab_test_analysis",
-    # vocabulary growth curve
+    # vocabulary growth curve + template audit
     "heaps_law_curve",
+    "template_prefix_audit",
     # seasonal anomaly + hash audit
     "seasonal_anomalies",
     "hash_uniformity_check",

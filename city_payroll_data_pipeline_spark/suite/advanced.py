@@ -2759,6 +2759,77 @@ ORDER BY prefix_dims
 
 
 # --------------------------------------------------------------------------
+# template_prefix_audit — modal-prefix share per source.
+#
+# Template-generated corpora betray themselves in the first line:
+# many documents share one opening. Per source: the modal 20-char
+# prefix, how many docs carry it, and its share — high share =
+# templated source (deduplicate at the template level, or strip the
+# boilerplate opening before training). Integer counts, modal
+# tie-break on the prefix string mirrored across engines.
+#
+# Scale: one (source, prefix) groupBy — prefixes are 20 bytes, the
+# frame is ≤ |docs|; text never re-shuffles.
+# --------------------------------------------------------------------------
+
+_TPL_PREFIX_LEN = 20
+
+
+def q_template_prefix_audit(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pref = docs.select(
+        "source",
+        F.substring(F.col("text"), 1, _TPL_PREFIX_LEN).alias("prefix"),
+    )
+    counts = pref.groupBy("source", "prefix").agg(F.count("*").alias("n"))
+    totals = pref.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("prefix"))
+    modal = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("prefix").alias("modal_prefix"),
+                F.col("n").alias("n_modal"))
+    )
+    return (
+        modal.join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "n_docs",
+            "modal_prefix",
+            "n_modal",
+            F.round(F.col("n_modal") / F.col("n_docs"), 6).alias(
+                "modal_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+TEMPLATE_PREFIX_AUDIT_SQL = f"""
+WITH pref AS (
+  SELECT source, substr(text, 1, {_TPL_PREFIX_LEN}) AS prefix
+  FROM documents
+),
+counts AS (
+  SELECT source, prefix, COUNT(*) AS n FROM pref GROUP BY 1, 2
+),
+totals AS (SELECT source, COUNT(*) AS n_docs FROM pref GROUP BY 1),
+modal AS (
+  SELECT source, prefix AS modal_prefix, n AS n_modal FROM (
+    SELECT source, prefix, n,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n DESC, prefix) AS rk
+    FROM counts
+  ) WHERE rk = 1
+)
+SELECT source, n_docs, modal_prefix, n_modal,
+       round(n_modal / CAST(n_docs AS DOUBLE), 6) AS modal_share
+FROM modal JOIN totals USING (source)
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # heaps_law_curve — vocabulary-growth (first-seen) curve.
 #
 # Heaps' law: vocabulary grows ~ n^β as a corpus grows; the curve's
@@ -3676,6 +3747,11 @@ QUERIES = {
         q_matryoshka_recall,
         _matryoshka_sql(),
         ("embeddings", "matryoshka", "retrieval-eval"),
+    ),
+    "template_prefix_audit": Query(
+        q_template_prefix_audit,
+        TEMPLATE_PREFIX_AUDIT_SQL,
+        ("templates", "boilerplate", "audit"),
     ),
     "heaps_law_curve": Query(
         q_heaps_law_curve,
