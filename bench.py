@@ -168,6 +168,8 @@ HEADLINE = [
     # vocabulary growth curve + template audit
     "heaps_law_curve",
     "template_prefix_audit",
+    # heavy-tail diagnostic
+    "hill_tail_index",
     # seasonal anomaly + hash audit
     "seasonal_anomalies",
     "hash_uniformity_check",

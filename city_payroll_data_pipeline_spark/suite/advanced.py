@@ -2759,6 +2759,80 @@ ORDER BY prefix_dims
 
 
 # --------------------------------------------------------------------------
+# hill_tail_index — heavy-tail exponent of the order-value
+# distribution (Hill 1975). α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over
+# the top-k order statistics: α ≲ 2 means variance is effectively
+# infinite and mean-based metrics (and uniform partitioning!) are
+# unreliable — the tail diagnostic to run before trusting averages
+# or sizing shuffle partitions on a skewed value column.
+#
+# Determinism: order statistics by exact rank; each ln(x_i/x_ref) is
+# ln of a ratio of 2-decimal values (cast to DECIMAL first so the
+# ratio is a ratio of exact integers scaled by 100), rounded to 8 dp
+# into DECIMAL for the order-independent sum; one final division.
+#
+# Scale: top-(k+1) rides TakeOrdered; the estimator runs on k rows.
+# --------------------------------------------------------------------------
+
+_HILL_K = 100
+
+
+def q_hill_tail_index(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    w = W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    top = (
+        orders.select("o_totalprice", "o_orderkey")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HILL_K + 1)
+    )
+    ref = top.filter(F.col("rk") == _HILL_K + 1).select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x_ref")
+    )
+    terms = (
+        top.filter(F.col("rk") <= _HILL_K)
+        .join(F.broadcast(ref))
+        .select(
+            F.round(
+                F.log(
+                    F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+                    / F.col("x_ref").cast("double")
+                ),
+                8,
+            ).cast("decimal(18,8)").alias("lr")
+        )
+    )
+    return terms.agg(
+        F.count("*").alias("k"),
+        F.round(
+            F.count("*") / F.sum("lr").cast("double"), 6
+        ).alias("hill_alpha"),
+    )
+
+
+HILL_TAIL_INDEX_SQL = f"""
+WITH top AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+),
+ref AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x_ref
+  FROM top WHERE rk = {_HILL_K + 1}
+),
+terms AS (
+  SELECT CAST(round(CAST(CAST(
+           ln(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+              / CAST(x_ref AS DOUBLE))
+         AS VARCHAR) AS DECIMAL(38,20)), 8) AS DECIMAL(18,8)) AS lr
+  FROM top, ref WHERE rk <= {_HILL_K}
+)
+SELECT COUNT(*) AS k,
+       round(COUNT(*) / CAST(SUM(lr) AS DOUBLE), 6) AS hill_alpha
+FROM terms
+"""
+
+
+# --------------------------------------------------------------------------
 # template_prefix_audit — modal-prefix share per source.
 #
 # Template-generated corpora betray themselves in the first line:
@@ -3747,6 +3821,11 @@ QUERIES = {
         q_matryoshka_recall,
         _matryoshka_sql(),
         ("embeddings", "matryoshka", "retrieval-eval"),
+    ),
+    "hill_tail_index": Query(
+        q_hill_tail_index,
+        HILL_TAIL_INDEX_SQL,
+        ("stats", "heavy-tail", "hill-estimator"),
     ),
     "template_prefix_audit": Query(
         q_template_prefix_audit,

@@ -246,6 +246,7 @@ _INTENTIONAL_BNLJ = {
     "calinski_harabasz",      # broadcast 1-row global-scatter scalar
     "hash_uniformity_check",  # broadcast 1-row total scalar
     "heaps_law_curve",        # broadcast 1-row id-range + decile spine
+    "hill_tail_index",        # broadcast 1-row reference order statistic
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
