@@ -170,6 +170,8 @@ HEADLINE = [
     "template_prefix_audit",
     # heavy-tail diagnostic
     "hill_tail_index",
+    # journey predictability
+    "journey_entropy",
     # seasonal anomaly + hash audit
     "seasonal_anomalies",
     "hash_uniformity_check",

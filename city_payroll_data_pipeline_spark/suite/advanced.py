@@ -2759,6 +2759,108 @@ ORDER BY prefix_dims
 
 
 # --------------------------------------------------------------------------
+# journey_entropy — next-step predictability per event type.
+#
+# Shannon entropy of the next-event distribution after each event
+# type (the markov_transitions frame seen information-theoretically):
+# H(next|src) ≈ 0 bits means the journey is deterministic (a funnel
+# rail), high H means an exploration point — where product changes
+# and personalization have leverage. Terms −p·log2(p) use the
+# rounded-log pattern on integer-ratio probabilities and sum through
+# DECIMAL; one extra column gives the normalized H / log2(k).
+#
+# Scale: all work on the |event-types|² transition frame.
+# --------------------------------------------------------------------------
+
+
+def q_journey_entropy(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").alias("n"))
+    wsrc = W.partitionBy("src")
+    terms = counts.withColumn("tot", F.sum("n").over(wsrc)).withColumn(
+        "k", F.count("*").over(wsrc)
+    ).select(
+        "src",
+        "k",
+        "tot",
+        # −(n/tot)·log2(n/tot): log2 of an integer ratio, rounded 8dp,
+        # times the exact ratio, rounded again into DECIMAL for the sum
+        F.round(
+            -(F.col("n").cast("double") / F.col("tot").cast("double"))
+            * F.round(
+                F.log2(F.col("n").cast("double") / F.col("tot").cast("double")),
+                8,
+            ),
+            10,
+        ).cast("decimal(18,10)").alias("term"),
+    )
+    return (
+        terms.groupBy("src")
+        .agg(
+            F.first("tot").alias("n_transitions"),
+            F.first("k").alias("n_destinations"),
+            F.sum("term").cast("double").alias("entropy_bits"),
+            F.round(
+                F.sum("term").cast("double")
+                / F.round(F.log2(F.first("k").cast("double")), 8),
+                6,
+            ).alias("normalized_entropy"),
+        )
+        .orderBy("src")
+    )
+
+
+JOURNEY_ENTROPY_SQL = """
+WITH pairs AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS dst
+  FROM events
+),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n
+  FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+),
+terms AS (
+  SELECT src,
+         CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS tot,
+         COUNT(*) OVER (PARTITION BY src) AS k,
+         n
+  FROM counts
+),
+t2 AS (
+  SELECT src, tot, k,
+         CAST(round(CAST(CAST(
+           -(n / CAST(tot AS DOUBLE))
+           * CAST(round(CAST(CAST(log2(n / CAST(tot AS DOUBLE))
+               AS VARCHAR) AS DECIMAL(38,20)), 8) AS DOUBLE)
+         AS VARCHAR) AS DECIMAL(38,20)), 10) AS DECIMAL(18,10)) AS term
+  FROM terms
+)
+SELECT src,
+       ANY_VALUE(tot) AS n_transitions,
+       ANY_VALUE(k) AS n_destinations,
+       CAST(SUM(term) AS DOUBLE) AS entropy_bits,
+       round(CAST(SUM(term) AS DOUBLE)
+             / CAST(round(CAST(CAST(log2(ANY_VALUE(k))
+                 AS VARCHAR) AS DECIMAL(38,20)), 8) AS DOUBLE), 6)
+         AS normalized_entropy
+FROM t2
+GROUP BY src
+ORDER BY src
+"""
+
+
+# --------------------------------------------------------------------------
 # hill_tail_index — heavy-tail exponent of the order-value
 # distribution (Hill 1975). α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over
 # the top-k order statistics: α ≲ 2 means variance is effectively
@@ -3821,6 +3923,11 @@ QUERIES = {
         q_matryoshka_recall,
         _matryoshka_sql(),
         ("embeddings", "matryoshka", "retrieval-eval"),
+    ),
+    "journey_entropy": Query(
+        q_journey_entropy,
+        JOURNEY_ENTROPY_SQL,
+        ("events", "entropy", "predictability"),
     ),
     "hill_tail_index": Query(
         q_hill_tail_index,
