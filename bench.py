@@ -257,7 +257,7 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(times.values()), 3)
-    out = {
+    detail = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
@@ -265,7 +265,33 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
+    # Full per-query detail goes to a file: the driver keeps only the last
+    # ~2000 chars of stdout, and the full line (200+ queries) exceeds that,
+    # which truncated its head and made round 3's record unparseable.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    # The LAST stdout line is a short, always-parseable summary: the
+    # parity-core queries plus the 10 slowest, bounded well under the
+    # driver's tail buffer.
+    core = [q for q in ("budget_report", "full_export", "kpi_stats",
+                        "fct_derivations") if q in times]
+    slowest = sorted(times, key=times.get, reverse=True)[:10]
+    short_queries = {q: times[q] for q in dict.fromkeys(core + slowest)}
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": short_queries,
+        "n_queries": len(times),
+        "n_errors": len(errors),
+        "detail_file": "BENCH_DETAIL.json",
+        "sf": sf,
+    }
     print(json.dumps(out))
 
 

@@ -2262,11 +2262,14 @@ ORDER BY source
 # U2 = R2 − n_t(n_t+1) are exact BIGINTs; the normal-approximation z
 # is one sqrt chain at the end.
 #
-# Scale: one pooled window rank + a tie-group aggregate join + a
-# 1-row readout. The pooled rank here is a single-partition window
-# over a 3-narrow-column frame; ranking is ID assignment, so at
-# 100 TB swap it for the sharded two-phase numbering in
-# operators/rowids.py (exact same ranks, largest sort 1/n_shards).
+# Scale: one groupBy on value + one window cumsum over DISTINCT
+# values (the ks_source_drift pattern) + a 1-row readout. No
+# row-level rank is ever materialized: the doubled tie-averaged rank
+# of a value group is 2·(#rows below) + (#rows at) + 1, computable
+# from the per-value count cumsum alone. The only window runs over
+# the distinct-value frame (cardinality ≪ rows); at 100 TB with a
+# pathologically unique value column, shard the cumsum with
+# operators/rowids.py's two-phase offsets.
 # --------------------------------------------------------------------------
 
 
@@ -2285,34 +2288,37 @@ def q_mann_whitney_test(spark, sf_dir):
         "control",
     ).otherwise("treatment")
     vals = orders.select(
-        variant.alias("variant"), F.col("o_totalprice").alias("v"),
-        "o_orderkey",
+        variant.alias("variant"), F.col("o_totalprice").alias("v")
     )
-    w = W.orderBy("v", "o_orderkey")
-    ranked = vals.withColumn("rn", F.row_number().over(w))
-    # doubled tie-averaged rank: min(rn)+max(rn) over each value group
-    ties = ranked.groupBy("v").agg(
-        (F.min("rn") + F.max("rn")).alias("r2")
+    per_val = vals.groupBy("v").agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("variant") == "treatment", 1).otherwise(0)).alias(
+            "nt_v"
+        ),
     )
-    r2d = ranked.join(ties, "v").select("variant", "r2")
-    arms = r2d.groupBy("variant").agg(
-        F.count("*").alias("n"), F.sum("r2").alias("sum_r2")
+    # rows strictly below this value group (cumsum over distinct values)
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    ranked = per_val.withColumn(
+        "c_prev", F.coalesce(F.sum("c").over(w), F.lit(0))
     )
-    wide = (
-        arms.groupBy()
-        .pivot("variant", ["control", "treatment"])
-        .agg(F.first("n").alias("n"), F.first("sum_r2").alias("r2"))
+    # doubled tie-averaged rank of the group: min_rn + max_rn
+    #   = (c_prev + 1) + (c_prev + c) = 2·c_prev + c + 1  (exact BIGINT)
+    r2 = 2 * F.col("c_prev") + F.col("c") + 1
+    wide = ranked.groupBy().agg(
+        F.sum(F.col("c") - F.col("nt_v")).alias("n_control"),
+        F.sum("nt_v").alias("n_treatment"),
+        F.sum(F.col("nt_v") * r2).alias("rank_sum_2x"),
     )
-    nc, nt = F.col("control_n"), F.col("treatment_n")
-    u2 = F.col("treatment_r2") - nt * (nt + 1)  # doubled U statistic
+    nc, nt = F.col("n_control"), F.col("n_treatment")
+    u2 = F.col("rank_sum_2x") - nt * (nt + 1)  # doubled U statistic
     mu2 = nc * nt  # doubled mean of U
     var4 = nc * nt * (nc + nt + 1)  # 4×variance (ties ignored: exact
     # tie correction omitted — prices are near-unique; documented)
     z = (u2 - mu2).cast("double") / F.sqrt(var4.cast("double"))
     return wide.select(
-        nc.alias("n_control"),
-        nt.alias("n_treatment"),
-        F.col("treatment_r2").alias("rank_sum_2x"),
+        nc,
+        nt,
+        F.col("rank_sum_2x"),
         u2.alias("u_2x"),
         F.round(z, 6).alias("z_stat"),
     )
@@ -2489,22 +2495,30 @@ ORDER BY own_label, majority
 # Output: per source, the mapped values at the quartile positions —
 # the audit slice of the full transform (which is row-per-doc).
 #
-# Scale: two window ranks (per-source, pooled) + one aligned-rank
-# join; all frames are |docs|-sized, text untouched.
+# Scale: the per-source rank is a partitioned window (parallel per
+# source); the POOLED rank uses operators/rowids.py's sharded
+# two-phase numbering — bit-identical to the oracle's global
+# ROW_NUMBER, largest sort 1/n_shards — plus one aligned-rank join;
+# all frames are |docs|-sized, text untouched.
 # --------------------------------------------------------------------------
 
 
 def q_quantile_normalize_lengths(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators.rowids import (
+        stable_row_ids,
+    )
+
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
     w_src = W.partitionBy("source").orderBy("n_chars", "doc_id")
-    w_all = W.orderBy("n_chars", "doc_id")
     ranked = docs.withColumn("r_src", F.row_number().over(w_src)).withColumn(
         "n_src", F.count("*").over(W.partitionBy("source"))
     )
-    pooled = docs.select(
-        F.row_number().over(w_all).alias("r_all"),
+    pooled = stable_row_ids(
+        docs, key="n_chars", tiebreakers=("doc_id",), id_col="r_all"
+    ).select(
+        F.col("r_all").cast("int").alias("r_all"),
         F.col("n_chars").alias("pooled_value"),
     )
     tot = docs.agg(F.count("*").alias("n_all"))
@@ -3323,10 +3337,11 @@ def q_event_trigram_mining(spark, sf_dir):
         )
     )
     counts = tri.groupBy("trigram").agg(F.count("*").alias("n"))
+    # top-K via TakeOrderedAndProject; rank window touches K rows only
+    topk = counts.orderBy(F.desc("n"), F.asc("trigram")).limit(_TRIGRAM_TOP)
     w_rank = W.orderBy(F.desc("n"), F.asc("trigram"))
     return (
-        counts.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= _TRIGRAM_TOP)
+        topk.withColumn("rank", F.row_number().over(w_rank))
         .select("rank", "trigram", "n")
         .orderBy("rank")
     )

@@ -994,7 +994,9 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 # Scale: tf is one (doc, term) groupBy over the exploded corpus
 # FILTERED to the query terms map-side (the explode never leaves the
 # scan stage for non-query tokens); df/totals are term-count- and
-# 1-row-sized broadcasts; ranking runs on the |matching docs| frame.
+# 1-row-sized broadcasts; top-K is TakeOrderedAndProject (per-
+# partition K + driver merge), and the rank window touches only the
+# K survivors.
 # --------------------------------------------------------------------------
 
 _BM25_TERMS = ("dup", "vector", "key")
@@ -1050,10 +1052,14 @@ def q_bm25_search(spark, sf_dir):
     per_doc = scored.groupBy("doc_id").agg(
         F.sum("s").cast("double").alias("score")
     )
+    # top-K via orderBy().limit() — plans TakeOrderedAndProject (each
+    # partition keeps K, driver merges K·n_parts rows), NOT a global
+    # single-partition rank window over every matching doc. The rank
+    # window below runs on the K-row survivor frame only.
+    topk = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(_BM25_TOP)
     w = W.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BM25_TOP)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "score")
         .orderBy("rank")
     )

@@ -10,6 +10,7 @@ wouldn't flip a value-hash — it would melt a cluster.
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -258,6 +259,44 @@ _SANCTIONED_PYTHON = {
     "isotonic_token_curve",    # PAV: sequential per-group merges
 }
 
+# An UNPARTITIONED window funnels its whole input through ONE reducer —
+# a scale killer when the frame is row-level. It is legitimate ONLY
+# over frames that are small BY CONSTRUCTION (aggregate spines,
+# distinct-value cumsum frames, n_shards offset rows, post-limit
+# survivors). Every query whose plan contains one must be listed here
+# with the bounded frame named; row-level ranking must instead use
+# operators/rowids.py (sharded two-phase numbering), orderBy().limit()
+# (TakeOrderedAndProject), or a per-value count cumsum
+# (mann_whitney_test / ks_source_drift pattern).
+_UNPARTITIONED_WINDOW_OK = {
+    "bm25_search": "rank over the K=20 survivors of orderBy().limit()",
+    "cusum_changepoint": "cumsum over the per-day aggregate spine",
+    "error_spikes": "trailing frame over the hourly aggregate series",
+    "event_trigram_mining": "rank over the K=10 survivors of orderBy().limit()",
+    "heaps_law_curve": "cumsum over the decile spine",
+    "hill_tail_index": "top-k order-statistics frame (k bounded)",
+    "histogram_quantiles": "cumsum over the bucket-level aggregate",
+    "key_gini_skew": "rank over the (key,count) aggregate, not the fact",
+    "ks_source_drift": "cumsum over distinct values (≪ rows)",
+    "length_deciles": "NTILE audit variant; *_scaled has no global sort",
+    "mann_whitney_test": "cumsum over distinct values (≪ rows)",
+    "peak_concurrency": "sweep over per-tick net deltas (session frame)",
+    "quality_logit_deciles": "NTILE audit variant; *_scaled is the scale path",
+    "quantile_normalize_lengths": "n_shards-row offset prefix sum (rowids)",
+    "revenue_concentration": "Lorenz cumsum over per-customer aggregate",
+    "rfm_segments": "NTILE audit variant; *_scaled is the scale path",
+    "session_coverage": "sweep over per-tick net deltas (session frame)",
+    "stable_doc_ids": "n_shards-row offset prefix sum (rowids)",
+    "vocab_coverage": "cumsum over the vocabulary frame",
+    "zipf_slope": "rank over the vocabulary frame",
+}
+
+# First windowspecdefinition argument is a sort spec (`col ASC/DESC`)
+# ⇒ the window has NO partition columns.
+_UNPARTITIONED_WINDOW_RE = re.compile(
+    r"windowspecdefinition\(\s*[^,()]*#\d+[A-Za-z]*\s+(?:ASC|DESC)"
+)
+
 
 def test_no_scale_red_flags_in_any_query(suite, spark):
     """Sweep EVERY suite query's physical plan: no CartesianProduct
@@ -274,6 +313,11 @@ def test_no_scale_red_flags_in_any_query(suite, spark):
             flags.append("EvalPython")
         if "BroadcastNestedLoopJoin" in p and name not in _INTENTIONAL_BNLJ:
             flags.append("unexpected BNLJ")
+        if (
+            _UNPARTITIONED_WINDOW_RE.search(p)
+            and name not in _UNPARTITIONED_WINDOW_OK
+        ):
+            flags.append("unpartitioned window on unlisted query")
         if flags:
             bad[name] = flags
     assert not bad, bad
