@@ -7,8 +7,8 @@ the two report queries (serve_flight.py:234,291,295), and ``do_action``
 lists tenant files (serve_flight.py:337). This module reproduces that
 wire surface as a THIN adapter over :class:`engine.Engine` — transport
 only; every query executes in Spark, and results stream back as Arrow
-record batches (Spark→pandas conversion is Arrow-accelerated, so the
-data stays columnar end to end).
+record batches read sequentially from an executor-written parquet
+spool (columnar end to end, driver holds at most one batch).
 
 Scale note: Flight is a single-node ingress/egress door, fine for
 reports (small) and per-tenant uploads (bounded). Bulk data belongs on
@@ -27,6 +27,47 @@ from pyspark.errors import AnalysisException
 
 from city_payroll_data_pipeline_spark.engine import Engine
 from city_payroll_data_pipeline_spark.sources.tenancy import AuthError
+
+
+def egress_batches(df):
+    """Memory-bounded egress: the executors write ``df`` to parquet
+    (distributed — the driver never materializes the result), then the
+    part files are replayed ONE record batch at a time in filename
+    order. A sorted result is range-partitioned by its sort, so
+    part-file name order IS global order; peak driver memory is one
+    record batch regardless of result size (the round-3 ``toPandas()``
+    path would OOM the driver on a 100 TB full_export).
+
+    Returns ``(schema, batch_iterator)``. The spool directory is
+    deleted when the iterator is exhausted or closed."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="flight_egress_")
+    out = os.path.join(tmp, "result")
+    df.write.mode("overwrite").parquet(out)
+    files = sorted(glob.glob(os.path.join(out, "part-*")))
+    if not files:  # defensive: Spark writes ≥1 part even when empty
+        table = pa.Table.from_pandas(
+            df.limit(0).toPandas(), preserve_index=False
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return table.schema, iter(table.to_batches())
+
+    def batches():
+        try:
+            for f in files:
+                with pq.ParquetFile(f) as pf:
+                    # iter_batches is strictly sequential (unlike
+                    # multi-threaded dataset scans) — preserves order
+                    yield from pf.iter_batches()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return pq.ParquetFile(files[0]).schema_arrow, batches()
 
 
 class PayrollFlightServer(flight.FlightServerBase):
@@ -79,8 +120,11 @@ class PayrollFlightServer(flight.FlightServerBase):
             ) from e
         except AuthError as e:
             raise flight.FlightUnauthenticatedError(str(e)) from e
-        table = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
-        return flight.RecordBatchStream(table)
+        return self._stream_result(df)
+
+    def _stream_result(self, df):
+        schema, batches = egress_batches(df)
+        return flight.GeneratorStream(schema, batches)
 
     # -- listings (reference serve_flight.py:337-366) -----------------
 

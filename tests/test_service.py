@@ -111,3 +111,22 @@ def test_report_error_mapping_friendly(spark, tmp_path):
             get("get_budget_report", password="wrong")
     finally:
         server.shutdown()
+
+
+def test_stream_result_preserves_order_across_part_files(spark):
+    """_stream_result egresses from a multi-part sorted parquet spool —
+    the batch stream must replay the GLOBAL sort order (part-file name
+    order == range-partition order) and never hold the full result."""
+    from city_payroll_data_pipeline_spark.service import egress_batches
+
+    df = spark.range(0, 10_000).orderBy("id")  # sorted → many range parts
+    schema, batches = egress_batches(df)
+    got = []
+    for batch in batches:
+        got.extend(batch.column(0).to_pylist())
+    assert got == list(range(10_000))
+
+    # empty result: zero rows out, schema intact
+    empty_schema, empty_iter = egress_batches(df.where("id < 0"))
+    assert "id" in empty_schema.names
+    assert sum(b.num_rows for b in empty_iter) == 0
