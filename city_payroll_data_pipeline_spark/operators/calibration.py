@@ -64,7 +64,13 @@ def isotonic_fit(
         pdf["y_hat"] = pav([float(v) for v in pdf[y_col]])
         return pdf[[group_col, x_col, y_col, "y_hat"]]
 
-    out_schema = (
-        f"{group_col} string, {x_col} long, {y_col} long, y_hat double"
+    # carry the INPUT types through (a hardcoded `long` would silently
+    # truncate fractional x/y); y_hat is always the double PAV mean
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [in_fields[c] for c in (group_col, x_col, y_col)]
+        + [StructField("y_hat", DoubleType())]
     )
     return df.groupBy(group_col).applyInPandas(fit, schema=out_schema)

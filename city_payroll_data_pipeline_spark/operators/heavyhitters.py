@@ -32,10 +32,21 @@ from __future__ import annotations
 
 from collections import Counter
 from collections.abc import Iterator
+from fractions import Fraction
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _eps_ratio(epsilon: float) -> Fraction:
+    """ε as an exact rational (0.002 → 1/500) so every threshold gate
+    is a cross-multiplied INTEGER comparison. A float gate (`cnt >
+    ε·N`) can flip either way on a count landing exactly on ε·N —
+    and DuckDB parses the same literal as exact DECIMAL, so the two
+    engines could disagree on the boundary row (house convention:
+    seasonal_anomalies and friends cross-multiply too)."""
+    return Fraction(str(epsilon))
 
 
 def local_heavy_hitter_candidates(
@@ -47,6 +58,8 @@ def local_heavy_hitter_candidates(
     whose size is bounded by the partition's distinct-token count (at
     most 1/ε survivors are emitted)."""
 
+    num, den = (r := _eps_ratio(epsilon)).numerator, r.denominator
+
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: Counter = Counter()
         total = 0
@@ -55,8 +68,10 @@ def local_heavy_hitter_candidates(
             counts.update(col.tolist())
             total += len(col)
         if total:
-            floor_n = epsilon * total
-            out = [t for t, c in counts.items() if c >= floor_n]
+            # integer gate: c/total ≥ num/den ⟺ c·den ≥ num·total —
+            # float rounding must not drop a boundary candidate or the
+            # pigeonhole superset guarantee breaks
+            out = [t for t, c in counts.items() if c * den >= num * total]
             yield pd.DataFrame({token_col: out})
 
     return tokens.mapInPandas(per_partition, schema=f"{token_col} string")
@@ -69,6 +84,7 @@ def heavy_hitters(
     ε·total, with its exact count and share. Output is independent of
     partitioning (candidates are a guaranteed superset; the recheck is
     exact)."""
+    num, den = (r := _eps_ratio(epsilon)).numerator, r.denominator
     cands = local_heavy_hitter_candidates(tokens, token_col, epsilon).distinct()
     total = tokens.agg(F.count("*").alias("n_total"))
     return (
@@ -76,7 +92,8 @@ def heavy_hitters(
         .groupBy(token_col)
         .agg(F.count("*").alias("cnt"))
         .join(F.broadcast(total))
-        .filter(F.col("cnt") > F.lit(epsilon) * F.col("n_total"))
+        # cnt > ε·N as exact integers: cnt·den > num·N (see _eps_ratio)
+        .filter(F.col("cnt") * F.lit(den) > F.lit(num) * F.col("n_total"))
         .select(
             token_col,
             "cnt",

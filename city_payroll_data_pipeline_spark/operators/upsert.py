@@ -71,23 +71,26 @@ def merge_upsert(
     spark: SparkSession,
     root: str,
     updates: DataFrame,
-    key: str,
+    key: str | list[str],
     schema_evolution: bool = False,
 ) -> int:
-    """MERGE semantics on the key: matching rows are replaced by the
-    update row, unmatched update rows are inserted, all other current
-    rows carry over. Returns the committed version.
+    """MERGE semantics on the key (a column name or list of them):
+    matching rows are replaced by the update rows, unmatched update
+    rows are inserted, all other current rows carry over. A key may
+    match multiple rows on either side — replace-by-key replaces the
+    whole group. Returns the committed version.
 
     ``schema_evolution=True`` lets the update batch add columns (old
     rows get NULL) — ``unionByName(allowMissingColumns)``, the same
     mergeSchema behavior Delta/Iceberg offer. Off by default: silent
     schema drift at 100 TB is usually a bug, not a feature."""
+    keys = [key] if isinstance(key, str) else list(key)
     v = current_version(root)
     if v == 0:
         return write_version(updates, root)
     current = read_table(spark, root, v)
     survivors = current.join(
-        updates.select(key).distinct(), on=key, how="left_anti"
+        updates.select(*keys).distinct(), on=keys, how="left_anti"
     )
     merged = survivors.unionByName(
         updates, allowMissingColumns=schema_evolution

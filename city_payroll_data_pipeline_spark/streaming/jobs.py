@@ -183,41 +183,78 @@ def streaming_topk_to_table(
     watermark: str = "2 hours",
 ):
     """Continuously-maintained top-k leaderboard per time window (the
-    live "trending event types" view).
+    live "trending event types" view). ``path`` is a versioned table
+    root (operators/upsert.py) — read it with ``read_table``.
 
     Rank-over-stream is not expressible in a pure streaming plan
     (non-time window functions are unsupported on unbounded input), so
-    this composes the two sanctioned pieces: a watermarked windowed
-    COUNT keeps bounded streaming state, and ``foreachBatch`` ranks
-    the complete aggregate and atomically overwrites the k·|windows|
-    result table each micro-batch. State is window-count-bounded
-    (watermark evicts closed windows); the ranked frame is tiny by
-    construction, so the per-batch sort is never the stream's
-    bottleneck."""
+    this composes the sanctioned pieces: a watermarked windowed COUNT
+    in **update** mode (complete mode would IGNORE the watermark and
+    keep every window's state forever — the round-3 bug), and a
+    ``foreachBatch`` publisher. Update mode only delivers the groups
+    that changed, and a group below top-k can rise later, so the
+    publisher maintains a ``{path}_counts`` side table of current
+    per-(window, event_type) counts via MERGE, re-ranks ONLY the
+    windows touched by the batch, and MERGEs their k rows into the
+    leaderboard. Counts for windows the watermark has closed can never
+    change again (streaming state already dropped them), so they are
+    evicted from the side table — both streaming state and the side
+    table stay bounded by the windows inside the watermark horizon."""
+    from city_payroll_data_pipeline_spark.operators.upsert import (
+        delete_where,
+        merge_upsert,
+        read_table,
+    )
+
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(F.count("*").alias("n"))
     )
+    counts_root = path + "_counts"
 
     def rank_and_publish(batch_df: DataFrame, _batch_id: int) -> None:
         from pyspark.sql import Window as W
 
-        w = W.partitionBy("win").orderBy(F.desc("n"), F.asc("event_type"))
-        top = (
-            batch_df.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(
-                F.col("win.start").alias("window_start"),
-                "rank",
-                "event_type",
-                "n",
-            )
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            F.col("win.start").alias("window_start"), "event_type", "n"
         )
-        top.write.mode("overwrite").parquet(path)
+        merge_upsert(
+            spark, counts_root, batch, key=["window_start", "event_type"]
+        )
+        # windows touched this batch: bounded by the batch's time span
+        wins = [
+            r[0] for r in batch.select("window_start").distinct().collect()
+        ]
+        counts = read_table(spark, counts_root).where(
+            F.col("window_start").isin(wins)
+        )
+        w = W.partitionBy("window_start").orderBy(
+            F.desc("n"), F.asc("event_type")
+        )
+        top = (
+            counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("window_start", "rank", "event_type", "n")
+        )
+        merge_upsert(spark, path, top, key="window_start")
+        # evict side-table counts the watermark has finalized
+        cutoff = (
+            F.lit(max(wins))
+            - F.expr(f"INTERVAL {watermark}")
+            - F.expr(f"INTERVAL {window}")
+        )
+        stale = read_table(spark, counts_root).where(
+            F.col("window_start") < cutoff
+        )
+        if not stale.isEmpty():
+            delete_where(spark, counts_root, F.col("window_start") < cutoff)
 
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode("update")
         .foreachBatch(rank_and_publish)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

@@ -28,6 +28,13 @@ class Query:
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
+# Test hook (tests/test_partition_invariance.py): when set, every
+# loaded table is round-robin repartitioned to this many partitions so
+# the sweep exercises input-layout sensitivity (e.g. mapInPandas
+# candidate generation), not just shuffle-partition counts.
+_HOSTILE_REPARTITION: int | None = None
+
+
 def table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
@@ -49,7 +56,9 @@ def table(
     # (KBs here), negligible against the compute it parallelizes. At
     # production scale inputs arrive in thousands of splits and the
     # scan parallelizes itself — keep spread=False there.
-    if spread:
+    if _HOSTILE_REPARTITION is not None:
+        df = df.repartition(_HOSTILE_REPARTITION)
+    elif spread:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 

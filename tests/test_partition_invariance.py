@@ -9,10 +9,13 @@ ORDER BY, a first()/head() masquerading as a reduction) would pass
 every fixed-layout test and still be wrong in production.
 
 This sweep re-runs a representative query subset with a hostile
-layout — a prime shuffle-partition count and the inputs themselves
-repartitioned — and asserts exact frame equality against the default
-layout. It is the local stand-in for "would the answer change on a
-1000-executor cluster?".
+layout — a prime shuffle-partition count AND every input table
+round-robin repartitioned to a different prime (via the
+``suite._HOSTILE_REPARTITION`` loader hook, so input-layout-sensitive
+paths like mapInPandas candidate generation are exercised too) — and
+asserts exact frame equality against the default layout. It is the
+local stand-in for "would the answer change on a 1000-executor
+cluster?".
 """
 
 from __future__ import annotations
@@ -58,14 +61,20 @@ def suite():
 
 @pytest.mark.parametrize("name", REPRESENTATIVES)
 def test_result_invariant_under_partitioning(name, suite, spark):
+    import city_payroll_data_pipeline_spark.suite as suite_mod
+
     q = suite[name]
     baseline = q.spark(spark, SF_SMOKE).toPandas()
 
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
+    suite_mod._HOSTILE_REPARTITION = 5  # round-robin input re-layout
     try:
         hostile = q.spark(spark, SF_SMOKE).toPandas()
     finally:
+        suite_mod._HOSTILE_REPARTITION = None
         spark.conf.set("spark.sql.shuffle.partitions", saved)
 
-    assert_frames_match(hostile, baseline, f"{name} [shuffle=7 vs {saved}]")
+    assert_frames_match(
+        hostile, baseline, f"{name} [shuffle=7, input repartition=5 vs {saved}]"
+    )

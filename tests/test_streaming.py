@@ -468,8 +468,26 @@ def test_streaming_topk_leaderboard(spark, tmp_path):
     streaming_topk_to_table(
         stream, str(out), str(tmp_path / "tk_chk"), k=2, window="1 hour"
     )
+    from city_payroll_data_pipeline_spark.operators.upsert import read_table
+
     rows = {
         (r["rank"], r["event_type"]): r["n"]
-        for r in spark.read.parquet(str(out)).collect()
+        for r in read_table(spark, str(out)).collect()
     }
     assert rows == {(1, "click"): 6, (2, "view"): 3}
+
+    # a later run with NEW data must merge, not clobber: a new window's
+    # leaderboard appears while the old window's rows stay published
+    # (update-mode publish only touches the windows a batch changed)
+    t1 = t0 + dt.timedelta(hours=2)
+    write_batch([(t1, "buy")] * 5 + [(t1, "view")])
+    streaming_topk_to_table(
+        stream, str(out), str(tmp_path / "tk_chk"), k=2, window="1 hour"
+    )
+    by_win = {}
+    for r in read_table(spark, str(out)).collect():
+        by_win.setdefault(r["window_start"], {})[
+            (r["rank"], r["event_type"])
+        ] = r["n"]
+    assert by_win[t0.replace(minute=0)] == {(1, "click"): 6, (2, "view"): 3}
+    assert by_win[t1.replace(minute=0)] == {(1, "buy"): 5, (2, "view"): 1}
