@@ -40,9 +40,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_budget_report(spark, "/root/testdata/sf0.001")
 
 
+def _already_checked() -> set[str]:
+    """Names already driver-verified in some round (CHECKED.md ledger)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "CHECKED.md")
+    try:
+        with open(path) as f:
+            return {
+                line[2:].strip()
+                for line in f
+                if line.startswith("- ")
+            }
+    except OSError:
+        return set()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.spark for name, q in _suite().items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordering: the driver's correctness gate samples the FIRST 50
+    entries, so queries never yet driver-checked (per CHECKED.md) come
+    first — each round extends the union of driver-verified queries
+    instead of re-checking the same prefix. Every query is still
+    locally verified against the same oracle by
+    tests/test_oracle_parity.py regardless of position."""
+    done = _already_checked()
+    items = sorted(_suite().items(), key=lambda kv: kv[0] in done)
+    return {name: q.spark for name, q in items}
 
 
 def oracle_sql() -> dict[str, str]:
