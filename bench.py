@@ -217,6 +217,10 @@ HEADLINE = [
     # O(n) within-class embedding dispersion
     "embedding_scatter",
     "calinski_harabasz",
+    # exact-NTILE scale variants (no global row-level sort)
+    "length_deciles_scaled",
+    "quality_logit_deciles_scaled",
+    "rfm_segments_scaled",
 ]
 
 

@@ -801,6 +801,53 @@ ORDER BY r_score, f_score, m_score
 """
 
 
+def q_rfm_segments_scaled(spark, sf_dir):
+    """The promised scale path for rfm_segments: three quintile
+    assignments via operators/ntile.py (each is a distinct-value
+    cumsum + per-value parallel rank — no global row-level sorts) —
+    bit-identical to the NTILE windows, certified by sharing the exact
+    NTILE SQL oracle."""
+    from city_payroll_data_pipeline_spark.operators.ntile import (
+        ntile_no_global_sort,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per = (
+        orders.join(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff(F.col("maxd").cast("date"),
+                           F.col("o_orderdate").cast("date"))
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            _dec_sum(F.col("o_totalprice"), "monetary"),
+        )
+    )
+    # each ntile pass references its input 3× (rows, per-value counts,
+    # total) — cut the lineage once so the orders aggregate is computed
+    # once, not 3³ times (the iterative-algorithm house pattern)
+    per = per.localCheckpoint(eager=False)
+    scored = ntile_no_global_sort(
+        per, 5, "recency_days", "o_custkey", "r_score"
+    )
+    scored = ntile_no_global_sort(
+        scored, 5, "frequency", "o_custkey", "f_score", descending=True
+    )
+    scored = ntile_no_global_sort(
+        scored, 5, "monetary", "o_custkey", "m_score", descending=True
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dec_sum(F.col("monetary"), "segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
 # --------------------------------------------------------------------------
 # psi_drift — Population Stability Index between document sources.
 #
@@ -3831,6 +3878,11 @@ QUERIES = {
         q_rfm_segments,
         RFM_SEGMENTS_SQL,
         ("product-analytics", "rfm", "segmentation"),
+    ),
+    "rfm_segments_scaled": Query(
+        q_rfm_segments_scaled,
+        RFM_SEGMENTS_SQL,
+        ("product-analytics", "rfm", "segmentation", "scale-path"),
     ),
     "psi_drift": Query(
         q_psi_drift, PSI_DRIFT_SQL, ("drift", "psi", "monitoring")

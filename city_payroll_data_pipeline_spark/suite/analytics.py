@@ -865,6 +865,46 @@ GROUP BY decile
 ORDER BY decile
 """
 
+
+def q_quality_logit_deciles_scaled(spark, sf_dir):
+    """The promised scale path for quality_logit_deciles: the same
+    calibration table with decile assignment via operators/ntile.py
+    (no global row-level sort) — the exact NTILE SQL is its oracle."""
+    from pyspark.sql import Window as W
+
+    from city_payroll_data_pipeline_spark.functions.text import (
+        lang_marker_pattern,
+        token_count,
+    )
+    from city_payroll_data_pipeline_spark.operators.ntile import (
+        ntile_no_global_sort,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        (
+            F.lit(_QL_W["bias"])
+            + _QL_W["tok"] * token_count(t)
+            + _QL_W["stop"] * F.regexp_count(F.lower(t), F.lit(lang_marker_pattern("en")))
+            + _QL_W["punct"] * F.regexp_count(t, F.lit(r"[^\w\s]"))
+            + _QL_W["chars"] * F.length(t)
+        ).cast("long").alias("logit"),
+    )
+    binned = ntile_no_global_sort(scored, 10, "logit", "doc_id", "decile")
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("logit").alias("min_logit"),
+            F.max("logit").alias("max_logit"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("decile")
+    )
+
 # --------------------------------------------------------------------------
 # discriminative_terms — per-source signature terms by odds ratio.
 #
@@ -1581,6 +1621,11 @@ QUERIES = {
         q_quality_logit_deciles,
         QUALITY_LOGIT_DECILES_SQL,
         ("quality", "model-inference", "deciles"),
+    ),
+    "quality_logit_deciles_scaled": Query(
+        q_quality_logit_deciles_scaled,
+        QUALITY_LOGIT_DECILES_SQL,
+        ("quality", "model-inference", "deciles", "scale-path"),
     ),
     "discriminative_terms": Query(
         q_discriminative_terms,

@@ -1831,6 +1831,29 @@ GROUP BY decile
 ORDER BY decile
 """
 
+
+def q_length_deciles_scaled(spark, sf_dir):
+    """The promised scale path for length_deciles: bit-identical
+    NTILE(10) via operators/ntile.py (distinct-value cumsum +
+    per-value parallel rank + bucket arithmetic — no global row-level
+    sort). The exact NTILE SQL is its oracle, so the hash match
+    certifies the equivalence."""
+    from city_payroll_data_pipeline_spark.operators.ntile import (
+        ntile_no_global_sort,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    binned = ntile_no_global_sort(docs, 10, "n_chars", "doc_id", "decile")
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("decile")
+    )
+
 # --------------------------------------------------------------------------
 # TF-IDF top terms — keyword extraction per document. Score stays
 # exact-integer until ONE double division (tf·n_docs / df), so Spark
@@ -3422,6 +3445,11 @@ QUERIES = {
     ),
     "length_deciles": Query(
         q_length_deciles, LENGTH_DECILES_SQL, ("quantile", "binning")
+    ),
+    "length_deciles_scaled": Query(
+        q_length_deciles_scaled,
+        LENGTH_DECILES_SQL,
+        ("quantile", "binning", "scale-path"),
     ),
     "tfidf_top_terms": Query(
         q_tfidf_top_terms, TFIDF_TOP_TERMS_SQL, ("text", "tfidf", "keywords")

@@ -49,6 +49,7 @@ REPRESENTATIVES = [
     "cdc_chunks",               # rolling-hash boundaries + window chunk ids
     "cramers_v",                # decimal-routed chi-square cell sums
     "mann_whitney_test",        # pooled rank sums with tie averaging
+    "rfm_segments_scaled",      # ntile-without-global-sort machinery
 ]
 
 

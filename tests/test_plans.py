@@ -229,6 +229,9 @@ _INTENTIONAL_BNLJ = {
     "label_centroid_sim",     # |labels|-row centroid pairwise (non-equi)
     "heavy_hitter_tokens",    # broadcast 1-row corpus-total scalar
     "rfm_segments",           # broadcast 1-row max-date anchor
+    "rfm_segments_scaled",    # same anchor + 1-row total per ntile pass
+    "length_deciles_scaled",  # broadcast 1-row total (ntile.py)
+    "quality_logit_deciles_scaled",  # broadcast 1-row total (ntile.py)
     "hard_negative_topk",     # broadcast query set, label-mismatch join
     "contrastive_negatives",  # broadcast query set, label-mismatch join
     "bm25_search",            # broadcast 1-row corpus-totals scalar
@@ -279,6 +282,9 @@ _UNPARTITIONED_WINDOW_OK = {
     "key_gini_skew": "rank over the (key,count) aggregate, not the fact",
     "ks_source_drift": "cumsum over distinct values (≪ rows)",
     "length_deciles": "NTILE audit variant; *_scaled has no global sort",
+    "length_deciles_scaled": "cumsum over distinct values (operators/ntile.py)",
+    "quality_logit_deciles_scaled": "cumsum over distinct values (ntile.py)",
+    "rfm_segments_scaled": "cumsum over distinct values ×3 (ntile.py)",
     "mann_whitney_test": "cumsum over distinct values (≪ rows)",
     "peak_concurrency": "sweep over per-tick net deltas (session frame)",
     "quality_logit_deciles": "NTILE audit variant; *_scaled is the scale path",
