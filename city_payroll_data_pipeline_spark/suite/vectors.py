@@ -344,42 +344,60 @@ ORDER BY query_id, rank
 
 
 def q_semantic_dedup_pairs(spark, sf_dir):
-    """Semantic near-dup pairs at scale: k-means-bucket the corpus,
-    then compare ONLY within a cluster. The all-pairs variant
+    """Semantic near-dup pairs at scale: cell-bucket the corpus, then
+    compare ONLY within a cell. The all-pairs variant
     (cosine_neardup_pairs) is O(n²) in the join — unrunnable at 100 TB;
-    clustering first makes the pair join per-bucket (shuffle on the
-    cluster id), trading recall only for near-dups that straddle a
-    centroid boundary — and exact/near-exact copies never do, since
+    bucketing first makes the pair join per-cell (shuffle on the cell
+    id), trading recall only for near-dups that straddle a cell
+    boundary — and exact/near-exact copies never do, since
     (near-)identical vectors get identical assignments.
 
+    Cells are the SAME deterministic seed centroids the IVF index uses
+    (strided corpus vectors — no k-means RNG/iteration), which makes
+    the whole pipeline SQL-replayable: the DuckDB oracle re-runs
+    assignment + in-cell pairing exactly (previously this used the
+    Lloyd-fitted centroids and could only get a rows-only check; a
+    production system would Lloyd-refine the cells — kmeans_clusters
+    covers that fit — without changing this plan's shape).
+
     Same synthesized copies (vec_id+100000 for vec_id%50==0) and the
-    same exact quantized-cosine >= 0.999 verify as the brute-force
-    twin, so the test can check recall against the oracle-checked
-    query. Iterative fit -> rows-only driver check."""
-    from city_payroll_data_pipeline_spark.operators import clustering as cl
+    same exact quantized-cosine >= 0.999 as the brute-force twin, so
+    the test can also check recall against it."""
+    from pyspark.sql import Window as W
 
     emb = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", "embedding"
     )
-    _, centers, _ = kmeans_cached(spark, sf_dir)
     copies = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionAll(copies)
-    assigned = cl.assign_clusters(
-        corpus.withColumn("_v", F.col("embedding").cast("array<double>")),
-        "_v",
-        centers,
-    ).select("vec_id", "embedding", "cluster")
-    qv = assigned.select(
-        "vec_id",
-        "cluster",
-        sim.quantize(F.col("embedding")).alias("q"),
-    ).withColumn("n2", sim.norm2_q(F.col("q")))
-    a, b = qv.alias("a"), qv.alias("b")
+    qv = sim.with_quantized(corpus, "vec_id", "embedding")
+    cents = qv.filter(
+        (F.col("vec_id") % CENTROID_STRIDE == 0)
+        & (F.col("vec_id") < CENTROID_STRIDE * N_LISTS)
+    ).select(
+        (F.col("vec_id") / CENTROID_STRIDE).cast("int").alias("list_id"),
+        F.col("q").alias("cq"),
+        F.col("n2").alias("cn2"),
+    )
+    scored = qv.alias("v").join(F.broadcast(cents)).select(
+        "v.*",
+        "list_id",
+        sim.cosine_q(
+            sim.dot_q(F.col("v.q"), F.col("cq")), F.col("v.n2"), F.col("cn2")
+        ).alias("_csim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("_csim"), F.asc("list_id"))
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "q", "n2", "list_id")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.cluster") == F.col("b.cluster"))
+        (F.col("a.list_id") == F.col("b.list_id"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     cos = sim.cosine_q(
@@ -389,11 +407,57 @@ def q_semantic_dedup_pairs(spark, sf_dir):
         pairs.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
+            cos.alias("_cos"),
         )
-        .filter(F.col("cosine") >= 0.999)
+        .filter(F.col("_cos") >= 0.999)
+        .select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+SEMANTIC_DEDUP_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+qv AS (
+  SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2
+  FROM (SELECT vec_id, {_QUANT_SQL} AS q FROM corpus)
+),
+cents AS (
+  SELECT CAST(vec_id // {CENTROID_STRIDE} AS INT) AS list_id,
+         q AS cq, n2 AS cn2
+  FROM qv
+  WHERE vec_id % {CENTROID_STRIDE} = 0
+    AND vec_id < {CENTROID_STRIDE * N_LISTS}
+),
+scored AS (
+  SELECT v.vec_id, v.q, v.n2, c.list_id,
+         CASE WHEN sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) > 0
+              THEN CAST({_dot_sql('v.q', 'c.cq')} AS DOUBLE)
+                   / sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE))
+         END AS csim
+  FROM qv v CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, q, n2, list_id FROM (
+    SELECT vec_id, q, n2, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, list_id ASC) AS r
+    FROM scored)
+  WHERE r = 1
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_dot_sql('a.q', 'b.q')} AS dot, a.n2 AS n2a, b.n2 AS n2b
+  FROM assigned a JOIN assigned b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+),
+scored2 AS (SELECT vec_a, vec_b, {_COSINE_SQL} AS cosine FROM pairs)
+SELECT vec_a, vec_b, {_sql_round('cosine', 6)} AS cosine
+FROM scored2 WHERE cosine >= 0.999
+"""
 
 
 _KMEANS_CACHE: dict = {}
@@ -605,7 +669,9 @@ QUERIES = {
         q_ann_retrieve_docs, ANN_RETRIEVE_DOCS_SQL, ("vector", "retrieval")
     ),
     "semantic_dedup_pairs": Query(
-        q_semantic_dedup_pairs, None, ("vector", "dedup", "clustering")
+        q_semantic_dedup_pairs,
+        SEMANTIC_DEDUP_PAIRS_SQL,
+        ("vector", "dedup", "clustering")
     ),
     "cosine_topk": Query(q_cosine_topk, COSINE_TOPK_SQL, ("vector", "ann", "exact")),
     "cosine_neardup_pairs": Query(
