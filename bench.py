@@ -221,6 +221,13 @@ HEADLINE = [
     "length_deciles_scaled",
     "quality_logit_deciles_scaled",
     "rfm_segments_scaled",
+    # LM quality filter + entropy screen
+    "doc_perplexity",
+    "char_entropy",
+    # FK audit, skyline, association
+    "referential_integrity_audit",
+    "part_pareto_frontier",
+    "item_pmi",
 ]
 
 

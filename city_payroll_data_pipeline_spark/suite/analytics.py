@@ -1579,7 +1579,99 @@ ORDER BY retriever
 """
 
 
+# --------------------------------------------------------------------------
+# item_pmi — pointwise mutual information over co-purchased parts.
+#
+# basket_pairs ranks by raw support, which just surfaces popular
+# items; PMI = ln(P(a,b) / (P(a)·P(b))) corrects for popularity and
+# surfaces parts bought together MORE than chance — the association
+# signal recommender co-occurrence models start from. The log
+# argument folds to the exact integer ratio support·N / (cnt_a·cnt_b)
+# (the bm25 ln discipline: round to 8 dp in both engines), a support
+# floor removes noise pairs, top-20 by (pmi, pa, pb).
+#
+# Scale: identical to basket_pairs (per-basket self-join on the
+# DISTINCT (order, part) frame) + two broadcast-sized count joins;
+# top-k is TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+
+_PMI_MIN_SUPPORT = 3
+_PMI_TOP_K = 20
+
+
+def q_item_pmi(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    cnt = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= _PMI_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(cnt.select(F.col("l_partkey").alias("pa"),
+                              F.col("cnt").alias("cnt_a")), "pa")
+        .join(cnt.select(F.col("l_partkey").alias("pb"),
+                         F.col("cnt").alias("cnt_b")), "pb")
+        .join(F.broadcast(n))
+        .select(
+            "pa", "pb", "support", "cnt_a", "cnt_b",
+            F.round(
+                F.log(
+                    (F.col("support") * F.col("n_baskets")).cast("double")
+                    / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+                ),
+                8,
+            ).alias("pmi"),
+        )
+    )
+    topk = scored.orderBy(F.desc("pmi"), "pa", "pb").limit(_PMI_TOP_K)
+    return topk.select("pa", "pb", "support", "cnt_a", "cnt_b", "pmi")
+
+
+ITEM_PMI_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+cnt AS (SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb
+  HAVING COUNT(*) >= {_PMI_MIN_SUPPORT}
+),
+scored AS (
+  SELECT pa, pb, support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+         {_sql_round(
+             '''ln(CAST(support * n_baskets AS DOUBLE)
+                   / CAST(ca.cnt * cb.cnt AS DOUBLE))''',
+             8,
+         )} AS pmi
+  FROM pairs
+  JOIN cnt ca ON ca.l_partkey = pa
+  JOIN cnt cb ON cb.l_partkey = pb
+  CROSS JOIN n
+)
+SELECT pa, pb, support, cnt_a, cnt_b, pmi
+FROM scored
+ORDER BY pmi DESC, pa, pb
+LIMIT {_PMI_TOP_K}
+"""
+
+
 QUERIES = {
+    "item_pmi": Query(
+        q_item_pmi,
+        ITEM_PMI_SQL,
+        ("association", "pmi", "recommendation"),
+    ),
     "trade_pagerank": Query(
         q_trade_pagerank, TRADE_PAGERANK_SQL, ("graph", "pagerank", "iterative")
     ),

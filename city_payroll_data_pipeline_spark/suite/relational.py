@@ -3125,7 +3125,167 @@ ORDER BY segment
 """
 
 
+# --------------------------------------------------------------------------
+# referential_integrity_audit — orphan counts across every FK edge.
+#
+# The pre-join data-quality gate a warehouse runs after every load:
+# for each foreign-key edge of the star schema, how many fact rows
+# (and distinct keys) reference a missing dimension row. One row per
+# edge; all-zero orphans is the expected healthy readout.
+#
+# Scale: each edge is one LEFT join probing a DISTINCT-key dim frame
+# — small dims broadcast, the two fact-sized edges shuffle once on
+# their key; counts partial-aggregate map-side. At 100 TB run the
+# fact-side edges in one multi-join pass per fact table (same plan
+# per edge, shared scan via caching) — the per-edge plan shape is
+# unchanged.
+# --------------------------------------------------------------------------
+
+
+def q_referential_integrity_audit(spark, sf_dir):
+    tabs = {
+        name: table(spark, sf_dir, name)
+        for name in (
+            "lineitem", "orders", "customer", "part", "supplier",
+            "nation", "region",
+        )
+    }
+    edges = [
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    out = None
+    for edge, fact, fk, dim, pk in edges:
+        j = tabs[fact].select(F.col(fk).alias("fk")).join(
+            tabs[dim].select(F.col(pk).alias("dk")).distinct(),
+            F.col("fk") == F.col("dk"),
+            "left",
+        )
+        stats = j.agg(
+            F.count("*").alias("fact_rows"),
+            F.count_if(F.col("dk").isNull()).alias("orphan_rows"),
+            F.count_distinct(
+                F.when(F.col("dk").isNull(), F.col("fk"))
+            ).alias("orphan_keys"),
+        ).select(F.lit(edge).alias("fk_edge"), "*")
+        out = stats if out is None else out.unionAll(stats)
+    return out.orderBy("fk_edge")
+
+
+def _ri_edge_sql(edge, fact, fk, dim, pk):
+    return f"""
+SELECT '{edge}' AS fk_edge,
+       COUNT(*) AS fact_rows,
+       CAST(COUNT(*) FILTER (WHERE d.dk IS NULL) AS BIGINT) AS orphan_rows,
+       COUNT(DISTINCT CASE WHEN d.dk IS NULL THEN f.fk END) AS orphan_keys
+FROM (SELECT {fk} AS fk FROM {fact}) f
+LEFT JOIN (SELECT DISTINCT {pk} AS dk FROM {dim}) d ON f.fk = d.dk
+"""
+
+
+REFERENTIAL_INTEGRITY_SQL = (
+    "\nUNION ALL\n".join(
+        _ri_edge_sql(*e)
+        for e in [
+            ("customer.c_nationkey->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+            ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+            ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+             "part", "p_partkey"),
+            ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+             "supplier", "s_suppkey"),
+            ("nation.n_regionkey->region", "nation", "n_regionkey",
+             "region", "r_regionkey"),
+            ("orders.o_custkey->customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+            ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+             "nation", "n_nationkey"),
+        ]
+    )
+    + "\nORDER BY fk_edge"
+)
+
+
+# --------------------------------------------------------------------------
+# part_pareto_frontier — the skyline without the O(n²) dominance join.
+#
+# "Which parts are Pareto-optimal on (bigger size, lower price)?" —
+# the multi-criteria shortlist query (skyline operator). The naive
+# formulation is a NOT EXISTS self-join (O(n²)); for a 2-criteria
+# skyline the monotone structure collapses it to a DISTINCT-SIZE
+# cumulative minimum: a part is dominated iff the cheapest price seen
+# at any STRICTLY larger size undercuts it. Prices compare as exact
+# DECIMAL(12,2).
+#
+# Scale: one groupBy on size (cardinality ≪ parts), one window over
+# the distinct-size frame, one broadcast join back — the corpus
+# crosses a single exchange.
+# --------------------------------------------------------------------------
+
+
+def q_part_pareto_frontier(spark, sf_dir):
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+    )
+    per_size = part.groupBy("p_size").agg(F.min("price").alias("size_min"))
+    w = W.orderBy(F.desc("p_size")).rowsBetween(W.unboundedPreceding, -1)
+    best = per_size.withColumn("best_above", F.min("size_min").over(w))
+    frontier = part.join(F.broadcast(best.select("p_size", "best_above")),
+                         "p_size").filter(
+        F.col("best_above").isNull()
+        | (F.col("price") <= F.col("best_above"))
+    )
+    return frontier.select(
+        "p_partkey", "p_size", F.col("price").cast("double").alias("price")
+    ).orderBy(F.desc("p_size"), F.asc("price"), F.asc("p_partkey"))
+
+
+PART_PARETO_FRONTIER_SQL = """
+WITH per_size AS (
+  SELECT p_size, MIN(CAST(p_retailprice AS DECIMAL(12,2))) AS size_min
+  FROM part GROUP BY p_size
+),
+best AS (
+  SELECT p_size,
+         MIN(size_min) OVER (ORDER BY p_size DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above
+  FROM per_size
+)
+SELECT p_partkey, p_size,
+       CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+FROM part JOIN best USING (p_size)
+WHERE best_above IS NULL
+   OR CAST(p_retailprice AS DECIMAL(12,2)) <= best_above
+ORDER BY p_size DESC, price, p_partkey
+"""
+
+
 QUERIES = {
+    "referential_integrity_audit": Query(
+        q_referential_integrity_audit,
+        REFERENTIAL_INTEGRITY_SQL,
+        ("dq", "foreign-key", "audit"),
+    ),
+    "part_pareto_frontier": Query(
+        q_part_pareto_frontier,
+        PART_PARETO_FRONTIER_SQL,
+        ("skyline", "pareto", "window"),
+    ),
     "region_revenue": Query(q_region_revenue, REGION_REVENUE_SQL, ("join", "broadcast")),
     "range_sharded_export": Query(
         q_range_sharded_export,

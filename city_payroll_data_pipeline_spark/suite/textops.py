@@ -3344,7 +3344,236 @@ ORDER BY rank
 """
 
 
+# --------------------------------------------------------------------------
+# doc_perplexity — bigram-LM quality scoring (the KenLM-filter shape).
+#
+# The canonical web-corpus quality gate: score every document's
+# average negative log-likelihood under a language model trained on
+# the corpus itself and flag the worst scorers (boilerplate, OCR
+# garbage, non-language noise read as "surprising" text). Model =
+# corpus bigram LM with Laplace +1 smoothing:
+#   P(nxt|cur) = (c(cur,nxt)+1) / (c(cur)+V)
+# Every probability is ln of an EXACT integer ratio → rounded to 8 dp
+# in both engines immediately (the bm25 ln discipline); per-doc sums
+# route through DECIMAL(18,8); one double division per doc at the end.
+#
+# Scale: the LM lives on the (cur,nxt) count frame (vocab²-bounded,
+# corpus-independent); doc bigrams aggregate to (doc,cur,nxt) BEFORE
+# the LM join, so the join is count-frame-sized; top-20 worst docs is
+# TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+
+_PPL_TOP = 20
+
+
+def q_doc_perplexity(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", word_tokens(F.col("text")).alias("w"))
+    doc_bg = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))
+                    ),
+                    lambda x, i: F.struct(
+                        x.alias("cur"),
+                        F.element_at(F.col("w"), i + 2).alias("nxt"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.cur", "bg.nxt")
+        .groupBy("doc_id", "cur", "nxt")
+        .agg(F.count("*").alias("m"))
+    )
+    lm = doc_bg.groupBy("cur", "nxt").agg(F.sum("m").alias("n"))
+    curtot = lm.withColumn(
+        "cn", F.sum("n").over(W.partitionBy("cur"))
+    )
+    vocab = toks.select(F.explode("w").alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    term = F.round(
+        F.log(
+            (F.col("n") + 1).cast("double")
+            / (F.col("cn") + F.col("v")).cast("double")
+        ),
+        8,
+    )
+    scored = (
+        doc_bg.join(curtot, ["cur", "nxt"])
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "m",
+            F.round(F.col("m") * term, 8).cast("decimal(18,8)").alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum("s").alias("ll"),
+    )
+    nll = -F.col("ll").cast("double") / F.col("n_bigrams").cast("double")
+    worst = (
+        per_doc.select(
+            "doc_id", "n_bigrams", F.round(nll, 6).alias("avg_nll")
+        )
+        .orderBy(F.desc("avg_nll"), F.asc("doc_id"))
+        .limit(_PPL_TOP)
+    )
+    w = W.orderBy(F.desc("avg_nll"), F.asc("doc_id"))
+    return worst.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "n_bigrams", "avg_nll"
+    ).orderBy("rank")
+
+
+DOC_PERPLEXITY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS w
+  FROM documents
+),
+doc_bg AS (
+  SELECT doc_id, cur, nxt, COUNT(*) AS m
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(w) - 1),
+                  i -> struct_pack(cur := w[i+1], nxt := w[i+2]))) AS bg
+    FROM toks
+  )
+  CROSS JOIN LATERAL (SELECT bg.cur AS cur, bg.nxt AS nxt)
+  GROUP BY doc_id, cur, nxt
+),
+lm AS (
+  SELECT cur, nxt, CAST(SUM(m) AS BIGINT) AS n FROM doc_bg GROUP BY cur, nxt
+),
+curtot AS (
+  SELECT cur, nxt, n, CAST(SUM(n) OVER (PARTITION BY cur) AS BIGINT) AS cn
+  FROM lm
+),
+vocab AS (
+  SELECT COUNT(DISTINCT t) AS v
+  FROM (SELECT unnest(w) AS t FROM toks)
+),
+scored AS (
+  SELECT doc_id, m,
+         CAST({_sql_round(
+             '''m * CAST({} AS DOUBLE)'''.format(_sql_round(
+                 'ln(CAST(n + 1 AS DOUBLE) / CAST(cn + v AS DOUBLE))', 8
+             )),
+             8,
+         )} AS DECIMAL(18,8)) AS s
+  FROM doc_bg JOIN curtot USING (cur, nxt), vocab
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams, SUM(s) AS ll
+  FROM scored GROUP BY doc_id
+)
+SELECT ROW_NUMBER() OVER (ORDER BY avg_nll DESC, doc_id) AS rank,
+       doc_id, n_bigrams, avg_nll
+FROM (
+  SELECT doc_id, n_bigrams,
+         {_sql_round(
+             '-CAST(ll AS DOUBLE) / CAST(n_bigrams AS DOUBLE)', 6
+         )} AS avg_nll
+  FROM per_doc
+)
+ORDER BY avg_nll DESC, doc_id
+LIMIT {_PPL_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# char_entropy — per-source character-level Shannon entropy.
+#
+# The compressibility screen: natural language sits near ~4 bits/char;
+# templated/repeated text reads LOW, binary-garbage/mixed-alphabet
+# noise reads HIGH. H = ln(total) − (Σ_c cnt_c·ln cnt_c)/total — only
+# ln OF INTEGERS appears, each rounded to 8 dp in both engines, with
+# the weighted sum routed through DECIMAL; one division + one
+# subtraction at the end.
+#
+# Scale: per-character explode partial-aggregates map-side, so the
+# shuffle carries |alphabet|·|sources| rows, not characters; the
+# entropy itself computes on the (source, char) count frame.
+# --------------------------------------------------------------------------
+
+
+def q_char_entropy(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    chars = docs.select(
+        "source", F.explode(F.split(F.col("text"), "")).alias("c")
+    ).where(F.col("c") != "")
+    counts = chars.groupBy("source", "c").agg(F.count("*").alias("cnt"))
+    per_src = counts.groupBy("source").agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("alphabet_size"),
+        F.sum(
+            F.round(
+                F.col("cnt") * F.round(F.log(F.col("cnt").cast("double")), 8),
+                8,
+            ).cast("decimal(28,8)")
+        ).alias("wsum"),
+    )
+    h_nats = (
+        F.round(F.log(F.col("total").cast("double")), 8)
+        - F.col("wsum").cast("double") / F.col("total").cast("double")
+    )
+    return per_src.select(
+        "source",
+        "total",
+        "alphabet_size",
+        F.round(h_nats, 6).alias("entropy_nats"),
+    ).orderBy("source")
+
+
+CHAR_ENTROPY_SQL = rf"""
+WITH chars AS (
+  SELECT source, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+  FROM documents
+),
+counts AS (
+  SELECT source, c, COUNT(*) AS cnt FROM chars GROUP BY source, c
+),
+per_src AS (
+  SELECT source,
+         CAST(SUM(cnt) AS BIGINT) AS total,
+         COUNT(*) AS alphabet_size,
+         SUM(CAST({_sql_round(
+             'cnt * CAST({} AS DOUBLE)'.format(_sql_round(
+                 'ln(CAST(cnt AS DOUBLE))', 8
+             )),
+             8,
+         )} AS DECIMAL(28,8))) AS wsum
+  FROM counts GROUP BY source
+)
+SELECT source, total, alphabet_size,
+       {_sql_round(
+           '''CAST({} AS DOUBLE)
+              - CAST(wsum AS DOUBLE) / CAST(total AS DOUBLE)'''.format(
+               _sql_round('ln(CAST(total AS DOUBLE))', 8)
+           ),
+           6,
+       )} AS entropy_nats
+FROM per_src
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "doc_perplexity": Query(
+        q_doc_perplexity,
+        DOC_PERPLEXITY_SQL,
+        ("text", "quality", "language-model", "perplexity"),
+    ),
+    "char_entropy": Query(
+        q_char_entropy,
+        CHAR_ENTROPY_SQL,
+        ("text", "quality", "entropy"),
+    ),
     "doc_token_stats": Query(q_doc_token_stats, DOC_TOKEN_STATS_SQL, ("text",)),
     "inverted_index": Query(
         q_inverted_index, INVERTED_INDEX_SQL, ("text", "index", "postings")

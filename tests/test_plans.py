@@ -235,6 +235,9 @@ _INTENTIONAL_BNLJ = {
     "hard_negative_topk",     # broadcast query set, label-mismatch join
     "contrastive_negatives",  # broadcast query set, label-mismatch join
     "bm25_search",            # broadcast 1-row corpus-totals scalar
+    "doc_perplexity",         # broadcast 1-row vocabulary-size scalar
+    "semantic_dedup_pairs",   # broadcast 8-row seed-centroid table
+    "item_pmi",               # broadcast 1-row basket-count scalar
     "psi_drift",              # broadcast 1-row corpus-total + bucket spine
     "benford_audit",          # broadcast 1-row digit-total scalar
     "epoch_shuffle_plan",     # broadcast |epochs|-row spine
@@ -274,6 +277,7 @@ _SANCTIONED_PYTHON = {
 _UNPARTITIONED_WINDOW_OK = {
     "bm25_search": "rank over the K=20 survivors of orderBy().limit()",
     "cusum_changepoint": "cumsum over the per-day aggregate spine",
+    "doc_perplexity": "rank over the K=20 survivors of orderBy().limit()",
     "error_spikes": "trailing frame over the hourly aggregate series",
     "event_trigram_mining": "rank over the K=10 survivors of orderBy().limit()",
     "heaps_law_curve": "cumsum over the decile spine",
@@ -286,6 +290,7 @@ _UNPARTITIONED_WINDOW_OK = {
     "quality_logit_deciles_scaled": "cumsum over distinct values (ntile.py)",
     "rfm_segments_scaled": "cumsum over distinct values ×3 (ntile.py)",
     "mann_whitney_test": "cumsum over distinct values (≪ rows)",
+    "part_pareto_frontier": "cumulative min over the distinct-size frame",
     "peak_concurrency": "sweep over per-tick net deltas (session frame)",
     "quality_logit_deciles": "NTILE audit variant; *_scaled is the scale path",
     "quantile_normalize_lengths": "n_shards-row offset prefix sum (rowids)",
