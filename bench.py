@@ -228,6 +228,10 @@ HEADLINE = [
     "referential_integrity_audit",
     "part_pareto_frontier",
     "item_pmi",
+    # native session windows, split plan, freshness ops
+    "session_window_stats",
+    "stratified_split_plan",
+    "data_freshness_audit",
 ]
 
 

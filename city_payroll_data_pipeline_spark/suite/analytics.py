@@ -1666,7 +1666,142 @@ LIMIT {_PMI_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# stratified_split_plan — deterministic hash-based train/val/test.
+#
+# The dataset-split contract for reproducible training: assignment
+# must be a pure function of the example's identity (no RNG, no
+# ordering dependence — a doc keeps its split across reruns and
+# incremental loads), and the audit is per-(source, split) counts +
+# realized fractions vs the 80/10/10 target. Assignment = md5 bucket
+# of doc_id (the mann_whitney hash-arm pattern, mirrored exactly in
+# SQL); fraction is one division per output row.
+#
+# Scale: map-side hash + one |sources|·3-row groupBy; composes with
+# split_leakage_check (which audits near-dup pairs ACROSS these
+# splits).
+# --------------------------------------------------------------------------
+
+
+def q_stratified_split_plan(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+        ).cast("bigint"),
+        F.lit(10),
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    counts = docs.select("source", split.alias("split")).groupBy(
+        "source", "split"
+    ).agg(F.count("*").alias("n_docs"))
+    tot = counts.groupBy("source").agg(F.sum("n_docs").alias("n_src"))
+    return (
+        counts.join(tot, "source")
+        .select(
+            "source",
+            "split",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_src").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+STRATIFIED_SPLIT_PLAN_SQL = """
+WITH assigned AS (
+  SELECT source,
+         CASE
+           WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                     AS BIGINT) % 10 < 8 THEN 'train'
+           WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                     AS BIGINT) % 10 = 8 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+),
+counts AS (
+  SELECT source, split, COUNT(*) AS n_docs
+  FROM assigned GROUP BY source, split
+),
+tot AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_src
+        FROM counts GROUP BY source)
+SELECT source, split, n_docs,
+       round(CAST(n_docs AS DOUBLE) / CAST(n_src AS DOUBLE), 6) AS share
+FROM counts JOIN tot USING (source)
+ORDER BY source, split
+"""
+
+
+# --------------------------------------------------------------------------
+# data_freshness_audit — per-stream staleness readout.
+#
+# The ops dashboard every ingestion pipeline needs: for each event
+# type, when did we last hear from it, how far behind the freshest
+# stream is it, and is it still flowing (events in the trailing hour
+# before the corpus high-water mark). All integer epoch-seconds
+# arithmetic anchored on the corpus max — deterministic, no wall
+# clock.
+#
+# Scale: one groupBy on event_type (partial-agg map-side) + a 1-row
+# high-water broadcast.
+# --------------------------------------------------------------------------
+
+
+def q_data_freshness_audit(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    secs = F.unix_timestamp(F.col("ts"))
+    hwm = ev.agg(F.max(secs).alias("hwm"))
+    per_type = ev.select(F.col("event_type"), secs.alias("s")).join(
+        F.broadcast(hwm)
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("s").alias("last_s"),
+        F.first("hwm").alias("hwm"),
+        F.count_if(F.col("s") > F.col("hwm") - 3600).alias("events_last_hour"),
+    )
+    return per_type.select(
+        "event_type",
+        "n_events",
+        F.timestamp_seconds(F.col("last_s")).alias("last_event_at"),
+        (F.col("hwm") - F.col("last_s")).alias("seconds_behind"),
+        "events_last_hour",
+    ).orderBy("event_type")
+
+
+DATA_FRESHNESS_AUDIT_SQL = """
+WITH secs AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+),
+hwm AS (SELECT MAX(s) AS hwm FROM secs)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(to_timestamp(MAX(s)) AS TIMESTAMP) AS last_event_at,
+       hwm - MAX(s) AS seconds_behind,
+       CAST(COUNT(*) FILTER (WHERE s > hwm - 3600) AS BIGINT)
+         AS events_last_hour
+FROM secs, hwm
+GROUP BY event_type, hwm
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "stratified_split_plan": Query(
+        q_stratified_split_plan,
+        STRATIFIED_SPLIT_PLAN_SQL,
+        ("splits", "sampling", "reproducibility"),
+    ),
+    "data_freshness_audit": Query(
+        q_data_freshness_audit,
+        DATA_FRESHNESS_AUDIT_SQL,
+        ("ops", "freshness", "audit"),
+    ),
     "item_pmi": Query(
         q_item_pmi,
         ITEM_PMI_SQL,

@@ -3275,7 +3275,92 @@ ORDER BY p_size DESC, price, p_partkey
 """
 
 
+# --------------------------------------------------------------------------
+# session_window_stats — Spark's NATIVE session windows (the streaming-
+# ready sessionizer).
+#
+# event_sessions builds gap sessions by hand (lag + cumsum) — the
+# audit-grade batch form. ``F.session_window`` is the engine-native
+# equivalent whose groupBy works IDENTICALLY under Structured
+# Streaming (state + watermark eviction for free), so this query is
+# the batch twin of the streaming sessionizer. Semantics differ from
+# the lag form at the boundary: session_window merges events whose
+# [t, t+gap) windows OVERLAP, so a gap of EXACTLY 1h starts a new
+# session (>=, not >) — the oracle replays that rule on exact epoch
+# micros. Per-session duration = window_end − window_start − gap =
+# last − first, all integer micros.
+#
+# Scale: one shuffle on user_id (the session assignment is a sort
+# within user partitions), one per-user rollup; under streaming the
+# same plan holds per micro-batch with watermark-bounded state.
+# --------------------------------------------------------------------------
+
+_SW_GAP_S = 3600
+
+
+def q_session_window_stats(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id",
+        F.session_window("ts", f"{_SW_GAP_S} seconds").alias("w"),
+    ).agg(F.count("*").alias("n_events"))
+    dur_us = (
+        F.unix_micros(F.col("w.end"))
+        - F.unix_micros(F.col("w.start"))
+        - _SW_GAP_S * 1_000_000
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum(dur_us).alias("total_active_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSION_WINDOW_STATS_SQL = f"""
+WITH us AS (
+  SELECT user_id, event_id, epoch_us(ts) AS u FROM events
+),
+flagged AS (
+  SELECT user_id, u,
+         CASE WHEN lag(u) OVER w IS NULL
+                OR u - lag(u) OVER w >= CAST({_SW_GAP_S} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM us
+  WINDOW w AS (PARTITION BY user_id ORDER BY u, event_id)
+),
+numbered AS (
+  SELECT user_id, u,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY u
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         MAX(u) - MIN(u) AS dur_us
+  FROM numbered GROUP BY user_id, sid
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       MAX(n_events) AS max_session_events,
+       CAST(SUM(dur_us) AS BIGINT) AS total_active_us
+FROM sess
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "session_window_stats": Query(
+        q_session_window_stats,
+        SESSION_WINDOW_STATS_SQL,
+        ("window", "sessionize", "session-window", "streaming-twin"),
+    ),
     "referential_integrity_audit": Query(
         q_referential_integrity_audit,
         REFERENTIAL_INTEGRITY_SQL,

@@ -238,6 +238,7 @@ _INTENTIONAL_BNLJ = {
     "doc_perplexity",         # broadcast 1-row vocabulary-size scalar
     "semantic_dedup_pairs",   # broadcast 8-row seed-centroid table
     "item_pmi",               # broadcast 1-row basket-count scalar
+    "data_freshness_audit",   # broadcast 1-row high-water-mark scalar
     "psi_drift",              # broadcast 1-row corpus-total + bucket spine
     "benford_audit",          # broadcast 1-row digit-total scalar
     "epoch_shuffle_plan",     # broadcast |epochs|-row spine

@@ -491,3 +491,40 @@ def test_streaming_topk_leaderboard(spark, tmp_path):
         ] = r["n"]
     assert by_win[t0.replace(minute=0)] == {(1, "click"): 6, (2, "view"): 3}
     assert by_win[t1.replace(minute=0)] == {(1, "buy"): 5, (2, "view"): 1}
+
+
+def test_streaming_session_window_agrees_with_batch(spark, tmp_path):
+    """The native session_window groupBy must produce the SAME sessions
+    under Structured Streaming as the batch session_window_stats twin —
+    that equivalence is the whole point of using the engine-native
+    sessionizer (state + watermark handling come free)."""
+    from city_payroll_data_pipeline_spark.streaming.jobs import run_to_memory
+    from city_payroll_data_pipeline_spark.suite import build_suite, table
+    from tests.conftest import SF_SMOKE
+
+    ev = table(spark, SF_SMOKE, "events").select("user_id", "ts")
+    src = tmp_path / "sw_src"
+    ev.write.parquet(str(src))
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        str(src)
+    )
+    sess = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "3600 seconds").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    run_to_memory(sess, "sw_stream", output_mode="complete")
+    got = {
+        (r["user_id"], r["w"]["start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sw_stream").collect()
+    }
+    batch = {
+        (r["user_id"], r["w"]["start"], r["n_events"])
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "3600 seconds").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == batch and len(batch) > 0
