@@ -692,11 +692,18 @@ ORDER BY label_a, label_b
 # (operators/calibration.py). Fits token count as a non-decreasing
 # function of document length via pool-adjacent-violators — the
 # score→outcome calibration shape. PAV's cascading merges are not
-# expressible as a window/aggregate plan (sanctioned applyInPandas →
-# no SQL oracle; the driver records a rows-only check, and pytest
-# verifies the kernel against hand-checked cases plus monotonicity /
-# mean-preservation invariants). The summary reports how much pooling
-# happened (n_blocks < n_points ⇔ violations existed).
+# expressible as a window/aggregate plan (sanctioned applyInPandas),
+# but the FIT VALUES are: by the minimax identity
+#     ŷ_k = max_{i≤k} min_{j≥k} mean(y_i..y_j)
+# (Barlow et al. 1972, "Statistical Inference under Order
+# Restrictions"), so the oracle replays the fit exactly with an
+# O(m²)-pair SQL over each source's points — m = docs per source,
+# bounded at oracle scale. The identity transfers bit-for-bit to
+# doubles: every segment mean is an exact-int/int division (correctly
+# rounded in both engines) and rounding is monotone, so min/max of
+# rounded means == rounded min/max (verified bitwise against the PAV
+# kernel on 300 random integer datasets). The summary reports how much
+# pooling happened (n_blocks < n_points ⇔ violations existed).
 # --------------------------------------------------------------------------
 
 
@@ -723,6 +730,49 @@ def q_isotonic_token_curve(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# PAV via the minimax identity (see block comment above): pts orders
+# each source's docs exactly as isotonic_fit does (x=n_chars, ties on
+# doc_id); seg enumerates every contiguous segment's mean from prefix
+# sums (sum(i..j) = sy_j − sy_i + y_i, exact BIGINTs); sm is the
+# suffix-min over j; the GROUP BY j is the max over i ≤ k.
+ISOTONIC_TOKEN_CURVE_SQL = rf"""
+WITH pts AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS k,
+         CAST(len(regexp_extract_all(text, '\S+', 0)) AS BIGINT) AS y
+  FROM documents
+),
+pre AS (
+  SELECT source, k, y,
+         CAST(SUM(y) OVER (PARTITION BY source ORDER BY k) AS BIGINT) AS sy
+  FROM pts
+),
+seg AS (
+  SELECT hi.source, lo.k AS i, hi.k AS j,
+         CAST(hi.sy - lo.sy + lo.y AS DOUBLE) / (hi.k - lo.k + 1) AS m
+  FROM pre lo JOIN pre hi ON lo.source = hi.source AND lo.k <= hi.k
+),
+sm AS (
+  SELECT source, i, j,
+         MIN(m) OVER (PARTITION BY source, i ORDER BY j DESC) AS suff
+  FROM seg
+),
+fit AS (
+  SELECT source, j AS k, MAX(suff) AS y_hat
+  FROM sm GROUP BY source, j
+)
+SELECT source,
+       COUNT(*) AS n_points,
+       COUNT(DISTINCT y_hat) AS n_blocks,
+       {_sql_round('MIN(y_hat)', 6)} AS fit_min,
+       {_sql_round('MAX(y_hat)', 6)} AS fit_max
+FROM fit
+GROUP BY source
+ORDER BY source
+"""
 
 
 # --------------------------------------------------------------------------
@@ -4038,7 +4088,7 @@ QUERIES = {
     ),
     "isotonic_token_curve": Query(
         q_isotonic_token_curve,
-        None,  # PAV is not SQL-expressible; rows-only + kernel tests
+        ISOTONIC_TOKEN_CURVE_SQL,  # exact PAV replay via minimax identity
         ("calibration", "isotonic", "applyInPandas"),
     ),
     "hard_negative_topk": Query(
