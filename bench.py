@@ -232,6 +232,10 @@ HEADLINE = [
     "session_window_stats",
     "stratified_split_plan",
     "data_freshness_audit",
+    # sub-document containment, dup-gram mass, hashing-trick audit
+    "ngram_containment_pairs",
+    "dup_ngram_coverage",
+    "feature_hash_buckets",
 ]
 
 

@@ -327,6 +327,105 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    t_num: int = 9,
+    t_den: int = 10,
+    max_shingle_df: int = 100,
+    min_cooccur: int = 2,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT C(A,B) = |A∩B| / |A| — the
+    sub-document duplication detector. Symmetric Jaccard misses a
+    small document swallowed verbatim by a much larger one
+    (|A∩B|/|A∪B| → |A|/|B| → 0 as B grows), while C(A,B) stays ≈ 1;
+    this is the signal for boilerplate-wrapped copies and quote-heavy
+    near-dups (cf. Broder's resemblance vs containment split,
+    SEQUENCES'97).
+
+    Candidate generation is the rare-shingle co-occurrence join of
+    :func:`ngram_jaccard_pairs` (df ≤ ``max_shingle_df``, shared rare
+    shingles ≥ ``min_cooccur``), but identity/verify run on the 60-bit
+    fold ``c = a·4096 + b mod 4096`` so verification takes the compact
+    array path (primitive ``array_intersect`` — 13× faster than the
+    struct path, see prefix_jaccard_pairs). The containment gate is a
+    cross-multiplied INTEGER comparison
+    ``t_den·|A∩B| ≥ t_num·min(|A|,|B|)`` (threshold t_num/t_den kept
+    rational — no float compare can disagree across engines), and the
+    oracle replays fold, guards, and gate verbatim.
+
+    Scale: one shuffle to distinct the folded shingles, Σ df² bounded
+    self-join over rare shingles only, verify on |pairs| rows with
+    each doc's set moving once — same budget as the Jaccard twin."""
+    sh = shingle_frame(df, id_col, text_col, shingle_n)
+    shc = (
+        sh.select(
+            "doc_id",
+            (F.col("a") * 4096 + F.pmod(F.col("b"), 4096)).alias("c"),
+        )
+        .distinct()
+        .persist()
+    )
+    rare = (
+        shc.groupBy("c")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("c")
+    )
+    rsh = shc.join(rare, "c")
+    cands = (
+        rsh.alias("x")
+        .join(
+            rsh.alias("y"),
+            (F.col("x.c") == F.col("y.c"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("_n_shared"))
+        .filter(F.col("_n_shared") >= min_cooccur)
+        .select("doc_a", "doc_b")
+    )
+    sets_ = shc.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("c")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    return (
+        cands.join(sets_.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sets_.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("za.s", "zb.s"))
+            .cast("long")
+            .alias("n_common"),
+            F.col("za.n").alias("na"),
+            F.col("zb.n").alias("nb"),
+        )
+        .filter(
+            F.lit(t_den) * F.col("n_common")
+            >= F.lit(t_num) * F.least("na", "nb")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double") / F.col("na").cast("double"),
+                6,
+            ).alias("c_ab"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("nb").cast("double"),
+                6,
+            ).alias("c_ba"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -1364,6 +1364,60 @@ JOIN sizes zb ON zb.doc_id = doc_b
 WHERE n_common / CAST(za.n + zb.n - n_common AS DOUBLE) >= 0.5
 """
 
+
+# --------------------------------------------------------------------------
+# ngram_containment_pairs — asymmetric containment C(A,B) = |A∩B|/|A|
+# (operators/dedup.py::ngram_containment_pairs). The sub-document-
+# duplication detector: the _near_corpus 70%-prefix truncations sit at
+# containment ≈ 1 in their parent while Jaccard reads only ~0.7 — at a
+# 0.9 bar Jaccard misses every one of them, containment catches all.
+# Gate is the cross-multiplied integer form 10·|A∩B| ≥ 9·min(|A|,|B|);
+# the oracle replays the 60-bit fold, DF cap, co-occurrence guard and
+# gate verbatim, so the hash match certifies the whole pipeline.
+# --------------------------------------------------------------------------
+
+
+def q_ngram_containment_pairs(spark, sf_dir):
+    return dedup.ngram_containment_pairs(
+        _near_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        t_num=9,
+        t_den=10,
+        max_shingle_df=_NGRAM_MAX_DF,
+    )
+
+
+NGRAM_CONTAINMENT_PAIRS_SQL = rf"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+{_SHINGLE_AB_CTES}
+shc AS (SELECT DISTINCT doc_id, a * 4096 + b % 4096 AS c FROM sh),
+rare AS (SELECT c FROM shc GROUP BY c HAVING count(*) <= {_NGRAM_MAX_DF}),
+rsh AS (SELECT shc.doc_id, shc.c FROM shc JOIN rare USING (c)),
+cands AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM rsh x JOIN rsh y ON x.c = y.c AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS n_common
+  FROM cands
+  JOIN shc sa ON sa.doc_id = doc_a
+  JOIN shc sb ON sb.doc_id = doc_b AND sa.c = sb.c
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       {_sql_round('n_common / CAST(za.n AS DOUBLE)', 6)} AS c_ab,
+       {_sql_round('n_common / CAST(zb.n AS DOUBLE)', 6)} AS c_ba
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE 10 * n_common >= 9 * LEAST(za.n, zb.n)
+ORDER BY doc_a, doc_b
+"""
+
 # --------------------------------------------------------------------------
 # Phrase mining + benchmark decontamination — shingle-frequency ops
 # every LLM data pipeline runs before training
@@ -1491,6 +1545,118 @@ agg AS (
 SELECT span, n_docs, n_occurrences
 FROM agg
 ORDER BY n_occurrences DESC, span ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# dup_ngram_coverage — per-source duplicated-8-gram mass, the
+# RefinedWeb/Dolma `dup_ngram_frac` filter signal at corpus
+# granularity. repeated_spans ranks individual spans; this measures
+# how much of each SOURCE is made of cross-document repetition — the
+# number a pipeline owner reads before deciding a crawl slice needs
+# fuzzy dedup at all. A doc is flagged when >30% of its distinct
+# 8-grams appear in some other document (integer gate 10·dup > 3·tot).
+#
+# Scale: the shuffle carries (doc_id, md5-gram, source) only — never
+# text; the gram frame is persisted because the doc-frequency
+# aggregate and the coverage join both read it; df-join runs on the
+# same key as the df-groupBy (exchange reuse); per-doc and per-source
+# reductions are plain partial-agg groupBys. All counts stay integers
+# until the single final division.
+# --------------------------------------------------------------------------
+
+_DUPGRAM_N = 8
+
+
+def q_dup_ngram_coverage(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr(r"regexp_extract_all(trim(text), '\\S+', 0)").alias("t"),
+    ).filter(F.size("t") >= _DUPGRAM_N)
+    grams = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {_DUPGRAM_N}),"
+                    f" i -> md5(array_join(slice(t, i + 1, {_DUPGRAM_N}), ' ')))"
+                )
+            ).alias("h"),
+        )
+        .dropDuplicates(["doc_id", "h"])
+        .persist()
+    )
+    dfreq = grams.groupBy("h").agg(F.count("*").alias("ndocs"))
+    per_doc = (
+        grams.join(dfreq, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_dup").alias("dup_grams"),
+            F.sum(
+                F.when(
+                    10 * F.col("n_dup") > 3 * F.col("n_grams"), 1
+                ).otherwise(0)
+            ).alias("n_flagged"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_grams",
+            "dup_grams",
+            F.round(
+                F.col("dup_grams").cast("double")
+                / F.col("total_grams").cast("double"),
+                6,
+            ).alias("dup_frac"),
+            "n_flagged",
+        )
+        .orderBy("source")
+    )
+
+
+DUP_NGRAM_COVERAGE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(trim(text), '\S+', 0) AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(list_slice(t, i + 1, i + {_DUPGRAM_N}), ' ')) AS h
+  FROM toks, unnest(range(0, len(t) - {_DUPGRAM_N} + 1)) AS g(i)
+  WHERE len(t) >= {_DUPGRAM_N}
+),
+dfreq AS (SELECT h, count(*) AS ndocs FROM grams GROUP BY h),
+per_doc AS (
+  SELECT doc_id, source,
+         count(*) AS n_grams,
+         SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM grams JOIN dfreq USING (h)
+  GROUP BY doc_id, source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(n_dup) AS BIGINT) AS dup_grams,
+       {_sql_round(
+           'CAST(SUM(n_dup) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE)', 6
+       )} AS dup_frac,
+       CAST(SUM(CASE WHEN 10 * n_dup > 3 * n_grams THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM per_doc
+GROUP BY source
+ORDER BY source
 """
 
 
@@ -3563,6 +3729,71 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# feature_hash_buckets — hashing-trick featurization audit
+# (operators/featurehash.py). Maps the unbounded token vocabulary onto
+# 64 fixed buckets with a stateless 48-bit md5 hash (Weinberger et
+# al., ICML'09) and reports per-bucket occupancy + collision width +
+# dominant token — the audit a pipeline owner reads before sizing the
+# feature space. Bucketing is a pure per-row expression (no fit step,
+# no vocabulary broadcast); the only exchanges are vocabulary-bounded.
+# The oracle replays the 48-bit hash with the house
+# CAST('0x'||substr(md5(t),1,12)) mirror, so bucket assignment is
+# certified bit-for-bit.
+# --------------------------------------------------------------------------
+
+_FEATHASH_BUCKETS = 64
+
+
+def q_feature_hash_buckets(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import word_tokens
+    from city_payroll_data_pipeline_spark.operators.featurehash import (
+        feature_hash_audit,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    return feature_hash_audit(
+        docs, "doc_id", word_tokens(F.col("text")), n_buckets=_FEATHASH_BUCKETS
+    )
+
+
+FEATURE_HASH_BUCKETS_SQL = rf"""
+WITH toksrc AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z]+', 0)) AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id, t,
+         CAST('0x' || substr(md5(t), 1, 12) AS BIGINT)
+           % {_FEATHASH_BUCKETS} AS bucket
+  FROM toksrc
+),
+per_tok AS (SELECT bucket, t, count(*) AS cnt FROM b GROUP BY bucket, t),
+per_bucket AS (
+  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n_total,
+         COUNT(*) AS n_distinct_tokens
+  FROM per_tok GROUP BY bucket
+),
+top AS (
+  SELECT bucket, t AS top_token, cnt AS top_cnt
+  FROM (SELECT bucket, t, cnt,
+               ROW_NUMBER() OVER (PARTITION BY bucket
+                                  ORDER BY cnt DESC, t ASC) AS rn
+        FROM per_tok)
+  WHERE rn = 1
+),
+docs_per AS (
+  SELECT bucket, COUNT(DISTINCT doc_id) AS n_docs FROM b GROUP BY bucket
+)
+SELECT pb.bucket, pb.n_total, dp.n_docs, pb.n_distinct_tokens, tp.top_token,
+       {_sql_round('top_cnt / CAST(n_total AS DOUBLE)', 6)} AS top_share
+FROM per_bucket pb
+JOIN top tp USING (bucket)
+JOIN docs_per dp USING (bucket)
+ORDER BY pb.bucket
+"""
+
+
 QUERIES = {
     "doc_perplexity": Query(
         q_doc_perplexity,
@@ -3631,6 +3862,21 @@ QUERIES = {
     ),
     "ngram_jaccard_pairs": Query(
         q_ngram_jaccard_pairs, NGRAM_JACCARD_PAIRS_SQL, ("dedup", "ngram", "jaccard")
+    ),
+    "ngram_containment_pairs": Query(
+        q_ngram_containment_pairs,
+        NGRAM_CONTAINMENT_PAIRS_SQL,
+        ("dedup", "ngram", "containment", "sub-document"),
+    ),
+    "dup_ngram_coverage": Query(
+        q_dup_ngram_coverage,
+        DUP_NGRAM_COVERAGE_SQL,
+        ("text", "quality", "dedup", "coverage"),
+    ),
+    "feature_hash_buckets": Query(
+        q_feature_hash_buckets,
+        FEATURE_HASH_BUCKETS_SQL,
+        ("features", "hashing-trick", "audit"),
     ),
     "prefix_jaccard_pairs": Query(
         q_prefix_jaccard_pairs,
