@@ -236,6 +236,10 @@ HEADLINE = [
     "ngram_containment_pairs",
     "dup_ngram_coverage",
     "feature_hash_buckets",
+    # forward as-of w/ tolerance, interval union, weighted median
+    "events_asof_next_order",
+    "fulfillment_islands",
+    "weighted_median_length",
 ]
 
 

@@ -72,3 +72,68 @@ def asof_join_backward(
             *[F.col(f"_asof_{c}").alias(c) for c in payload],
         )
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Forward as-of: for every left row, attach the payload of the
+    EARLIEST right row with the same ``by`` key and
+    ``right_ts >= left_ts`` — optionally only if it falls within
+    ``tolerance`` (a Spark interval literal, e.g. ``"INTERVAL 30
+    DAYS"``; pandas ``merge_asof(direction='forward', tolerance=...)``
+    parity). Nulls when no such row.
+
+    Same one-Exchange-one-sort shape as the backward join, mirrored:
+    left rows sort BEFORE right rows at equal ts (tag 1 < 2), and the
+    carry looks at the FOLLOWING frame — so an equal-ts right row
+    matches, per forward-asof convention. The tolerance check runs on
+    the matched right timestamp AFTER the carry: if the earliest
+    forward match is already beyond the tolerance, every later one is
+    too, so nulling the payload is exact (not an approximation).
+
+    Determinism contract as backward: at most one right row per
+    (by, right_ts)."""
+    lt = left.withColumn(_TAG, F.lit(1)).withColumn(_TS, F.col(left_ts))
+    rt = (
+        right.select(F.col(right_ts).alias(_TS), by, *payload)
+        .withColumn(_TAG, F.lit(2))
+    )
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        W.partitionBy(by)
+        .orderBy(_TS, _TAG)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = merged.select(
+        "*",
+        F.first(
+            F.when(F.col(_TAG) == 2, F.col(_TS)), ignorenulls=True
+        ).over(w).alias("_asof_rts"),
+        *[
+            F.first(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in payload
+        ],
+    )
+    if tolerance is None:
+        within = F.lit(True)
+    else:
+        within = F.col("_asof_rts") <= F.col(_TS) + F.expr(tolerance)
+    return (
+        carried.filter(F.col(_TAG) == 1)
+        .drop(_TAG, *payload)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.when(within, F.col(f"_asof_{c}")).alias(c)
+                for c in payload
+            ],
+            F.when(within, F.col("_asof_rts")).alias("_asof_matched_ts"),
+        )
+    )

@@ -1791,7 +1791,88 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# weighted_median_length — per-source WEIGHTED median of document
+# length, weight = token count: "the length of the doc holding the
+# middle TOKEN", the length statistic that matters when downstream
+# cost is per-token, not per-doc (a long doc counts proportionally to
+# the tokens it contributes). Lower weighted median: smallest value v
+# with cum_weight(≤v) ≥ total/2, decided by the integer cross-multiply
+# 2·cumw ≥ totw — no float ever appears.
+#
+# Scale: one (source, n_chars) groupBy collapses the corpus to
+# distinct values BEFORE any window; the cumsum window partitions by
+# source over the distinct-value frame (the exact-median-at-scale
+# pattern — never a row-level global sort). Output is one row per
+# source, all BIGINTs.
+# --------------------------------------------------------------------------
+
+
+def q_weighted_median_length(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from city_payroll_data_pipeline_spark.functions.text import token_count
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("long").alias("v"),
+        token_count(F.col("text")).cast("long").alias("w"),
+    )
+    per_val = docs.groupBy("source", "v").agg(F.sum("w").alias("vw"))
+    win = (
+        W.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy("source")
+    cum = per_val.select(
+        "source",
+        "v",
+        F.sum("vw").over(win).alias("cumw"),
+        F.sum("vw").over(tot).alias("totw"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("source")
+        .agg(
+            F.min("v").alias("w_median_chars"),
+            F.max("totw").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+WEIGHTED_MEDIAN_LENGTH_SQL = r"""
+WITH per_val AS (
+  SELECT source, n_chars AS v,
+         CAST(SUM(len(regexp_extract_all(text, '\S+', 0))) AS BIGINT) AS vw
+  FROM documents
+  GROUP BY source, n_chars
+),
+cum AS (
+  SELECT source, v,
+         CAST(SUM(vw) OVER (PARTITION BY source ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cumw,
+         CAST(SUM(vw) OVER (PARTITION BY source) AS BIGINT) AS totw
+  FROM per_val
+)
+SELECT source,
+       MIN(v) AS w_median_chars,
+       MAX(totw) AS total_tokens
+FROM cum
+WHERE 2 * cumw >= totw
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
+    "weighted_median_length": Query(
+        q_weighted_median_length,
+        WEIGHTED_MEDIAN_LENGTH_SQL,
+        ("statistics", "weighted-median", "distributed-rank"),
+    ),
     "stratified_split_plan": Query(
         q_stratified_split_plan,
         STRATIFIED_SPLIT_PLAN_SQL,

@@ -862,6 +862,214 @@ FROM events e
 ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
 """
 
+
+# --------------------------------------------------------------------------
+# Forward as-of with tolerance (operators/asof.py::asof_join_forward —
+# pandas merge_asof(direction='forward', tolerance=30d) parity, which
+# neither Spark nor plain SQL has natively): for every event, the
+# customer's NEXT order within 30 days — the "did the touchpoint
+# convert, and how fast" attribution primitive. Same one-exchange
+# union+window encoding as the backward join (no range-join blowup);
+# the tolerance nulls the carry exactly (the earliest forward match
+# already too late ⇒ all are). Nullable longs become float64 in BOTH
+# engines' pandas bridges inconsistently, so no-match rows carry -1
+# sentinels to keep the output exact-integer.
+# --------------------------------------------------------------------------
+
+
+def q_events_asof_next_order(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("next_orderkey"))
+    )
+    joined = asof_join_forward(
+        ev,
+        orders,
+        by="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["next_orderkey"],
+        tolerance="INTERVAL 30 DAYS",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.coalesce("next_orderkey", F.lit(-1)).alias("next_orderkey"),
+        F.coalesce(
+            F.datediff(
+                F.col("_asof_matched_ts").cast("date"),
+                F.col("ts").cast("date"),
+            ).cast("long"),
+            F.lit(-1),
+        ).alias("days_to_order"),
+    )
+
+
+EVENTS_ASOF_NEXT_ORDER_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_orderkey
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT e.event_id, min(r.o_orderdate) AS nd
+  FROM events e
+  JOIN r ON e.user_id = r.o_custkey
+        AND r.o_orderdate >= e.ts
+        AND r.o_orderdate <= e.ts + INTERVAL 30 DAY
+  GROUP BY 1
+)
+SELECT e.event_id, e.user_id,
+       COALESCE(r.next_orderkey, -1) AS next_orderkey,
+       CAST(COALESCE(
+         date_diff('day', CAST(e.ts AS DATE), CAST(m.nd AS DATE)), -1
+       ) AS BIGINT) AS days_to_order
+FROM events e
+LEFT JOIN m ON m.event_id = e.event_id
+LEFT JOIN r ON r.o_custkey = e.user_id AND r.o_orderdate = m.nd
+"""
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands interval union (the classic interval-merge op SQL
+# engines make you hand-roll): per customer, merge overlapping order
+# fulfillment intervals [o_orderdate, last l_shipdate of the order]
+# into busy episodes; report episode count, distinct covered days and
+# utilization of the customer's active span. Sweep-line via running
+# max of interval ends — island starts where the next interval begins
+# past everything seen. Tie rows are flag-symmetric, so the result is
+# partition/order-stable; everything is integer dates until the one
+# final division.
+#
+# Scale: one orderkey groupBy (shipdate reduce), one orders join on
+# its key, then per-customer windows bounded by orders-per-customer;
+# no range join, no self-join — |orders| rows through each exchange.
+# --------------------------------------------------------------------------
+
+
+def q_fulfillment_islands(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(F.max(F.col("l_shipdate").cast("date")).alias("end_d"))
+    iv = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("start_d"),
+        )
+        .join(li, "o_orderkey")
+    )
+    w = W.partitionBy("o_custkey").orderBy("start_d", "end_d", "o_orderkey")
+    prev_max = F.max("end_d").over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "o_custkey",
+        "start_d",
+        "end_d",
+        "o_orderkey",
+        F.when(
+            prev_max.isNull() | (F.col("start_d") > prev_max), 1
+        ).otherwise(0).alias("new_island"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    islands = flagged.groupBy("o_custkey", "island").agg(
+        F.min("start_d").alias("i_start"),
+        F.max("end_d").alias("i_end"),
+    )
+    return (
+        islands.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_episodes"),
+            F.sum(
+                F.datediff("i_end", "i_start").cast("long") + 1
+            ).alias("covered_days"),
+            (
+                F.datediff(F.max("i_end"), F.min("i_start")).cast("long") + 1
+            ).alias("span_days"),
+        )
+        .select(
+            "o_custkey",
+            "n_episodes",
+            "covered_days",
+            "span_days",
+            F.round(
+                F.col("covered_days").cast("double")
+                / F.col("span_days").cast("double"),
+                6,
+            ).alias("utilization"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+FULFILLMENT_ISLANDS_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey AS o_orderkey, CAST(max(l_shipdate) AS DATE) AS end_d
+  FROM lineitem GROUP BY 1
+),
+iv AS (
+  SELECT o.o_custkey, CAST(o.o_orderdate AS DATE) AS start_d, li.end_d,
+         o.o_orderkey
+  FROM orders o JOIN li USING (o_orderkey)
+),
+flagged AS (
+  SELECT o_custkey, start_d, end_d,
+         CASE WHEN max(end_d) OVER (
+                PARTITION BY o_custkey
+                ORDER BY start_d, end_d, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR start_d > max(end_d) OVER (
+                PARTITION BY o_custkey
+                ORDER BY start_d, end_d, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+         THEN 1 ELSE 0 END AS new_island,
+         o_orderkey
+  FROM iv
+),
+numbered AS (
+  SELECT o_custkey, start_d, end_d,
+         SUM(new_island) OVER (
+           PARTITION BY o_custkey
+           ORDER BY start_d, end_d, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM flagged
+),
+islands AS (
+  SELECT o_custkey, island,
+         min(start_d) AS i_start, max(end_d) AS i_end
+  FROM numbered GROUP BY 1, 2
+)
+SELECT o_custkey,
+       COUNT(*) AS n_episodes,
+       CAST(SUM(date_diff('day', i_start, i_end) + 1) AS BIGINT)
+         AS covered_days,
+       CAST(date_diff('day', min(i_start), max(i_end)) + 1 AS BIGINT)
+         AS span_days,
+       {_sql_round(
+           "CAST(SUM(date_diff('day', i_start, i_end) + 1) AS DOUBLE)"
+           " / CAST(date_diff('day', min(i_start), max(i_end)) + 1"
+           " AS DOUBLE)",
+           6,
+       )} AS utilization
+FROM islands
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
 # --------------------------------------------------------------------------
 # Multi-resolution time rollup (hypertable-style continuous-aggregate
 # shape: hour + day + grand total in ONE scan via grouping sets)
@@ -3439,6 +3647,16 @@ QUERIES = {
     ),
     "events_asof_last_order": Query(
         q_events_asof_last_order, EVENTS_ASOF_LAST_ORDER_SQL, ("join", "asof")
+    ),
+    "events_asof_next_order": Query(
+        q_events_asof_next_order,
+        EVENTS_ASOF_NEXT_ORDER_SQL,
+        ("join", "asof", "forward", "tolerance"),
+    ),
+    "fulfillment_islands": Query(
+        q_fulfillment_islands,
+        FULFILLMENT_ISLANDS_SQL,
+        ("window", "gaps-and-islands", "interval-union"),
     ),
     "event_sessions": Query(
         q_event_sessions, EVENT_SESSIONS_SQL, ("window", "sessionize")
