@@ -141,9 +141,15 @@ def kmeans(
                 )
                 .select(
                     "cluster",
+                    # cast each exact DECIMAL sum to double BEFORE the
+                    # division (house determinism rule): double/double
+                    # is one correctly-rounded op both here and in the
+                    # SQL replay, while decimal-division-then-cast
+                    # drifts 1 ulp under Spark's decimal scale rules
                     F.transform(
                         "dims",
-                        lambda t: (t["s"] / t["n"]).cast("double"),
+                        lambda t: t["s"].cast("double")
+                        / t["n"].cast("double"),
                     ).alias("mean"),
                 )
                 .collect()

@@ -271,12 +271,25 @@ FROM final_ranked WHERE rank <= {K}
 
 
 # --------------------------------------------------------------------------
-# K-means semantic clustering (iterative — no SQL oracle; the driver
-# records a rows-only check and tests/test_training_ops.py asserts
-# label purity + run-to-run determinism)
+# K-means semantic clustering. Iterative, yet FULLY oracle-checked:
+# the fit is deterministic end-to-end (maximin init, literal-centroid
+# assignment, DECIMAL-exact means, Python-float convergence test), and
+# every step is bit-replayable in SQL, so _kmeans_sql() unrolls the
+# whole algorithm — 9 init argmax steps + 15 freeze-after-convergence
+# Lloyd steps — as a chained-CTE DuckDB query. Bit-equality holds
+# because every double op is mirrored 1:1: squared distances are
+# left-associated folds (Spark F.aggregate ≡ DuckDB list_reduce,
+# verified bitwise), means cast the exact DECIMAL(38,12) sums to
+# double BEFORE one double/double division, and no double ever lands
+# on a DECIMAL rounding boundary (a binary double cannot terminate at
+# a half-ulp of 10^-12 — denominators are powers of 2). The driver
+# hash match therefore certifies init, every Lloyd step, the
+# convergence decision, and the final report in one go.
 # --------------------------------------------------------------------------
 
 KMEANS_K = 10  # embeddings are generated as 10 labeled blobs
+_KMEANS_MAX_ITER = 15
+_KMEANS_TOL = "1e-6"  # double literal in BOTH engines (not DECIMAL)
 
 
 def q_kmeans_clusters(spark, sf_dir):
@@ -302,10 +315,8 @@ def q_kmeans_clusters(spark, sf_dir):
         .agg(
             F.count("*").alias("n_members"),
             F.round(
-                (
-                    F.sum(F.col("d2").cast("decimal(38,12)"))
-                    / F.count("*")
-                ).cast("double"),
+                F.sum(F.col("d2").cast("decimal(38,12)")).cast("double")
+                / F.count("*").cast("double"),
                 4,
             ).alias("mean_sq_dist"),
         )
@@ -510,9 +521,109 @@ def kmeans_cached(spark, sf_dir):
     if key not in _KMEANS_CACHE:
         emb = table(spark, sf_dir, "embeddings", spread=True)
         _KMEANS_CACHE[key] = kmeans(
-            emb, "vec_id", "embedding", k=KMEANS_K, max_iter=15
+            emb, "vec_id", "embedding", k=KMEANS_K, max_iter=_KMEANS_MAX_ITER
         )
     return _KMEANS_CACHE[key]
+
+
+def _kmeans_sql() -> str:
+    """Unrolled SQL replay of operators/clustering.py::kmeans — see
+    the block comment above KMEANS_K for why this is bit-exact."""
+
+    def dist(e: str, c: str) -> str:
+        # left-associated fold == Spark's F.aggregate(zip_with(...))
+        return (
+            f"list_reduce(list_transform(range(1, len({e}) + 1), "
+            f"i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i])), "
+            f"(a, b) -> a + b)"
+        )
+
+    parts = [
+        # MATERIALIZED: ~40 of the unrolled steps scan emb; without it
+        # DuckDB inlines the CTE and re-opens the parquet per scan
+        # (file-handle exhaustion + quadratic IO)
+        "WITH emb AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        "cent0 AS MATERIALIZED (SELECT 0 AS idx, e AS c FROM emb ORDER BY vec_id LIMIT 1)",
+    ]
+    # maximin init: step s adds the point farthest from its nearest
+    # chosen center (ties -> lowest vec_id), mirroring
+    # _farthest_point_init's k-1 sequential argmax scans
+    for s in range(1, KMEANS_K):
+        parts.append(
+            f"cand{s} AS MATERIALIZED (SELECT m.vec_id, MIN({dist('m.e', 'c.c')}) AS d"
+            f" FROM emb m, cent{s - 1} c GROUP BY m.vec_id)"
+        )
+        parts.append(
+            f"pick{s} AS MATERIALIZED (SELECT {s} AS idx, e AS c FROM cand{s}"
+            f" JOIN emb USING (vec_id)"
+            f" ORDER BY d DESC, vec_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"cent{s} AS MATERIALIZED (SELECT * FROM cent{s - 1}"
+            f" UNION ALL SELECT * FROM pick{s})"
+        )
+    parts.append(f"lc0 AS MATERIALIZED (SELECT idx, c FROM cent{KMEANS_K - 1})")
+    parts.append("done0 AS MATERIALIZED (SELECT false AS done)")
+    # Lloyd steps with freeze-after-convergence: Spark breaks out of
+    # the loop AFTER updating centers once the max centroid shift is
+    # <= tol; the frozen chain (nc = prev when done) replays that stop
+    for i in range(1, _KMEANS_MAX_ITER + 1):
+        p = i - 1
+        parts.append(
+            f"asg{i} AS MATERIALIZED (SELECT vec_id, idx AS cluster FROM ("
+            f"SELECT m.vec_id, c.idx, ROW_NUMBER() OVER ("
+            f"PARTITION BY m.vec_id ORDER BY {dist('m.e', 'c.c')} ASC,"
+            f" c.idx ASC) AS rn FROM emb m, lc{p} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"upd{i} AS MATERIALIZED (SELECT cluster, list(mu ORDER BY pos) AS c FROM ("
+            f"SELECT cluster, pos,"
+            f" CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)"
+            f" / CAST(COUNT(*) AS DOUBLE) AS mu FROM ("
+            f"SELECT a.cluster, generate_subscripts(m.e, 1) AS pos,"
+            f" unnest(m.e) AS x"
+            f" FROM asg{i} a JOIN emb m USING (vec_id))"
+            f" GROUP BY cluster, pos) GROUP BY cluster)"
+        )
+        parts.append(
+            f"nc{i} AS MATERIALIZED (SELECT p.idx,"
+            f" CASE WHEN (SELECT done FROM done{p}) THEN p.c"
+            f" ELSE COALESCE(u.c, p.c) END AS c"
+            f" FROM lc{p} p LEFT JOIN upd{i} u ON u.cluster = p.idx)"
+        )
+        parts.append(
+            f"sh{i} AS MATERIALIZED (SELECT MAX({dist('p.c', 'n.c')}) AS shift"
+            f" FROM lc{p} p JOIN nc{i} n ON n.idx = p.idx)"
+        )
+        parts.append(f"lc{i} AS MATERIALIZED (SELECT idx, c FROM nc{i})")
+        parts.append(
+            f"done{i} AS MATERIALIZED (SELECT (SELECT done FROM done{p})"
+            f" OR (SELECT shift FROM sh{i}) <= {_KMEANS_TOL} AS done)"
+        )
+    last = _KMEANS_MAX_ITER
+    parts.append(
+        f"final_asg AS MATERIALIZED (SELECT vec_id, idx AS cluster FROM ("
+        f"SELECT m.vec_id, c.idx, ROW_NUMBER() OVER ("
+        f"PARTITION BY m.vec_id ORDER BY {dist('m.e', 'c.c')} ASC,"
+        f" c.idx ASC) AS rn FROM emb m, lc{last} c) WHERE rn = 1)"
+    )
+    parts.append(
+        f"dsq AS MATERIALIZED (SELECT a.cluster, {dist('m.e', 'c.c')} AS d2"
+        f" FROM final_asg a JOIN emb m USING (vec_id)"
+        f" JOIN lc{last} c ON c.idx = a.cluster)"
+    )
+    body = ",\n".join(parts)
+    final = (
+        "SELECT cluster, COUNT(*) AS n_members, "
+        + _sql_round(
+            "CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE)",
+            4,
+        )
+        + " AS mean_sq_dist FROM dsq GROUP BY cluster ORDER BY cluster"
+    )
+    return f"{body}\n{final}"
 
 
 # --------------------------------------------------------------------------
@@ -663,7 +774,9 @@ QUERIES = {
         ("vector", "retrieval", "fusion", "rrf"),
     ),
     "kmeans_clusters": Query(
-        q_kmeans_clusters, None, ("vector", "clustering", "iterative")
+        q_kmeans_clusters,
+        _kmeans_sql(),  # full unrolled Lloyd replay — see _kmeans_sql
+        ("vector", "clustering", "iterative"),
     ),
     "ann_retrieve_docs": Query(
         q_ann_retrieve_docs, ANN_RETRIEVE_DOCS_SQL, ("vector", "retrieval")
