@@ -54,17 +54,36 @@ def _already_checked() -> set[str]:
         return set()
 
 
+# Queries added in the CURRENT round — the least battle-tested
+# cross-engine surfaces, surfaced to the very front of the driver's
+# 50-query sample so each round's new operators get an official
+# driver verdict immediately. Refresh this tuple each round.
+_ROUND_NEW = (
+    "kmeans_clusters",  # unrolled iterative-fit oracle (new this round)
+    "isotonic_token_curve",  # minimax-identity oracle (new this round)
+    "ngram_containment_pairs",
+    "dup_ngram_coverage",
+    "feature_hash_buckets",
+    "events_asof_next_order",
+    "fulfillment_islands",
+    "weighted_median_length",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordering: the driver's correctness gate samples the FIRST 50
-    entries, so queries never yet driver-checked (per CHECKED.md) come
-    first — each round extends the union of driver-verified queries
-    instead of re-checking the same prefix. Every query is still
-    locally verified against the same oracle by
-    tests/test_oracle_parity.py regardless of position."""
+    entries, so this round's new queries come first, then queries
+    never yet driver-checked (per CHECKED.md) — each round extends the
+    union of driver-verified queries instead of re-checking the same
+    prefix. Every query is still locally verified against the same
+    oracle by tests/test_oracle_parity.py regardless of position."""
     done = _already_checked()
-    items = sorted(_suite().items(), key=lambda kv: kv[0] in done)
+    items = sorted(
+        _suite().items(),
+        key=lambda kv: (kv[0] not in _ROUND_NEW, kv[0] in done),
+    )
     return {name: q.spark for name, q in items}
 
 
