@@ -67,6 +67,7 @@ _ROUND_NEW = (
     "events_asof_next_order",
     "fulfillment_islands",
     "weighted_median_length",
+    "length_moments_profile",
 )
 
 

@@ -240,6 +240,9 @@ HEADLINE = [
     "events_asof_next_order",
     "fulfillment_islands",
     "weighted_median_length",
+    # distribution-shape moments + certified iterative k-means
+    "length_moments_profile",
+    "kmeans_clusters",
 ]
 
 

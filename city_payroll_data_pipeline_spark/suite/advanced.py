@@ -688,6 +688,100 @@ ORDER BY label_a, label_b
 
 
 # --------------------------------------------------------------------------
+# length_moments_profile — per-source skewness + excess kurtosis of
+# document length, the distribution-SHAPE profile (hill_tail_index
+# reads the tail exponent, length_deciles the quantiles; this is the
+# one-pass moment view a curation pipeline logs per source to catch
+# "same mean, different shape" drift). One aggregation computes the
+# four raw power sums; n_chars is BIGINT so S1..S4 are EXACT integers
+# in both engines (c ≤ ~2e3 ⇒ Σc⁴ ≤ ~8e16 per source, inside BIGINT;
+# at 100 TB swap the two high-power sums to DECIMAL(38,0) — same
+# plan). Central moments and the two statistics are then derived in
+# doubles with an IDENTICAL operation tree in both engines (neither
+# engine reassociates floating-point arithmetic), so every double op
+# is bit-equal; one 8-dp round absorbs nothing — it is cosmetic.
+# Degenerate single-value sources (M2 = 0) null out via NULLIF.
+# --------------------------------------------------------------------------
+
+
+def q_length_moments_profile(spark, sf_dir):
+    c = F.col("n_chars").cast("long")
+    sums = (
+        table(spark, sf_dir, "documents")
+        .select("source", c.alias("c"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+            F.sum(F.col("c") * F.col("c") * F.col("c")).alias("s3"),
+            F.sum(
+                F.col("c") * F.col("c") * F.col("c") * F.col("c")
+            ).alias("s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    s1, s2, s3, s4 = (
+        F.col(x).cast("double") for x in ("s1", "s2", "s3", "s4")
+    )
+    m = s1 / nd
+    m2 = s2 / nd - m * m
+    m3 = s3 / nd - 3 * m * (s2 / nd) + 2 * m * m * m
+    m4 = (
+        s4 / nd
+        - 4 * m * (s3 / nd)
+        + 6 * (m * m) * (s2 / nd)
+        - 3 * (m * m) * (m * m)
+    )
+    m2n = F.nullif(m2, F.lit(0.0))
+    return sums.select(
+        "source",
+        "n",
+        F.round(m, 4).alias("mean_chars"),
+        F.round(F.sqrt(m2), 4).alias("sd_chars"),
+        F.round(m3 / (m2n * F.sqrt(m2n)), 8).alias("skewness"),
+        F.round(m4 / (m2n * m2n) - 3, 8).alias("kurtosis_ex"),
+    ).orderBy("source")
+
+
+LENGTH_MOMENTS_PROFILE_SQL = f"""
+WITH sums AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2,
+         CAST(SUM(c * c * c) AS BIGINT) AS s3,
+         CAST(SUM(c * c * c * c) AS BIGINT) AS s4
+  FROM (SELECT source, n_chars AS c FROM documents)
+  GROUP BY source
+),
+d AS (
+  SELECT source, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+  FROM sums
+),
+cm AS (
+  SELECT source, n, m,
+         e2 - m * m AS m2,
+         e3 - 3 * m * e2 + 2 * m * m * m AS m3,
+         e4 - 4 * m * e3 + 6 * (m * m) * e2 - 3 * (m * m) * (m * m) AS m4
+  FROM d
+)
+SELECT source, n,
+       {_sql_round('m', 4)} AS mean_chars,
+       {_sql_round('sqrt(m2)', 4)} AS sd_chars,
+       {_sql_round('m3 / (NULLIF(m2, 0.0) * sqrt(NULLIF(m2, 0.0)))', 8)}
+         AS skewness,
+       {_sql_round('m4 / (NULLIF(m2, 0.0) * NULLIF(m2, 0.0)) - 3', 8)}
+         AS kurtosis_ex
+FROM cm
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # isotonic_token_curve — per-source monotone calibration curve
 # (operators/calibration.py). Fits token count as a non-decreasing
 # function of document length via pool-adjacent-violators — the
@@ -4090,6 +4184,11 @@ QUERIES = {
         q_isotonic_token_curve,
         ISOTONIC_TOKEN_CURVE_SQL,  # exact PAV replay via minimax identity
         ("calibration", "isotonic", "applyInPandas"),
+    ),
+    "length_moments_profile": Query(
+        q_length_moments_profile,
+        LENGTH_MOMENTS_PROFILE_SQL,
+        ("statistics", "moments", "distribution-shape"),
     ),
     "hard_negative_topk": Query(
         q_hard_negative_topk,
