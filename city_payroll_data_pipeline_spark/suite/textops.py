@@ -1370,7 +1370,9 @@ WHERE n_common / CAST(za.n + zb.n - n_common AS DOUBLE) >= 0.5
 # (operators/dedup.py::ngram_containment_pairs). The sub-document-
 # duplication detector: the _near_corpus 70%-prefix truncations sit at
 # containment ≈ 1 in their parent while Jaccard reads only ~0.7 — at a
-# 0.9 bar Jaccard misses every one of them, containment catches all.
+# 0.9 bar Jaccard misses every one of them, containment catches all
+# but boundary-dominated very-short docs (cut-point shingles are the
+# honest cost — see test_containment_catches_what_jaccard_misses).
 # Gate is the cross-multiplied integer form 10·|A∩B| ≥ 9·min(|A|,|B|);
 # the oracle replays the 60-bit fold, DF cap, co-occurrence guard and
 # gate verbatim, so the hash match certifies the whole pipeline.

@@ -866,3 +866,87 @@ def test_isotonic_fit_distributed_matches_kernel(spark):
     want_b = pav(ys_b)
     assert [y for _, _, y in got["a"]] == want_a
     assert [y for _, _, y in got["b"]] == want_b
+
+
+def test_containment_catches_what_jaccard_misses(spark, docs):
+    """A 70%-prefix truncation sits at containment ≈ 1 inside its
+    parent while Jaccard reads only ~0.7 — at a 0.9 bar the asymmetric
+    metric must find every synthesized truncation pair and the
+    symmetric one must find none of them."""
+    from city_payroll_data_pipeline_spark.operators.dedup import (
+        jaccard_verify_compact,
+        ngram_containment_pairs,
+        shingle_frame,
+    )
+
+    base = docs.select("doc_id", "text")
+    trunc = base.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.col("text")
+        .substr(F.lit(1), F.floor(F.length("text") * 0.7).cast("int"))
+        .alias("text"),
+    )
+    corpus = base.unionAll(trunc)
+    pairs = ngram_containment_pairs(
+        corpus, "doc_id", "text", t_num=9, t_den=10, max_shingle_df=100
+    )
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.filter(F.col("doc_b") >= 5000).collect()
+    }
+    # Boundary effect: truncating cuts mid-token, minting up to ~3
+    # shingles absent from the parent — negligible for normal docs,
+    # dominant for very short ones (a 11-token doc's truncation has ~5
+    # shingles, so one boundary shingle already drops C below 0.9).
+    # Every long-enough doc's pair MUST be found; short-doc misses are
+    # the metric being honest, not a recall bug.
+    toks = {
+        r["doc_id"]: r["nt"]
+        for r in base.select(
+            "doc_id",
+            F.size(
+                F.expr(r"regexp_extract_all(trim(text), '\\S+', 0)")
+            ).alias("nt"),
+        ).collect()
+    }
+    expected = {(i, i + 5000) for i in range(30) if toks[i] >= 20}
+    assert len(expected) >= 20  # the corpus is mostly long enough
+    assert expected <= found, f"missed {sorted(expected - found)[:5]}"
+    # the symmetric metric at the same bar finds NONE of these pairs
+    sh = shingle_frame(corpus, "doc_id", "text")
+    shc = (
+        sh.select(
+            "doc_id",
+            (F.col("a") * 4096 + F.pmod(F.col("b"), 4096)).alias("c"),
+        ).distinct()
+    )
+    cands = spark.createDataFrame(
+        [(i, i + 5000) for i in range(30)], "doc_a long, doc_b long"
+    )
+    jac = jaccard_verify_compact(cands, shc, threshold=0.9)
+    assert jac.count() == 0
+
+
+def test_asof_forward_tolerance_semantics(spark):
+    """Forward as-of: earliest right row at ts' >= ts matches
+    (equal-ts inclusive); a match beyond the tolerance nulls out."""
+    from city_payroll_data_pipeline_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 100)], "event_id long, ts long"
+    ).withColumn("k", F.lit("u"))
+    right = spark.createDataFrame(
+        [(10, 111), (60, 222), (400, 333)], "rts long, payload long"
+    ).withColumn("k", F.lit("u"))
+    out = {
+        r["event_id"]: (r["payload"], r["_asof_matched_ts"])
+        for r in asof_join_forward(
+            left, right, by="k", left_ts="ts", right_ts="rts",
+            payload=["payload"], tolerance="15",
+        ).collect()
+    }
+    assert out[1] == (111, 10)  # equal-ts right row matches
+    assert out[2] == (222, 60)  # next-forward within tolerance 15
+    assert out[3] == (None, None)  # 400 is 300 past ts=100: beyond tol
