@@ -68,6 +68,7 @@ _ROUND_NEW = (
     "fulfillment_islands",
     "weighted_median_length",
     "length_moments_profile",
+    "audience_overlap_matrix",
 )
 
 

@@ -243,6 +243,8 @@ HEADLINE = [
     # distribution-shape moments + certified iterative k-means
     "length_moments_profile",
     "kmeans_clusters",
+    # segment set-overlap
+    "audience_overlap_matrix",
 ]
 
 

@@ -688,6 +688,90 @@ ORDER BY label_a, label_b
 
 
 # --------------------------------------------------------------------------
+# audience_overlap_matrix — pairwise audience Jaccard between event
+# types: which behaviors share users (the segment-overlap readout
+# behind targeting/dedup of audience segments; markov_transitions
+# reads SEQUENCE structure, this reads SET structure). Distinct
+# (user, type) first — one corpus exchange; the self-join then fans
+# out at most C(|types|, 2) rows PER USER (types-per-user bounded by
+# |types|, not by activity), and everything after runs on the
+# |types|²-sized frame with the two size vectors broadcast. All
+# counts integer until the one final division.
+# --------------------------------------------------------------------------
+
+
+def q_audience_overlap_matrix(spark, sf_dir):
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    sizes = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    both = (
+        ev.alias("a")
+        .join(
+            ev.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        both.join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "type_a")),
+            "type_a",
+        )
+        .withColumnRenamed("n", "n_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "type_b")),
+            "type_b",
+        )
+        .withColumnRenamed("n", "n_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+AUDIENCE_OVERLAP_MATRIX_SQL = f"""
+WITH ev AS (SELECT DISTINCT user_id, event_type FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type),
+ovl AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       sa.n AS n_a, sb.n AS n_b, n_both,
+       {_sql_round(
+           'n_both / CAST(sa.n + sb.n - n_both AS DOUBLE)', 6
+       )} AS jaccard
+FROM ovl
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+# --------------------------------------------------------------------------
 # length_moments_profile — per-source skewness + excess kurtosis of
 # document length, the distribution-SHAPE profile (hill_tail_index
 # reads the tail exponent, length_deciles the quantiles; this is the
@@ -4189,6 +4273,11 @@ QUERIES = {
         q_length_moments_profile,
         LENGTH_MOMENTS_PROFILE_SQL,
         ("statistics", "moments", "distribution-shape"),
+    ),
+    "audience_overlap_matrix": Query(
+        q_audience_overlap_matrix,
+        AUDIENCE_OVERLAP_MATRIX_SQL,
+        ("segments", "set-overlap", "events"),
     ),
     "hard_negative_topk": Query(
         q_hard_negative_topk,
