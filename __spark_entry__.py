@@ -69,6 +69,7 @@ _ROUND_NEW = (
     "weighted_median_length",
     "length_moments_profile",
     "audience_overlap_matrix",
+    "conversion_survival_curve",
 )
 
 

@@ -243,8 +243,9 @@ HEADLINE = [
     # distribution-shape moments + certified iterative k-means
     "length_moments_profile",
     "kmeans_clusters",
-    # segment set-overlap
+    # segment set-overlap + survival analysis
     "audience_overlap_matrix",
+    "conversion_survival_curve",
 ]
 
 

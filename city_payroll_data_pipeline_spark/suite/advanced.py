@@ -688,6 +688,160 @@ ORDER BY label_a, label_b
 
 
 # --------------------------------------------------------------------------
+# conversion_survival_curve — Kaplan-Meier time-to-repeat-purchase,
+# the survival-analysis readout (how long after the first order does
+# the second come, with one-time buyers correctly CENSORED rather
+# than dropped — the mistake plain lag histograms make). Per
+# customer: first order date → first STRICTLY LATER order date;
+# lag in days, censored at the 365-day horizon. The curve is
+# reported on the LOG scale:
+# log S(t) = Σ_{t'≤t} ln(1 − d/n) with each ln taken on an exact
+# integer ratio and rounded to 8 dp immediately (the bm25/psi ln
+# rule), then DECIMAL-summed — so the cumulative product that makes
+# float KM implementations order-sensitive is an order-exact sum
+# here. exp is NOT applied (not trusted cross-engine); consumers
+# exponentiate client-side.
+#
+# Scale: one orders⋈users join on the user key + one groupBy each;
+# the curve windows run over ≤ horizon+1 DISTINCT day values
+# (bounded frame — allowlisted unpartitioned window), never over
+# users. All risk-set arithmetic is integer.
+# --------------------------------------------------------------------------
+
+_SURV_HORIZON = 365
+
+
+def q_conversion_survival_curve(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    firsts = orders.groupBy("user_id").agg(F.min("od").alias("t0"))
+    seconds = (
+        orders.join(firsts, "user_id")
+        .filter(F.col("od") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("od").alias("conv_d"))
+    )
+    # LEFT join AFTER both aggregations: one-time buyers keep their
+    # row with a NULL conv_d (censored), they are never filtered away
+    conv = firsts.join(seconds, "user_id", "left")
+    lag = F.datediff("conv_d", "t0")
+    per_user = conv.select(
+        "user_id",
+        F.when(
+            F.col("conv_d").isNull() | (lag > _SURV_HORIZON),
+            F.lit(_SURV_HORIZON),
+        ).otherwise(lag).alias("t"),
+        F.when(
+            F.col("conv_d").isNull() | (lag > _SURV_HORIZON), F.lit(0)
+        ).otherwise(1).alias("event"),
+    )
+    per_t = per_user.groupBy("t").agg(
+        F.sum("event").alias("d"),
+        F.sum(1 - F.col("event")).alias("c"),
+    )
+    w_all = W.orderBy("t").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    total = per_t.select(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    curve = (
+        per_t.join(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - (
+                F.sum(F.col("d") + F.col("c")).over(w_all)
+                - (F.col("d") + F.col("c"))
+            ),
+        )
+        .withColumn(
+            "term",
+            F.when(
+                F.col("d") > 0,
+                F.round(
+                    F.log(
+                        (F.col("n_risk") - F.col("d")).cast("double")
+                        / F.col("n_risk").cast("double")
+                    ),
+                    8,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,8)"),
+        )
+        .withColumn("log_surv", F.sum("term").over(w_all).cast("double"))
+    )
+    return curve.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        "log_surv",
+    ).orderBy("t")
+
+
+CONVERSION_SURVIVAL_CURVE_SQL = f"""
+WITH o AS (
+  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS od FROM orders
+),
+firsts AS (SELECT user_id, MIN(od) AS t0 FROM o GROUP BY user_id),
+seconds AS (
+  SELECT o.user_id, MIN(o.od) AS conv_d
+  FROM o JOIN firsts f ON f.user_id = o.user_id AND o.od > f.t0
+  GROUP BY o.user_id
+),
+conv AS (
+  SELECT f.user_id, f.t0, s.conv_d
+  FROM firsts f LEFT JOIN seconds s ON s.user_id = f.user_id
+),
+per_user AS (
+  SELECT user_id,
+         CASE WHEN conv_d IS NULL
+                   OR date_diff('day', t0, conv_d) > {_SURV_HORIZON}
+              THEN {_SURV_HORIZON}
+              ELSE date_diff('day', t0, conv_d) END AS t,
+         CASE WHEN conv_d IS NULL
+                   OR date_diff('day', t0, conv_d) > {_SURV_HORIZON}
+              THEN 0 ELSE 1 END AS event
+  FROM conv
+),
+per_t AS (
+  SELECT t, CAST(SUM(event) AS BIGINT) AS d,
+         CAST(SUM(1 - event) AS BIGINT) AS c
+  FROM per_user GROUP BY t
+),
+curve AS (
+  SELECT t, d, c,
+         (SELECT SUM(d + c) FROM per_t)
+           - (SUM(d + c) OVER (ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - (d + c)) AS n_risk
+  FROM per_t
+),
+terms AS (
+  SELECT t, d, c, n_risk,
+         CAST(CASE WHEN d > 0
+              THEN {_sql_round(
+                  'ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))',
+                  8,
+              )}
+              ELSE 0.0 END AS DECIMAL(18,8)) AS term
+  FROM curve
+)
+SELECT t,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d AS n_events,
+       c AS n_censored,
+       CAST(SUM(term) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS DOUBLE) AS log_surv
+FROM terms
+ORDER BY t
+"""
+
+
+# --------------------------------------------------------------------------
 # audience_overlap_matrix — pairwise audience Jaccard between event
 # types: which behaviors share users (the segment-overlap readout
 # behind targeting/dedup of audience segments; markov_transitions
@@ -4278,6 +4432,11 @@ QUERIES = {
         q_audience_overlap_matrix,
         AUDIENCE_OVERLAP_MATRIX_SQL,
         ("segments", "set-overlap", "events"),
+    ),
+    "conversion_survival_curve": Query(
+        q_conversion_survival_curve,
+        CONVERSION_SURVIVAL_CURVE_SQL,
+        ("survival", "kaplan-meier", "censoring"),
     ),
     "hard_negative_topk": Query(
         q_hard_negative_topk,

@@ -255,6 +255,7 @@ _INTENTIONAL_BNLJ = {
     "hash_uniformity_check",  # broadcast 1-row total scalar
     "heaps_law_curve",        # broadcast 1-row id-range + decile spine
     "hill_tail_index",        # broadcast 1-row reference order statistic
+    "conversion_survival_curve",  # broadcast 1-row cohort-total scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
@@ -298,6 +299,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "revenue_concentration": "Lorenz cumsum over per-customer aggregate",
     "rfm_segments": "NTILE audit variant; *_scaled is the scale path",
     "session_coverage": "sweep over per-tick net deltas (session frame)",
+    "conversion_survival_curve":
+        "risk-set cumsum over <= horizon+1 distinct day values",
     "stable_doc_ids": "n_shards-row offset prefix sum (rowids)",
     "vocab_coverage": "cumsum over the vocabulary frame",
     "zipf_slope": "rank over the vocabulary frame",
