@@ -59,17 +59,34 @@ def _already_checked() -> set[str]:
 # 50-query sample so each round's new operators get an official
 # driver verdict immediately. Refresh this tuple each round.
 _ROUND_NEW = (
-    "kmeans_clusters",  # unrolled iterative-fit oracle (new this round)
-    "isotonic_token_curve",  # minimax-identity oracle (new this round)
-    "ngram_containment_pairs",
-    "dup_ngram_coverage",
-    "feature_hash_buckets",
-    "events_asof_next_order",
-    "fulfillment_islands",
-    "weighted_median_length",
-    "length_moments_profile",
-    "audience_overlap_matrix",
-    "conversion_survival_curve",
+    # --- round-5 priority: heaviest never-checked custom-determinism
+    # machinery first (VERDICT r4 item 7) — an official hash verdict on
+    # these retires the most risk per driver slot.
+    "ann_recall_report",
+    "bm25_search",
+    "cdc_chunks",
+    "corpus_clean_pipeline",
+    "bloom_semi_join",
+    "winnow_fingerprints",
+    "dedup_clusters",
+    "minhash_dedup_pairs",
+    "semantic_dedup_pairs",
+    "trade_pagerank",
+    "nation_ppr",
+    "stable_doc_ids",
+    "bpe_encode_tokens",
+    "media_thumbnail",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "sq8_ann_topk",
+    "cosine_topk",
+    "revenue_concentration",  # r5: rewritten on sharded row ids
+    "key_gini_skew",  # r5: rewritten on distinct-count cumsum ranks
+    "touch_attribution",  # r4 bench regression — get a fresh verdict
+    "jl_projection_error",  # r4 bench regression — get a fresh verdict
+    "mann_whitney_test",
+    "quantile_normalize_lengths",
+    "incremental_dedup",
 )
 
 

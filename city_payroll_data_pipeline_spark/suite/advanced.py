@@ -1637,24 +1637,59 @@ ORDER BY o_orderpriority
 # (desc, custkey tie-break); the cumulative share at rank
 # ⌈p·n⌉ is an exact decimal ratio.
 #
-# Scale: one customer-level aggregate, one window pass over the
-# |customers| frame, 3-row output. At 100 TB the ranked cumsum is ID
-# assignment — the rowids sharded numbering applies.
+# Scale: one customer-level aggregate, then the rowids sharded
+# two-phase numbering (operators/rowids.py pattern, extended with a
+# running-sum payload): exact quantile cuts of the sort key shard the
+# customer frame, each shard ranks and prefix-sums IN PARALLEL, and an
+# n_shards-row broadcast of (row offset, spend offset) splices the
+# global rank and global Lorenz cumsum back together. Decimal addition
+# is exact and associative, so the spliced cumsum is bit-identical to
+# the single-reducer ROW_NUMBER/SUM OVER the oracle runs — but the
+# largest sort is 1/n_shards of the customers and no unpartitioned
+# window ever sees a key-scale frame.
 # --------------------------------------------------------------------------
 
 _CONC_CUTS = (1, 5, 10)  # percent
 
 
 def q_revenue_concentration(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators.sharding import (
+        assign_range_shards,
+        range_shard_boundaries,
+    )
+
     orders = table(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
     )
-    w = W.orderBy(F.desc("spend"), F.asc("o_custkey"))
-    w_cum = w.rowsBetween(W.unboundedPreceding, 0)
+    # Shard on the negated spend: ascending neg == the rank order
+    # (spend DESC). The double cast is monotone in the decimal, so a
+    # shard cut can never invert two rows' global order; ties stay in
+    # one shard (assign is >=-boundary on equal doubles) and are broken
+    # inside the shard by the same (spend DESC, custkey) sort the
+    # oracle uses.
+    per = per.withColumn("neg", (-F.col("spend")).cast("double"))
+    bounds = range_shard_boundaries(per, "neg", 8)
+    tagged = assign_range_shards(per, "neg", bounds)
+    stats = tagged.groupBy("shard").agg(
+        F.count("*").alias("cnt_s"), F.sum("spend").alias("spend_s")
+    )
+    # n_shards rows: this unpartitioned prefix window sums 8 counts,
+    # not the data — the POINT of the two-phase pattern.
+    w_off = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    offsets = stats.select(
+        "shard",
+        F.coalesce(F.sum("cnt_s").over(w_off), F.lit(0)).alias("rn_off"),
+        F.coalesce(
+            F.sum("spend_s").over(w_off), F.lit(0).cast("decimal(38,2)")
+        ).alias("cum_off"),
+    )
+    w_in = W.partitionBy("shard").orderBy(F.desc("spend"), F.asc("o_custkey"))
+    w_cum = w_in.rowsBetween(W.unboundedPreceding, 0)
     ranked = (
-        per.withColumn("rn", F.row_number().over(w))
-        .withColumn("cum", F.sum("spend").over(w_cum))
+        tagged.join(F.broadcast(offsets), "shard")
+        .withColumn("rn", F.col("rn_off") + F.row_number().over(w_in))
+        .withColumn("cum", F.col("cum_off") + F.sum("spend").over(w_cum))
         .join(
             F.broadcast(
                 per.agg(
@@ -1664,23 +1699,31 @@ def q_revenue_concentration(spark, sf_dir):
             )
         )
     )
-    cuts = None
-    for p in _CONC_CUTS:
-        cut = (
-            ranked.filter(
-                F.col("rn") == F.ceil(F.col("n_cust") * p / 100)
-            )
-            .select(
-                F.lit(p).alias("top_pct"),
-                F.col("rn").alias("n_top_customers"),
-                F.round(
-                    F.col("cum").cast("double") / F.col("total").cast("double"),
-                    6,
-                ).alias("revenue_share"),
-            )
+    # One pass, not a 3-way union of re-computed pipelines: explode the
+    # 3 cut percentages against each ranked row (map-side ×3 fan-out,
+    # filtered in the same stage) so the shard/rank/cumsum plan runs
+    # exactly once.
+    return (
+        ranked.select(
+            "rn",
+            "cum",
+            "n_cust",
+            "total",
+            F.explode(
+                F.array(*[F.lit(p) for p in _CONC_CUTS])
+            ).alias("top_pct"),
         )
-        cuts = cut if cuts is None else cuts.unionAll(cut)
-    return cuts.orderBy("top_pct")
+        .filter(F.col("rn") == F.ceil(F.col("n_cust") * F.col("top_pct") / 100))
+        .select(
+            "top_pct",
+            F.col("rn").alias("n_top_customers"),
+            F.round(
+                F.col("cum").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("top_pct")
+    )
 
 
 REVENUE_CONCENTRATION_SQL = f"""

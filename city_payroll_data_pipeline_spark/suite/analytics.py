@@ -1098,9 +1098,17 @@ FROM ranked
 # one final division; rank-tie order among equal counts cannot change
 # the sum, so the statistic is deterministic.
 #
-# Scale: runs on the (key, count) aggregate, not the fact; the sort
-# is over distinct keys. (operators/skew.py holds the salting fix the
-# diagnostic motivates; join_key_skew benches it.)
+# Scale: the mann_whitney_test distinct-value pattern — rank-tie order
+# can't change Σ rn·cnt, so NO per-key rank is ever materialized.
+# Group keys by their count value c (frequency f_c), prefix-sum the
+# tiny distinct-count frame for the rank offset `prev`, and the block
+# of f_c contiguous ranks contributes c·(f_c·prev + f_c(f_c+1)/2)
+# exactly. The only window runs over |distinct multiplicities| rows
+# (≤ max rows-per-key, single digits for order keys) — at 100 TB the
+# billions of keys never pass through one partition. Integer `div`
+# keeps the triangular number exact past 2^53. (operators/skew.py
+# holds the salting fix the diagnostic motivates; join_key_skew
+# benches it.)
 # --------------------------------------------------------------------------
 
 
@@ -1109,16 +1117,27 @@ def q_key_gini_skew(spark, sf_dir):
 
     li = table(spark, sf_dir, "lineitem")
     cnt = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
-    w = W.orderBy("cnt", "l_orderkey")
-    ranked = cnt.withColumn("rn", F.row_number().over(w))
-    return ranked.agg(
-        F.count("*").alias("n_keys"),
-        F.sum("cnt").alias("n_rows"),
+    freq = cnt.groupBy("cnt").agg(F.count("*").alias("f"))
+    w_prev = W.orderBy("cnt").rowsBetween(W.unboundedPreceding, -1)
+    pref = freq.withColumn(
+        "prev", F.coalesce(F.sum("f").over(w_prev), F.lit(0))
+    )
+    # Σ over the rank block [prev+1, prev+f]: c·(f·prev + f(f+1)/2);
+    # f(f+1) is always even so integer div is exact.
+    block_rank_sum = F.col("f") * F.col("prev") + F.expr("f * (f + 1) div 2")
+    return pref.agg(
+        F.sum("f").alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("f")).alias("n_rows"),
         F.max("cnt").alias("max_per_key"),
-        (F.max("cnt") / F.sum("cnt")).alias("top_key_share"),
+        (F.max("cnt") / F.sum(F.col("cnt") * F.col("f"))).alias(
+            "top_key_share"
+        ),
         (
-            (2 * F.sum(F.col("rn") * F.col("cnt")) - (F.count("*") + 1) * F.sum("cnt"))
-            / (F.count("*") * F.sum("cnt"))
+            (
+                2 * F.sum(F.col("cnt") * block_rank_sum)
+                - (F.sum("f") + 1) * F.sum(F.col("cnt") * F.col("f"))
+            )
+            / (F.sum("f") * F.sum(F.col("cnt") * F.col("f")))
         ).alias("gini"),
     )
 

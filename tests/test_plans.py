@@ -285,7 +285,7 @@ _UNPARTITIONED_WINDOW_OK = {
     "heaps_law_curve": "cumsum over the decile spine",
     "hill_tail_index": "top-k order-statistics frame (k bounded)",
     "histogram_quantiles": "cumsum over the bucket-level aggregate",
-    "key_gini_skew": "rank over the (key,count) aggregate, not the fact",
+    "key_gini_skew": "cumsum over distinct multiplicities (≪ keys)",
     "ks_source_drift": "cumsum over distinct values (≪ rows)",
     "length_deciles": "NTILE audit variant; *_scaled has no global sort",
     "length_deciles_scaled": "cumsum over distinct values (operators/ntile.py)",
@@ -296,7 +296,7 @@ _UNPARTITIONED_WINDOW_OK = {
     "peak_concurrency": "sweep over per-tick net deltas (session frame)",
     "quality_logit_deciles": "NTILE audit variant; *_scaled is the scale path",
     "quantile_normalize_lengths": "n_shards-row offset prefix sum (rowids)",
-    "revenue_concentration": "Lorenz cumsum over per-customer aggregate",
+    "revenue_concentration": "n_shards-row offset prefix sum (rowids)",
     "rfm_segments": "NTILE audit variant; *_scaled is the scale path",
     "session_coverage": "sweep over per-tick net deltas (session frame)",
     "conversion_survival_curve":
