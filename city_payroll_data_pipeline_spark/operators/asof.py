@@ -42,9 +42,10 @@ def asof_join_backward(
 
     Determinism contract: the caller must reduce ``right`` to at most
     one row per (by, right_ts) — with duplicates, which one wins is
-    tie-broken differently across engines. A genuinely-null payload
-    value is carried past (ignorenulls), so payload columns should be
-    non-null by construction.
+    tie-broken differently across engines. The whole payload is
+    carried as ONE struct per right row, so a NULL payload value in
+    the matched row stays NULL (row-atomic — no torn carry mixing
+    columns from different right rows).
     """
     lt = left.withColumn(_TAG, F.lit(1)).withColumn(_TS, F.col(left_ts))
     rt = (
@@ -57,19 +58,21 @@ def asof_join_backward(
         .orderBy(_TS, _TAG)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # one struct per RIGHT row: every payload column (and the match
+    # decision) comes from the same physical row by construction
     carried = merged.select(
         "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in payload
-        ],
+        F.last(
+            F.when(F.col(_TAG) == 0, F.struct(*payload)),
+            ignorenulls=True,
+        ).over(w).alias("_asof_row"),
     )
     return (
         carried.filter(F.col(_TAG) == 1)
         .drop(_TAG, _TS, *payload)
         .select(
             *[F.col(c) for c in left.columns],
-            *[F.col(f"_asof_{c}").alias(c) for c in payload],
+            *[F.col(f"_asof_row.{c}").alias(c) for c in payload],
         )
     )
 
@@ -98,6 +101,12 @@ def asof_join_forward(
     forward match is already beyond the tolerance, every later one is
     too, so nulling the payload is exact (not an approximation).
 
+    The matched timestamp and every payload column are carried as ONE
+    struct per right row (ADVICE r4): a NULL payload value in the
+    earliest forward row can never tear the match — the tolerance
+    gate, ``_asof_matched_ts``, and the payload always describe the
+    same physical right row.
+
     Determinism contract as backward: at most one right row per
     (by, right_ts)."""
     lt = left.withColumn(_TAG, F.lit(1)).withColumn(_TS, F.col(left_ts))
@@ -114,26 +123,30 @@ def asof_join_forward(
     carried = merged.select(
         "*",
         F.first(
-            F.when(F.col(_TAG) == 2, F.col(_TS)), ignorenulls=True
-        ).over(w).alias("_asof_rts"),
-        *[
-            F.first(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in payload
-        ],
+            F.when(
+                F.col(_TAG) == 2,
+                F.struct(F.col(_TS).alias("_rts"), *payload),
+            ),
+            ignorenulls=True,
+        ).over(w).alias("_asof_row"),
     )
     if tolerance is None:
         within = F.lit(True)
     else:
-        within = F.col("_asof_rts") <= F.col(_TS) + F.expr(tolerance)
+        within = (
+            F.col("_asof_row._rts") <= F.col(_TS) + F.expr(tolerance)
+        )
     return (
         carried.filter(F.col(_TAG) == 1)
         .drop(_TAG, *payload)
         .select(
             *[F.col(c) for c in left.columns],
             *[
-                F.when(within, F.col(f"_asof_{c}")).alias(c)
+                F.when(within, F.col(f"_asof_row.{c}")).alias(c)
                 for c in payload
             ],
-            F.when(within, F.col("_asof_rts")).alias("_asof_matched_ts"),
+            F.when(within, F.col("_asof_row._rts")).alias(
+                "_asof_matched_ts"
+            ),
         )
     )

@@ -42,18 +42,31 @@ def ntile_no_global_sort(
     [DESC], tiebreak_col) — bit-identical to the window form, no
     unpartitioned row-level window. (value_col, tiebreak_col) must be
     a unique ordering, same contract as the window form needs for
-    determinism."""
+    determinism.
+
+    NULL values rank where Spark's own window sort puts them (first
+    for ASC, last for DESC): the join back is null-safe, so NULL rows
+    are binned, never dropped. Note DuckDB defaults to NULLS LAST on
+    ASC — an oracle comparing against DuckDB NTILE must ensure a
+    non-null value_col (all three suite call sites do)."""
     order_val = F.col(value_col).desc() if descending else F.col(value_col)
     per_val = df.groupBy(value_col).agg(F.count("*").alias("_c"))
     w_cum = W.orderBy(order_val).rowsBetween(W.unboundedPreceding, -1)
     # unpartitioned window over the DISTINCT-VALUE frame — the point
-    cums = per_val.withColumn(
-        "_below", F.coalesce(F.sum("_c").over(w_cum), F.lit(0))
-    ).drop("_c")
+    cums = (
+        per_val.withColumn(
+            "_below", F.coalesce(F.sum("_c").over(w_cum), F.lit(0))
+        )
+        .drop("_c")
+        .withColumnRenamed(value_col, "_v")
+    )
     tot = df.groupBy().agg(F.count("*").alias("_n"))
     w_in = W.partitionBy(value_col).orderBy(tiebreak_col)
     ranked = (
-        df.join(cums, value_col)
+        # eqNullSafe: a NULL value group must still find its cumsum row
+        # (plain equality would silently drop every NULL-valued input)
+        df.join(cums, F.col(value_col).eqNullSafe(F.col("_v")))
+        .drop("_v")
         .join(F.broadcast(tot))
         .withColumn("_r", F.col("_below") + F.row_number().over(w_in))
     )

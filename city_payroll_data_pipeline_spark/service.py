@@ -39,7 +39,10 @@ def egress_batches(df):
     path would OOM the driver on a 100 TB full_export).
 
     Returns ``(schema, batch_iterator)``. The spool directory is
-    deleted when the iterator is exhausted or closed."""
+    deleted when the iterator is exhausted or closed; an atexit hook
+    is the fallback for streams a client abandons mid-flight (the
+    generator's ``finally`` never runs then — ADVICE r4)."""
+    import atexit
     import glob
     import shutil
     import tempfile
@@ -47,9 +50,17 @@ def egress_batches(df):
     import pyarrow.parquet as pq
 
     tmp = tempfile.mkdtemp(prefix="flight_egress_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     out = os.path.join(tmp, "result")
     df.write.mode("overwrite").parquet(out)
-    files = sorted(glob.glob(os.path.join(out, "part-*")))
+    # Sort by the PARSED task index, not lexicographically: Spark pads
+    # part numbers to 5 digits only, so beyond 99,999 output files
+    # 'part-100000-…' would sort before 'part-99999-…' and corrupt the
+    # claimed global order of a sorted export (ADVICE r4).
+    files = sorted(
+        glob.glob(os.path.join(out, "part-*")),
+        key=lambda f: int(os.path.basename(f).split("-")[1]),
+    )
     if not files:  # defensive: Spark writes ≥1 part even when empty
         table = pa.Table.from_pandas(
             df.limit(0).toPandas(), preserve_index=False

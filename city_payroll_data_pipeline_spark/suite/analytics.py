@@ -999,9 +999,14 @@ ORDER BY source, rank
 # row path; the merge table itself is a bounded driver-side list
 # (the product of training, like model weights).
 #
-# No SQL oracle: the greedy iterative rewrite is not expressible in
-# one SQL query — covered by rows-only check here plus the
-# encode-vs-pure-Python parity test in tests/test_training_ops.py.
+# Oracle: the textops.bpe_replay_ctes unrolled fit (the kmeans r4
+# trick) ends with the fully-merged vocabulary t8 — encoding is then
+# a JOIN: a doc's BPE token count is Σ over its words of
+# tf(word) · merged_symbol_count(word), because apply_bpe encodes
+# every word independently and the training vocabulary covers every
+# corpus word by construction. Empty docs survive via LEFT JOIN.
+# The encode-vs-pure-Python parity test in tests/test_training_ops.py
+# still covers the operator directly.
 # --------------------------------------------------------------------------
 
 
@@ -1029,6 +1034,47 @@ def q_bpe_encode_tokens(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def _bpe_encode_tokens_sql() -> str:
+    from city_payroll_data_pipeline_spark.suite.textops import (
+        bpe_replay_ctes,
+    )
+
+    cte_block, final = bpe_replay_ctes()
+    s = "chr(31)"
+    return rf"""WITH {cte_block},
+enc AS MATERIALIZED (
+  SELECT word,
+         len(string_split(trim(canon, {s}), {s}||{s})) AS enc_len
+  FROM {final}
+),
+doc_tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(trim(text), '\S+', 0)) AS word
+    FROM documents
+  ) GROUP BY doc_id, word
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(tf * enc_len) AS BIGINT) AS n_bpe
+  FROM doc_tf JOIN enc USING (word) GROUP BY doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(COALESCE(n_bpe, 0)) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '\S+', 0))) AS BIGINT)
+         AS words,
+       CAST(SUM(COALESCE(n_bpe, 0)) AS DOUBLE)
+         / CAST(SUM(len(regexp_extract_all(text, '\S+', 0))) AS BIGINT)
+         AS fertility
+FROM documents LEFT JOIN per_doc USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+
+
+BPE_ENCODE_TOKENS_SQL = _bpe_encode_tokens_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1960,7 +2006,9 @@ QUERIES = {
         ("text", "odds-ratio", "mix-weights"),
     ),
     "bpe_encode_tokens": Query(
-        q_bpe_encode_tokens, None, ("tokenizer", "bpe", "fertility")
+        q_bpe_encode_tokens,
+        BPE_ENCODE_TOKENS_SQL,
+        ("tokenizer", "bpe", "fertility"),
     ),
     "dedup_rate_report": Query(
         q_dedup_rate_report, DEDUP_RATE_REPORT_SQL, ("dedup", "report")

@@ -3206,19 +3206,106 @@ ORDER BY source, pack_id
 
 # --------------------------------------------------------------------------
 # Distributed BPE merge training (operators/bpe.py): corpus-wide
-# tokenizer training — iterative (each merge changes the next round's
-# pair counts), so no single SQL oracle exists; the driver records a
-# rows-only check and tests/test_training_ops.py verifies the merge
-# table against an independent pure-Python reference implementation.
+# tokenizer training. Iterative — but with a FIXED merge budget the
+# whole fit unrolls into chained SQL CTEs (the kmeans_clusters r4
+# trick), so the driver gets a full hash-match oracle instead of a
+# rows-only check. Each word's symbol list travels as a chr(31)-
+# delimited string (every symbol wrapped in chr(31) on both sides);
+# applying a merge is then plain replace() — SQL replace is greedy
+# left-to-right non-overlapping, exactly the BPE rewrite, and the
+# per-symbol wrapping means a replacement can never consume a
+# neighbour's delimiter or match across symbol boundaries.
+# tests/test_training_ops.py additionally verifies the trainer against
+# an independent pure-Python reference implementation.
 # --------------------------------------------------------------------------
+
+_BPE_N_MERGES = 8
+_BPE_MIN_PAIR = 2
+
 
 def q_bpe_merges(spark, sf_dir):
     docs = table(spark, sf_dir, "documents", spread=True).select("text")
-    merges = bpe.train_bpe(docs, "text", n_merges=8)
+    merges = bpe.train_bpe(
+        docs, "text", n_merges=_BPE_N_MERGES, min_pair_count=_BPE_MIN_PAIR
+    )
     return spark.createDataFrame(
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "merge_idx int, left string, right string, pair_count bigint",
     )
+
+
+def bpe_replay_ctes(n_merges: int = _BPE_N_MERGES) -> tuple[str, str]:
+    """The shared unrolled SQL replay of the distributed BPE fit:
+    n_merges rounds of (adjacent-pair count → lexicographic argmax →
+    greedy rewrite). Returns ``(cte_block, final_vocab_name)`` — the
+    CTE list ends with ``t{n}`` (word, cnt, canon after ALL merges) so
+    encode-side oracles can read per-word token lengths, and exposes
+    ``b1..b{n}`` (merge_idx, l, r, c) for the merge table itself. CTEs
+    are MATERIALIZED so each round's vocabulary is computed once.
+
+    The replay applies all n_merges rounds unconditionally; callers
+    that must mirror the trainer's early stop (a best pair below
+    min_pair_count ends training) filter the bests — with real corpus
+    data at the checked SFs every round clears the threshold."""
+    s = "chr(31)"
+    ctes = [
+        r"""words AS MATERIALIZED (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(trim(text), '\S+', 0)) AS word
+    FROM documents
+  ) GROUP BY word
+)""",
+        f"""t0 AS MATERIALIZED (
+  SELECT word, cnt,
+         {s} || array_to_string(regexp_extract_all(word, '.', 0),
+                                {s}||{s}) || {s} AS canon
+  FROM words
+)""",
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"t{k - 1}"
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt, pr[1] AS l, pr[2] AS r FROM (
+      SELECT cnt, unnest(list_zip(syms, syms[2:])) AS pr FROM (
+        SELECT cnt, string_split(trim(canon, {s}), {s}||{s}) AS syms
+        FROM {prev}
+      )
+    ) WHERE pr[2] IS NOT NULL
+  ) GROUP BY l, r
+)""")
+        ctes.append(f"""b{k} AS MATERIALIZED (
+  SELECT {k - 1} AS merge_idx, l, r, c
+  FROM p{k} ORDER BY c DESC, l, r LIMIT 1
+)""")
+        ctes.append(f"""t{k} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(canon, {s}||b.l||{s}||{s}||b.r||{s},
+                 {s}||b.l||b.r||{s}) AS canon
+  FROM {prev}, b{k} AS b
+)""")
+    return ", ".join(ctes), f"t{n_merges}"
+
+
+def _bpe_merges_sql(n_merges: int = _BPE_N_MERGES,
+                    min_pair: int = _BPE_MIN_PAIR) -> str:
+    cte_block, _ = bpe_replay_ctes(n_merges)
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{k}" for k in range(1, n_merges + 1)
+    )
+    return f"""WITH {cte_block},
+bests AS ({union})
+SELECT CAST(merge_idx AS INTEGER) AS merge_idx,
+       l AS "left", r AS "right", c AS pair_count
+FROM bests
+WHERE NOT EXISTS (
+  SELECT 1 FROM bests b2
+  WHERE b2.merge_idx <= bests.merge_idx AND b2.c < {min_pair}
+)
+ORDER BY merge_idx"""
+
+
+BPE_MERGES_SQL = _bpe_merges_sql()
 
 
 # --------------------------------------------------------------------------
@@ -3823,7 +3910,9 @@ QUERIES = {
         ("text", "divergence", "training-mix"),
     ),
     "bpe_merges": Query(
-        q_bpe_merges, None, ("text", "bpe", "tokenizer", "iterative")
+        q_bpe_merges,
+        BPE_MERGES_SQL,
+        ("text", "bpe", "tokenizer", "iterative"),
     ),
     "doc_bpe_tokens": Query(q_doc_bpe_tokens, DOC_BPE_TOKENS_SQL, ("text", "bpe")),
     "doc_lang_id": Query(q_doc_lang_id, DOC_LANG_ID_SQL, ("text", "langid")),

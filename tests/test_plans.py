@@ -313,6 +313,23 @@ _UNPARTITIONED_WINDOW_RE = re.compile(
 )
 
 
+def _has_unpartitioned_logical_window(df) -> bool:
+    """Walk the optimized logical plan's JVM tree for a Window node
+    with an EMPTY partitionSpec — exact, regardless of how the sort
+    expression prints (the textual regex can false-negative when the
+    leading sort expression is a cast/function call, ADVICE r4)."""
+    found = []
+
+    def walk(node):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            found.append(True)
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bool(found)
+
+
 def test_no_scale_red_flags_in_any_query(suite, spark):
     """Sweep EVERY suite query's physical plan: no CartesianProduct
     ever; no Python eval outside the sanctioned mapInPandas operator;
@@ -320,7 +337,8 @@ def test_no_scale_red_flags_in_any_query(suite, spark):
     construction (list above — additions must be justified)."""
     bad = {}
     for name in sorted(suite):
-        p = plan(_q(suite, spark, name), mode="simple")
+        df = _q(suite, spark, name)
+        p = plan(df, mode="simple")
         flags = []
         if "CartesianProduct" in p:
             flags.append("CartesianProduct")
@@ -328,9 +346,9 @@ def test_no_scale_red_flags_in_any_query(suite, spark):
             flags.append("EvalPython")
         if "BroadcastNestedLoopJoin" in p and name not in _INTENTIONAL_BNLJ:
             flags.append("unexpected BNLJ")
-        if (
+        if name not in _UNPARTITIONED_WINDOW_OK and (
             _UNPARTITIONED_WINDOW_RE.search(p)
-            and name not in _UNPARTITIONED_WINDOW_OK
+            or _has_unpartitioned_logical_window(df)
         ):
             flags.append("unpartitioned window on unlisted query")
         if flags:

@@ -183,6 +183,49 @@ def test_stable_row_ids_match_global_row_number(spark, keys, n_shards):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=2, max_value=7),
+    st.booleans(),
+)
+def test_ntile_no_global_sort_matches_window_with_nulls(
+    spark, values, n_buckets, descending
+):
+    """The sharded NTILE equals Spark's own NTILE window for ANY
+    value distribution — including NULL values (ADVICE r4: the join
+    back must be null-safe so NULL rows are binned, not dropped) and
+    heavy ties."""
+    from pyspark.sql import Window as W
+
+    from city_payroll_data_pipeline_spark.operators.ntile import (
+        ntile_no_global_sort,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["bucket"]
+        for r in ntile_no_global_sort(
+            df, n_buckets, "v", "id", descending=descending
+        ).collect()
+    }
+    order = F.col("v").desc() if descending else F.col("v").asc()
+    w = W.orderBy(order, "id")
+    want = {
+        r["id"]: r["bucket"]
+        for r in df.withColumn(
+            "bucket", F.ntile(n_buckets).over(w)
+        ).collect()
+    }
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(

@@ -60,7 +60,19 @@ def _reference_query(industry: str, csv_path: str) -> str:
 def _compare(spark, industry: str, csv_path: str, spark_fct):
     import duckdb
 
-    oracle = duckdb.sql(_reference_query(industry, csv_path)).df()
+    # The query text comes VERBATIM from the untrusted reference tree:
+    # run it on a locked-down connection so a hostile SQL file cannot
+    # COPY to/from the filesystem or INSTALL/LOAD extensions (ADVICE
+    # r4). external access must stay on long enough to read the
+    # fixture CSV, so instead gate on statement shape: exactly one
+    # statement, and it is a SELECT.
+    stmts = duckdb.extract_statements(_reference_query(industry, csv_path))
+    assert len(stmts) == 1, "reference SQL must be a single statement"
+    assert stmts[0].type == duckdb.StatementType.SELECT, stmts[0].type
+    con = duckdb.connect()
+    con.execute("SET lock_configuration = true")
+    oracle = con.execute(stmts[0].query).df()
+    con.close()
     assert_frames_match(
         spark_fct.toPandas(), oracle, f"reference-sql:{industry}"
     )

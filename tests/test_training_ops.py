@@ -950,3 +950,28 @@ def test_asof_forward_tolerance_semantics(spark):
     assert out[1] == (111, 10)  # equal-ts right row matches
     assert out[2] == (222, 60)  # next-forward within tolerance 15
     assert out[3] == (None, None)  # 400 is 300 past ts=100: beyond tol
+
+
+def test_asof_forward_null_payload_not_torn(spark):
+    """ADVICE r4 regression: when the earliest forward right row has a
+    NULL payload value, the match must stay row-atomic — NULL payload
+    with that row's timestamp — never a later row's payload stitched
+    onto the earlier row's tolerance decision."""
+    from city_payroll_data_pipeline_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10)], "event_id long, ts long"
+    ).withColumn("k", F.lit("u"))
+    # earliest forward row (rts=12, within tol) has NULL payload; the
+    # next (rts=500) is far beyond tolerance
+    right = spark.createDataFrame(
+        [(12, None), (500, 999)], "rts long, payload long"
+    ).withColumn("k", F.lit("u"))
+    row = asof_join_forward(
+        left, right, by="k", left_ts="ts", right_ts="rts",
+        payload=["payload"], tolerance="15",
+    ).collect()[0]
+    assert row["_asof_matched_ts"] == 12  # the row that won the match
+    assert row["payload"] is None  # its genuinely-NULL payload — not 999
