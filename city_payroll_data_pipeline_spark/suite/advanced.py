@@ -434,16 +434,14 @@ def q_jl_projection_error(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings", spread=True)
     q = emb.select("vec_id", sim.quantize(F.col("embedding")).alias("qv"))
 
+    # ONE nested-array literal + transform, not K×D individual F.lit
+    # calls: the per-element form costs ~1000 py4j round trips (~2s of
+    # driver time PER BUILD — the r4 bench regression); the semantics
+    # and the resulting pv values are identical.
+    signs = F.lit(_JL_SIGNS).cast("array<array<bigint>>")
+
     def project(col: F.Column) -> F.Column:
-        return F.array(
-            *[
-                sim.dot_q(
-                    col,
-                    F.array(*[F.lit(s).cast("bigint") for s in _JL_SIGNS[j]]),
-                )
-                for j in range(_JL_K)
-            ]
-        )
+        return F.transform(signs, lambda srow: sim.dot_q(col, srow))
 
     proj = q.select("vec_id", "qv", project(F.col("qv")).alias("pv"))
     queries = proj.filter(F.col("vec_id") < N_QUERIES).select(
