@@ -1822,8 +1822,12 @@ ORDER BY source
 # four moment sums route through DECIMAL so the closed form sees
 # bit-identical inputs, one final division chain.
 #
-# Scale: ranks ride TakeOrdered on the vocabulary frame (top-500),
-# the regression runs on 500 rows.
+# Scale: the top-500 ride orderBy().limit() (TakeOrderedAndProject —
+# a distributed per-partition heap + driverless merge, the bm25
+# pattern), so the rank window only ever sees the 500 survivors; the
+# regression runs on 500 rows. The previous shape (row_number over
+# the FULL vocabulary, filter rank ≤ 500 after) pushed every distinct
+# token through one reducer — hundreds of millions of rows at 100 TB.
 # --------------------------------------------------------------------------
 
 _ZIPF_TOP = 500
@@ -1840,8 +1844,9 @@ def q_zipf_slope(spark, sf_dir):
     )
     w = W.orderBy(F.desc("n"), F.asc("tok"))
     ranked = (
-        freqs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _ZIPF_TOP)
+        freqs.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_ZIPF_TOP)
+        .withColumn("rank", F.row_number().over(w))
         .select(
             F.round(F.log("rank"), 10).cast("decimal(28,10)").alias("x"),
             F.round(F.log("n"), 10).cast("decimal(28,10)").alias("y"),
@@ -1954,10 +1959,54 @@ ORDER BY event_type
 # Sessions come from the same gap-sessionizer as event_sessions.
 #
 # Scale: the sweep runs on the SESSION frame (orders of magnitude
-# smaller than events); its ordered window is the audit-grade global
-# pass — at 100 TB partition the sweep by day after splitting
-# sessions at midnight, or rank ticks with operators/rowids.py.
+# smaller than events) — but distinct ticks still scale with the
+# data, so the running count uses the rowids two-phase shape
+# (_sharded_sweep): range-shard the ticks, per-shard cumsum + lead in
+# parallel, splice with a broadcast n_shards-row offset frame.
+# Integer addition is associative, so the spliced cumsum is
+# bit-identical to the single-reducer SUM OVER the oracle runs.
 # --------------------------------------------------------------------------
+
+
+def _sharded_sweep(ticks, n_shards: int = 8):
+    """(t, net) → (t, net, active, t_next) with the running count and
+    next-tick lookahead computed per range shard; the only
+    unpartitioned window is the n_shards-row offset prefix. `t` must
+    be unique (the per-tick groupBy guarantees it)."""
+    from city_payroll_data_pipeline_spark.operators.sharding import (
+        assign_range_shards,
+        range_shard_boundaries,
+    )
+
+    bounds = range_shard_boundaries(ticks, "t", n_shards)
+    tagged = assign_range_shards(ticks, "t", bounds)
+    stats = tagged.groupBy("shard").agg(
+        F.sum("net").alias("_s"), F.min("t").alias("_first_t")
+    )
+    w_sh = W.orderBy("shard")
+    offsets = stats.select(
+        "shard",
+        F.coalesce(
+            F.sum("_s").over(w_sh.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+        # the tick after a shard's LAST tick is the next shard's first
+        F.lead("_first_t").over(w_sh).alias("_next_first"),
+    )
+    w_in = W.partitionBy("shard").orderBy("t")
+    return (
+        tagged.join(F.broadcast(offsets), "shard")
+        .withColumn(
+            "active",
+            F.col("_off")
+            + F.sum("net").over(w_in.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "t_next",
+            F.coalesce(F.lead("t").over(w_in), F.col("_next_first")),
+        )
+        .drop("shard", "_off", "_next_first")
+    )
 
 
 def q_peak_concurrency(spark, sf_dir):
@@ -1978,12 +2027,12 @@ def q_peak_concurrency(spark, sf_dir):
         sessions.select((F.col("t1") + 1).alias("t"), F.lit(-1).alias("d"))
     )
     ticks = deltas.groupBy("t").agg(F.sum("d").alias("net"))
-    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
-    live = ticks.withColumn("active", F.sum("net").over(w))
-    w_rank = W.orderBy(F.desc("active"), F.asc("t"))
+    live = _sharded_sweep(ticks)
+    # argmax via TakeOrderedAndProject (distributed heap), not a
+    # row_number over an unpartitioned key-scale window
     return (
-        live.withColumn("rk", F.row_number().over(w_rank))
-        .filter(F.col("rk") == 1)
+        live.orderBy(F.desc("active"), F.asc("t"))
+        .limit(1)
         .select(
             F.col("active").alias("peak_concurrent"),
             F.timestamp_seconds(F.col("t")).alias("at_time"),
@@ -2021,10 +2070,7 @@ def q_session_coverage(spark, sf_dir):
         sessions.select((F.col("t1") + 1).alias("t"), F.lit(-1).alias("d"))
     )
     ticks = deltas.groupBy("t").agg(F.sum("d").alias("net"))
-    w = W.orderBy("t")
-    live = ticks.withColumn(
-        "active", F.sum("net").over(w.rowsBetween(W.unboundedPreceding, 0))
-    ).withColumn("t_next", F.lead("t").over(w))
+    live = _sharded_sweep(ticks)
     covered = live.where(
         (F.col("active") > 0) & F.col("t_next").isNotNull()
     ).agg(F.sum(F.col("t_next") - F.col("t")).alias("covered_s"))

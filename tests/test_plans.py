@@ -293,17 +293,17 @@ _UNPARTITIONED_WINDOW_OK = {
     "rfm_segments_scaled": "cumsum over distinct values ×3 (ntile.py)",
     "mann_whitney_test": "cumsum over distinct values (≪ rows)",
     "part_pareto_frontier": "cumulative min over the distinct-size frame",
-    "peak_concurrency": "sweep over per-tick net deltas (session frame)",
+    "peak_concurrency": "n_shards-row offset prefix sum (_sharded_sweep)",
     "quality_logit_deciles": "NTILE audit variant; *_scaled is the scale path",
     "quantile_normalize_lengths": "n_shards-row offset prefix sum (rowids)",
     "revenue_concentration": "n_shards-row offset prefix sum (rowids)",
     "rfm_segments": "NTILE audit variant; *_scaled is the scale path",
-    "session_coverage": "sweep over per-tick net deltas (session frame)",
+    "session_coverage": "n_shards-row offset prefix sum (_sharded_sweep)",
     "conversion_survival_curve":
         "risk-set cumsum over <= horizon+1 distinct day values",
     "stable_doc_ids": "n_shards-row offset prefix sum (rowids)",
-    "vocab_coverage": "cumsum over the vocabulary frame",
-    "zipf_slope": "rank over the vocabulary frame",
+    "vocab_coverage": "cumsum over the K=20 survivors of orderBy().limit()",
+    "zipf_slope": "rank over the K=500 survivors of orderBy().limit()",
 }
 
 # First windowspecdefinition argument is a sort spec (`col ASC/DESC`)

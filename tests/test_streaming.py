@@ -492,6 +492,40 @@ def test_streaming_topk_leaderboard(spark, tmp_path):
     assert by_win[t0.replace(minute=0)] == {(1, "click"): 6, (2, "view"): 3}
     assert by_win[t1.replace(minute=0)] == {(1, "buy"): 5, (2, "view"): 1}
 
+    # VERDICT r4 item 8: state must stay BOUNDED by the watermark
+    # horizon. A far-future batch advances the watermark past the two
+    # earlier windows: the side counts table must evict them (only the
+    # new window's counts survive), the published leaderboard must
+    # keep its history (merge, never clobber), and the streaming
+    # aggregation state itself must not accumulate closed windows.
+    t2 = t0 + dt.timedelta(hours=6)
+    write_batch([(t2, "click")] * 2)
+    q = streaming_topk_to_table(
+        stream, str(out), str(tmp_path / "tk_chk"), k=2, window="1 hour"
+    )
+    side_wins = {
+        r["window_start"]
+        for r in read_table(spark, str(out) + "_counts")
+        .select("window_start")
+        .collect()
+    }
+    assert side_wins == {t2.replace(minute=0)}, side_wins
+    pub_wins = {
+        r["window_start"]
+        for r in read_table(spark, str(out)).select("window_start").collect()
+    }
+    assert {
+        t0.replace(minute=0), t1.replace(minute=0), t2.replace(minute=0)
+    } <= pub_wins
+    prog = q.lastProgress
+    if prog and prog.get("stateOperators"):
+        state_rows = sum(
+            op["numRowsTotal"] for op in prog["stateOperators"]
+        )
+        # inside-horizon windows only: the t2 window's single group
+        # (plus at most the not-yet-finalized eviction of one batch)
+        assert state_rows <= 4, prog
+
 
 def test_streaming_session_window_agrees_with_batch(spark, tmp_path):
     """The native session_window groupBy must produce the SAME sessions
