@@ -59,6 +59,12 @@ def _already_checked() -> set[str]:
 # 50-query sample so each round's new operators get an official
 # driver verdict immediately. Refresh this tuple each round.
 _ROUND_NEW = (
+    # --- round-5 NEW queries (least battle-tested cross-engine)
+    "kneser_ney_bigram",
+    "degree_assortativity",
+    "mahalanobis_outliers",
+    "conformal_calibration",
+    "bpe_merges",  # graduated rows-only -> full oracle this round
     # --- round-5 priority: heaviest never-checked custom-determinism
     # machinery first (VERDICT r4 item 7) — an official hash verdict on
     # these retires the most risk per driver slot.

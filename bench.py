@@ -246,6 +246,12 @@ HEADLINE = [
     # segment set-overlap + survival analysis
     "audience_overlap_matrix",
     "conversion_survival_curve",
+    # round-5: KN smoothing, graph assortativity, joint outliers,
+    # conformal intervals
+    "kneser_ney_bigram",
+    "degree_assortativity",
+    "mahalanobis_outliers",
+    "conformal_calibration",
 ]
 
 

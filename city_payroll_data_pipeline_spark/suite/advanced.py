@@ -4301,6 +4301,222 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# mahalanobis_outliers — correlation-aware 2-D outlier screen.
+#
+# Per-source document screening on (chars, tokens) JOINTLY: a doc with
+# plausible length but absurd chars-per-token ratio is invisible to
+# the per-axis z-score screen (length_zscores) yet far from the
+# distribution in Mahalanobis distance, which whitens by the 2×2
+# covariance. d² = (σyy·dx² − 2σxy·dx·dy + σxx·dy²)/det(Σ) against
+# the χ²₂ 99.9% cut (13.8155).
+#
+# Determinism: all moments are exact integer/DECIMAL(38,0) sums; the
+# double op-tree (means → covariances → per-row quadratic form) is
+# written identically in both engines, so every d² is bit-identical
+# and the threshold comparison can never straddle.
+#
+# Scale: one projected scan for the 5 moment sums per source (tiny
+# agg), one re-scan joined with the ~|sources| broadcast stats frame;
+# no shuffle of the docs themselves, no windows.
+# --------------------------------------------------------------------------
+
+_MAHA_CHI2_999 = 13.8155  # chi-square(2 df) 0.999 quantile
+
+
+def q_mahalanobis_outliers(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import token_count
+
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "source",
+        F.length("text").alias("x"),
+        token_count(F.col("text")).alias("y"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    n = F.col("n")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    vxx = F.col("sxx").cast("double") / n - mx * mx
+    vyy = F.col("syy").cast("double") / n - my * my
+    vxy = F.col("sxy").cast("double") / n - mx * my
+    params = stats.select(
+        "source",
+        n.alias("n_docs"),
+        mx.alias("mx"),
+        my.alias("my"),
+        vxx.alias("vxx"),
+        vyy.alias("vyy"),
+        vxy.alias("vxy"),
+        (vxx * vyy - vxy * vxy).alias("det"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    d2 = (
+        F.col("vyy") * dx * dx
+        - 2 * F.col("vxy") * dx * dy
+        + F.col("vxx") * dy * dy
+    ) / F.col("det")
+    scored = docs.join(F.broadcast(params), "source").select(
+        "source", "n_docs", d2.alias("d2")
+    )
+    return (
+        scored.groupBy("source", "n_docs")
+        .agg(
+            F.sum(
+                F.when(F.col("d2") > _MAHA_CHI2_999, 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.max("d2"), 6).alias("max_d2"),
+        )
+        .orderBy("source")
+    )
+
+
+MAHALANOBIS_OUTLIERS_SQL = rf"""
+WITH docs AS (
+  SELECT source, length(text) AS x,
+         len(regexp_extract_all(text, '\S+', 0)) AS y
+  FROM documents
+),
+stats AS (
+  SELECT source, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+  FROM docs GROUP BY source
+),
+params AS (
+  SELECT source, n AS n_docs,
+         CAST(sx AS DOUBLE) / n AS mx,
+         CAST(sy AS DOUBLE) / n AS my,
+         CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS vxx,
+         CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vyy,
+         CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vxy
+  FROM stats
+),
+scored AS (
+  SELECT d.source, p.n_docs,
+         (p.vyy * (d.x - p.mx) * (d.x - p.mx)
+          - 2 * p.vxy * (d.x - p.mx) * (d.y - p.my)
+          + p.vxx * (d.y - p.my) * (d.y - p.my))
+         / (p.vxx * p.vyy - p.vxy * p.vxy) AS d2
+  FROM docs d JOIN params p USING (source)
+)
+SELECT source, n_docs,
+       CAST(SUM(CASE WHEN d2 > {_MAHA_CHI2_999} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(MAX(d2), 6) AS max_d2
+FROM scored
+GROUP BY source, n_docs
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# conformal_calibration — split-conformal prediction intervals.
+#
+# The distribution-free uncertainty wrapper every ML serving pipeline
+# wants: fit a point model on a calibration split (here: per-priority
+# mean price over even order keys), take the 90th-percentile absolute
+# residual q̂ on that split, and certify empirical coverage of
+# pred ± q̂ on the held-out odd keys. Conformal theory says coverage
+# ≈ 90% regardless of the model — the query verifies it per group.
+#
+# Determinism: the predictor is an exact-decimal mean cast to double;
+# residuals are one identical double op-tree; q̂ is both engines'
+# exact interpolated percentile rounded to 6 dp (the
+# range_shard_boundaries precedent — the round absorbs last-ulp
+# association drift), and the coverage comparison runs identical
+# doubles against identical doubles.
+#
+# Scale: two projected scans of orders (calibration agg + test
+# probe); the per-priority (pred, q̂) frame is a 5-row broadcast. The
+# exact within-group percentile is the one sort — at 100 TB swap
+# approx_percentile (mergeable sketch) and keep the same interface.
+# --------------------------------------------------------------------------
+
+_CONF_ALPHA_Q = 0.9
+
+
+def q_conformal_calibration(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    cal = orders.where(F.col("o_orderkey") % 2 == 0)
+    test = orders.where(F.col("o_orderkey") % 2 == 1)
+    model = cal.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_cal"),
+        (F.sum("p").cast("double") / F.count("*")).alias("pred"),
+    )
+    resid = cal.join(F.broadcast(model), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("p").cast("double") - F.col("pred")).alias("r"),
+    )
+    qhat = resid.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("r", _CONF_ALPHA_Q), 6).alias("q_hat")
+    )
+    t = test.join(F.broadcast(model), "o_orderpriority").join(
+        F.broadcast(qhat), "o_orderpriority"
+    )
+    covered = F.when(
+        F.abs(F.col("p").cast("double") - F.col("pred")) <= F.col("q_hat"), 1
+    ).otherwise(0)
+    return (
+        t.groupBy("o_orderpriority", "n_cal", "q_hat")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.round(
+                F.sum(covered).cast("double") / F.count("*"), 6
+            ).alias("coverage"),
+        )
+        .select(
+            "o_orderpriority", "n_cal", "n_test", "q_hat", "coverage"
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+CONFORMAL_CALIBRATION_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders
+),
+cal AS (SELECT * FROM o WHERE o_orderkey % 2 = 0),
+test AS (SELECT * FROM o WHERE o_orderkey % 2 = 1),
+model AS (
+  SELECT o_orderpriority, COUNT(*) AS n_cal,
+         CAST(SUM(p) AS DOUBLE) / COUNT(*) AS pred
+  FROM cal GROUP BY o_orderpriority
+),
+qhat AS (
+  SELECT cal.o_orderpriority,
+         round(quantile_cont(abs(CAST(p AS DOUBLE) - pred),
+                             {_CONF_ALPHA_Q}), 6) AS q_hat
+  FROM cal JOIN model USING (o_orderpriority)
+  GROUP BY cal.o_orderpriority
+)
+SELECT o_orderpriority, n_cal, COUNT(*) AS n_test, q_hat,
+       round(CAST(SUM(CASE WHEN abs(CAST(p AS DOUBLE) - pred) <= q_hat
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS coverage
+FROM test JOIN model USING (o_orderpriority) JOIN qhat USING (o_orderpriority)
+GROUP BY o_orderpriority, n_cal, q_hat
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "bloom_semi_join": Query(
         q_bloom_semi_join,
@@ -4534,5 +4750,15 @@ QUERIES = {
         q_contrastive_negatives,
         _contrastive_negatives_sql(),
         ("embeddings", "negative-sampling", "metadata-only"),
+    ),
+    "mahalanobis_outliers": Query(
+        q_mahalanobis_outliers,
+        MAHALANOBIS_OUTLIERS_SQL,
+        ("quality", "outliers", "mahalanobis"),
+    ),
+    "conformal_calibration": Query(
+        q_conformal_calibration,
+        CONFORMAL_CALIBRATION_SQL,
+        ("ml-eval", "conformal", "uncertainty"),
     ),
 }

@@ -659,6 +659,89 @@ JOIN und ON w.y = und.a AND w.z = und.b
 """
 
 # --------------------------------------------------------------------------
+# degree_assortativity — degree-degree correlation of the trade graph.
+#
+# Newman's assortativity coefficient: the Pearson correlation of
+# endpoint degrees over the distinct customer-supplier edges. r < 0
+# (hub-centred/disassortative) vs r > 0 (peer-to-peer) — and in
+# pipeline terms it predicts whether this join's skew CONCENTRATES
+# (hot customers meet hot suppliers on the same keys → salt) or
+# spreads. Degrees are exact integers; the five moment sums route
+# through DECIMAL(38,0) and the lineitem_corr double op-tree yields r.
+#
+# Scale: the edge list is one distinct over (custkey, suppkey); two
+# degree groupBys on it; the moment pass is partial+final agg. The
+# degree joins shuffle the edge frame — at 100 TB pre-bucket the edge
+# list by each key, or accept two exchanges of a (key, key, int) row.
+# No windows, no driver loops.
+# --------------------------------------------------------------------------
+
+
+def q_degree_assortativity(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cdeg = edges.groupBy("c").agg(F.count("*").alias("dc"))
+    sdeg = edges.groupBy("s").agg(F.count("*").alias("ds"))
+    j = edges.join(cdeg, "c").join(sdeg, "s")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = j.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(dec(F.col("dc"))).alias("sx"),
+        F.sum(dec(F.col("ds"))).alias("sy"),
+        F.sum(dec(F.col("dc") * F.col("ds"))).alias("sxy"),
+        F.sum(dec(F.col("dc") * F.col("dc"))).alias("sxx"),
+        F.sum(dec(F.col("ds") * F.col("ds"))).alias("syy"),
+    )
+    n = F.col("n_edges")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    return m.select(
+        "n_edges",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            10,
+        ).alias("assortativity"),
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+cdeg AS (SELECT c, COUNT(*) AS dc FROM edges GROUP BY c),
+sdeg AS (SELECT s, COUNT(*) AS ds FROM edges GROUP BY s),
+m AS (
+  SELECT COUNT(*) AS n_edges,
+         SUM(CAST(dc AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(ds AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(dc * ds AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(dc * dc AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(ds * ds AS DECIMAL(38,0))) AS syy
+  FROM edges JOIN cdeg USING (c) JOIN sdeg USING (s)
+)
+SELECT n_edges,
+       round((n_edges * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(n_edges * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(n_edges * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 10)
+         AS assortativity
+FROM m
+"""
+
+# --------------------------------------------------------------------------
 # histogram_quantiles — mergeable single-pass approximate quantiles.
 #
 # The 100 TB quantile path: fixed-width integer bins are mergeable
@@ -1588,6 +1671,12 @@ def q_ann_recall_report(spark, sf_dir):
 
     exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     total = K * N_QUERIES
+    # NOTE (r5): keep the per-retriever join+agg form. A measured
+    # union-all-approx-then-one-join rewrite was 45% SLOWER at sf0.1
+    # (8.3s vs 5.7s): the three independent per-part plans reuse the
+    # exact baseline's exchanges (ReusedExchange) and their small
+    # stages schedule in parallel, while the union serializes them
+    # behind one wide join.
     parts = []
     for name, fn in (
         ("ivf", q_ivf_ann_topk),
@@ -1978,6 +2067,11 @@ QUERIES = {
         q_touch_attribution,
         TOUCH_ATTRIBUTION_SQL,
         ("attribution", "window", "interval-join"),
+    ),
+    "degree_assortativity": Query(
+        q_degree_assortativity,
+        DEGREE_ASSORTATIVITY_SQL,
+        ("graph", "stats", "assortativity"),
     ),
     "trade_triangles": Query(
         q_trade_triangles, TRADE_TRIANGLES_SQL, ("graph", "triangles")

@@ -3452,6 +3452,107 @@ ORDER BY cur, rank
 """
 
 
+# --------------------------------------------------------------------------
+# kneser_ney_bigram — interpolated Kneser-Ney smoothing, the LM
+# estimator that actually ships in n-gram tokenER/quality stacks
+# (bigram_lm's Laplace is the classroom baseline; KN is what KenLM
+# uses). For the top bigrams: P_KN(nxt|cur) = (c(cur,nxt) − D)/c(cur)
+# + D·T(cur)/c(cur) · P_cont(nxt), with discount D = 0.75 (exactly
+# dyadic — no decimal-representation drift) and the continuation
+# probability P_cont(nxt) = |{u : c(u,nxt) > 0}| / |bigram types| —
+# "how many contexts does this word complete", the KN insight that
+# downweights frequent-but-context-bound words.
+#
+# Determinism: every input to the probability is an exact integer
+# count; the double op tree ((n−0.75)/c1 + (0.75·t1/c1)·(ctu/types))
+# is written identically in both engines, and D is a dyadic rational.
+#
+# Scale: all stats live on the (cur, nxt) bigram-type frame
+# (vocab²-bounded, corpus-independent); the top-20 ride
+# orderBy().limit() (distributed heap) and the per-context /
+# per-continuation aggregates are joined with the 20 survivors
+# broadcast — the big frames never shuffle twice.
+# --------------------------------------------------------------------------
+
+_KN_D = 0.75
+_KN_TOP = 20
+
+
+def q_kneser_ney_bigram(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(word_tokens(F.col("text")).alias("w"))
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda x, i: F.struct(
+                    x.alias("cur"),
+                    F.element_at(F.col("w"), i + 2).alias("nxt"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.cur", "bg.nxt")
+    counts = bigrams.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    ctx = counts.groupBy("cur").agg(
+        F.sum("n").alias("c1"), F.count("*").alias("t1")
+    )
+    cont = counts.groupBy("nxt").agg(F.count("*").alias("ctu"))
+    types = counts.agg(F.count("*").alias("types"))
+    top = counts.orderBy(F.desc("n"), "cur", "nxt").limit(_KN_TOP)
+    # probe the two big per-context aggregates with the 20 survivors
+    # BROADCAST — ctx/cont are vocab-sized and must not re-shuffle
+    j = (
+        ctx.join(F.broadcast(top), "cur")
+        .join(cont, "nxt")
+        .join(F.broadcast(types))
+    )
+    d = F.lit(_KN_D)
+    p_kn = (F.col("n") - d) / F.col("c1") + (
+        d * F.col("t1") / F.col("c1")
+    ) * (F.col("ctu") / F.col("types"))
+    return j.select(
+        "cur",
+        "nxt",
+        "n",
+        "c1",
+        "t1",
+        "ctu",
+        F.round(F.col("n") / F.col("c1"), 10).alias("p_mle"),
+        F.round(p_kn, 10).alias("p_kn"),
+    ).orderBy(F.desc("n"), "cur", "nxt")
+
+
+KNESER_NEY_BIGRAM_SQL = rf"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+', 0) AS w FROM documents
+),
+bigrams AS (
+  SELECT unnest(list_transform(range(0, len(w) - 1),
+                               i -> struct_pack(cur := w[i+1], nxt := w[i+2])),
+                recursive := true)
+  FROM toks WHERE len(w) >= 2
+),
+counts AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM bigrams GROUP BY cur, nxt
+),
+ctx AS (
+  SELECT cur, CAST(SUM(n) AS BIGINT) AS c1, COUNT(*) AS t1
+  FROM counts GROUP BY cur
+),
+cont AS (SELECT nxt, COUNT(*) AS ctu FROM counts GROUP BY nxt),
+types AS (SELECT COUNT(*) AS types FROM counts),
+top AS (
+  SELECT cur, nxt, n FROM counts ORDER BY n DESC, cur, nxt LIMIT {_KN_TOP}
+)
+SELECT cur, nxt, n, c1, t1, ctu,
+       round(n / CAST(c1 AS DOUBLE), 10) AS p_mle,
+       round((n - {_KN_D}) / c1 + ({_KN_D} * t1 / c1) * (ctu / CAST(types AS DOUBLE)), 10)
+         AS p_kn
+FROM top JOIN ctx USING (cur) JOIN cont USING (nxt), types
+ORDER BY n DESC, cur, nxt
+"""
+
+
 def q_source_divergence(spark, sf_dir):
     """Token-distribution divergence of each source from the corpus:
     total-variation distance TV(p_s, q) = ½ Σ_t |p_s(t) − q(t)| — the
@@ -3903,6 +4004,11 @@ QUERIES = {
     ),
     "vocab_coverage": Query(
         q_vocab_coverage, VOCAB_COVERAGE_SQL, ("text", "vocab", "zipf")
+    ),
+    "kneser_ney_bigram": Query(
+        q_kneser_ney_bigram,
+        KNESER_NEY_BIGRAM_SQL,
+        ("text", "ngram", "language-model", "kneser-ney"),
     ),
     "source_divergence": Query(
         q_source_divergence,

@@ -198,6 +198,7 @@ def test_tfidf_no_self_join(suite, spark):
 # construction: ANN query sets, range-band tables, 1-row aggregates.
 _INTENTIONAL_BNLJ = {
     "ann_retrieve_docs",      # broadcast top-k result
+    "kneser_ney_bigram",      # broadcast 1-row bigram-type total
     "budget_rebalance_sample",  # broadcast 1-row min + rate table
     "join_key_skew",          # broadcast 1-row key-stats agg
     "cosine_neardup_pairs",   # broadcast pair candidates
