@@ -62,6 +62,28 @@ def range_shard_boundaries(
     return [float(b) for b in row["bs"]]
 
 
+def approx_shard_boundaries(
+    df: DataFrame, key: str, n_shards: int, accuracy: int = 1000
+) -> list:
+    """Boundary cuts from the mergeable approx-percentile sketch — one
+    map-side partial agg, no exact single-group percentile sort. Use
+    where ANY monotone cut is correct: the two-phase rank/cumsum
+    splice (rowids, _sharded_sweep) recomputes exact offsets from the
+    ACTUAL shard contents, so boundary placement affects only load
+    balance, never results. Keep :func:`range_shard_boundaries` where
+    the cut placement itself is part of the contract (the reproducible
+    sharded-export layout)."""
+    if n_shards <= 1:
+        return []
+    qs = [i / n_shards for i in range(1, n_shards)]
+    row = df.agg(
+        F.percentile_approx(
+            key, F.array(*[F.lit(q) for q in qs]), F.lit(accuracy)
+        ).alias("bs")
+    ).collect()[0]
+    return list(row["bs"])
+
+
 def assign_range_shards(
     df: DataFrame, key: str, boundaries: list[float]
 ) -> DataFrame:

@@ -1652,8 +1652,8 @@ _CONC_CUTS = (1, 5, 10)  # percent
 
 def q_revenue_concentration(spark, sf_dir):
     from city_payroll_data_pipeline_spark.operators.sharding import (
+        approx_shard_boundaries,
         assign_range_shards,
-        range_shard_boundaries,
     )
 
     orders = table(spark, sf_dir, "orders")
@@ -1667,7 +1667,10 @@ def q_revenue_concentration(spark, sf_dir):
     # inside the shard by the same (spend DESC, custkey) sort the
     # oracle uses.
     per = per.withColumn("neg", (-F.col("spend")).cast("double"))
-    bounds = range_shard_boundaries(per, "neg", 8)
+    # consumed four times (boundaries, shard stats, main pass, grand
+    # totals): materialize the customer-level aggregate once
+    per = per.localCheckpoint()
+    bounds = approx_shard_boundaries(per, "neg", 8)
     tagged = assign_range_shards(per, "neg", bounds)
     stats = tagged.groupBy("shard").agg(
         F.count("*").alias("cnt_s"), F.sum("spend").alias("spend_s")
@@ -1974,11 +1977,18 @@ def _sharded_sweep(ticks, n_shards: int = 8):
     unpartitioned window is the n_shards-row offset prefix. `t` must
     be unique (the per-tick groupBy guarantees it)."""
     from city_payroll_data_pipeline_spark.operators.sharding import (
+        approx_shard_boundaries,
         assign_range_shards,
-        range_shard_boundaries,
     )
 
-    bounds = range_shard_boundaries(ticks, "t", n_shards)
+    # the ticks frame sits on top of the (expensive) sessionizer and is
+    # consumed three times below (boundary sketch, shard stats, the
+    # main pass) — materialize it once; it is session-scale, not
+    # event-scale (the train_bpe localCheckpoint precedent). Boundary
+    # cuts come from the approx sketch: the offset splice recomputes
+    # exact counts per ACTUAL shard, so any monotone cut is correct.
+    ticks = ticks.localCheckpoint()
+    bounds = approx_shard_boundaries(ticks, "t", n_shards)
     tagged = assign_range_shards(ticks, "t", bounds)
     stats = tagged.groupBy("shard").agg(
         F.sum("net").alias("_s"), F.min("t").alias("_first_t")
