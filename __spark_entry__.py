@@ -64,6 +64,13 @@ _ROUND_NEW = (
     "degree_assortativity",
     "mahalanobis_outliers",
     "conformal_calibration",
+    "embedding_spectral_norm",
+    "bpe_compression_curve",
+    "dedup_method_agreement",
+    "k_core_decay",
+    "l_diversity_audit",
+    "quantile_sketch_error",
+    "markov_stationary",
     "bpe_merges",  # graduated rows-only -> full oracle this round
     # --- round-5 priority: heaviest never-checked custom-determinism
     # machinery first (VERDICT r4 item 7) — an official hash verdict on

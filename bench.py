@@ -252,6 +252,16 @@ HEADLINE = [
     "degree_assortativity",
     "mahalanobis_outliers",
     "conformal_calibration",
+    # round-5 batch 2: spectral power iteration, tokenizer curve,
+    # dedup cross-method audit, k-core, privacy, sketch certification,
+    # stationary chain
+    "embedding_spectral_norm",
+    "bpe_compression_curve",
+    "dedup_method_agreement",
+    "k_core_decay",
+    "l_diversity_audit",
+    "quantile_sketch_error",
+    "markov_stationary",
 ]
 
 

@@ -188,6 +188,100 @@ ORDER BY src, dst
 
 
 # --------------------------------------------------------------------------
+# markov_stationary — stationary distribution of the event-type chain.
+#
+# markov_transitions gives the one-step probabilities; this gives the
+# long-run occupancy π (πP = π) — the "where does a user journey
+# settle" number behind capacity weighting and journey simulation.
+# Power iteration with the pagerank_scaled integer discipline: the
+# distributed pass builds the transition-count matrix once, then the
+# |types|²-row model iterates on the DRIVER in exact integers (mass
+# scaled by 1e12; per-edge truncating division replayed identically by
+# the oracle's unrolled HUGEINT CTE rounds). Dangling states (no
+# outgoing edge) leak their mass — identically in both engines.
+#
+# Scale: the matrix build is the only corpus-touching stage (one lead
+# window + one groupBy); the iteration is model-sized driver math,
+# the same bounded shape as the BPE merge table or kmeans centroids.
+# --------------------------------------------------------------------------
+
+_MKV_ITERS = 12
+_MKV_SCALE = 10 ** 12
+
+
+def q_markov_stationary(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count("*").alias("n"))
+    rows = counts.collect()
+    src_tot: dict[str, int] = {}
+    for r in rows:
+        src_tot[r["src"]] = src_tot.get(r["src"], 0) + r["n"]
+    states = sorted(src_tot.keys() | {r["dst"] for r in rows})
+    pi = {s: _MKV_SCALE // len(states) for s in states}
+    for _ in range(_MKV_ITERS):
+        nxt = dict.fromkeys(states, 0)
+        for r in rows:
+            nxt[r["dst"]] += pi[r["src"]] * r["n"] // src_tot[r["src"]]
+        pi = nxt
+    out = [(s, pi[s], pi[s] / float(_MKV_SCALE)) for s in states]
+    return spark.createDataFrame(
+        out, "event_type string, pi_scaled long, pi double"
+    ).orderBy("event_type")
+
+
+def _markov_stationary_sql() -> str:
+    ctes = [
+        """counts AS MATERIALIZED (
+  SELECT src, dst, COUNT(*) AS n FROM (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL GROUP BY src, dst
+)""",
+        """tot AS MATERIALIZED (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS t FROM counts GROUP BY src
+)""",
+        """states AS MATERIALIZED (
+  SELECT DISTINCT s FROM (
+    SELECT src AS s FROM counts UNION SELECT dst FROM counts
+  )
+)""",
+        f"""p0 AS MATERIALIZED (
+  SELECT s, CAST({_MKV_SCALE} // (SELECT COUNT(*) FROM states) AS HUGEINT)
+           AS m
+  FROM states
+)""",
+    ]
+    for k in range(1, _MKV_ITERS + 1):
+        prev = f"p{k - 1}"
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT st.s, COALESCE(mass.m, 0) AS m FROM states st
+  LEFT JOIN (
+    SELECT dst AS s, CAST(SUM(p.m * n // t) AS HUGEINT) AS m
+    FROM counts JOIN tot USING (src) JOIN {prev} p ON p.s = counts.src
+    GROUP BY dst
+  ) mass USING (s)
+)""")
+    return f"""WITH {', '.join(ctes)}
+SELECT s AS event_type, CAST(m AS BIGINT) AS pi_scaled,
+       CAST(m AS DOUBLE) / {float(_MKV_SCALE)} AS pi
+FROM p{_MKV_ITERS} ORDER BY event_type"""
+
+
+MARKOV_STATIONARY_SQL = _markov_stationary_sql()
+
+
+# --------------------------------------------------------------------------
 # twap_price — duration-weighted average price per brand.
 #
 # Irregular time series: consecutive shipments of a part define
@@ -4537,6 +4631,11 @@ QUERIES = {
         q_markov_transitions,
         MARKOV_TRANSITIONS_SQL,
         ("events", "markov", "window"),
+    ),
+    "markov_stationary": Query(
+        q_markov_stationary,
+        MARKOV_STATIONARY_SQL,
+        ("events", "markov", "iterative"),
     ),
     "twap_price": Query(
         q_twap_price, TWAP_PRICE_SQL, ("time-series", "twap", "integer-exact")

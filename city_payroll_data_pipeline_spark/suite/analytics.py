@@ -742,6 +742,197 @@ FROM m
 """
 
 # --------------------------------------------------------------------------
+# k_core_decay — unrolled k-core peeling of the trade graph.
+#
+# The k-core (maximal subgraph where every node keeps degree ≥ k) is
+# the standard "dense backbone" extractor — spam-farm detection,
+# community cores, robust-hub identification. Peeling is inherently
+# iterative (removing a node lowers its neighbours' degrees), but a
+# FIXED round budget unrolls exactly (the kmeans/bpe replay trick):
+# each round recomputes degrees and keeps edges whose both endpoints
+# clear k. The per-round (nodes_left, edges_left) trace doubles as a
+# convergence certificate — equal consecutive rows == fixpoint
+# reached. k itself is data-derived (⌈p75 of initial degree⌉) so the
+# cut scales with the graph instead of a constant a dense graph
+# ignores.
+#
+# Scale: per round, one degree groupBy + two semi joins on the edge
+# list; node labels are side-tagged strings so the bipartite sides
+# can't collide. The per-round stats are bounded driver reads (the
+# pagerank convergence pattern). At 100 TB run O(log n) rounds — the
+# trace shows how few are needed.
+# --------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 5
+
+
+def q_k_core_decay(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg0 = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    k = int(
+        deg0.agg(F.ceil(F.percentile("d", 0.75)).alias("k")).collect()[0]["k"]
+    )
+    rows = []
+    cur = edges
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        edges_left = cur.count()
+        nodes_left = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .distinct()
+            .count()
+        )
+        rows.append((rnd, k, nodes_left, int(edges_left)))
+    return spark.createDataFrame(
+        rows, "round int, k int, nodes_left bigint, edges_left bigint"
+    )
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        """kk AS MATERIALIZED (
+  SELECT CAST(ceil(quantile_cont(d, 0.75)) AS BIGINT) AS k FROM (
+    SELECT node, COUNT(*) AS d FROM (
+      SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+    ) GROUP BY node
+  )
+)""",
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        prev = f"e{r - 1}"
+        ctes.append(f"""d{r} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+  ) GROUP BY node
+)""")
+        ctes.append(f"""e{r} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT node FROM d{r} WHERE d >= (SELECT k FROM kk))
+    AND v IN (SELECT node FROM d{r} WHERE d >= (SELECT k FROM kk))
+)""")
+    parts = [
+        f"""SELECT {r} AS round, (SELECT CAST(k AS INTEGER) FROM kk) AS k,
+  (SELECT COUNT(DISTINCT node) FROM
+    (SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r})) AS nodes_left,
+  (SELECT COUNT(*) FROM e{r}) AS edges_left"""
+        for r in range(1, _KCORE_ROUNDS + 1)
+    ]
+    return (
+        f"WITH {', '.join(ctes)} "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY round"
+    )
+
+
+K_CORE_DECAY_SQL = _kcore_sql()
+
+
+# --------------------------------------------------------------------------
+# l_diversity_audit — the release gate k-anonymity alone misses.
+#
+# A class can be k-anonymous yet fully re-identifying if every member
+# shares the SAME sensitive value (the homogeneity attack); l-diversity
+# requires ≥ l distinct sensitive values per quasi-identifier class.
+# QI = (nation, market segment); sensitive = account-balance band.
+# Reports, per l threshold, how many classes and rows fall below.
+#
+# Scale: one groupBy on the QI tuple with a COUNT DISTINCT over the
+# band (both exact); the threshold fan-out runs on the class frame.
+# --------------------------------------------------------------------------
+
+_LDIV_THRESHOLDS = (2, 3, 5)
+
+
+def q_l_diversity_audit(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.countDistinct("bal_band").alias("l"),
+            F.count("*").alias("class_size"),
+        )
+    )
+    return (
+        classes.select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(t) for t in _LDIV_THRESHOLDS])
+            ).alias("l_min"),
+        )
+        .groupBy("l_min")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum(
+                F.when(F.col("l") < F.col("l_min"), 1).otherwise(0)
+            ).alias("n_classes_below"),
+            F.sum(
+                F.when(
+                    F.col("l") < F.col("l_min"), F.col("class_size")
+                ).otherwise(0)
+            ).alias("n_rows_exposed"),
+        )
+        .orderBy("l_min")
+    )
+
+
+L_DIVERSITY_AUDIT_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(DISTINCT FLOOR(c_acctbal / 1000)) AS l,
+         COUNT(*) AS class_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+th AS (SELECT unnest([{', '.join(str(t) for t in _LDIV_THRESHOLDS)}]) AS l_min)
+SELECT l_min,
+       COUNT(*) AS n_classes,
+       CAST(SUM(CASE WHEN l < l_min THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below,
+       CAST(SUM(CASE WHEN l < l_min THEN class_size ELSE 0 END) AS BIGINT)
+         AS n_rows_exposed
+FROM classes, th
+GROUP BY l_min
+ORDER BY l_min
+"""
+
+
+# --------------------------------------------------------------------------
 # histogram_quantiles — mergeable single-pass approximate quantiles.
 #
 # The 100 TB quantile path: fixed-width integer bins are mergeable
@@ -812,6 +1003,118 @@ WHERE cum * 100 >= q * (SELECT total FROM tot)
 GROUP BY q
 ORDER BY q
 """
+
+# --------------------------------------------------------------------------
+# quantile_sketch_error — certify the mergeable binned-quantile path
+# against exact rank-k order statistics.
+#
+# histogram_quantiles is the 100 TB quantile path; this query is its
+# accuracy certificate (the ann_recall_report pattern): for each q it
+# reports the sketch's bin edge, the TRUE rank-⌈q·n/100⌉ value, and
+# whether the error sits inside the bin-width bound the sketch
+# promises. The exact value is recovered scale-safely: the cumulative
+# bin histogram locates the one bin containing rank k, and only THAT
+# bin's rows are ranked (a partitioned window over a bin-bounded
+# frame) — never a global sort.
+#
+# Determinism: prices ride exact DECIMAL cents; every comparison and
+# division is integer until the final /100 display cast.
+# --------------------------------------------------------------------------
+
+_QERR_QS = (50, 90, 99)
+
+
+def q_quantile_sketch_error(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    prices = li.select(cents.alias("c")).withColumn(
+        "bin", F.expr(f"c div {_HQ_BIN_CENTS}")
+    )
+    bins = prices.groupBy("bin").agg(F.count("*").alias("n"))
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = bins.withColumn("cum", F.sum("n").over(w)).crossJoin(
+        F.broadcast(prices.agg(F.count("*").alias("total")))
+    )
+    qs = spark.createDataFrame([(q,) for q in _QERR_QS], "q int")
+    qbins = (
+        cum.join(
+            F.broadcast(qs),
+            F.col("cum") * 100 >= F.col("q") * F.col("total"),
+        )
+        .groupBy("q", "total")
+        .agg(
+            F.min("bin").alias("qbin"),
+            F.min_by(F.col("cum") - F.col("n"), F.col("bin")).alias(
+                "cum_before"
+            ),
+        )
+        .withColumn(
+            "k", F.ceil(F.col("q") * F.col("total") / 100).cast("bigint")
+        )
+    )
+    in_bin = prices.join(F.broadcast(qbins), prices["bin"] == qbins["qbin"])
+    wq = W.partitionBy("q").orderBy("c")
+    exact = (
+        in_bin.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == F.col("k") - F.col("cum_before"))
+        .select("q", "qbin", "c")
+    )
+    err = F.col("c") - F.col("qbin") * _HQ_BIN_CENTS
+    return exact.select(
+        "q",
+        (F.col("qbin") * _HQ_BIN_CENTS / F.lit(100.0)).alias("approx_value"),
+        (F.col("c") / F.lit(100.0)).alias("exact_value"),
+        err.alias("abs_err_cents"),
+        ((err >= 0) & (err < _HQ_BIN_CENTS)).alias("within_bin_bound"),
+    ).orderBy("q")
+
+
+QUANTILE_SKETCH_ERROR_SQL = f"""
+WITH prices AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // {_HQ_BIN_CENTS} AS bin
+  FROM lineitem
+),
+bins AS (SELECT bin, COUNT(*) AS n FROM prices GROUP BY bin),
+cum AS (
+  SELECT bin, n,
+         CAST(SUM(n) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM bins
+),
+tot AS (SELECT COUNT(*) AS total FROM prices),
+qs AS (SELECT UNNEST([{', '.join(str(q) for q in _QERR_QS)}]) AS q),
+qbins AS (
+  SELECT q, total, MIN(bin) AS qbin,
+         MIN_BY(cum - n, bin) AS cum_before,
+         CAST(ceil(q * total / 100.0) AS BIGINT) AS k
+  FROM cum, qs, tot
+  WHERE cum * 100 >= q * total
+  GROUP BY q, total
+),
+exact AS (
+  SELECT q, qbin, c FROM (
+    SELECT qb.q, qb.qbin, p.c, qb.k, qb.cum_before,
+           ROW_NUMBER() OVER (PARTITION BY qb.q ORDER BY p.c) AS rn
+    FROM prices p JOIN qbins qb ON p.bin = qb.qbin
+  ) WHERE rn = k - cum_before
+)
+SELECT q,
+       CAST(qbin * {_HQ_BIN_CENTS} AS DOUBLE) / 100.0 AS approx_value,
+       CAST(c AS DOUBLE) / 100.0 AS exact_value,
+       c - qbin * {_HQ_BIN_CENTS} AS abs_err_cents,
+       (c - qbin * {_HQ_BIN_CENTS} >= 0
+        AND c - qbin * {_HQ_BIN_CENTS} < {_HQ_BIN_CENTS}) AS within_bin_bound
+FROM exact
+ORDER BY q
+"""
+
 
 # --------------------------------------------------------------------------
 # mad_outliers — robust per-source outlier detection via median
@@ -2072,6 +2375,21 @@ QUERIES = {
         q_degree_assortativity,
         DEGREE_ASSORTATIVITY_SQL,
         ("graph", "stats", "assortativity"),
+    ),
+    "k_core_decay": Query(
+        q_k_core_decay,
+        K_CORE_DECAY_SQL,
+        ("graph", "k-core", "iterative"),
+    ),
+    "l_diversity_audit": Query(
+        q_l_diversity_audit,
+        L_DIVERSITY_AUDIT_SQL,
+        ("privacy", "governance", "l-diversity"),
+    ),
+    "quantile_sketch_error": Query(
+        q_quantile_sketch_error,
+        QUANTILE_SKETCH_ERROR_SQL,
+        ("quantiles", "sketch", "certification"),
     ),
     "trade_triangles": Query(
         q_trade_triangles, TRADE_TRIANGLES_SQL, ("graph", "triangles")

@@ -3309,6 +3309,163 @@ BPE_MERGES_SQL = _bpe_merges_sql()
 
 
 # --------------------------------------------------------------------------
+# bpe_compression_curve — fertility vs merge budget (the tokenizer
+# sizing curve). "How many more merges are still buying compression"
+# decides the vocab size of a production tokenizer; the curve reports
+# corpus tokens-per-word after 0/2/4/8 learned merges. The encode cost
+# rides the VOCABULARY histogram, not the corpus: each word is
+# encoded once per k and weighted by its count (the same
+# distinct-word trick the bpe_encode_tokens oracle uses), and the
+# intermediate fold states are shared — sym_4 extends sym_2 extends
+# sym_0 in one projection.
+#
+# Oracle: the bpe_replay_ctes fit already materializes the vocabulary
+# after every merge (t0, t2, t4, t8) — the curve is four SUMs over
+# those frames.
+# --------------------------------------------------------------------------
+
+_CURVE_KS = (0, 2, 4, 8)
+
+
+def q_bpe_compression_curve(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True).select("text")
+    merges = bpe.train_bpe(docs, "text", n_merges=max(_CURVE_KS))
+    hist = bpe.word_histogram(docs, "text")
+    cur = F.split(F.col("word"), "")
+    sizes = {0: F.size(cur)}
+    for idx, (l, r, _) in enumerate(merges, start=1):
+        cur = bpe._merge_pair(cur, l, r)
+        if idx in _CURVE_KS:
+            sizes[idx] = F.size(cur)
+    agg = hist.select(
+        "count", *[sizes[k].alias(f"s{k}") for k in _CURVE_KS]
+    ).agg(
+        F.sum("count").alias("words"),
+        *[
+            F.sum(F.col(f"s{k}") * F.col("count")).alias(f"t{k}")
+            for k in _CURVE_KS
+        ],
+    )
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("n_merges"),
+                            F.col(f"t{k}").alias("bpe_tokens"),
+                            F.col("words").alias("words"),
+                        )
+                        for k in _CURVE_KS
+                    ]
+                )
+            ).alias("r")
+        )
+        .select(
+            "r.n_merges",
+            "r.bpe_tokens",
+            "r.words",
+            F.round(F.col("r.bpe_tokens") / F.col("r.words"), 6).alias(
+                "tokens_per_word"
+            ),
+        )
+        .orderBy("n_merges")
+    )
+
+
+def _bpe_curve_sql() -> str:
+    cte_block, _ = bpe_replay_ctes(max(_CURVE_KS))
+    s = "chr(31)"
+    parts = [
+        f"""SELECT {k} AS n_merges,
+  CAST(SUM(cnt * len(string_split(trim(canon, {s}), {s}||{s}))) AS BIGINT)
+    AS bpe_tokens,
+  CAST(SUM(cnt) AS BIGINT) AS words
+FROM t{k}"""
+        for k in _CURVE_KS
+    ]
+    union = " UNION ALL ".join(parts)
+    return f"""WITH {cte_block},
+curve AS ({union})
+SELECT n_merges, bpe_tokens, words,
+       round(bpe_tokens / CAST(words AS DOUBLE), 6) AS tokens_per_word
+FROM curve ORDER BY n_merges"""
+
+
+BPE_COMPRESSION_CURVE_SQL = _bpe_curve_sql()
+
+
+# --------------------------------------------------------------------------
+# dedup_method_agreement — cross-method audit of the two near-dup pair
+# pipelines. LSH-minhash (probabilistic candidates, exact verify) and
+# rare-shingle blocking (deterministic candidates, exact verify) hunt
+# the same Jaccard≥0.5 pairs with different blind spots: minhash
+# misses pairs whose signatures never collide in any band, blocking
+# misses pairs with no rare shared shingle. The audit full-outer-joins
+# the two pair sets and reports each-only counts and the pair-set
+# Jaccard — the number that says whether the cheap scale path (LSH)
+# is recall-adequate before a 100 TB run commits to it. Composes both
+# existing pipelines (and, on the oracle side, their SQL verbatim) —
+# the ann_recall_report pattern for the dedup family.
+#
+# Scale: the joined frames are PAIR sets (already threshold-filtered,
+# ≪ corpus); the underlying pipelines keep their own scale guards.
+# --------------------------------------------------------------------------
+
+
+def q_dedup_method_agreement(spark, sf_dir):
+    mh = q_minhash_dedup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ng = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    j = mh.withColumn("in_mh", F.lit(1)).join(
+        ng.withColumn("in_ng", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    both = F.sum(
+        F.when(
+            F.col("in_mh").isNotNull() & F.col("in_ng").isNotNull(), 1
+        ).otherwise(0)
+    )
+    n_mh = F.sum(F.when(F.col("in_mh").isNotNull(), 1).otherwise(0))
+    n_ng = F.sum(F.when(F.col("in_ng").isNotNull(), 1).otherwise(0))
+    return j.agg(
+        n_mh.alias("n_minhash"),
+        n_ng.alias("n_ngram"),
+        both.alias("n_both"),
+        (n_mh - both).alias("minhash_only"),
+        (n_ng - both).alias("ngram_only"),
+        F.round(both / (n_mh + n_ng - both), 6).alias("pair_set_jaccard"),
+    )
+
+
+def _dedup_agreement_sql() -> str:
+    return f"""
+WITH mh AS ({MINHASH_DEDUP_PAIRS_SQL}),
+ng AS ({NGRAM_JACCARD_PAIRS_SQL}),
+j AS (
+  SELECT (mh.doc_a IS NOT NULL) AS in_mh,
+         (ng.doc_a IS NOT NULL) AS in_ng
+  FROM mh FULL OUTER JOIN ng
+    ON mh.doc_a = ng.doc_a AND mh.doc_b = ng.doc_b
+)
+SELECT CAST(SUM(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
+       CAST(SUM(CASE WHEN in_ng THEN 1 ELSE 0 END) AS BIGINT) AS n_ngram,
+       CAST(SUM(CASE WHEN in_mh AND in_ng THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       CAST(SUM(CASE WHEN in_mh THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN in_mh AND in_ng THEN 1 ELSE 0 END) AS BIGINT)
+         AS minhash_only,
+       CAST(SUM(CASE WHEN in_ng THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN in_mh AND in_ng THEN 1 ELSE 0 END) AS BIGINT)
+         AS ngram_only,
+       round(SUM(CASE WHEN in_mh AND in_ng THEN 1 ELSE 0 END)
+             / CAST(SUM(CASE WHEN in_mh THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN in_ng THEN 1 ELSE 0 END)
+                    - SUM(CASE WHEN in_mh AND in_ng THEN 1 ELSE 0 END)
+                    AS DOUBLE), 6) AS pair_set_jaccard
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
 # Corpus index / language-model analytics: inverted index postings,
 # bigram continuation probabilities, vocabulary coverage — the
 # search-index and tokenizer-diagnostics side of a corpus pipeline.
@@ -4019,6 +4176,16 @@ QUERIES = {
         q_bpe_merges,
         BPE_MERGES_SQL,
         ("text", "bpe", "tokenizer", "iterative"),
+    ),
+    "bpe_compression_curve": Query(
+        q_bpe_compression_curve,
+        BPE_COMPRESSION_CURVE_SQL,
+        ("text", "bpe", "tokenizer", "curve"),
+    ),
+    "dedup_method_agreement": Query(
+        q_dedup_method_agreement,
+        _dedup_agreement_sql(),
+        ("dedup", "audit", "recall"),
     ),
     "doc_bpe_tokens": Query(q_doc_bpe_tokens, DOC_BPE_TOKENS_SQL, ("text", "bpe")),
     "doc_lang_id": Query(q_doc_lang_id, DOC_LANG_ID_SQL, ("text", "langid")),

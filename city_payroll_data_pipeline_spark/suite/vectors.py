@@ -761,7 +761,154 @@ ORDER BY label, predicted
 """
 
 
+# --------------------------------------------------------------------------
+# embedding_spectral_norm — top-eigenvalue diagnostics of the corpus
+# embedding matrix via distributed power iteration.
+#
+# Embedding collapse (every vector pointing roughly one way) silently
+# ruins retrieval and dedup; the canonical detector is the spectral
+# norm / top-eigenvalue share of the Gram matrix. Power iteration maps
+# to plain distributed primitives: each round is ONE pass computing
+# s_row = ⟨qv, v⟩ (map-side) and w = Σ_rows qv·s (64 groups), with the
+# 64-vector normalize on the driver — the same bounded driver-read
+# shape as the kmeans fit. v is carried as SCALED INTEGERS (1e6 grid)
+# so every per-round quantity is exact (dot products int64, the
+# per-dimension sums DECIMAL(38,0)); normalization is truncating
+# integer division on non-negative operands — bit-replayable, which is
+# how the oracle unrolls the whole fit in SQL.
+#
+# Scale: ITERS passes over the embeddings, each a narrow projection +
+# a 64-group aggregate; no corpus shuffle, no d×d Gram materialized.
+# --------------------------------------------------------------------------
+
+_SPECTRAL_ITERS = 6
+_SPECTRAL_VSCALE = 10 ** 6
+_QUANT2 = sim.QUANT * sim.QUANT
+
+
+def q_embedding_spectral_norm(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    qv = emb.select(sim.quantize(F.col("embedding")).alias("qv"))
+    # consumed once per iteration + twice at the end — materialize
+    qv = qv.localCheckpoint()
+    dim = len(qv.limit(1).collect()[0]["qv"])
+
+    def dot_lit(v):
+        vlit = F.lit(v).cast("array<bigint>")
+        return F.aggregate(
+            F.zip_with(F.col("qv"), vlit, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    v = [_SPECTRAL_VSCALE] * dim
+    for _ in range(_SPECTRAL_ITERS):
+        w_rows = (
+            qv.select(dot_lit(v).alias("s"), "qv")
+            .select(F.posexplode(F.transform("qv", lambda x: x * F.col("s"))))
+            .groupBy("pos")
+            .agg(F.sum(F.col("col").cast("decimal(38,0)")).alias("w"))
+            .collect()
+        )
+        w = [0] * dim
+        for r in w_rows:
+            w[r["pos"]] = int(r["w"])
+        m = max(abs(x) for x in w)
+        # sign·(|w|·S // m): floor div on non-negative operands ==
+        # truncation — replayed identically by DuckDB's HUGEINT //
+        v = [
+            (1 if x >= 0 else -1) * (abs(x) * _SPECTRAL_VSCALE // m)
+            for x in w
+        ]
+    den = sum(x * x for x in v)  # ≤ 64·1e12: exact in a double
+    n2 = F.aggregate(
+        F.col("qv"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    agg = qv.select(
+        dot_lit(v).cast("decimal(19,0)").alias("sd"), n2.alias("n2")
+    ).agg(
+        F.count("*").alias("n_vectors"),
+        F.sum((F.col("sd") * F.col("sd")).cast("decimal(38,0)")).alias("num"),
+        F.sum(F.col("n2").cast("decimal(38,0)")).alias("trace"),
+    )
+    lam = agg["num"].cast("double") / F.lit(float(den))
+    trace_d = F.col("trace").cast("double")
+    return agg.select(
+        "n_vectors",
+        F.lit(dim).alias("dim"),
+        F.round(
+            F.sqrt(lam) / F.lit(float(_QUANT2) ** 0.5), 6
+        ).alias("spectral_norm_unit"),
+        F.round(lam / trace_d, 6).alias("top_eig_share"),
+        F.round(trace_d / F.lit(float(_QUANT2)), 6).alias("trace_unit"),
+    )
+
+
+def _spectral_sql(dim: int = 64) -> str:
+    ctes = [
+        f"""qv AS MATERIALIZED (
+  SELECT vec_id AS rid, {_QUANT_SQL} AS q FROM embeddings
+)""",
+        f"""ux AS MATERIALIZED (
+  SELECT rid, i, q[i] AS x
+  FROM qv, generate_series(1, {dim}) AS g(i)
+)""",
+        f"""v0 AS MATERIALIZED (
+  SELECT i, CAST({_SPECTRAL_VSCALE} AS HUGEINT) AS vi
+  FROM generate_series(1, {dim}) AS g(i)
+)""",
+    ]
+    for k in range(1, _SPECTRAL_ITERS + 1):
+        ctes.append(f"""s{k} AS MATERIALIZED (
+  SELECT rid, CAST(SUM(x * vi) AS BIGINT) AS s
+  FROM ux JOIN v{k - 1} USING (i) GROUP BY rid
+)""")
+        ctes.append(f"""w{k} AS MATERIALIZED (
+  SELECT i, CAST(SUM(CAST(x AS HUGEINT) * s) AS HUGEINT) AS w
+  FROM ux JOIN s{k} USING (rid) GROUP BY i
+)""")
+        ctes.append(
+            f"m{k} AS MATERIALIZED (SELECT MAX(abs(w)) AS m FROM w{k})"
+        )
+        ctes.append(f"""v{k} AS MATERIALIZED (
+  SELECT i, (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+            * ((abs(w) * {_SPECTRAL_VSCALE}) // m) AS vi
+  FROM w{k}, m{k}
+)""")
+    n = _SPECTRAL_ITERS
+    return f"""WITH {', '.join(ctes)},
+den AS (SELECT SUM(vi * vi) AS den FROM v{n}),
+sf AS (
+  SELECT rid, CAST(SUM(x * vi) AS HUGEINT) AS s
+  FROM ux JOIN v{n} USING (i) GROUP BY rid
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM qv) AS n_vectors,
+         CAST(SUM(s * s) AS DECIMAL(38,0)) AS num,
+         (SELECT CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0))
+          FROM ux) AS trace
+  FROM sf
+)
+SELECT n_vectors, {dim} AS dim,
+       round(sqrt(CAST(num AS DOUBLE)
+                  / (SELECT CAST(den AS DOUBLE) FROM den))
+             / sqrt({float(_QUANT2)}), 6) AS spectral_norm_unit,
+       round((CAST(num AS DOUBLE) / (SELECT CAST(den AS DOUBLE) FROM den))
+             / CAST(trace AS DOUBLE), 6) AS top_eig_share,
+       round(CAST(trace AS DOUBLE) / {float(_QUANT2)}, 6) AS trace_unit
+FROM agg
+"""
+
+
+EMBEDDING_SPECTRAL_NORM_SQL = _spectral_sql()
+
+
 QUERIES = {
+    "embedding_spectral_norm": Query(
+        q_embedding_spectral_norm,
+        EMBEDDING_SPECTRAL_NORM_SQL,
+        ("vector", "spectral", "iterative"),
+    ),
     "embedding_norms": Query(q_embedding_norms, EMBEDDING_NORMS_SQL, ("vector",)),
     "nearest_centroid_eval": Query(
         q_nearest_centroid_eval,

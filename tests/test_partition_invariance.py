@@ -50,6 +50,13 @@ REPRESENTATIVES = [
     "cramers_v",                # decimal-routed chi-square cell sums
     "mann_whitney_test",        # pooled rank sums with tie averaging
     "rfm_segments_scaled",      # ntile-without-global-sort machinery
+    # round-5 machinery
+    "peak_concurrency",         # _sharded_sweep splice + approx boundaries
+    "revenue_concentration",    # sharded rank + running-sum splice
+    "embedding_spectral_norm",  # integer power iteration, driver normalize
+    "kneser_ney_bigram",        # bigram-type stats + TakeOrdered survivors
+    "markov_stationary",        # collected matrix + exact integer iteration
+    "quantile_sketch_error",    # bin cumsum + rank-in-located-bin
 ]
 
 

@@ -213,6 +213,7 @@ _INTENTIONAL_BNLJ = {
     "pps_weighted_sample",    # broadcast 1-row weight-total scalar
     "ks_source_drift",        # broadcast 1-row group-sizes scalar
     "histogram_quantiles",    # broadcast 1-row total + 3-row quantile probes
+    "quantile_sketch_error",  # same 1-row total + 3-row quantile probes
     "discriminative_terms",   # broadcast 1-row grand-total scalar
     "k_anonymity_audit",      # broadcast 3-row k-threshold probes
     "chunk_dedup_rate",       # broadcast 1-row distinct-count scalar
@@ -286,6 +287,7 @@ _UNPARTITIONED_WINDOW_OK = {
     "heaps_law_curve": "cumsum over the decile spine",
     "hill_tail_index": "top-k order-statistics frame (k bounded)",
     "histogram_quantiles": "cumsum over the bucket-level aggregate",
+    "quantile_sketch_error": "cumsum over the bucket-level aggregate",
     "key_gini_skew": "cumsum over distinct multiplicities (≪ keys)",
     "ks_source_drift": "cumsum over distinct values (≪ rows)",
     "length_deciles": "NTILE audit variant; *_scaled has no global sort",

@@ -229,6 +229,48 @@ def test_ntile_no_global_sort_matches_window_with_nulls(
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),
+            st.integers(min_value=-3, max_value=3),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda x: x[0],
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_sharded_sweep_matches_global_window(spark, ticks, n_shards):
+    """For ANY (t, net) tick set and shard count, the sharded
+    running-count + cross-shard lead equals the single-reducer
+    window form — the equivalence the r5 peak_concurrency /
+    session_coverage rewrites rest on."""
+    from pyspark.sql import Window as W
+
+    from city_payroll_data_pipeline_spark.suite.advanced import (
+        _sharded_sweep,
+    )
+
+    df = spark.createDataFrame(ticks, "t long, net long")
+    got = {
+        r["t"]: (r["active"], r["t_next"])
+        for r in _sharded_sweep(df, n_shards=n_shards).collect()
+    }
+    w = W.orderBy("t")
+    want = {
+        r["t"]: (r["active"], r["t_next"])
+        for r in df.withColumn(
+            "active",
+            F.sum("net").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .withColumn("t_next", F.lead("t").over(w))
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
         st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
         min_size=2,
         max_size=10,
