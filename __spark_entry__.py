@@ -71,6 +71,7 @@ _ROUND_NEW = (
     "l_diversity_audit",
     "quantile_sketch_error",
     "markov_stationary",
+    "weighted_reservoir_sample",
     "bpe_merges",  # graduated rows-only -> full oracle this round
     # --- round-5 priority: heaviest never-checked custom-determinism
     # machinery first (VERDICT r4 item 7) — an official hash verdict on

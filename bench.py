@@ -262,6 +262,7 @@ HEADLINE = [
     "l_diversity_audit",
     "quantile_sketch_error",
     "markov_stationary",
+    "weighted_reservoir_sample",
 ]
 
 

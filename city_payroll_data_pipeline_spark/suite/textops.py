@@ -2259,6 +2259,75 @@ WHERE {_HASH_BUCKET_SQL} < 10
 """
 
 
+# --------------------------------------------------------------------------
+# weighted_reservoir_sample — exact-k weighted sampling WITHOUT
+# replacement (Efraimidis-Spirakis A-ES). hash_sample_docs keeps a
+# fixed RATE; training loaders usually want exactly k items with
+# inclusion probability ∝ weight (here: token count, so long docs are
+# proportionally favored). A-ES reduces that to a top-k: key_i =
+# u_i^(1/w_i) with u_i uniform — rank by ln(u_i)/w_i (monotone
+# transform, better conditioned near 1). u comes from the md5 bucket
+# hash (+1 so ln never sees 0), exact integer → one double division;
+# ln rides the 10-dp-round discipline the bm25 idf established (a
+# last-ulp libm difference cannot flip a rounded key, and ties break
+# on doc_id).
+#
+# Scale: map-side scoring + TakeOrderedAndProject — no shuffle, no RNG
+# state, the sample is identical under any partitioning/engine/run,
+# which is what makes it resumable.
+# --------------------------------------------------------------------------
+
+_RESERVOIR_K = 20
+_RES_DEN = float(2 ** 48 + 1)
+
+
+def q_weighted_reservoir_sample(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from city_payroll_data_pipeline_spark.functions.text import hex_to_long
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    w = token_count(F.col("text"))
+    u = (
+        hex_to_long(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12)
+        )
+        + 1
+    ) / F.lit(_RES_DEN)
+    scored = docs.select(
+        "doc_id",
+        w.alias("weight"),
+        F.round(F.log(u) / w, 10).alias("key"),
+    ).where(F.col("weight") > 0)
+    top = scored.orderBy(F.desc("key"), "doc_id").limit(_RESERVOIR_K)
+    wr = W.orderBy(F.desc("key"), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(wr))
+        .select("rank", "doc_id", "weight", "key")
+        .orderBy("rank")
+    )
+
+
+WEIGHTED_RESERVOIR_SAMPLE_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+', 0)) AS weight,
+         round(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                        AS BIGINT) + 1) / {_RES_DEN})
+               / len(regexp_extract_all(text, '\S+', 0)), 10) AS key
+  FROM documents
+  WHERE len(regexp_extract_all(text, '\S+', 0)) > 0
+),
+top AS (
+  SELECT doc_id, weight, key FROM scored
+  ORDER BY key DESC, doc_id LIMIT {_RESERVOIR_K}
+)
+SELECT ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rank,
+       doc_id, weight, key
+FROM top ORDER BY rank
+"""
+
+
 # per-language keep rates (percent): downsample the dominant language,
 # keep the tail — the corpus-rebalancing pass before training mixes
 _STRATA_RATES = {"en": 30, "zh": 80, "es": 80, "de": 80, "fr": 80}
@@ -4313,6 +4382,11 @@ QUERIES = {
         q_contamination_check,
         CONTAMINATION_CHECK_SQL,
         ("text", "decontamination"),
+    ),
+    "weighted_reservoir_sample": Query(
+        q_weighted_reservoir_sample,
+        WEIGHTED_RESERVOIR_SAMPLE_SQL,
+        ("sampling", "reservoir", "weighted"),
     ),
     "hash_sample_docs": Query(
         q_hash_sample_docs, HASH_SAMPLE_DOCS_SQL, ("sample", "deterministic")

@@ -306,6 +306,8 @@ _UNPARTITIONED_WINDOW_OK = {
         "risk-set cumsum over <= horizon+1 distinct day values",
     "stable_doc_ids": "n_shards-row offset prefix sum (rowids)",
     "vocab_coverage": "cumsum over the K=20 survivors of orderBy().limit()",
+    "weighted_reservoir_sample":
+        "rank over the K=20 survivors of orderBy().limit()",
     "zipf_slope": "rank over the K=500 survivors of orderBy().limit()",
 }
 

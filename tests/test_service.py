@@ -130,3 +130,32 @@ def test_stream_result_preserves_order_across_part_files(spark):
     empty_schema, empty_iter = egress_batches(df.where("id < 0"))
     assert "id" in empty_schema.names
     assert sum(b.num_rows for b in empty_iter) == 0
+
+
+def test_egress_part_order_is_numeric_not_lexicographic():
+    """ADVICE r4 regression: Spark pads part indexes to 5 digits, so
+    past 99,999 files 'part-100000-…' sorts lexicographically BEFORE
+    'part-99999-…'. The egress sort key must parse the integer index."""
+    names = [
+        "part-99999-uuid.snappy.parquet",
+        "part-100000-uuid.snappy.parquet",
+        "part-00001-uuid.snappy.parquet",
+    ]
+    key = lambda f: int(f.split("-")[1])  # noqa: E731 — mirrors service.py
+    assert sorted(names) != sorted(names, key=key)  # lexical order IS wrong
+    assert [key(f) for f in sorted(names, key=key)] == [1, 99999, 100000]
+
+
+def test_egress_spool_cleaned_up_after_exhaustion(spark, tmp_path):
+    """The spool directory dies with the iterator (prompt path) — the
+    atexit hook is only the abandoned-stream fallback."""
+    import glob
+
+    from city_payroll_data_pipeline_spark.service import egress_batches
+
+    before = set(glob.glob("/tmp/flight_egress_*"))
+    _, batches = egress_batches(spark.range(0, 100))
+    during = set(glob.glob("/tmp/flight_egress_*")) - before
+    assert during  # spool exists while streaming
+    list(batches)  # exhaust
+    assert not (set(glob.glob("/tmp/flight_egress_*")) - before)
