@@ -72,6 +72,9 @@ _ROUND_NEW = (
     "quantile_sketch_error",
     "markov_stationary",
     "weighted_reservoir_sample",
+    "log_rank_test",
+    "simpson_paradox_audit",
+    "decision_stump_split",
     "bpe_merges",  # graduated rows-only -> full oracle this round
     # --- round-5 priority: heaviest never-checked custom-determinism
     # machinery first (VERDICT r4 item 7) — an official hash verdict on

@@ -263,6 +263,11 @@ HEADLINE = [
     "quantile_sketch_error",
     "markov_stationary",
     "weighted_reservoir_sample",
+    # round-5 batch 3: censored two-group test, confounding audit,
+    # distributed tree split
+    "log_rank_test",
+    "simpson_paradox_audit",
+    "decision_stump_split",
 ]
 
 

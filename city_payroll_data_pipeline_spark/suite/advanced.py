@@ -281,6 +281,280 @@ FROM p{_MKV_ITERS} ORDER BY event_type"""
 MARKOV_STATIONARY_SQL = _markov_stationary_sql()
 
 
+_SURV_HORIZON = 365  # shared with conversion_survival_curve below
+
+
+# --------------------------------------------------------------------------
+# log_rank_test — two-group survival comparison (the Mantel-Cox test).
+#
+# conversion_survival_curve draws the curve; this answers "do BUILDING
+# customers convert to a second purchase at a different rate than the
+# rest" with the standard censoring-aware significance test: at each
+# distinct event time, compare group-1's observed events against the
+# expectation under equal hazards (E1 = Σ d_t·n1_t/n_t), accumulate the
+# hypergeometric variance, chi2 = (O1−E1)²/V.
+#
+# Determinism: risk sets are exact integer trailing cumsums over the
+# ≤ horizon+1 distinct-day frame (the KM pattern); every per-day term
+# is one identical double op-tree rounded to 10 dp and summed through
+# DECIMAL(28,10), so partial aggregation order cannot move the sums.
+# NAMING NOTE: at-risk counts are r1/r2, never n1/n2 — DuckDB
+# identifiers are case-insensitive, and a column named n1 next to the
+# group total N1 silently renames to n1_1 and rebinds downstream
+# references to the TOTAL (a real bug this query's first draft had).
+#
+# Scale: two projected passes over orders + one customer broadcast;
+# the risk-set window is horizon-bounded.
+# --------------------------------------------------------------------------
+
+def q_log_rank_test(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(2).alias("g"),
+    )
+    firsts = orders.groupBy("user_id").agg(F.min("od").alias("t0"))
+    seconds = (
+        orders.join(firsts, "user_id")
+        .filter(F.col("od") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("od").alias("conv_d"))
+    )
+    conv = firsts.join(seconds, "user_id", "left").join(cust, "user_id")
+    lag = F.datediff("conv_d", "t0")
+    cens = F.col("conv_d").isNull() | (lag > _SURV_HORIZON)
+    per_user = conv.select(
+        "g",
+        F.when(cens, F.lit(_SURV_HORIZON)).otherwise(lag).alias("t"),
+        F.when(cens, F.lit(0)).otherwise(1).alias("event"),
+    )
+    g1 = (F.col("g") == 1).cast("long")
+    g2 = (F.col("g") == 2).cast("long")
+    per_t = per_user.groupBy("t").agg(
+        F.sum(F.col("event") * g1).alias("d1"),
+        F.sum(F.col("event") * g2).alias("d2"),
+        F.sum(g1).alias("x1"),
+        F.sum(g2).alias("x2"),
+    )
+    w_all = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = per_t.select(
+        F.sum("x1").alias("N1"), F.sum("x2").alias("N2")
+    )
+    d = F.col("d1") + F.col("d2")
+    risk = (
+        per_t.join(F.broadcast(tot))
+        .withColumn("r1", F.col("N1") - (F.sum("x1").over(w_all) - F.col("x1")))
+        .withColumn("r2", F.col("N2") - (F.sum("x2").over(w_all) - F.col("x2")))
+    )
+    nt = F.col("r1") + F.col("r2")
+    dt = d
+    e1t = F.when(
+        dt > 0,
+        F.round(
+            (dt * F.col("r1")).cast("double") / nt.cast("double"), 10
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,10)")
+    p1 = F.col("r1").cast("double") / nt.cast("double")
+    vt = F.when(
+        (dt > 0) & (nt > 1),
+        F.round(
+            dt.cast("double")
+            * p1
+            * (1 - p1)
+            * (nt - dt).cast("double")
+            / (nt - 1).cast("double"),
+            10,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,10)")
+    agg = risk.agg(
+        F.max("N1").alias("n1_users"),
+        F.max("N2").alias("n2_users"),
+        F.sum("d1").alias("o1"),
+        F.sum("d2").alias("o2"),
+        F.sum(e1t).alias("e1_dec"),
+        F.sum(vt).alias("v_dec"),
+    )
+    e1 = F.col("e1_dec").cast("double")
+    v = F.col("v_dec").cast("double")
+    o1 = F.col("o1").cast("double")
+    return agg.select(
+        "n1_users",
+        "n2_users",
+        "o1",
+        "o2",
+        F.round(e1, 6).alias("e1"),
+        F.round((o1 - e1) * (o1 - e1) / v, 6).alias("chi2"),
+    )
+
+
+
+LOG_RANK_TEST_SQL = f"""
+WITH o AS (
+  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS od FROM orders
+),
+cust AS (
+  SELECT c_custkey AS user_id,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS g
+  FROM customer
+),
+firsts AS (SELECT user_id, MIN(od) AS t0 FROM o GROUP BY user_id),
+seconds AS (
+  SELECT o.user_id, MIN(od) AS conv_d
+  FROM o JOIN firsts USING (user_id) WHERE od > t0 GROUP BY o.user_id
+),
+per_user AS (
+  SELECT g,
+         CASE WHEN conv_d IS NULL OR datediff('day', t0, conv_d) > {_SURV_HORIZON}
+              THEN {_SURV_HORIZON} ELSE datediff('day', t0, conv_d) END AS t,
+         CASE WHEN conv_d IS NULL OR datediff('day', t0, conv_d) > {_SURV_HORIZON}
+              THEN 0 ELSE 1 END AS event
+  FROM firsts LEFT JOIN seconds USING (user_id) JOIN cust USING (user_id)
+),
+per_t AS (
+  SELECT t,
+         CAST(SUM(event * CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(event * CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+         CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS x2
+  FROM per_user GROUP BY t
+),
+tot AS (SELECT CAST(SUM(x1) AS BIGINT) AS N1, CAST(SUM(x2) AS BIGINT) AS N2 FROM per_t),
+risk AS (
+  SELECT t, d1, d2, x1, x2, N1, N2,
+         N1 - (CAST(SUM(x1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) - x1) AS r1,
+         N2 - (CAST(SUM(x2) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) - x2) AS r2
+  FROM per_t, tot
+),
+terms AS (
+  SELECT d1, d2, N1, N2,
+         CAST(CASE WHEN d1 + d2 > 0
+              THEN round(CAST((d1 + d2) * r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE), 10)
+              ELSE 0.0 END AS DECIMAL(28,10)) AS e1t,
+         CAST(CASE WHEN d1 + d2 > 0 AND r1 + r2 > 1
+              THEN round(CAST(d1 + d2 AS DOUBLE)
+                         * (CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
+                         * (1 - CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
+                         * CAST(r1 + r2 - (d1 + d2) AS DOUBLE)
+                         / CAST(r1 + r2 - 1 AS DOUBLE), 10)
+              ELSE 0.0 END AS DECIMAL(28,10)) AS vt
+  FROM risk
+)
+SELECT MAX(N1) AS n1_users, MAX(N2) AS n2_users,
+       CAST(SUM(d1) AS BIGINT) AS o1, CAST(SUM(d2) AS BIGINT) AS o2,
+       round(CAST(SUM(e1t) AS DOUBLE), 6) AS e1,
+       round((CAST(SUM(d1) AS BIGINT) - CAST(SUM(e1t) AS DOUBLE))
+             * (CAST(SUM(d1) AS BIGINT) - CAST(SUM(e1t) AS DOUBLE))
+             / CAST(SUM(vt) AS DOUBLE), 6) AS chi2
+FROM terms
+"""
+
+
+
+
+# --------------------------------------------------------------------------
+# simpson_paradox_audit — confounding detector for segment metrics.
+#
+# "High-priority orders return MORE overall but LESS in every nation"
+# is Simpson's paradox — the pooled number misleads whenever group
+# composition confounds the comparison, and every experimentation /
+# reporting pipeline wants the flag before anyone acts on a pooled
+# rate. Per nation: the high-vs-low-priority return-rate difference's
+# SIGN, compared with the pooled sign; a -1 product is a flip. Rate
+# comparisons are exact integer cross-multiplications (a·d vs c·b) —
+# no division, no doubles, bit-deterministic by construction.
+#
+# Scale: one fact pass into a |nations|-sized frame; pooled totals are
+# a 1-row broadcast over it.
+# --------------------------------------------------------------------------
+
+def q_simpson_paradox_audit(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0).alias("hi"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        )
+    )
+    per = base.groupBy("nk").agg(
+        F.sum(F.col("ret") * F.col("hi")).alias("a"),
+        F.sum(F.col("hi")).alias("b"),
+        F.sum(F.col("ret") * (1 - F.col("hi"))).alias("c"),
+        F.sum(1 - F.col("hi")).alias("d"),
+    )
+    pooled = per.agg(
+        F.sum("a").alias("pa"), F.sum("b").alias("pb"),
+        F.sum("c").alias("pc"), F.sum("d").alias("pd"),
+    )
+    # sign of rate difference via exact cross-multiplication
+    gsign = F.signum((F.col("a") * F.col("d") - F.col("c") * F.col("b")).cast("double")).cast("int")
+    psign = F.signum((F.col("pa") * F.col("pd") - F.col("pc") * F.col("pb")).cast("double")).cast("int")
+    j = per.join(F.broadcast(pooled)).join(
+        F.broadcast(nation), per["nk"] == nation["n_nationkey"]
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.col("a").alias("hi_returns"),
+            F.col("b").alias("hi_lines"),
+            F.col("c").alias("lo_returns"),
+            F.col("d").alias("lo_lines"),
+            gsign.alias("group_sign"),
+            psign.alias("pooled_sign"),
+            ((gsign * psign) == -1).alias("sign_flip"),
+        )
+        .orderBy("nation")
+    )
+
+
+
+SIMPSON_PARADOX_AUDIT_SQL = """
+WITH base AS (
+  SELECT c_nationkey AS nk,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS hi,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+),
+per AS (
+  SELECT nk,
+         CAST(SUM(ret * hi) AS BIGINT) AS a,
+         CAST(SUM(hi) AS BIGINT) AS b,
+         CAST(SUM(ret * (1 - hi)) AS BIGINT) AS c,
+         CAST(SUM(1 - hi) AS BIGINT) AS d
+  FROM base GROUP BY nk
+),
+pooled AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS pa, CAST(SUM(b) AS BIGINT) AS pb,
+         CAST(SUM(c) AS BIGINT) AS pc, CAST(SUM(d) AS BIGINT) AS pd
+  FROM per
+)
+SELECT n_name AS nation,
+       a AS hi_returns, b AS hi_lines, c AS lo_returns, d AS lo_lines,
+       CAST(sign(CAST(a * d - c * b AS DOUBLE)) AS INTEGER) AS group_sign,
+       CAST(sign(CAST(pa * pd - pc * pb AS DOUBLE)) AS INTEGER) AS pooled_sign,
+       (CAST(sign(CAST(a * d - c * b AS DOUBLE)) AS INTEGER)
+        * CAST(sign(CAST(pa * pd - pc * pb AS DOUBLE)) AS INTEGER) = -1)
+         AS sign_flip
+FROM per, pooled
+JOIN nation ON nk = n_nationkey
+ORDER BY nation
+"""
+
+
+
+
 # --------------------------------------------------------------------------
 # twap_price — duration-weighted average price per brand.
 #
@@ -799,8 +1073,6 @@ ORDER BY label_a, label_b
 # (bounded frame — allowlisted unpartitioned window), never over
 # users. All risk-set arithmetic is integer.
 # --------------------------------------------------------------------------
-
-_SURV_HORIZON = 365
 
 
 def q_conversion_survival_curve(spark, sf_dir):
@@ -4636,6 +4908,16 @@ QUERIES = {
         q_markov_stationary,
         MARKOV_STATIONARY_SQL,
         ("events", "markov", "iterative"),
+    ),
+    "log_rank_test": Query(
+        q_log_rank_test,
+        LOG_RANK_TEST_SQL,
+        ("survival", "log-rank", "statistics"),
+    ),
+    "simpson_paradox_audit": Query(
+        q_simpson_paradox_audit,
+        SIMPSON_PARADOX_AUDIT_SQL,
+        ("statistics", "confounding", "audit"),
     ),
     "twap_price": Query(
         q_twap_price, TWAP_PRICE_SQL, ("time-series", "twap", "integer-exact")

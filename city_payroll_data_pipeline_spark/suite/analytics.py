@@ -1118,6 +1118,104 @@ ORDER BY q
 
 
 # --------------------------------------------------------------------------
+# decision_stump_split — distributed best-split search (one boosting /
+# tree round). The inner loop of every tree learner: over all candidate
+# thresholds on a feature, pick the split maximizing impurity reduction
+# for a binary target (return flag vs price). For a 0/1 target,
+# maximizing Σ_side pos²/n is exactly minimizing SSE. Candidates are
+# the $16 price bins (bounded, mergeable — the histogram_quantiles
+# frame), left/right tallies come from one cumsum over the bin frame,
+# and the argmax is a TakeOrdered over bin-level scores (exact-integer
+# inputs → identical doubles both engines).
+#
+# Scale: one fact pass into the bin histogram; everything after runs
+# on the |bins| frame. This is the per-feature unit a distributed
+# GBDT round fans out over columns.
+# --------------------------------------------------------------------------
+
+def q_decision_stump_split(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.expr(
+            f"CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            f" div {_HQ_BIN_CENTS}"
+        ).alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    bins = rows.groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = bins.agg(
+        F.sum("n").alias("tn"), F.sum("pos").alias("tp")
+    )
+    cum = (
+        bins.withColumn("ln", F.sum("n").over(w))
+        .withColumn("lp", F.sum("pos").over(w))
+        .join(F.broadcast(tot))
+        .withColumn("rn", F.col("tn") - F.col("ln"))
+        .withColumn("rp", F.col("tp") - F.col("lp"))
+        .where((F.col("ln") > 0) & (F.col("rn") > 0))
+    )
+    score = F.round(
+        (F.col("lp") * F.col("lp")).cast("double") / F.col("ln").cast("double")
+        + (F.col("rp") * F.col("rp")).cast("double") / F.col("rn").cast("double"),
+        10,
+    )
+    best = (
+        cum.withColumn("score", score)
+        .orderBy(F.desc("score"), "bin")
+        .limit(1)
+    )
+    return best.select(
+        F.col("bin").alias("split_bin"),
+        (F.col("bin") * _HQ_BIN_CENTS / F.lit(100.0)).alias("split_price_le"),
+        F.col("ln").alias("left_n"),
+        F.col("lp").alias("left_pos"),
+        F.col("rn").alias("right_n"),
+        F.col("rp").alias("right_pos"),
+        "score",
+    )
+
+
+
+DECISION_STUMP_SPLIT_SQL = f"""
+WITH rows_ AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           // {_HQ_BIN_CENTS} AS bin,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+bins AS (
+  SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM rows_ GROUP BY bin
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(pos) AS BIGINT) AS tp FROM bins),
+cum AS (
+  SELECT bin,
+         CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ln,
+         CAST(SUM(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lp,
+         tn, tp
+  FROM bins, tot
+),
+scored AS (
+  SELECT bin, ln, lp, tn - ln AS rn, tp - lp AS rp,
+         round(CAST(lp * lp AS DOUBLE) / CAST(ln AS DOUBLE)
+               + CAST((tp - lp) * (tp - lp) AS DOUBLE) / CAST(tn - ln AS DOUBLE), 10)
+           AS score
+  FROM cum WHERE ln > 0 AND tn - ln > 0
+)
+SELECT bin AS split_bin,
+       CAST(bin * {_HQ_BIN_CENTS} AS DOUBLE) / 100.0 AS split_price_le,
+       ln AS left_n, lp AS left_pos, rn AS right_n, rp AS right_pos, score
+FROM scored ORDER BY score DESC, bin LIMIT 1
+"""
+
+
+
+# --------------------------------------------------------------------------
 # mad_outliers — robust per-source outlier detection via median
 # absolute deviation (MAD).
 #
@@ -2391,6 +2489,11 @@ QUERIES = {
         q_quantile_sketch_error,
         QUANTILE_SKETCH_ERROR_SQL,
         ("quantiles", "sketch", "certification"),
+    ),
+    "decision_stump_split": Query(
+        q_decision_stump_split,
+        DECISION_STUMP_SPLIT_SQL,
+        ("ml", "tree-split", "impurity"),
     ),
     "trade_triangles": Query(
         q_trade_triangles, TRADE_TRIANGLES_SQL, ("graph", "triangles")

@@ -214,6 +214,9 @@ _INTENTIONAL_BNLJ = {
     "ks_source_drift",        # broadcast 1-row group-sizes scalar
     "histogram_quantiles",    # broadcast 1-row total + 3-row quantile probes
     "quantile_sketch_error",  # same 1-row total + 3-row quantile probes
+    "decision_stump_split",   # broadcast 1-row (total_n, total_pos) scalar
+    "log_rank_test",          # broadcast 1-row (N1, N2) group totals
+    "simpson_paradox_audit",  # broadcast 1-row pooled-rate scalar
     "discriminative_terms",   # broadcast 1-row grand-total scalar
     "k_anonymity_audit",      # broadcast 3-row k-threshold probes
     "chunk_dedup_rate",       # broadcast 1-row distinct-count scalar
@@ -304,6 +307,9 @@ _UNPARTITIONED_WINDOW_OK = {
     "session_coverage": "n_shards-row offset prefix sum (_sharded_sweep)",
     "conversion_survival_curve":
         "risk-set cumsum over <= horizon+1 distinct day values",
+    "log_rank_test":
+        "risk-set cumsum over <= horizon+1 distinct day values",
+    "decision_stump_split": "cumsum over the bucket-level aggregate",
     "stable_doc_ids": "n_shards-row offset prefix sum (rowids)",
     "vocab_coverage": "cumsum over the K=20 survivors of orderBy().limit()",
     "weighted_reservoir_sample":
