@@ -57,6 +57,8 @@ REPRESENTATIVES = [
     "kneser_ney_bigram",        # bigram-type stats + TakeOrdered survivors
     "markov_stationary",        # collected matrix + exact integer iteration
     "quantile_sketch_error",    # bin cumsum + rank-in-located-bin
+    "log_rank_test",            # risk-set cumsums + decimal term sums
+    "decision_stump_split",     # bin cumsum + double-score argmax
 ]
 
 
