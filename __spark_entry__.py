@@ -60,6 +60,11 @@ def _already_checked() -> set[str]:
 # driver verdict immediately. Refresh this tuple each round.
 _ROUND_NEW = (
     # --- round-5 NEW queries (least battle-tested cross-engine)
+    "t_closeness_audit",
+    "jackknife_ratio_se",
+    "adamic_adar_links",
+    "calibration_ece",
+    "span_corruption_plan",
     "kneser_ney_bigram",
     "degree_assortativity",
     "mahalanobis_outliers",

@@ -268,6 +268,13 @@ HEADLINE = [
     "log_rank_test",
     "simpson_paradox_audit",
     "decision_stump_split",
+    # round-5 batch 4: privacy-distribution gate, ratio-estimator SE,
+    # link prediction, calibration audit, T5 denoising budget
+    "t_closeness_audit",
+    "jackknife_ratio_se",
+    "adamic_adar_links",
+    "calibration_ece",
+    "span_corruption_plan",
 ]
 
 

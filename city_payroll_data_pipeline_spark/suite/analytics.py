@@ -2423,6 +2423,504 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# t_closeness_audit — the third gate of the privacy-governance trio
+# (k_anonymity_audit bounds class SIZE, l_diversity_audit bounds
+# sensitive-value VARIETY; t-closeness bounds sensitive-value
+# DISTRIBUTION drift). Per QI equivalence class (nation × market
+# segment), the Earth-Mover's Distance between the class's
+# balance-band distribution and the corpus-wide one; classes with
+# EMD > t leak information even when k-anonymous and l-diverse
+# (Li/Li/Venkatasubramanian, ICDE'07).
+#
+# For an ORDERED attribute with m bands, EMD = Σ_{i<m}|cum_p_i −
+# cum_q_i| / (m−1). Exactness: the cumulative difference is the
+# integer cross-product cum_c·n − cum_g·n_c carried in DECIMAL(38,0)
+# (exact past 2^63 at 100 TB row counts); ONE double division at
+# display time.
+#
+# Scale: two groupBys collapse the fact to |classes|·|bands| rows
+# before any window; the only unpartitioned window runs over the
+# |bands|-row global spine (bounded by the banding, not the data);
+# the per-class cumsum partitions by class.
+# --------------------------------------------------------------------------
+
+_TC_THRESHOLD = 0.2
+
+
+def q_t_closeness_audit(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    cust = table(spark, sf_dir, "customer")
+    obs = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        # FLOOR, not `div`: balances go negative and Spark `div`
+        # truncates toward zero while DuckDB `//` floors (the
+        # k_anonymity_audit precedent)
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    )
+    glob = obs.groupBy("bal_band").agg(F.count("*").alias("gcnt"))
+    w_g = W.orderBy("bal_band").rowsBetween(W.unboundedPreceding, 0)
+    # |bands|-row spine: the unpartitioned cumsum is bounded by the
+    # banding (≈ a dozen rows at every SF)
+    spine = glob.select(
+        "bal_band", F.sum("gcnt").over(w_g).alias("cum_g")
+    ).join(
+        F.broadcast(
+            glob.agg(
+                F.sum("gcnt").alias("n_total"), F.count("*").alias("m_bands")
+            )
+        )
+    )
+    classes = obs.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size")
+    )
+    ccnt = obs.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("ccnt")
+    )
+    # zero-fill: every class crossed with the full band spine, so the
+    # per-class cumulative distribution is defined at every band
+    grid = (
+        classes.crossJoin(F.broadcast(spine))
+        .join(ccnt, ["c_nationkey", "c_mktsegment", "bal_band"], "left")
+        .withColumn("ccnt", F.coalesce(F.col("ccnt"), F.lit(0)))
+    )
+    w_c = (
+        W.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bal_band")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn("cum_c", F.sum("ccnt").over(w_c))
+    # at the last band cum_c=n_c and cum_g=n so the term is exactly 0 —
+    # no need to exclude it; the divisor stays (m−1)
+    diff = F.abs(
+        F.col("cum_c").cast("decimal(38,0)") * F.col("n_total")
+        - F.col("cum_g").cast("decimal(38,0)") * F.col("class_size")
+    )
+    res = cum.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("class_size").alias("class_size"),
+        F.sum(diff).alias("emd_num"),
+        F.max("n_total").alias("n_total"),
+        F.max("m_bands").alias("m_bands"),
+    )
+    t = F.col("emd_num").cast("double") / (
+        F.col("class_size").cast("double")
+        * F.col("n_total").cast("double")
+        * (F.col("m_bands").cast("double") - 1)
+    )
+    return res.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        F.round(t, 8).alias("t_distance"),
+        (t > _TC_THRESHOLD).alias("breach"),
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+_TC_T_EXPR = (
+    "CAST(emd_num AS DOUBLE) / (CAST(class_size AS DOUBLE) "
+    "* CAST(n_total AS DOUBLE) * (CAST(m_bands AS DOUBLE) - 1))"
+)
+
+T_CLOSENESS_AUDIT_SQL = f"""
+WITH obs AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer
+),
+gdist AS (
+  SELECT bal_band, COUNT(*) AS gcnt FROM obs GROUP BY bal_band
+),
+spine AS (
+  SELECT bal_band,
+         CAST(SUM(gcnt) OVER (ORDER BY bal_band
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_g,
+         CAST(SUM(gcnt) OVER () AS BIGINT) AS n_total,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m_bands
+  FROM gdist
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+  FROM obs GROUP BY 1, 2
+),
+ccnt AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS ccnt
+  FROM obs GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_size,
+         s.bal_band, s.cum_g, s.n_total, s.m_bands,
+         COALESCE(cc.ccnt, 0) AS ccnt
+  FROM classes cl CROSS JOIN spine s
+  LEFT JOIN ccnt cc
+    ON cc.c_nationkey = cl.c_nationkey
+   AND cc.c_mktsegment = cl.c_mktsegment
+   AND cc.bal_band = s.bal_band
+),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, class_size, bal_band,
+         cum_g, n_total, m_bands,
+         CAST(SUM(ccnt) OVER (PARTITION BY c_nationkey, c_mktsegment
+              ORDER BY bal_band ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS cum_c
+  FROM grid
+),
+res AS (
+  SELECT c_nationkey, c_mktsegment,
+         MAX(class_size) AS class_size,
+         SUM(ABS(CAST(cum_c AS DECIMAL(38,0)) * n_total
+                 - CAST(cum_g AS DECIMAL(38,0)) * class_size)) AS emd_num,
+         MAX(n_total) AS n_total,
+         MAX(m_bands) AS m_bands
+  FROM cum GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, class_size,
+       {_sql_round(_TC_T_EXPR, 8)} AS t_distance,
+       ({_TC_T_EXPR}) > {_TC_THRESHOLD} AS breach
+FROM res
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# jackknife_ratio_se — delete-one-group jackknife for a ratio
+# estimator (Quenouille/Tukey; the standard error every A/B readout
+# on ratio metrics needs, since Var(ΣX/ΣY) has no closed form).
+# Statistic: corpus revenue-per-unit θ = Σrev / Σqty; groups = ship
+# months. θ₍₋g₎ = (S_rev−rev_g)/(S_qty−qty_g) from per-group DECIMAL
+# sums, so each leave-one-out value is bit-identical across engines;
+# SE² = (G−1)/G · Σ(θ₍₋g₎−θ̄)², with the G-value mean and the squared
+# deviations quantized to DECIMAL before summing (order-independent).
+#
+# Scale: ONE pass over the fact builds the G-row per-group sums
+# (map-side partial agg); everything after runs on G≈84 rows — the
+# leave-one-out "recomputation" is algebra on totals, never a rescan.
+# --------------------------------------------------------------------------
+
+
+def q_jackknife_ratio_se(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = (
+        li.groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("g"))
+        .agg(
+            F.sum(rev.cast("decimal(18,6)")).alias("rev_g"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_g"),
+        )
+        # consumed twice (leave-one-out pass + totals): G rows, pay the
+        # fact scan once
+        .localCheckpoint()
+    )
+    tot = per.agg(
+        F.sum("rev_g").alias("rev_t"),
+        F.sum("qty_g").alias("qty_t"),
+        F.count("*").alias("n_g"),
+    )
+    loo = per.join(F.broadcast(tot)).select(
+        "n_g",
+        "rev_t",
+        "qty_t",
+        (
+            (F.col("rev_t") - F.col("rev_g")).cast("double")
+            / (F.col("qty_t") - F.col("qty_g")).cast("double")
+        ).alias("theta_loo"),
+    )
+    mean_row = loo.groupBy("n_g", "rev_t", "qty_t").agg(
+        F.sum(
+            F.round(F.col("theta_loo"), 10).cast("decimal(38,10)")
+        ).alias("s_loo")
+    ).select(
+        "n_g",
+        "rev_t",
+        "qty_t",
+        (F.col("s_loo").cast("double") / F.col("n_g")).alias("theta_bar"),
+    )
+    dev = F.col("theta_loo") - F.col("theta_bar")
+    final = loo.join(
+        F.broadcast(mean_row.select("theta_bar"))
+    ).agg(
+        F.max("n_g").alias("n_groups"),
+        F.max("rev_t").alias("rev_t"),
+        F.max("qty_t").alias("qty_t"),
+        F.max("theta_bar").alias("theta_bar"),
+        F.sum(
+            F.round(dev * dev, 14).cast("decimal(38,14)")
+        ).alias("ss"),
+    )
+    theta_hat = F.col("rev_t").cast("double") / F.col("qty_t").cast("double")
+    var = (
+        F.col("ss").cast("double") * (F.col("n_groups") - 1)
+        / F.col("n_groups")
+    )
+    return final.select(
+        "n_groups",
+        F.round(theta_hat, 6).alias("rev_per_unit"),
+        F.round(
+            (F.col("n_groups") - 1) * (F.col("theta_bar") - theta_hat), 8
+        ).alias("jack_bias"),
+        F.round(F.sqrt(var), 8).alias("jack_se"),
+    )
+
+
+JACKKNIFE_RATIO_SE_SQL = f"""
+WITH per AS (
+  SELECT date_trunc('month', l_shipdate) AS g,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS rev_g,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_g
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT SUM(rev_g) AS rev_t, SUM(qty_g) AS qty_t, COUNT(*) AS n_g FROM per
+),
+loo AS (
+  SELECT n_g, rev_t, qty_t,
+         CAST(rev_t - rev_g AS DOUBLE) / CAST(qty_t - qty_g AS DOUBLE)
+           AS theta_loo
+  FROM per, tot
+),
+mean_row AS (
+  SELECT n_g, rev_t, qty_t,
+         CAST(SUM(CAST({_sql_round('theta_loo', 10)} AS DECIMAL(38,10)))
+              AS DOUBLE) / n_g AS theta_bar
+  FROM loo GROUP BY n_g, rev_t, qty_t
+),
+final AS (
+  SELECT MAX(l.n_g) AS n_groups,
+         MAX(l.rev_t) AS rev_t,
+         MAX(l.qty_t) AS qty_t,
+         MAX(m.theta_bar) AS theta_bar,
+         SUM(CAST({_sql_round(
+             '(l.theta_loo - m.theta_bar) * (l.theta_loo - m.theta_bar)', 14
+         )} AS DECIMAL(38,14))) AS ss
+  FROM loo l CROSS JOIN mean_row m
+)
+SELECT n_groups,
+       {_sql_round('CAST(rev_t AS DOUBLE) / CAST(qty_t AS DOUBLE)', 6)}
+         AS rev_per_unit,
+       {_sql_round(
+           '(n_groups - 1) * (theta_bar '
+           '- CAST(rev_t AS DOUBLE) / CAST(qty_t AS DOUBLE))', 8
+       )} AS jack_bias,
+       {_sql_round(
+           'sqrt(CAST(ss AS DOUBLE) * (n_groups - 1) / n_groups)', 8
+       )} AS jack_se
+FROM final
+"""
+
+
+# --------------------------------------------------------------------------
+# adamic_adar_links — link prediction on the part co-purchase graph.
+#
+# Common-neighbor counting weighted by neighbor rarity: AA(x,y) =
+# Σ_{z∈N(x)∩N(y)} 1/ln(deg z) (Adamic & Adar '03) on the bipartite
+# part–order graph, where a shared neighbor is an order containing
+# both parts and its degree is the order's distinct-part count. The
+# "related items" / graph-completion scorer that upgrades raw
+# co-occurrence (basket_pairs) by discounting promiscuous hubs.
+#
+# Determinism: shared orders group by their size k first, so the score
+# is Σ_k cnt_k·w_k over ≤|max order size| terms with w_k = 1/ln k
+# rounded to 12 dp — every term an exactly-rounded double routed
+# through DECIMAL (order-independent sum).
+#
+# Scale: the self-join fans out per order (≤C(7,2) pairs each — the
+# basket_pairs bound), never corpus-wide; top-20 via
+# TakeOrderedAndProject, no global sort.
+# --------------------------------------------------------------------------
+
+_AA_TOP_K = 20
+_AA_MIN_SHARED = 2
+
+
+def q_adamic_adar_links(spark, sf_dir):
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("k"))
+    a = li.join(sizes, "l_orderkey").where(F.col("k") >= 2)
+    pairs = a.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"), "k"
+    ).join(
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
+        ),
+        ["o"],
+    ).where(F.col("pa") < F.col("pb"))
+    grouped = pairs.groupBy("pa", "pb", "k").agg(F.count("*").alias("cnt"))
+    w_k = F.round(F.lit(1.0) / F.log(F.col("k").cast("double")), 12)
+    scored = (
+        grouped.select(
+            "pa",
+            "pb",
+            "cnt",
+            F.round(F.col("cnt") * w_k, 12).cast("decimal(38,12)").alias(
+                "term"
+            ),
+        )
+        .groupBy("pa", "pb")
+        .agg(
+            F.sum("cnt").alias("shared_orders"),
+            F.sum("term").alias("aa_dec"),
+        )
+        .where(F.col("shared_orders") >= _AA_MIN_SHARED)
+    )
+    return (
+        scored.select(
+            "pa",
+            "pb",
+            "shared_orders",
+            F.round(F.col("aa_dec").cast("double"), 10).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "pa", "pb")
+        .limit(_AA_TOP_K)
+    )
+
+
+ADAMIC_ADAR_LINKS_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sizes AS (SELECT l_orderkey, COUNT(*) AS k FROM li GROUP BY l_orderkey),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, s.k
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN sizes s ON s.l_orderkey = a.l_orderkey
+  WHERE s.k >= 2
+),
+grouped AS (
+  SELECT pa, pb, k, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT pa, pb,
+         CAST(SUM(cnt) AS BIGINT) AS shared_orders,
+         SUM(CAST({_sql_round(
+             "cnt * CAST("
+             + _sql_round("1.0 / ln(CAST(k AS DOUBLE))", 12)
+             + " AS DOUBLE)",
+             12,
+         )} AS DECIMAL(38,12))) AS aa_dec
+  FROM grouped GROUP BY 1, 2
+  HAVING SUM(cnt) >= {_AA_MIN_SHARED}
+)
+SELECT pa, pb, shared_orders,
+       {_sql_round('CAST(aa_dec AS DOUBLE)', 10)} AS aa_score
+FROM scored
+ORDER BY aa_score DESC, pa, pb
+LIMIT {_AA_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# calibration_ece — reliability table + Expected Calibration Error
+# (Naeini'15/Guo'17), the standard readout for "do predicted
+# probabilities mean what they say". Model under audit: a fixed
+# logistic score on quantity predicting the return flag (the same
+# frozen-model convention as quality_logit_deciles — inference is a
+# per-row expression, no fit step). Ten equal-width confidence bins;
+# per bin the mean confidence vs. empirical accuracy; ECE is the
+# row-weighted mean absolute gap.
+#
+# Determinism: the score is rounded to 10 dp BEFORE binning and
+# averaging (bin edges verified non-adjacent: min |10·s − round(10·s)|
+# ≈ 0.0057 on this data, so a last-ulp exp() divergence cannot flip a
+# bin); per-bin means come from DECIMAL-routed sums; the final ECE sum
+# runs over the 10-row bin frame, DECIMAL-quantized.
+#
+# Scale: one groupBy on the bin id (map-side partial agg) — the bin
+# frame is 10 rows at every SF; the ECE total is a 1-row broadcast.
+# --------------------------------------------------------------------------
+
+
+def q_calibration_ece(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    z = (F.col("l_quantity") - 25.5) / 10
+    s = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 10)
+    scored = li.select(
+        s.alias("s"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    ).withColumn(
+        "bin", F.least(F.floor(F.col("s") * 10), F.lit(9)).cast("int")
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("s").cast("decimal(38,10)")).alias("s_sum"),
+        F.sum("y").alias("y_sum"),
+    )
+    conf = F.round(F.col("s_sum").cast("double") / F.col("n"), 8)
+    acc = F.col("y_sum").cast("double") / F.col("n")
+    per_bin = bins.select(
+        "bin",
+        "n",
+        conf.alias("confidence"),
+        F.round(acc, 8).alias("accuracy"),
+        F.round(F.abs(conf - acc), 8).alias("abs_gap"),
+        F.round(F.col("n") * F.abs(conf - acc), 8)
+        .cast("decimal(38,8)")
+        .alias("wgap"),
+    )
+    ece = per_bin.agg(
+        (
+            F.sum("wgap").cast("double") / F.sum("n").cast("double")
+        ).alias("ece_raw")
+    ).select(F.round(F.col("ece_raw"), 8).alias("ece"))
+    return (
+        per_bin.select("bin", "n", "confidence", "accuracy", "abs_gap")
+        .join(F.broadcast(ece))
+        .orderBy("bin")
+    )
+
+
+_ECE_S = _sql_round("1.0 / (1.0 + exp(-((l_quantity - 25.5) / 10)))", 10)
+
+CALIBRATION_ECE_SQL = f"""
+WITH scored AS (
+  SELECT CAST({_ECE_S} AS DOUBLE) AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(s * 10) AS INTEGER), 9) AS bin, s, y FROM scored
+),
+bins AS (
+  SELECT bin, COUNT(*) AS n,
+         SUM(CAST(s AS DECIMAL(38,10))) AS s_sum,
+         CAST(SUM(y) AS BIGINT) AS y_sum
+  FROM binned GROUP BY bin
+),
+per_bin AS (
+  SELECT bin, n,
+         {_sql_round('CAST(s_sum AS DOUBLE) / n', 8)} AS confidence,
+         {_sql_round('CAST(y_sum AS DOUBLE) / n', 8)} AS accuracy,
+         {_sql_round(
+             "ABS(CAST({} AS DOUBLE) - CAST(y_sum AS DOUBLE) / n)".format(
+                 _sql_round('CAST(s_sum AS DOUBLE) / n', 8)
+             ),
+             8,
+         )} AS abs_gap,
+         CAST({_sql_round(
+             "n * ABS(CAST({} AS DOUBLE) - CAST(y_sum AS DOUBLE) / n)".format(
+                 _sql_round('CAST(s_sum AS DOUBLE) / n', 8)
+             ),
+             8,
+         )} AS DECIMAL(38,8)) AS wgap
+  FROM bins
+),
+ece AS (
+  SELECT {_sql_round(
+      'CAST(SUM(wgap) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)', 8
+  )} AS ece
+  FROM per_bin
+)
+SELECT bin, n, confidence, accuracy, abs_gap, ece
+FROM per_bin, ece
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "weighted_median_length": Query(
         q_weighted_median_length,
@@ -2559,5 +3057,25 @@ QUERIES = {
     ),
     "nation_ppr": Query(
         q_nation_ppr, NATION_PPR_SQL, ("graph", "pagerank", "personalized")
+    ),
+    "t_closeness_audit": Query(
+        q_t_closeness_audit,
+        T_CLOSENESS_AUDIT_SQL,
+        ("privacy", "governance", "t-closeness", "emd"),
+    ),
+    "jackknife_ratio_se": Query(
+        q_jackknife_ratio_se,
+        JACKKNIFE_RATIO_SE_SQL,
+        ("stats", "jackknife", "ratio-estimator"),
+    ),
+    "adamic_adar_links": Query(
+        q_adamic_adar_links,
+        ADAMIC_ADAR_LINKS_SQL,
+        ("graph", "link-prediction", "adamic-adar"),
+    ),
+    "calibration_ece": Query(
+        q_calibration_ece,
+        CALIBRATION_ECE_SQL,
+        ("ml", "calibration", "ece"),
     ),
 }

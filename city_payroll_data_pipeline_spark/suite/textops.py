@@ -4210,6 +4210,131 @@ ORDER BY pb.bucket
 """
 
 
+# --------------------------------------------------------------------------
+# span_corruption_plan — T5-style denoising batch planning (Raffel'20
+# §3.1.4: noise_density 0.15, mean span length 3). Before launching a
+# pretraining run over 100 TB you budget encoder/decoder token counts:
+# per doc with t tokens, n_noise = round(0.15·t), n_spans =
+# round(n_noise/3), encoder input = t − n_noise + n_spans + 1 (each
+# span collapses to one sentinel, +EOS), decoder target = n_noise +
+# n_spans + 1. The per-source report drives context-window packing
+# (ceil(input/512) bins) and the expansion-factor line item in the
+# compute budget.
+#
+# Determinism: ALL arithmetic is integer — half-up rounds are exact
+# div identities (round(0.15t) = (3t+10) div 20, round(n/3) =
+# (2n+3) div 6), both operands positive so Spark's truncating `div`
+# and DuckDB's flooring `//` agree; the only doubles are two display
+# ratios of exact BIGINTs.
+#
+# Scale: one map-side projection + one groupBy(source) partial agg —
+# the shuffle carries |sources| rows.
+# --------------------------------------------------------------------------
+
+_SC_CTX = 512
+
+
+def q_span_corruption_plan(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    base = docs.select(
+        "source", token_count(F.col("text")).cast("long").alias("t")
+    ).where(F.col("t") >= 2)
+    planned = (
+        base.withColumn(
+            "n_noise", F.greatest(F.lit(1), F.expr("(3 * t + 10) div 20"))
+        )
+        .withColumn(
+            "n_spans",
+            F.greatest(F.lit(1), F.expr("(2 * n_noise + 3) div 6")),
+        )
+        .withColumn(
+            "input_len", F.col("t") - F.col("n_noise") + F.col("n_spans") + 1
+        )
+        .withColumn(
+            "target_len", F.col("n_noise") + F.col("n_spans") + 1
+        )
+        .withColumn(
+            "bins", F.expr(f"(input_len + {_SC_CTX - 1}) div {_SC_CTX}")
+        )
+    )
+    agg = planned.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("t").alias("corpus_tokens"),
+        F.sum("input_len").alias("encoder_tokens"),
+        F.sum("target_len").alias("decoder_tokens"),
+        F.sum("bins").alias("pack_bins_512"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "corpus_tokens",
+        "encoder_tokens",
+        "decoder_tokens",
+        "pack_bins_512",
+        F.round(
+            F.col("encoder_tokens").cast("double")
+            / (F.col("pack_bins_512").cast("double") * _SC_CTX),
+            8,
+        ).alias("pack_efficiency"),
+        F.round(
+            (
+                F.col("encoder_tokens") + F.col("decoder_tokens")
+            ).cast("double")
+            / F.col("corpus_tokens").cast("double"),
+            8,
+        ).alias("expansion_factor"),
+    ).orderBy("source")
+
+
+SPAN_CORRUPTION_PLAN_SQL = rf"""
+WITH base AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '\S+', 0)) AS BIGINT) AS t
+  FROM documents
+),
+planned AS (
+  SELECT source, t,
+         GREATEST(1, (3 * t + 10) // 20) AS n_noise
+  FROM base WHERE t >= 2
+),
+planned2 AS (
+  SELECT source, t, n_noise,
+         GREATEST(1, (2 * n_noise + 3) // 6) AS n_spans
+  FROM planned
+),
+planned3 AS (
+  SELECT source, t, n_noise, n_spans,
+         t - n_noise + n_spans + 1 AS input_len,
+         n_noise + n_spans + 1 AS target_len
+  FROM planned2
+),
+agg AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(t) AS BIGINT) AS corpus_tokens,
+         CAST(SUM(input_len) AS BIGINT) AS encoder_tokens,
+         CAST(SUM(target_len) AS BIGINT) AS decoder_tokens,
+         CAST(SUM((input_len + {_SC_CTX - 1}) // {_SC_CTX}) AS BIGINT)
+           AS pack_bins_512
+  FROM planned3 GROUP BY source
+)
+SELECT source, n_docs, corpus_tokens, encoder_tokens, decoder_tokens,
+       pack_bins_512,
+       {_sql_round(
+           'CAST(encoder_tokens AS DOUBLE) '
+           f'/ (CAST(pack_bins_512 AS DOUBLE) * {_SC_CTX})',
+           8,
+       )} AS pack_efficiency,
+       {_sql_round(
+           'CAST(encoder_tokens + decoder_tokens AS DOUBLE) '
+           '/ CAST(corpus_tokens AS DOUBLE)',
+           8,
+       )} AS expansion_factor
+FROM agg
+ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_perplexity": Query(
         q_doc_perplexity,
@@ -4454,5 +4579,10 @@ QUERIES = {
     ),
     "pack_sequences": Query(
         q_pack_sequences, PACK_SEQUENCES_SQL, ("text", "packing", "window")
+    ),
+    "span_corruption_plan": Query(
+        q_span_corruption_plan,
+        SPAN_CORRUPTION_PLAN_SQL,
+        ("text", "pretraining", "denoising", "budget"),
     ),
 }

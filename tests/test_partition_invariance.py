@@ -59,6 +59,9 @@ REPRESENTATIVES = [
     "quantile_sketch_error",    # bin cumsum + rank-in-located-bin
     "log_rank_test",            # risk-set cumsums + decimal term sums
     "decision_stump_split",     # bin cumsum + double-score argmax
+    "t_closeness_audit",        # band-spine cumsum + decimal cross products
+    "jackknife_ratio_se",       # decimal-quantized leave-one-out sums
+    "adamic_adar_links",        # per-size decimal term sums + top-k
 ]
 
 

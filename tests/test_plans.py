@@ -256,6 +256,9 @@ _INTENTIONAL_BNLJ = {
     "merkle_bucket_manifest", # broadcast 1-row root-hash scalar
     "session_coverage",       # broadcast 1-row covered-seconds scalar
     "revenue_concentration",  # broadcast 1-row customer-count/total scalar
+    "t_closeness_audit",      # broadcast |bands|-row spine + 1-row totals
+    "jackknife_ratio_se",     # broadcast 1-row totals + 1-row jackknife mean
+    "calibration_ece",        # broadcast 1-row ECE scalar
     "calinski_harabasz",      # broadcast 1-row global-scatter scalar
     "hash_uniformity_check",  # broadcast 1-row total scalar
     "heaps_law_curve",        # broadcast 1-row id-range + decile spine
@@ -315,6 +318,7 @@ _UNPARTITIONED_WINDOW_OK = {
     "weighted_reservoir_sample":
         "rank over the K=20 survivors of orderBy().limit()",
     "zipf_slope": "rank over the K=500 survivors of orderBy().limit()",
+    "t_closeness_audit": "cumsum over the balance-band spine (~a dozen rows)",
 }
 
 # First windowspecdefinition argument is a sort spec (`col ASC/DESC`)
