@@ -65,6 +65,7 @@ _ROUND_NEW = (
     "adamic_adar_links",
     "calibration_ece",
     "span_corruption_plan",
+    "ndcg_eval",
     "kneser_ney_bigram",
     "degree_assortativity",
     "mahalanobis_outliers",

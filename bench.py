@@ -275,6 +275,7 @@ HEADLINE = [
     "adamic_adar_links",
     "calibration_ece",
     "span_corruption_plan",
+    "ndcg_eval",
 ]
 
 

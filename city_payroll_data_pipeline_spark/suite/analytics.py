@@ -2534,7 +2534,7 @@ gdist AS (
 ),
 spine AS (
   SELECT bal_band,
-         CAST(SUM(gcnt) OVER (ORDER BY bal_band
+         CAST(SUM(gcnt) OVER (ORDER BY bal_band NULLS FIRST
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS cum_g,
          CAST(SUM(gcnt) OVER () AS BIGINT) AS n_total,
@@ -2563,7 +2563,8 @@ cum AS (
   SELECT c_nationkey, c_mktsegment, class_size, bal_band,
          cum_g, n_total, m_bands,
          CAST(SUM(ccnt) OVER (PARTITION BY c_nationkey, c_mktsegment
-              ORDER BY bal_band ROWS BETWEEN UNBOUNDED PRECEDING
+              ORDER BY bal_band NULLS FIRST
+              ROWS BETWEEN UNBOUNDED PRECEDING
               AND CURRENT ROW) AS BIGINT) AS cum_c
   FROM grid
 ),

@@ -903,7 +903,182 @@ FROM agg
 EMBEDDING_SPECTRAL_NORM_SQL = _spectral_sql()
 
 
+# --------------------------------------------------------------------------
+# ndcg_eval — graded ranking quality of the LSH retriever vs the
+# exact-cosine ground truth (Järvelin & Kekäläinen '02). Where
+# ann_recall_report certifies set overlap (recall@K), nDCG grades the
+# ORDER: a retriever that finds all top-10 but inverts them scores
+# recall 1.0 and nDCG < 1. Relevance of a retrieved doc = K+1 − its
+# exact rank (0 if outside the exact top-K); DCG discounts by
+# 1/log2(rank+1); nDCG normalizes by the ideal DCG computed in-plan
+# from the same integer spine with the identical rounding recipe.
+#
+# Determinism: relevance is integer; each discount is rounded to
+# 12 dp before the multiply, each term rounded again and DECIMAL-
+# summed (order-independent); ranks inherit the established
+# (cosine DESC, neighbor_id) deterministic tie-break.
+#
+# Scale: both retrievers broadcast the bounded query set; the nDCG
+# arithmetic runs on (queries × K) rows.
+# --------------------------------------------------------------------------
+
+NDCG_K = 10
+
+
+def q_ndcg_eval(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = sim.brute_force_topk(
+        emb, "vec_id", "embedding", queries, k=NDCG_K
+    ).select("query_id", "neighbor_id", F.col("rank").alias("exact_rank"))
+    approx = sim.lsh_topk(
+        emb, "vec_id", "embedding", queries, k=NDCG_K,
+        n_planes=N_PLANES, dim=DIM,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("lsh_rank"))
+    rel = F.coalesce(F.lit(NDCG_K + 1) - F.col("exact_rank"), F.lit(0))
+    disc = F.round(
+        F.lit(1.0) / F.log2(F.col("lsh_rank").cast("double") + 1), 12
+    )
+    terms = approx.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        rel.alias("rel"),
+        F.round(rel * disc, 12).cast("decimal(38,12)").alias("term"),
+    )
+    per_q = terms.groupBy("query_id").agg(
+        F.count("*").alias("n_retrieved"),
+        F.count_if(F.col("rel") > 0).alias("n_relevant"),
+        F.sum("term").alias("dcg_dec"),
+    )
+    spine = spark.range(1, NDCG_K + 1).select(F.col("id").alias("i"))
+    idcg = spine.select(
+        F.round(
+            (F.lit(NDCG_K + 1) - F.col("i"))
+            * F.round(
+                F.lit(1.0) / F.log2(F.col("i").cast("double") + 1), 12
+            ),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("t")
+    ).agg(F.sum("t").alias("idcg_dec"))
+    qs = exact.select("query_id").distinct()
+    out = qs.join(per_q, ["query_id"], "left").join(F.broadcast(idcg))
+    dcg_d = F.coalesce(
+        F.col("dcg_dec"), F.lit(0).cast("decimal(38,12)")
+    ).cast("double")
+    return out.select(
+        "query_id",
+        F.coalesce(F.col("n_retrieved"), F.lit(0)).alias("n_retrieved"),
+        F.coalesce(F.col("n_relevant"), F.lit(0)).alias("n_relevant"),
+        F.round(dcg_d, 8).alias("dcg"),
+        F.round(dcg_d / F.col("idcg_dec").cast("double"), 8).alias("ndcg"),
+    ).orderBy("query_id")
+
+
+def _ndcg_sql() -> str:
+    disc = _sql_round("1.0 / log2(CAST(l.rank AS DOUBLE) + 1)", 12)
+    idcg_disc = _sql_round("1.0 / log2(CAST(i AS DOUBLE) + 1)", 12)
+    return f"""
+WITH qv AS (
+  SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2
+  FROM ({_Q_CORPUS_SQL})
+),
+exact_pairs AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_dot_sql('p.q', 'c.q')} AS dot, p.n2 AS n2a, c.n2 AS n2b
+  FROM qv p JOIN qv c ON p.vec_id < {N_QUERIES} AND c.vec_id <> p.vec_id
+),
+exact_ranked AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM (SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+          FROM exact_pairs)
+  ) WHERE rank <= {NDCG_K}
+),
+planes AS ({_PLANES_SQL}),
+signs AS (
+  SELECT v.vec_id, pl.p,
+         CASE WHEN {_dot_sql('v.q', 'pl.plane')} >= 0 THEN 1 ELSE 0 END AS s
+  FROM qv v CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(s * (1::BIGINT << p)) AS BIGINT) AS bucket
+  FROM signs GROUP BY vec_id
+),
+qb AS (
+  SELECT v.vec_id, v.q, v.n2, b.bucket
+  FROM qv v JOIN buckets b USING (vec_id)
+),
+lsh_pairs AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_dot_sql('p.q', 'c.q')} AS dot, p.n2 AS n2a, c.n2 AS n2b
+  FROM qb p JOIN qb c
+    ON p.vec_id < {N_QUERIES} AND p.bucket = c.bucket
+   AND c.vec_id <> p.vec_id
+),
+lsh_ranked AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM (SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+          FROM lsh_pairs)
+  ) WHERE rank <= {NDCG_K}
+),
+terms AS (
+  SELECT l.query_id,
+         COALESCE({NDCG_K + 1} - e.rank, 0) AS rel,
+         CAST({_sql_round(
+             f"COALESCE({NDCG_K + 1} - e.rank, 0) "
+             f"* CAST({disc} AS DOUBLE)",
+             12,
+         )} AS DECIMAL(38,12)) AS term
+  FROM lsh_ranked l
+  LEFT JOIN exact_ranked e
+    ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+),
+per_q AS (
+  SELECT query_id,
+         COUNT(*) AS n_retrieved,
+         CAST(COUNT(*) FILTER (WHERE rel > 0) AS BIGINT) AS n_relevant,
+         SUM(term) AS dcg_dec
+  FROM terms GROUP BY query_id
+),
+spine AS (SELECT UNNEST(range(1, {NDCG_K + 1})) AS i),
+idcg AS (
+  SELECT SUM(CAST({_sql_round(
+      f"({NDCG_K + 1} - i) * CAST({idcg_disc} AS DOUBLE)", 12
+  )} AS DECIMAL(38,12))) AS idcg_dec
+  FROM spine
+),
+qs AS (SELECT DISTINCT query_id FROM exact_ranked)
+SELECT qs.query_id,
+       COALESCE(p.n_retrieved, 0) AS n_retrieved,
+       COALESCE(p.n_relevant, 0) AS n_relevant,
+       {_sql_round(
+           "CAST(COALESCE(p.dcg_dec, 0) AS DOUBLE)", 8
+       )} AS dcg,
+       {_sql_round(
+           "CAST(COALESCE(p.dcg_dec, 0) AS DOUBLE) "
+           "/ CAST(i.idcg_dec AS DOUBLE)",
+           8,
+       )} AS ndcg
+FROM qs
+LEFT JOIN per_q p ON p.query_id = qs.query_id
+CROSS JOIN idcg i
+ORDER BY qs.query_id
+"""
+
+
 QUERIES = {
+    "ndcg_eval": Query(
+        q_ndcg_eval,
+        _ndcg_sql(),
+        ("vector", "eval", "ndcg", "ranking"),
+    ),
     "embedding_spectral_norm": Query(
         q_embedding_spectral_norm,
         EMBEDDING_SPECTRAL_NORM_SQL,

@@ -221,6 +221,7 @@ _INTENTIONAL_BNLJ = {
     "k_anonymity_audit",      # broadcast 3-row k-threshold probes
     "chunk_dedup_rate",       # broadcast 1-row distinct-count scalar
     "ann_recall_report",      # inherits the retrievers' broadcast query sets
+    "ndcg_eval",              # inherits the retrievers' broadcast query sets
     "sq8_ann_topk",           # broadcast query set vs corpus
     "tfidf_top_terms",        # broadcast 1-row corpus count
     "training_mix_report",    # broadcast 1-row min-token + 1-row total
