@@ -66,6 +66,8 @@ _ROUND_NEW = (
     "calibration_ece",
     "span_corruption_plan",
     "ndcg_eval",
+    "poisson_bootstrap_ci",
+    "cuped_adjustment",
     "kneser_ney_bigram",
     "degree_assortativity",
     "mahalanobis_outliers",

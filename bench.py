@@ -276,6 +276,8 @@ HEADLINE = [
     "calibration_ece",
     "span_corruption_plan",
     "ndcg_eval",
+    "poisson_bootstrap_ci",
+    "cuped_adjustment",
 ]
 
 

@@ -4893,6 +4893,326 @@ ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# poisson_bootstrap_ci — hash-deterministic Poisson bootstrap for the
+# mean (Chamandy et al., "Estimating Uncertainty for Massive Data
+# Streams", the standard resampling scheme at terabyte scale: each row
+# enters replica b with weight ~ Poisson(1), so no replica needs a
+# global resample pass). B=20 replicas of mean(o_totalprice), a
+# percentile CI from the replica order statistics, plus the bootstrap
+# SE. Complements jackknife_ratio_se: jackknife = delete-a-group,
+# bootstrap = reweight-everything.
+#
+# Determinism: the Poisson draw is the inverse-CDF ladder applied to a
+# 48-bit md5-derived uniform per (row, replica) — no RNG state, the
+# oracle replays the hash bit-for-bit; replica sums are integer-weight
+# × DECIMAL(18,2) (exact); the only doubles are the 20 replica means
+# and the final CI arithmetic, DECIMAL-quantized where summed.
+#
+# Scale: the ×B fan-out is map-side (explode before the groupBy), the
+# shuffle carries B partial aggregates per map task; everything after
+# runs on the 20-row replica frame. The unpartitioned rank window is
+# over those 20 rows.
+# --------------------------------------------------------------------------
+
+_BOOT_B = 20
+_BOOT_DEN = float(2**48 + 1)
+# P(Poisson(1) <= k) for k = 0..5, written as full-precision literals
+# so both engines parse the identical double
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _pois_w(u):
+    expr = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        expr = F.when(u < float(_POIS_CDF[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def q_poisson_bootstrap_ci(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import hex_to_long
+
+    orders = table(spark, sf_dir, "orders", spread=True)
+    rep = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_BOOT_B)])
+        ).alias("b"),
+    )
+    u = (
+        hex_to_long(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            )
+        )
+        + 1
+    ) / F.lit(_BOOT_DEN)
+    weighted = rep.withColumn("w", _pois_w(u))
+    reps = weighted.groupBy("b").agg(
+        F.sum("w").alias("n_b"),
+        F.sum(F.col("w") * F.col("price")).alias("sum_b"),
+    ).select(
+        "b",
+        (
+            F.col("sum_b").cast("double") / F.col("n_b").cast("double")
+        ).alias("mean_b"),
+    )
+    # 20-row frame from here on
+    w_rank = W.orderBy("mean_b", "b")
+    ranked = reps.withColumn("rn", F.row_number().over(w_rank))
+    theta = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tot"),
+    ).select(
+        "n_rows",
+        (F.col("tot").cast("double") / F.col("n_rows")).alias("theta_hat"),
+    )
+    boot_mean_row = ranked.agg(
+        F.sum(
+            F.round(F.col("mean_b"), 10).cast("decimal(38,10)")
+        ).alias("s")
+    ).select((F.col("s").cast("double") / _BOOT_B).alias("boot_mean"))
+    stats = (
+        ranked.join(F.broadcast(boot_mean_row))
+        .agg(
+            F.max("boot_mean").alias("boot_mean"),
+            F.sum(
+                F.round(
+                    (F.col("mean_b") - F.col("boot_mean"))
+                    * (F.col("mean_b") - F.col("boot_mean")),
+                    14,
+                ).cast("decimal(38,14)")
+            ).alias("ss"),
+            F.min(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("ci_lo"),
+            F.min(
+                F.when(F.col("rn") == _BOOT_B - 1, F.col("mean_b"))
+            ).alias("ci_hi"),
+        )
+    )
+    return (
+        stats.join(F.broadcast(theta))
+        .select(
+            "n_rows",
+            F.round(F.col("theta_hat"), 6).alias("theta_hat"),
+            F.round(F.col("boot_mean"), 6).alias("boot_mean"),
+            F.round(
+                F.sqrt(F.col("ss").cast("double") / (_BOOT_B - 1)), 8
+            ).alias("boot_se"),
+            F.round(F.col("ci_lo"), 6).alias("ci_lo"),
+            F.round(F.col("ci_hi"), 6).alias("ci_hi"),
+        )
+    )
+
+
+def _poisson_bootstrap_sql() -> str:
+    u = (
+        "((CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || "
+        f"CAST(b AS VARCHAR)), 1, 12) AS BIGINT) + 1) / {_BOOT_DEN!r})"
+    )
+    ladder = "CASE "
+    for k, c in enumerate(_POIS_CDF):
+        ladder += f"WHEN {u} < {c} THEN {k} "
+    ladder += "ELSE 6 END"
+    return f"""
+WITH rep AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, b,
+         {ladder} AS w
+  FROM orders CROSS JOIN (SELECT UNNEST(range(0, {_BOOT_B})) AS b)
+),
+reps AS (
+  SELECT b,
+         CAST(SUM(w * price) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_b
+  FROM rep GROUP BY b
+),
+ranked AS (
+  SELECT b, mean_b,
+         ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn
+  FROM reps
+),
+theta AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS theta_hat
+  FROM orders
+),
+bm AS (
+  SELECT CAST(SUM(CAST({_sql_round('mean_b', 10)} AS DECIMAL(38,10)))
+              AS DOUBLE) / {_BOOT_B} AS boot_mean
+  FROM ranked
+),
+stats AS (
+  SELECT MAX(boot_mean) AS boot_mean,
+         SUM(CAST({_sql_round(
+             '(mean_b - boot_mean) * (mean_b - boot_mean)', 14
+         )} AS DECIMAL(38,14))) AS ss,
+         MIN(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+         MIN(CASE WHEN rn = {_BOOT_B - 1} THEN mean_b END) AS ci_hi
+  FROM ranked CROSS JOIN bm
+)
+SELECT n_rows,
+       {_sql_round('theta_hat', 6)} AS theta_hat,
+       {_sql_round('boot_mean', 6)} AS boot_mean,
+       {_sql_round(f'sqrt(CAST(ss AS DOUBLE) / {_BOOT_B - 1})', 8)}
+         AS boot_se,
+       {_sql_round('ci_lo', 6)} AS ci_lo,
+       {_sql_round('ci_hi', 6)} AS ci_hi
+FROM stats CROSS JOIN theta
+"""
+
+
+# --------------------------------------------------------------------------
+# cuped_adjustment — CUPED variance reduction (Deng et al., WSDM'13):
+# adjust the experiment metric y by a pre-period covariate x,
+# y_adj = y − θ(x − x̄) with θ = cov(x,y)/var(x), and report how much
+# metric variance the adjustment removes — the readout that decides
+# whether an A/B program can cut its sample sizes. Here x = a user's
+# event value in the first half of the observation window, y = in the
+# second half; var(y_adj) = var(y) − cov²/var(x) algebraically, so ONE
+# pass over the per-user frame yields everything.
+#
+# Determinism: the window midpoint is integer epoch arithmetic on the
+# corpus min/max; per-user sums are DECIMAL; the five moment sums are
+# DECIMAL products of those exact decimals (no double enters until the
+# final closed-form divisions, mirrored operation-for-operation).
+#
+# Scale: one groupBy(user) collapses the events, one 1-row global agg;
+# the midpoint is a broadcast scalar.
+# --------------------------------------------------------------------------
+
+
+def q_cuped_adjustment(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    secs = F.unix_timestamp(F.col("ts"))
+    bounds = ev.agg(
+        F.min(secs).alias("lo"), F.max(secs).alias("hi")
+    ).select(F.expr("(lo + hi) div 2").alias("mid"))
+    per_user = (
+        ev.select(
+            "user_id",
+            secs.alias("s"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .join(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("s") < F.col("mid"), F.col("v")).otherwise(
+                F.lit(0).cast("decimal(18,6)")
+            )).alias("x"),
+            F.sum(F.when(F.col("s") >= F.col("mid"), F.col("v")).otherwise(
+                F.lit(0).cast("decimal(18,6)")
+            )).alias("y"),
+        )
+    )
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    theta = cov / varx
+    # population variances: divide the centered cross-products by n²
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(theta, 8).alias("theta"),
+        F.round(vary / (n * n), 6).alias("var_y"),
+        F.round((vary - cov * cov / varx) / (n * n), 6).alias("var_y_adj"),
+        F.round(F.lit(100.0) * (cov * cov / varx) / vary, 6).alias(
+            "var_reduction_pct"
+        ),
+    )
+
+
+CUPED_ADJUSTMENT_SQL = f"""
+WITH bounds AS (
+  SELECT (MIN(CAST(floor(epoch(ts)) AS BIGINT))
+          + MAX(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS mid
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < mid
+                  THEN CAST(value AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS x,
+         SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= mid
+                  THEN CAST(value AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS y
+  FROM events CROSS JOIN bounds
+  GROUP BY user_id
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM per_user
+)
+SELECT n AS n_users,
+       {_sql_round(
+           '(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) '
+           '- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) '
+           '/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) '
+           '- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))',
+           8,
+       )} AS theta,
+       {_sql_round(
+           '(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) '
+           '- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) '
+           '/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))',
+           6,
+       )} AS var_y,
+       {_sql_round(
+           '((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) '
+           '- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) '
+           '- (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) '
+           '- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) '
+           '* (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) '
+           '- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) '
+           '/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) '
+           '- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) '
+           '/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))',
+           6,
+       )} AS var_y_adj,
+       {_sql_round(
+           '100.0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) '
+           '- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) '
+           '* (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) '
+           '- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) '
+           '/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) '
+           '- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) '
+           '/ (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) '
+           '- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))',
+           6,
+       )} AS var_reduction_pct
+FROM m
+"""
+
+
 QUERIES = {
     "bloom_semi_join": Query(
         q_bloom_semi_join,
@@ -5151,5 +5471,15 @@ QUERIES = {
         q_conformal_calibration,
         CONFORMAL_CALIBRATION_SQL,
         ("ml-eval", "conformal", "uncertainty"),
+    ),
+    "poisson_bootstrap_ci": Query(
+        q_poisson_bootstrap_ci,
+        _poisson_bootstrap_sql(),
+        ("stats", "bootstrap", "resampling"),
+    ),
+    "cuped_adjustment": Query(
+        q_cuped_adjustment,
+        CUPED_ADJUSTMENT_SQL,
+        ("stats", "cuped", "variance-reduction", "ab-testing"),
     ),
 }

@@ -62,6 +62,7 @@ REPRESENTATIVES = [
     "t_closeness_audit",        # band-spine cumsum + decimal cross products
     "jackknife_ratio_se",       # decimal-quantized leave-one-out sums
     "adamic_adar_links",        # per-size decimal term sums + top-k
+    "poisson_bootstrap_ci",     # hash-ladder Poisson weights + replica ranks
 ]
 
 

@@ -260,6 +260,8 @@ _INTENTIONAL_BNLJ = {
     "t_closeness_audit",      # broadcast |bands|-row spine + 1-row totals
     "jackknife_ratio_se",     # broadcast 1-row totals + 1-row jackknife mean
     "calibration_ece",        # broadcast 1-row ECE scalar
+    "poisson_bootstrap_ci",   # broadcast 1-row boot-mean + 1-row theta
+    "cuped_adjustment",       # broadcast 1-row window-midpoint scalar
     "calinski_harabasz",      # broadcast 1-row global-scatter scalar
     "hash_uniformity_check",  # broadcast 1-row total scalar
     "heaps_law_curve",        # broadcast 1-row id-range + decile spine
@@ -320,6 +322,7 @@ _UNPARTITIONED_WINDOW_OK = {
         "rank over the K=20 survivors of orderBy().limit()",
     "zipf_slope": "rank over the K=500 survivors of orderBy().limit()",
     "t_closeness_audit": "cumsum over the balance-band spine (~a dozen rows)",
+    "poisson_bootstrap_ci": "rank over the B=20 replica frame",
 }
 
 # First windowspecdefinition argument is a sort spec (`col ASC/DESC`)
