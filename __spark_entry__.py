@@ -60,6 +60,8 @@ def _already_checked() -> set[str]:
 # driver verdict immediately. Refresh this tuple each round.
 _ROUND_NEW = (
     # --- round-5 NEW queries (least battle-tested cross-engine)
+    "embedding_auc_separability",
+    "lpa_communities",
     "t_closeness_audit",
     "jackknife_ratio_se",
     "adamic_adar_links",

@@ -278,6 +278,8 @@ HEADLINE = [
     "ndcg_eval",
     "poisson_bootstrap_ci",
     "cuped_adjustment",
+    "embedding_auc_separability",
+    "lpa_communities",
 ]
 
 

@@ -89,6 +89,7 @@ def build_suite() -> dict[str, Query]:
     from city_payroll_data_pipeline_spark.suite import (
         advanced,
         analytics,
+        mlops,
         parity,
         relational,
         textops,
@@ -96,7 +97,7 @@ def build_suite() -> dict[str, Query]:
     )
 
     suite: dict[str, Query] = {}
-    for mod in (parity, relational, textops, vectors, analytics, advanced):
+    for mod in (parity, relational, textops, vectors, analytics, advanced, mlops):
         overlap = suite.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

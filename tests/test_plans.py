@@ -267,6 +267,7 @@ _INTENTIONAL_BNLJ = {
     "heaps_law_curve",        # broadcast 1-row id-range + decile spine
     "hill_tail_index",        # broadcast 1-row reference order statistic
     "conversion_survival_curve",  # broadcast 1-row cohort-total scalar
+    "embedding_auc_separability",  # broadcast |labels|-row centroid table
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
