@@ -62,6 +62,8 @@ _ROUND_NEW = (
     # --- round-5 NEW queries (least battle-tested cross-engine)
     "embedding_auc_separability",
     "lpa_communities",
+    "hll_distinct_audit",
+    "sprt_conversion_gate",
     "t_closeness_audit",
     "jackknife_ratio_se",
     "adamic_adar_links",

@@ -280,6 +280,8 @@ HEADLINE = [
     "cuped_adjustment",
     "embedding_auc_separability",
     "lpa_communities",
+    "hll_distinct_audit",
+    "sprt_conversion_gate",
 ]
 
 

@@ -304,6 +304,248 @@ ORDER BY n_parts DESC, community
     )
 
 
+# --------------------------------------------------------------------------
+# hll_distinct_audit — hand-rolled HyperLogLog whose registers the
+# oracle replays bit-for-bit.
+#
+# Spark's approx_count_distinct is engine-specific (its HLL++ register
+# layout can't be replayed in DuckDB, which is why
+# approx_distinct_stats is a declared rows-only check). This operator
+# closes that gap: an explicit HLL (Flajolet et al. 2007) built from
+# md5-derived buckets, p=12 → m=4096 registers, rho from the 48-bit
+# suffix — every register, the raw estimate, the linear-counting
+# small-range branch, and the relative error against the EXACT
+# distinct are all hash-matched against the DuckDB oracle. The engine
+# does not ask you to trust its sketch; it proves the registers.
+#
+# Determinism: bucket and suffix come from md5 hex (identical in both
+# engines); rho = 49 − bitlen(suffix) with bitlen = length(bin(v))
+# (verified identical semantics, no leading zeros, bin(0)='0');
+# Z is kept as the exact BIGINT S = Σ 2^(49−M_j) + empty·2^49, so the
+# only doubles are one division 2^49/S, a fixed multiply chain, and
+# the ln-of-integer-ratio (8-dp rounded, the bm25 ln rule).
+#
+# Scale: THE streaming-cardinality pattern — the register frame is
+# (groups × 4096) regardless of input size, built by one map-side
+# partial max aggregate; duplicates never survive past the mapper.
+# Exact distinct is computed alongside only to certify the error
+# (drop it at 100 TB — certification runs on a sample tier).
+# --------------------------------------------------------------------------
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P  # 4096
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_C49 = 1 << 49
+
+
+def q_hll_distinct_audit(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_custkey").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    v48 = F.conv(F.substring(h, 4, 12), 16, 10).cast("bigint")
+    rho = F.when(v48 == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.bin(v48))
+    )
+    regs = (
+        orders.select(F.col("o_orderpriority").alias("grp"), bucket.alias("b"), rho.alias("rho"))
+        .groupBy("grp", "b")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    per = regs.groupBy("grp").agg(
+        F.count("*").alias("v_obs"),
+        F.sum(F.expr("shiftleft(1L, 49 - m_j)")).alias("s_obs"),
+    )
+    exact = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    v_empty = F.lit(_HLL_M) - F.col("v_obs")
+    s = F.col("s_obs") + v_empty * F.lit(_HLL_C49)
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * _HLL_M
+        * _HLL_M
+        * (F.lit(float(_HLL_C49)) / s.cast("double"))
+    )
+    lc = _HLL_M * F.round(
+        F.log(F.lit(_HLL_M).cast("double") / v_empty.cast("double")), 8
+    )
+    est = F.when((raw <= 2.5 * _HLL_M) & (v_empty > 0), lc).otherwise(raw)
+    joined = per.join(exact, "grp")
+    return joined.select(
+        F.col("grp").alias("o_orderpriority"),
+        "n_exact",
+        "v_obs",
+        F.round(est, 4).alias("hll_estimate"),
+        F.round(
+            (est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+            6,
+        ).alias("rel_error"),
+    ).orderBy("o_orderpriority")
+
+
+def _hll_sql() -> str:
+    return f"""
+WITH hashed AS (
+  SELECT o_orderpriority AS grp,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 3) AS INT)
+           AS b,
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 4, 12)
+              AS BIGINT) AS v48
+  FROM orders
+),
+regs AS (
+  SELECT grp, b,
+         MAX(CASE WHEN v48 = 0 THEN 49 ELSE 49 - length(bin(v48)) END)
+           AS m_j
+  FROM hashed GROUP BY grp, b
+),
+per AS (
+  SELECT grp, COUNT(*) AS v_obs,
+         CAST(SUM(CAST(1 AS BIGINT) << (49 - m_j)) AS BIGINT) AS s_obs
+  FROM regs GROUP BY grp
+),
+exact AS (
+  SELECT o_orderpriority AS grp, COUNT(DISTINCT o_custkey) AS n_exact
+  FROM orders GROUP BY o_orderpriority
+),
+est AS (
+  SELECT grp, n_exact, v_obs,
+         CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+           * (CAST({_HLL_C49} AS DOUBLE)
+              / CAST(s_obs + ({_HLL_M} - v_obs)
+                             * CAST({_HLL_C49} AS BIGINT) AS DOUBLE)) AS raw,
+         {_HLL_M} - v_obs AS v_empty
+  FROM per JOIN exact USING (grp)
+),
+final AS (
+  SELECT grp, n_exact, v_obs,
+         CASE WHEN raw <= 2.5 * {_HLL_M} AND v_empty > 0
+              THEN {_HLL_M} * {_sql_round(
+                  f'ln(CAST({_HLL_M} AS DOUBLE) / CAST(v_empty AS DOUBLE))', 8
+              )}
+              ELSE raw END AS est
+  FROM est
+)
+SELECT grp AS o_orderpriority, n_exact, v_obs,
+       {_sql_round('est', 4)} AS hll_estimate,
+       {_sql_round(
+           '(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)', 6
+       )} AS rel_error
+FROM final
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# sprt_conversion_gate — Wald's Sequential Probability Ratio Test as
+# a daily experiment gate.
+#
+# The always-valid alternative to fixed-horizon A/B reads: after each
+# day, the cumulative log-likelihood ratio of the treatment arm's
+# conversion rate under H1 (p=0.30) vs H0 (p=0.25) is compared to the
+# Wald boundaries ln((1−β)/α) / ln(β/(1−α)) at α=β=0.05 — the first
+# boundary crossing is a decision that needs no multiple-testing
+# correction (Wald 1945). Trials are user-days (any event = a trial,
+# a purchase event = a conversion); the arm is the md5-parity
+# assignment shared with mann_whitney_test.
+#
+# Determinism: the four ln constants are Python-computed literals
+# embedded identically in both engines; the cumulative LLR is
+# integer-count × literal with a fixed expression shape, rounded 8 dp.
+#
+# Scale: one (user, day) aggregate + one per-day aggregate; the only
+# window is the cumsum over the ~30-row day spine (bounded by the
+# observation horizon, the cusum_changepoint allowlist class).
+# --------------------------------------------------------------------------
+
+_SPRT_L1 = 0.1823215567939546  # ln(p1/p0), p1=0.30, p0=0.25
+_SPRT_L0 = -0.06899287148695156  # ln((1-p1)/(1-p0))
+_SPRT_UP = 2.9444389791664403  # ln((1-beta)/alpha), alpha=beta=0.05
+_SPRT_LO = -2.9444389791664403  # ln(beta/(1-alpha))
+
+
+def q_sprt_conversion_gate(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import hex_to_long
+
+    ev = table(spark, sf_dir, "events")
+    arm = F.pmod(
+        hex_to_long(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12)),
+        F.lit(2),
+    )
+    trials = (
+        ev.where(arm == 1)
+        .groupBy(F.col("user_id"), F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    daily = trials.groupBy("day").agg(
+        F.count("*").alias("n_d"), F.sum("conv").alias("c_d")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("n_d").over(w).alias("n_cum"),
+        F.sum("c_d").over(w).alias("c_cum"),
+    )
+    llr = F.round(
+        F.col("c_cum") * F.lit(_SPRT_L1)
+        + (F.col("n_cum") - F.col("c_cum")) * F.lit(_SPRT_L0),
+        8,
+    )
+    return cum.select(
+        "day",
+        "n_cum",
+        "c_cum",
+        llr.alias("llr"),
+        F.when(llr >= _SPRT_UP, "accept_h1")
+        .when(llr <= _SPRT_LO, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")
+
+
+_SPRT_SQL = f"""
+WITH trials AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events
+  WHERE CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+             AS BIGINT) % 2 = 1
+  GROUP BY user_id, date_trunc('day', ts)
+),
+daily AS (
+  SELECT day, COUNT(*) AS n_d, CAST(SUM(conv) AS BIGINT) AS c_d
+  FROM trials GROUP BY day
+),
+cum AS (
+  SELECT day,
+         CAST(SUM(n_d) OVER (ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+         CAST(SUM(c_d) OVER (ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c_cum
+  FROM daily
+),
+scored AS (
+  SELECT day, n_cum, c_cum,
+         {_sql_round(
+             f'c_cum * CAST({_SPRT_L1!r} AS DOUBLE)'
+             f' + (n_cum - c_cum) * CAST({_SPRT_L0!r} AS DOUBLE)', 8
+         )} AS llr
+  FROM cum
+)
+SELECT day, n_cum, c_cum, llr,
+       CASE WHEN llr >= {_SPRT_UP!r} THEN 'accept_h1'
+            WHEN llr <= {_SPRT_LO!r} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM scored
+ORDER BY day
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_auc_separability": Query(
         q_embedding_auc_separability,
@@ -314,5 +556,15 @@ QUERIES: dict[str, Query] = {
         q_lpa_communities,
         _lpa_sql(),
         ("graph", "communities", "label-propagation"),
+    ),
+    "hll_distinct_audit": Query(
+        q_hll_distinct_audit,
+        _hll_sql(),
+        ("sketch", "hyperloglog", "cardinality", "certification"),
+    ),
+    "sprt_conversion_gate": Query(
+        q_sprt_conversion_gate,
+        _SPRT_SQL,
+        ("stats", "sequential-testing", "ab-testing", "sprt"),
     ),
 }

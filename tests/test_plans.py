@@ -291,6 +291,7 @@ _SANCTIONED_PYTHON = {
 _UNPARTITIONED_WINDOW_OK = {
     "bm25_search": "rank over the K=20 survivors of orderBy().limit()",
     "cusum_changepoint": "cumsum over the per-day aggregate spine",
+    "sprt_conversion_gate": "cumsum over the per-day aggregate spine",
     "doc_perplexity": "rank over the K=20 survivors of orderBy().limit()",
     "error_spikes": "trailing frame over the hourly aggregate series",
     "event_trigram_mining": "rank over the K=10 survivors of orderBy().limit()",
