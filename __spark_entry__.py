@@ -64,6 +64,7 @@ _ROUND_NEW = (
     "lpa_communities",
     "hll_distinct_audit",
     "sprt_conversion_gate",
+    "countmin_heavy_tokens",
     "t_closeness_audit",
     "jackknife_ratio_se",
     "adamic_adar_links",

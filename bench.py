@@ -282,6 +282,7 @@ HEADLINE = [
     "lpa_communities",
     "hll_distinct_audit",
     "sprt_conversion_gate",
+    "countmin_heavy_tokens",
 ]
 
 

@@ -546,6 +546,141 @@ ORDER BY day
 """
 
 
+# --------------------------------------------------------------------------
+# countmin_heavy_tokens — Count-Min sketch whose cells the oracle
+# replays, certified against exact heavy-hitter counts.
+#
+# The other half of the sketch pair (hll_distinct_audit = distinct
+# cardinality; this = frequency): a d=4 × w=512 Count-Min sketch
+# (Cormode & Muthukrishnan 2005) over whitespace-token occurrences,
+# probed at the exact top-20 tokens. The output carries both the
+# exact count and the sketch estimate; the hash match proves the
+# one-sided error guarantee est ≥ exact ON EVERY ROW (a theorem the
+# oracle independently re-derives), and the overcount column shows
+# the collision noise the 512-cell width buys at this corpus size.
+#
+# Determinism: cell indices are md5-derived (row-salted) mod w in
+# both engines; every count is an exact BIGINT — the query contains
+# zero doubles.
+#
+# Scale: the sketch is a (d·w)-row aggregate regardless of corpus
+# size — the ×d fan-out is map-side and partial-aggregated before
+# the exchange (the mergeable-summaries property: per-partition
+# sketches ADD). Probing joins the 20-row candidate frame against
+# the 2048-row cell frame — both broadcast-sized by construction.
+# --------------------------------------------------------------------------
+
+_CM_D = 4
+_CM_W = 512
+_CM_TOPK = 20
+
+
+def _cm_cell(tok: F.Column, i: int) -> F.Column:
+    from city_payroll_data_pipeline_spark.functions.text import hex_to_long
+
+    return F.pmod(
+        hex_to_long(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), tok)), 1, 12)
+        ),
+        F.lit(_CM_W),
+    )
+
+
+def q_countmin_heavy_tokens(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import tokens_array
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        F.explode(tokens_array(F.col("text"))).alias("tok")
+    )
+    # consumed by both the sketch build and the exact counts
+    toks = toks.localCheckpoint()
+    hits = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), _cm_cell(F.col("tok"), i).alias("cell")
+            )
+            for i in range(_CM_D)
+        ]
+    )
+    cells = (
+        toks.select(F.explode(hits).alias("h"))
+        .groupBy(F.col("h.i").alias("i"), F.col("h.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "tok").limit(_CM_TOPK)
+    probes = top.select(
+        "tok",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cm_cell(F.col("tok"), i).alias("cell"),
+                    )
+                    for i in range(_CM_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "exact_cnt", F.col("p.i").alias("i"), F.col("p.cell").alias("cell"))
+    est = (
+        probes.join(F.broadcast(cells), ["i", "cell"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_cnt")).alias("overcount"),
+    ).orderBy(F.desc("exact_cnt"), "tok")
+
+
+def _countmin_sql() -> str:
+    def cell(tok_expr: str, i: int) -> str:
+        return (
+            f"CAST('0x' || substr(md5('{i}:' || {tok_expr}), 1, 12) "
+            f"AS BIGINT) % {_CM_W}"
+        )
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {cell('tok', i)} AS cell FROM toks"
+        for i in range(_CM_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT tok, exact_cnt, {i} AS i, {cell('tok', i)} AS cell FROM top"
+        for i in range(_CM_D)
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all(trim(text), '\\S+', 0)) AS tok
+  FROM documents
+),
+cells AS MATERIALIZED (
+  SELECT i, cell, COUNT(*) AS cnt FROM ({cell_rows}) GROUP BY i, cell
+),
+exact AS (
+  SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok
+),
+top AS (
+  SELECT tok, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, tok LIMIT {_CM_TOPK}
+),
+probes AS ({probe_rows}),
+est AS (
+  SELECT p.tok, p.exact_cnt, MIN(c.cnt) AS cm_estimate
+  FROM probes p JOIN cells c ON p.i = c.i AND p.cell = c.cell
+  GROUP BY p.tok, p.exact_cnt
+)
+SELECT tok, exact_cnt, cm_estimate,
+       cm_estimate - exact_cnt AS overcount
+FROM est
+ORDER BY exact_cnt DESC, tok
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_auc_separability": Query(
         q_embedding_auc_separability,
@@ -566,5 +701,10 @@ QUERIES: dict[str, Query] = {
         q_sprt_conversion_gate,
         _SPRT_SQL,
         ("stats", "sequential-testing", "ab-testing", "sprt"),
+    ),
+    "countmin_heavy_tokens": Query(
+        q_countmin_heavy_tokens,
+        _countmin_sql(),
+        ("sketch", "count-min", "frequency", "certification"),
     ),
 }
