@@ -65,6 +65,7 @@ _ROUND_NEW = (
     "hll_distinct_audit",
     "sprt_conversion_gate",
     "countmin_heavy_tokens",
+    "mi_feature_screen",
     "t_closeness_audit",
     "jackknife_ratio_se",
     "adamic_adar_links",

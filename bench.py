@@ -283,6 +283,7 @@ HEADLINE = [
     "hll_distinct_audit",
     "sprt_conversion_gate",
     "countmin_heavy_tokens",
+    "mi_feature_screen",
 ]
 
 

@@ -681,6 +681,141 @@ ORDER BY exact_cnt DESC, tok
 """
 
 
+# --------------------------------------------------------------------------
+# mi_feature_screen — mutual-information feature ranking against a
+# binary target.
+#
+# The model-free feature screen run before any training job: which
+# categorical columns carry signal about the label (here: is the line
+# discounted ≥ 5%)? MI(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over
+# exact contingency counts; features are ranked by MI in nats.
+# Constant features score exactly 0, independent ones ≈ 0 — the
+# ranking, not the absolute value, drives column selection.
+#
+# Determinism: all counts are exact BIGINTs from one pass; each ln is
+# taken on one integer-ratio double and rounded 8 dp, the weighted
+# sum routes through DECIMAL (the char_entropy discipline), one final
+# division. (n_xy·N fits BIGINT to ~3e9 rows per feature; beyond
+# that, split the ln into ln(n_xy)+ln(N)−ln(n_x)−ln(n_y) — same
+# rounding rule.)
+#
+# Scale: the melt is map-side (×|features| explode), partial
+# aggregation shrinks the exchange to the contingency frame
+# (Σ_f |dom(f)|·2 rows); marginals join on that frame, never the
+# fact.
+# --------------------------------------------------------------------------
+
+# (name, Spark column expr, DuckDB SQL expr) — derived categoricals
+# where the testdata lacks native ones
+_MI_FEATURES = (
+    ("returnflag", "l_returnflag", "l_returnflag"),
+    ("linestatus", "l_linestatus", "l_linestatus"),
+    ("ship_month", "month(l_shipdate)", "month(l_shipdate)"),
+    ("qty_band", "CAST(l_quantity AS INT) DIV 10", "CAST(l_quantity AS INT) // 10"),
+)
+
+
+def q_mi_feature_screen(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    label = F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)
+    melted = li.select(
+        label.alias("y"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        F.expr(col).cast("string").alias("val"),
+                    )
+                    for name, col, _ in _MI_FEATURES
+                ]
+            )
+        ).alias("f"),
+    ).select(F.col("f.feature").alias("feature"), F.col("f.val").alias("val"), "y")
+    joint = melted.groupBy("feature", "val", "y").agg(
+        F.count("*").alias("n_xy")
+    )
+    margx = joint.groupBy("feature", "val").agg(F.sum("n_xy").alias("n_x"))
+    margy = joint.groupBy("feature", "y").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.groupBy("feature").agg(F.sum("n_xy").alias("n_tot"))
+    cells = (
+        joint.join(margx, ["feature", "val"])
+        .join(margy, ["feature", "y"])
+        .join(tot, "feature")
+    )
+    term = F.round(
+        F.col("n_xy")
+        * F.round(
+            F.log(
+                (F.col("n_xy") * F.col("n_tot")).cast("double")
+                / (F.col("n_x") * F.col("n_y")).cast("double")
+            ),
+            8,
+        ),
+        8,
+    ).cast("decimal(28,8)")
+    per_feat = cells.groupBy("feature").agg(
+        F.max("n_tot").alias("n_rows"),
+        F.count("*").alias("n_cells"),
+        F.sum(term).alias("wsum"),
+    )
+    return per_feat.select(
+        "feature",
+        "n_rows",
+        "n_cells",
+        F.round(
+            F.col("wsum").cast("double") / F.col("n_rows").cast("double"), 8
+        ).alias("mi_nats"),
+    ).orderBy(F.desc("mi_nats"), "feature")
+
+
+def _mi_sql() -> str:
+    melt = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, CAST({sql} AS VARCHAR) AS val, "
+        f"CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS y FROM lineitem"
+        for name, _, sql in _MI_FEATURES
+    )
+    ln_term = _sql_round(
+        "ln(CAST(n_xy * n_tot AS DOUBLE) / CAST(n_x * n_y AS DOUBLE))", 8
+    )
+    return f"""
+WITH melted AS ({melt}),
+joint AS (
+  SELECT feature, val, y, COUNT(*) AS n_xy
+  FROM melted GROUP BY feature, val, y
+),
+margx AS (
+  SELECT feature, val, CAST(SUM(n_xy) AS BIGINT) AS n_x
+  FROM joint GROUP BY feature, val
+),
+margy AS (
+  SELECT feature, y, CAST(SUM(n_xy) AS BIGINT) AS n_y
+  FROM joint GROUP BY feature, y
+),
+tot AS (
+  SELECT feature, CAST(SUM(n_xy) AS BIGINT) AS n_tot
+  FROM joint GROUP BY feature
+),
+per_feat AS (
+  SELECT j.feature,
+         MAX(n_tot) AS n_rows,
+         COUNT(*) AS n_cells,
+         SUM(CAST({_sql_round(f'n_xy * CAST({ln_term} AS DOUBLE)', 8)}
+             AS DECIMAL(28,8))) AS wsum
+  FROM joint j
+  JOIN margx USING (feature, val)
+  JOIN margy USING (feature, y)
+  JOIN tot USING (feature)
+  GROUP BY j.feature
+)
+SELECT feature, n_rows, n_cells,
+       {_sql_round('CAST(wsum AS DOUBLE) / CAST(n_rows AS DOUBLE)', 8)}
+         AS mi_nats
+FROM per_feat
+ORDER BY mi_nats DESC, feature
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_auc_separability": Query(
         q_embedding_auc_separability,
@@ -706,5 +841,10 @@ QUERIES: dict[str, Query] = {
         q_countmin_heavy_tokens,
         _countmin_sql(),
         ("sketch", "count-min", "frequency", "certification"),
+    ),
+    "mi_feature_screen": Query(
+        q_mi_feature_screen,
+        _mi_sql(),
+        ("ml-eval", "mutual-information", "feature-selection"),
     ),
 }
