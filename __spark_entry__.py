@@ -66,6 +66,8 @@ _ROUND_NEW = (
     "sprt_conversion_gate",
     "countmin_heavy_tokens",
     "mi_feature_screen",
+    "median_of_means",
+    "bloom_fpr_audit",
     "t_closeness_audit",
     "jackknife_ratio_se",
     "adamic_adar_links",

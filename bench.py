@@ -284,6 +284,8 @@ HEADLINE = [
     "sprt_conversion_gate",
     "countmin_heavy_tokens",
     "mi_feature_screen",
+    "median_of_means",
+    "bloom_fpr_audit",
 ]
 
 

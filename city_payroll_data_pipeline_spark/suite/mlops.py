@@ -816,6 +816,238 @@ ORDER BY mi_nats DESC, feature
 """
 
 
+# --------------------------------------------------------------------------
+# median_of_means — the robust mean estimator for heavy-tailed data.
+#
+# Split the data into k deterministic hash shards, take each shard's
+# mean, report the MEDIAN of the k means: a single corrupted or
+# heavy-tailed shard moves one order statistic instead of the whole
+# estimate (sub-Gaussian deviation bounds under only a finite
+# variance assumption — Nemirovsky & Yudin 1983; the estimator behind
+# most "robust statistics at scale" pipelines). Reported next to the
+# plain mean: their gap is the heavy-tail alarm.
+#
+# Determinism: shard assignment is md5-mod-k; shard sums are exact
+# DECIMAL; the k means are doubles divided from exact parts; the
+# median of k=32 doubles matches kpi_stats' proven F.median/DuckDB
+# parity.
+#
+# Scale: ONE pass, one k-row aggregate — the shuffle carries k
+# partial (sum, count) pairs per map task. k is the robustness/
+# variance knob (k ≈ 8·ln(1/δ) for confidence δ).
+# --------------------------------------------------------------------------
+
+_MOM_K = 32
+
+
+def q_median_of_means(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import hex_to_long
+
+    orders = table(spark, sf_dir, "orders")
+    shard = F.pmod(
+        hex_to_long(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12)
+        ),
+        F.lit(_MOM_K),
+    )
+    shards = (
+        orders.select(
+            shard.alias("shard"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_s"), F.sum("v").alias("sum_s"))
+        .select(
+            "n_s",
+            "sum_s",
+            (F.col("sum_s").cast("double") / F.col("n_s")).alias("mean_s"),
+        )
+    )
+    return shards.agg(
+        F.sum("n_s").alias("n_rows"),
+        F.count("*").alias("n_shards"),
+        F.round(
+            F.sum("sum_s").cast("double") / F.sum("n_s"), 6
+        ).alias("plain_mean"),
+        F.round(F.median("mean_s"), 6).alias("mom_mean"),
+    )
+
+
+_MOM_SQL = f"""
+WITH shards AS (
+  SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)
+              AS BIGINT) % {_MOM_K} AS shard,
+         COUNT(*) AS n_s,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_s
+  FROM orders GROUP BY shard
+),
+means AS (
+  SELECT n_s, sum_s, CAST(sum_s AS DOUBLE) / n_s AS mean_s FROM shards
+)
+SELECT CAST(SUM(n_s) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_shards,
+       {_sql_round('CAST(SUM(sum_s) AS DOUBLE) / SUM(n_s)', 6)}
+         AS plain_mean,
+       {_sql_round('median(mean_s)', 6)} AS mom_mean
+FROM means
+"""
+
+
+# --------------------------------------------------------------------------
+# bloom_fpr_audit — measured vs theoretical Bloom-filter false-
+# positive rate, register-replayed.
+#
+# Completes the sketch-certification trio (hll_distinct_audit =
+# cardinality, countmin_heavy_tokens = frequency, this = membership):
+# an m=16384-bit, k=4-hash Bloom set is built over the customer keys
+# that placed orders, then probed with a DISJOINT synthetic key range
+# (member keys offset beyond the domain). Every probe that "hits" is
+# by construction a false positive, so the measured FPR is exact —
+# reported against the theoretical (1 − e^{−kn/m})^k. The oracle
+# replays bit positions, hit counts, and both rates; the hash match
+# certifies the filter's actual operating point, not its textbook
+# one.
+#
+# Determinism: bit positions are md5-derived (salted per hash
+# function) mod m; membership is an integer EXISTS join on bit
+# position; the theoretical rate is exp/pow on one integer-derived
+# double, rounded 6 dp (both engines evaluate the identical
+# expression shape).
+#
+# Scale: the bitset is a ≤m-row DISTINCT aggregate (broadcastable at
+# any corpus size — that is the point of a Bloom filter); probes are
+# map-side hash evaluations + one semi-join on the bit frame.
+# bloom_semi_join is the in-plan consumer of this pattern; this query
+# is its calibration readout.
+# --------------------------------------------------------------------------
+
+_BF_M = 16384
+_BF_K = 4
+_BF_PROBES = 5000
+_BF_PROBE_OFFSET = 10_000_000  # beyond any custkey in the domain
+
+
+def _bf_bit(key: F.Column, i: int) -> F.Column:
+    from city_payroll_data_pipeline_spark.functions.text import hex_to_long
+
+    return F.pmod(
+        hex_to_long(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 12
+            )
+        ),
+        F.lit(_BF_M),
+    )
+
+
+def q_bloom_fpr_audit(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    members = orders.select(F.col("o_custkey").alias("key")).distinct()
+    # consumed by the bitset build AND the n-count readout
+    members = members.localCheckpoint()
+    bits = (
+        members.select(
+            F.explode(
+                F.array(*[_bf_bit(F.col("key"), i) for i in range(_BF_K)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probes = spark.range(
+        _BF_PROBE_OFFSET, _BF_PROBE_OFFSET + _BF_PROBES
+    ).select(F.col("id").alias("key"))
+    probe_bits = probes.select(
+        "key",
+        F.explode(
+            F.array(*[_bf_bit(F.col("key"), i) for i in range(_BF_K)])
+        ).alias("bit"),
+    )
+    # a probe is a (false) positive iff ALL k bits are set
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("key")
+        .agg(F.count("*").alias("set_cnt"))
+        .where(F.col("set_cnt") == _BF_K)
+    )
+    n_mem = members.agg(F.count("*").alias("n_members"))
+    n_bits = bits.agg(F.count("*").alias("bits_set"))
+    n_fp = hits.agg(F.count("*").alias("false_positives"))
+    theory = F.round(
+        F.pow(
+            F.lit(1.0)
+            - F.exp(
+                -F.lit(float(_BF_K))
+                * F.col("n_members").cast("double")
+                / F.lit(float(_BF_M))
+            ),
+            F.lit(float(_BF_K)),
+        ),
+        6,
+    )
+    return (
+        n_mem.join(n_bits)
+        .join(n_fp)
+        .select(
+            "n_members",
+            "bits_set",
+            "false_positives",
+            F.round(
+                F.col("false_positives").cast("double") / _BF_PROBES, 6
+            ).alias("measured_fpr"),
+            theory.alias("theoretical_fpr"),
+        )
+    )
+
+
+def _bloom_fpr_sql() -> str:
+    def bit(key_expr: str, i: int) -> str:
+        return (
+            f"CAST('0x' || substr(md5('bf{i}:' || CAST({key_expr} AS VARCHAR)),"
+            f" 1, 12) AS BIGINT) % {_BF_M}"
+        )
+
+    member_bits = " UNION ALL ".join(
+        f"SELECT {bit('key', i)} AS bit FROM members" for i in range(_BF_K)
+    )
+    probe_bits = " UNION ALL ".join(
+        f"SELECT key, {bit('key', i)} AS bit FROM probes"
+        for i in range(_BF_K)
+    )
+    return f"""
+WITH members AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS key FROM orders
+),
+bits AS MATERIALIZED (
+  SELECT DISTINCT bit FROM ({member_bits})
+),
+probes AS (
+  SELECT unnest(range({_BF_PROBE_OFFSET},
+                      {_BF_PROBE_OFFSET + _BF_PROBES})) AS key
+),
+probe_bits AS ({probe_bits}),
+hits AS (
+  SELECT key FROM probe_bits JOIN bits USING (bit)
+  GROUP BY key HAVING COUNT(*) = {_BF_K}
+),
+wide AS (
+  SELECT (SELECT COUNT(*) FROM members) AS n_members,
+         (SELECT COUNT(*) FROM bits) AS bits_set,
+         (SELECT COUNT(*) FROM hits) AS false_positives
+)
+SELECT n_members, bits_set, false_positives,
+       {_sql_round(
+           f'CAST(false_positives AS DOUBLE) / {_BF_PROBES}', 6
+       )} AS measured_fpr,
+       {_sql_round(
+           f'pow(1.0 - exp(-CAST({_BF_K} AS DOUBLE)'
+           f' * CAST(n_members AS DOUBLE) / {float(_BF_M)!r}),'
+           f' CAST({_BF_K} AS DOUBLE))',
+           6,
+       )} AS theoretical_fpr
+FROM wide
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_auc_separability": Query(
         q_embedding_auc_separability,
@@ -846,5 +1078,15 @@ QUERIES: dict[str, Query] = {
         q_mi_feature_screen,
         _mi_sql(),
         ("ml-eval", "mutual-information", "feature-selection"),
+    ),
+    "median_of_means": Query(
+        q_median_of_means,
+        _MOM_SQL,
+        ("stats", "robust", "median-of-means"),
+    ),
+    "bloom_fpr_audit": Query(
+        q_bloom_fpr_audit,
+        _bloom_fpr_sql(),
+        ("sketch", "bloom", "membership", "certification"),
     ),
 }

@@ -268,6 +268,8 @@ _INTENTIONAL_BNLJ = {
     "hill_tail_index",        # broadcast 1-row reference order statistic
     "conversion_survival_curve",  # broadcast 1-row cohort-total scalar
     "embedding_auc_separability",  # broadcast |labels|-row centroid table
+    "bloom_fpr_audit",        # 1-row member/bit/fp count readout joins
+    "median_of_means",        # 1-row readout over the k-shard frame
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
