@@ -68,6 +68,7 @@ _ROUND_NEW = (
     "mi_feature_screen",
     "median_of_means",
     "bloom_fpr_audit",
+    "randomization_test_uplift",
     "t_closeness_audit",
     "jackknife_ratio_se",
     "adamic_adar_links",

@@ -286,6 +286,7 @@ HEADLINE = [
     "mi_feature_screen",
     "median_of_means",
     "bloom_fpr_audit",
+    "randomization_test_uplift",
 ]
 
 

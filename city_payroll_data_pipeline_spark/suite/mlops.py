@@ -1048,6 +1048,140 @@ FROM wide
 """
 
 
+# --------------------------------------------------------------------------
+# randomization_test_uplift — Fisher randomization test for the A/B
+# mean difference, hash-rerandomized.
+#
+# The assumption-free significance readout: how often does a random
+# re-assignment of arms produce a mean gap as large as the observed
+# one? B=32 deterministic re-randomizations (md5(key:b) parity — the
+# Bernoulli-reassignment variant standard at scale, where fixing
+# exact arm sizes is immaterial), p = (1 + #extreme)/(B + 1), the
+# add-one estimator that keeps the test valid at finite B. Pairs
+# with mann_whitney_test (rank test) and poisson_bootstrap_ci
+# (interval): three inferential lenses over the same hash-assigned
+# experiment machinery.
+#
+# Determinism: arm indicators are md5-derived — ONE hash per row,
+# replica b's coin is bit b of the 48-bit value (md5 bits are
+# independent fair coins; bit 0 ≡ the canonical md5-parity
+# assignment mann_whitney_test / ab_test_analysis use, so replica 0
+# IS the observed experiment). Every replica sum is exact DECIMAL;
+# means divide exact parts; the extreme-count compare runs on
+# identically-constructed doubles in both engines.
+#
+# Scale: hashing is one md5 per ROW (not per row×replica); the ×B
+# fan-out explodes map-side BEFORE the groupBy (the poisson_bootstrap
+# shape) — the shuffle carries 2B partial aggregates per map task;
+# everything after runs on the 2B-row replica frame. B ≤ 48 is the
+# bit budget; re-salt the hash for more.
+# --------------------------------------------------------------------------
+
+_RT_B = 32
+
+
+def q_randomization_test_uplift(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import hex_to_long
+
+    orders = table(spark, sf_dir, "orders", spread=True)
+    base = orders.select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        hex_to_long(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12)
+        ).alias("h"),
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_RT_B + 1)])
+        ).alias("b"),  # b=0 is the OBSERVED assignment (h & 1 ≡ md5 parity)
+    )
+    reps = (
+        base.select(
+            "b", "v", F.expr("shiftright(h, b) & 1").alias("arm")
+        )
+        .groupBy("b", "arm")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    diffs = reps.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("arm") == 1, F.col("s"))).cast("double")
+            / F.sum(F.when(F.col("arm") == 1, F.col("n")))
+            - F.sum(F.when(F.col("arm") == 0, F.col("s"))).cast("double")
+            / F.sum(F.when(F.col("arm") == 0, F.col("n")))
+        ).alias("diff"),
+        F.sum("n").alias("n_rows"),
+    )
+    obs = diffs.where(F.col("b") == 0).select(
+        F.col("diff").alias("obs_diff")
+    )
+    nulls = diffs.where(F.col("b") > 0)
+    return (
+        nulls.join(F.broadcast(obs))
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.count("*").alias("n_replicas"),
+            F.round(F.max("obs_diff"), 6).alias("obs_diff"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("diff")) >= F.abs(F.col("obs_diff")), 1
+                ).otherwise(0)
+            ).alias("n_extreme"),
+        )
+        .select(
+            "n_rows",
+            "n_replicas",
+            "obs_diff",
+            "n_extreme",
+            F.round(
+                (F.col("n_extreme") + 1).cast("double") / (_RT_B + 1), 6
+            ).alias("p_value"),
+        )
+    )
+
+
+def _randomization_test_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)
+              AS BIGINT) AS h,
+         unnest(range(0, {_RT_B + 1})) AS b
+  FROM orders
+),
+assigned AS (
+  SELECT b, v, (h >> b) & 1 AS arm FROM base
+),
+reps AS (
+  SELECT b, arm, COUNT(*) AS n, SUM(v) AS s
+  FROM assigned GROUP BY b, arm
+),
+diffs AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN arm = 1 THEN s END) AS DOUBLE)
+           / SUM(CASE WHEN arm = 1 THEN n END)
+         - CAST(SUM(CASE WHEN arm = 0 THEN s END) AS DOUBLE)
+           / SUM(CASE WHEN arm = 0 THEN n END) AS diff,
+         CAST(SUM(n) AS BIGINT) AS n_rows
+  FROM reps GROUP BY b
+),
+obs AS (SELECT diff AS obs_diff, n_rows FROM diffs WHERE b = 0),
+wide AS (
+  SELECT MAX(d.n_rows) AS n_rows,
+         COUNT(*) AS n_replicas,
+         MAX(o.obs_diff) AS obs_diff_raw,
+         CAST(SUM(CASE WHEN abs(d.diff) >= abs(o.obs_diff)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM diffs d CROSS JOIN obs o
+  WHERE d.b > 0
+)
+SELECT n_rows, n_replicas,
+       {_sql_round('obs_diff_raw', 6)} AS obs_diff,
+       n_extreme,
+       {_sql_round(
+           f'CAST(n_extreme + 1 AS DOUBLE) / {_RT_B + 1}', 6
+       )} AS p_value
+FROM wide
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_auc_separability": Query(
         q_embedding_auc_separability,
@@ -1088,5 +1222,10 @@ QUERIES: dict[str, Query] = {
         q_bloom_fpr_audit,
         _bloom_fpr_sql(),
         ("sketch", "bloom", "membership", "certification"),
+    ),
+    "randomization_test_uplift": Query(
+        q_randomization_test_uplift,
+        _randomization_test_sql(),
+        ("stats", "randomization-test", "ab-testing"),
     ),
 }
