@@ -69,6 +69,7 @@ _ROUND_NEW = (
     "median_of_means",
     "bloom_fpr_audit",
     "randomization_test_uplift",
+    "lsh_tuning_curve",
     "t_closeness_audit",
     "jackknife_ratio_se",
     "adamic_adar_links",

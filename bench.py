@@ -287,6 +287,7 @@ HEADLINE = [
     "median_of_means",
     "bloom_fpr_audit",
     "randomization_test_uplift",
+    "lsh_tuning_curve",
 ]
 
 

@@ -1182,6 +1182,127 @@ FROM wide
 """
 
 
+# --------------------------------------------------------------------------
+# lsh_tuning_curve — the S-curve design readout for the shipped
+# MinHash-LSH configuration, with the measured bucket load beside it.
+#
+# Banding theory says a (b bands × r rows) LSH catches a pair of
+# Jaccard similarity s with probability 1 − (1 − s^r)^b; picking
+# (b, r) IS the dedup recall/cost trade. This query emits that curve
+# for the shipped config (b=4, r=4 — operators/dedup.py) on a 5%
+# similarity grid, joined with the EMPIRICAL band-bucket census from
+# running the actual banding over the corpus: bucket count, singleton
+# count, candidate-pair load Σ C(size,2) (the verify-stage cost the
+# curve is traded against) and the largest bucket (the skew to watch).
+#
+# Determinism: the curve is literal-grid arithmetic with s^r and
+# (1−s^r)^b expanded to left-associated multiplies mirrored exactly
+# in SQL; the census rides the same md5/Kirsch-Mitzenmacher minhash
+# replay the minhash_dedup_pairs oracle already proves.
+#
+# Scale: the census aggregates the (doc × bands) frame to bucket
+# sizes — one groupBy; the curve is 19 literal rows; their join is a
+# 1-row broadcast. No pair join is ever materialized (the POINT:
+# this query prices the pair join before you run it).
+# --------------------------------------------------------------------------
+
+
+def q_lsh_tuning_curve(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    bb = dedup.lsh_band_buckets(
+        dedup.minhash_signatures(docs, "doc_id", "text")
+    )
+    sizes = bb.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("size")
+    )
+    census = sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("size") == 1, 1).otherwise(0)).alias(
+            "n_singletons"
+        ),
+        F.sum(
+            F.expr("CAST(size * (size - 1) AS BIGINT) div 2")
+        ).alias("n_candidate_pairs"),
+        F.max("size").alias("max_bucket"),
+    )
+    grid = spark.range(1, 20).select(
+        (F.col("id") * 5).cast("int").alias("s_pct")
+    )
+    s = F.col("s_pct") / F.lit(100.0)
+    s4 = s * s * s * s
+    q = F.lit(1.0) - s4
+    p = F.lit(1.0) - q * q * q * q
+    return (
+        grid.join(F.broadcast(census))
+        .select(
+            "s_pct",
+            F.round(p, 8).alias("p_catch"),
+            "n_buckets",
+            "n_singletons",
+            "n_candidate_pairs",
+            "max_bucket",
+        )
+        .orderBy("s_pct")
+    )
+
+
+def _lsh_tuning_sql() -> str:
+    from city_payroll_data_pipeline_spark.suite.textops import (
+        _SHINGLE_AB_CTES,
+    )
+
+    k, bands = 16, 4
+    r = k // bands
+    mins = ",\n         ".join(f"min(a + {i} * b) AS h{i}" for i in range(k))
+    band_cases = " ".join(
+        "WHEN {b} THEN md5({parts})".format(
+            b=b,
+            parts=" || '|' || ".join(f"h{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    s = "(s_pct / 100.0)"
+    s4 = f"({s} * {s} * {s} * {s})"
+    q = f"(1.0 - {s4})"
+    p = f"1.0 - {q} * {q} * {q} * {q}"
+    return rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+{_SHINGLE_AB_CTES}
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band_idx,
+         CASE b.band_idx {band_cases} END AS band_hash
+  FROM sigs CROSS JOIN (VALUES (0),(1),(2),(3)) AS b(band_idx)
+),
+sizes AS (
+  SELECT band_idx, band_hash, COUNT(*) AS size
+  FROM bands GROUP BY band_idx, band_hash
+),
+census AS (
+  SELECT COUNT(*) AS n_buckets,
+         CAST(SUM(CASE WHEN size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_singletons,
+         CAST(SUM(size * (size - 1) // 2) AS BIGINT) AS n_candidate_pairs,
+         MAX(size) AS max_bucket
+  FROM sizes
+),
+grid AS (SELECT CAST(unnest(range(1, 20)) * 5 AS INT) AS s_pct)
+SELECT s_pct,
+       {_sql_round(p, 8)} AS p_catch,
+       n_buckets, n_singletons, n_candidate_pairs, max_bucket
+FROM grid CROSS JOIN census
+ORDER BY s_pct
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_auc_separability": Query(
         q_embedding_auc_separability,
@@ -1227,5 +1348,10 @@ QUERIES: dict[str, Query] = {
         q_randomization_test_uplift,
         _randomization_test_sql(),
         ("stats", "randomization-test", "ab-testing"),
+    ),
+    "lsh_tuning_curve": Query(
+        q_lsh_tuning_curve,
+        _lsh_tuning_sql(),
+        ("dedup", "lsh", "tuning", "s-curve"),
     ),
 }
