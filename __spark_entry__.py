@@ -94,9 +94,17 @@ _ROUND_NEW = (
     "simpson_paradox_audit",
     "decision_stump_split",
     "bpe_merges",  # graduated rows-only -> full oracle this round
-    # --- round-5 priority: heaviest never-checked custom-determinism
-    # machinery first (VERDICT r4 item 7) — an official hash verdict on
-    # these retires the most risk per driver slot.
+    # --- round-5 rewrites + r4-flagged regressions: a fresh official
+    # verdict on the changed plans retires the most risk.
+    "revenue_concentration",  # r5: rewritten on sharded row ids
+    "key_gini_skew",  # r5: rewritten on distinct-count cumsum ranks
+    "touch_attribution",  # r4 bench regression — get a fresh verdict
+    "jl_projection_error",  # r4 bench regression — get a fresh verdict
+    "mann_whitney_test",  # r4: rebuilt on distinct-value cumsum
+    "quantile_normalize_lengths",  # r4: rebuilt on sharded row ids
+    "stable_doc_ids",  # r4: rebuilt on sharded row ids
+    # --- heaviest never-checked custom-determinism machinery (VERDICT
+    # r4 item 7; ann_recall_report also certifies all four retrievers).
     "ann_recall_report",
     "bm25_search",
     "cdc_chunks",
@@ -106,21 +114,15 @@ _ROUND_NEW = (
     "dedup_clusters",
     "minhash_dedup_pairs",
     "semantic_dedup_pairs",
+    # below the 50-cut this round; next in line for r6
     "trade_pagerank",
     "nation_ppr",
-    "stable_doc_ids",
     "bpe_encode_tokens",
     "media_thumbnail",
     "lsh_ann_topk",
     "ivf_ann_topk",
     "sq8_ann_topk",
     "cosine_topk",
-    "revenue_concentration",  # r5: rewritten on sharded row ids
-    "key_gini_skew",  # r5: rewritten on distinct-count cumsum ranks
-    "touch_attribution",  # r4 bench regression — get a fresh verdict
-    "jl_projection_error",  # r4 bench regression — get a fresh verdict
-    "mann_whitney_test",
-    "quantile_normalize_lengths",
     "incremental_dedup",
 )
 
@@ -135,9 +137,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prefix. Every query is still locally verified against the same
     oracle by tests/test_oracle_parity.py regardless of position."""
     done = _already_checked()
+    # _ROUND_NEW members keep the tuple's own order (it is a priority
+    # list — this round's new queries first, then the heavy
+    # never-checked machinery), so position 50 cuts exactly where the
+    # tuple says, not where module import order happens to fall.
+    rank = {name: i for i, name in enumerate(_ROUND_NEW)}
     items = sorted(
         _suite().items(),
-        key=lambda kv: (kv[0] not in _ROUND_NEW, kv[0] in done),
+        key=lambda kv: (
+            kv[0] not in rank,
+            rank.get(kv[0], 0),
+            kv[0] in done,
+        ),
     )
     return {name: q.spark for name, q in items}
 
