@@ -70,6 +70,7 @@ _ROUND_NEW = (
     "bloom_fpr_audit",
     "randomization_test_uplift",
     "lsh_tuning_curve",
+    "xent_mix_weights",
     "t_closeness_audit",
     "jackknife_ratio_se",
     "adamic_adar_links",

@@ -288,6 +288,7 @@ HEADLINE = [
     "bloom_fpr_audit",
     "randomization_test_uplift",
     "lsh_tuning_curve",
+    "xent_mix_weights",
 ]
 
 

@@ -1303,6 +1303,162 @@ ORDER BY s_pct
 """
 
 
+# --------------------------------------------------------------------------
+# xent_mix_weights — difficulty-weighted data-mixing via polynomial
+# multiplicative weights.
+#
+# The DoReMi-family idea in its deterministic skeleton: score each
+# source by how SURPRISING its token stream is under the pooled
+# corpus unigram LM (cross-entropy H_s = −Σ_w n_{s,w}·ln(c_w/N)/N_s),
+# then upweight hard/diverse sources with the polynomial
+# multiplicative-weights update w_s = (1 + η·H̄_s)^T (the
+# (1+ηℓ)-variant of MWU — chosen over exp(ηℓ) precisely because it
+# stays in exact DECIMAL arithmetic; exp is not trusted cross-engine,
+# the Kaplan-Meier rule). Output: per-source cross-entropy, the
+# normalized mix weight, and the token allocation under a fixed
+# budget. Complements temperature_mixture (size-based) with a
+# difficulty-based mix.
+#
+# Determinism: token counts are exact; each ln is one
+# integer-ratio double rounded 8 dp; H̄_s rounds to DECIMAL(18,8);
+# the T=5 MWU factors multiply in DECIMAL with a 12-dp round per
+# step (positive values: HALF_UP ≡ half-away in both engines);
+# one final double normalization rounded 6 dp.
+#
+# Scale: the only corpus-sized work is the (source, term) count
+# aggregate; the corpus-LM join runs on the vocabulary frame; the
+# MWU trajectory is |sources|-row algebra.
+# --------------------------------------------------------------------------
+
+_MWU_ETA = "0.1"  # decimal literal, exact in DECIMAL arithmetic
+_MWU_T = 5
+_MIX_BUDGET = 1_000_000
+
+
+def q_xent_mix_weights(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import tokens_array
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "source", F.explode(tokens_array(F.col("text"))).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("n_sw"))
+    corpus = st.groupBy("tok").agg(F.sum("n_sw").alias("c_w"))
+    tot = corpus.agg(F.sum("c_w").alias("n_tot"))
+    terms = st.join(corpus, "tok").join(F.broadcast(tot))
+    per_src = terms.groupBy("source").agg(
+        F.sum("n_sw").alias("n_tokens"),
+        F.sum(
+            F.round(
+                F.col("n_sw")
+                * F.round(
+                    F.log(
+                        F.col("c_w").cast("double")
+                        / F.col("n_tot").cast("double")
+                    ),
+                    8,
+                ),
+                8,
+            ).cast("decimal(28,8)")
+        ).alias("wsum"),
+    )
+    xent = F.round(
+        (-F.col("wsum").cast("double")) / F.col("n_tokens").cast("double"), 8
+    )
+    scored = per_src.select(
+        "source",
+        "n_tokens",
+        xent.cast("decimal(10,8)").alias("h"),
+    )
+    # polynomial MWU, T rounds unrolled in exact DECIMAL. Types are
+    # sized so every product stays under precision 38 — Spark would
+    # otherwise silently REDUCE the scale of an overflowing decimal
+    # product (a one-ulp divergence the oracle catches).
+    w = F.lit("1").cast("decimal(20,12)")
+    factor = (
+        F.lit(1).cast("decimal(3,1)")
+        + F.expr(f"CAST({_MWU_ETA} AS DECIMAL(3,1))") * F.col("h")
+    ).cast("decimal(12,9)")
+    for _ in range(_MWU_T):
+        w = F.round(w * factor, 12).cast("decimal(20,12)")
+    weighted = scored.select(
+        "source", "n_tokens", F.col("h").cast("double").alias("xent_nats"),
+        w.alias("w_raw"),
+    )
+    z = weighted.agg(F.sum("w_raw").alias("z"))
+    return (
+        weighted.join(F.broadcast(z))
+        .select(
+            "source",
+            "n_tokens",
+            "xent_nats",
+            F.round(
+                F.col("w_raw").cast("double") / F.col("z").cast("double"), 6
+            ).alias("mix_weight"),
+            F.floor(
+                F.lit(_MIX_BUDGET)
+                * (F.col("w_raw").cast("double") / F.col("z").cast("double"))
+            ).cast("bigint").alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _xent_mix_sql() -> str:
+    ln_term = _sql_round(
+        "ln(CAST(c_w AS DOUBLE) / CAST(n_tot AS DOUBLE))", 8
+    )
+    mwu = "CAST(1 AS DECIMAL(20,12))"
+    factor = (
+        f"CAST(CAST(1 AS DECIMAL(3,1))"
+        f" + CAST({_MWU_ETA} AS DECIMAL(3,1)) * h AS DECIMAL(12,9))"
+    )
+    for _ in range(_MWU_T):
+        mwu = f"CAST(round({mwu} * {factor}, 12) AS DECIMAL(20,12))"
+    return rf"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(trim(text), '\S+', 0)) AS tok
+  FROM documents
+),
+st AS (
+  SELECT source, tok, COUNT(*) AS n_sw FROM toks GROUP BY source, tok
+),
+corpus AS (
+  SELECT tok, CAST(SUM(n_sw) AS BIGINT) AS c_w FROM st GROUP BY tok
+),
+tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tot FROM corpus),
+per_src AS (
+  SELECT source,
+         CAST(SUM(n_sw) AS BIGINT) AS n_tokens,
+         SUM(CAST({_sql_round(f'n_sw * CAST({ln_term} AS DOUBLE)', 8)}
+             AS DECIMAL(28,8))) AS wsum
+  FROM st JOIN corpus USING (tok) CROSS JOIN tot
+  GROUP BY source
+),
+scored AS (
+  SELECT source, n_tokens,
+         CAST({_sql_round(
+             '(-CAST(wsum AS DOUBLE)) / CAST(n_tokens AS DOUBLE)', 8
+         )} AS DECIMAL(10,8)) AS h
+  FROM per_src
+),
+weighted AS (
+  SELECT source, n_tokens, CAST(h AS DOUBLE) AS xent_nats,
+         {mwu} AS w_raw
+  FROM scored
+),
+z AS (SELECT SUM(w_raw) AS z FROM weighted)
+SELECT source, n_tokens, xent_nats,
+       {_sql_round('CAST(w_raw AS DOUBLE) / CAST(z AS DOUBLE)', 6)}
+         AS mix_weight,
+       CAST(floor({_MIX_BUDGET}
+                  * (CAST(w_raw AS DOUBLE) / CAST(z AS DOUBLE)))
+            AS BIGINT) AS alloc_tokens
+FROM weighted CROSS JOIN z
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_auc_separability": Query(
         q_embedding_auc_separability,
@@ -1353,5 +1509,10 @@ QUERIES: dict[str, Query] = {
         q_lsh_tuning_curve,
         _lsh_tuning_sql(),
         ("dedup", "lsh", "tuning", "s-curve"),
+    ),
+    "xent_mix_weights": Query(
+        q_xent_mix_weights,
+        _xent_mix_sql(),
+        ("training-mix", "cross-entropy", "mwu"),
     ),
 }
