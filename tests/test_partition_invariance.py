@@ -63,6 +63,12 @@ REPRESENTATIVES = [
     "jackknife_ratio_se",       # decimal-quantized leave-one-out sums
     "adamic_adar_links",        # per-size decimal term sums + top-k
     "poisson_bootstrap_ci",     # hash-ladder Poisson weights + replica ranks
+    # round-5 mlops batch
+    "embedding_auc_separability",  # integer dot scores + per-label rank cumsum
+    "lpa_communities",          # iterative argmax windows on checkpointed edges
+    "hll_distinct_audit",       # max-register aggregate + LC branch decision
+    "randomization_test_uplift",  # bit-parallel rerandomized decimal sums
+    "xent_mix_weights",         # rounded-ln terms + decimal MWU trajectory
 ]
 
 
