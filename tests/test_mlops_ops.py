@@ -1,0 +1,174 @@
+"""Behavioral tests for the round-5 mlops batch: these prove the
+SEMANTICS (separation ⇒ AUC=1, cliques ⇒ communities, sketch error
+bounds, CM one-sidedness, robustness to outliers), complementing the
+oracle-parity tests which prove cross-engine equality."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_CORRECT
+
+from city_payroll_data_pipeline_spark.suite import build_suite
+
+
+@pytest.fixture(scope="module")
+def suite():
+    return build_suite()
+
+
+def _synthetic_sf(spark, tmp_path_factory, name, df, table_name):
+    d = tmp_path_factory.mktemp(name)
+    df.write.mode("overwrite").parquet(f"{d}/{table_name}.parquet")
+    return str(d)
+
+
+def test_auc_is_one_on_perfectly_separated_labels(
+    spark, suite, tmp_path_factory
+):
+    """Labels living on orthogonal axes are perfectly ranked by their
+    centroid similarity → one-vs-rest AUC must be exactly 1.0."""
+    rows = []
+    for i in range(24):
+        label = i % 2
+        vec = [0.0] * 64
+        vec[label] = 10.0
+        vec[32 + (i % 4)] = 0.25  # within-class variation, orthogonal
+        rows.append((i, vec, label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sf = _synthetic_sf(spark, tmp_path_factory, "auc_sep", df, "embeddings")
+    out = {
+        r["label"]: r["auc"]
+        for r in suite["embedding_auc_separability"].spark(spark, sf).collect()
+    }
+    assert out == {0: 1.0, 1: 1.0}
+
+
+def test_lpa_recovers_disjoint_cliques(spark, suite, tmp_path_factory):
+    """Two disconnected co-purchase cliques → exactly two communities,
+    each holding its clique's parts."""
+    rows = []
+    # clique A: parts 1-4 co-ordered in orders 1..6
+    for o in range(1, 7):
+        for p in (1, 2, 3, 4):
+            rows.append((o, p))
+    # clique B: parts 11-14 co-ordered in orders 101..106
+    for o in range(101, 107):
+        for p in (11, 12, 13, 14):
+            rows.append((o, p))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf = _synthetic_sf(spark, tmp_path_factory, "lpa_cliques", df, "lineitem")
+    out = suite["lpa_communities"].spark(spark, sf).collect()
+    sizes = sorted(r["n_parts"] for r in out)
+    assert sizes == [4, 4], out
+    # min-label tie-break: community ids are the smallest member ids
+    assert sorted(r["community"] for r in out) == [1, 11]
+
+
+def test_hll_error_inside_theoretical_bound(spark, suite):
+    """HLL standard error is 1.04/sqrt(m); every group must land well
+    inside 4 sigma (p12 -> 1.6% sigma, bound 6.5%)."""
+    out = suite["hll_distinct_audit"].spark(spark, SF_CORRECT).collect()
+    sigma = 1.04 / math.sqrt(4096)
+    for r in out:
+        assert abs(r["rel_error"]) < 4 * sigma, r
+
+
+def test_countmin_never_undercounts(spark, suite):
+    """The CM one-sided guarantee: estimate >= exact on every probe."""
+    out = suite["countmin_heavy_tokens"].spark(spark, SF_CORRECT).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["cm_estimate"] >= r["exact_cnt"], r
+        assert r["overcount"] == r["cm_estimate"] - r["exact_cnt"]
+
+
+def test_bloom_fpr_near_theory(spark, suite):
+    """Measured FPR must be nonnegative and within sampling noise of
+    the theoretical operating point (loose 3x + 1% band)."""
+    r = suite["bloom_fpr_audit"].spark(spark, SF_CORRECT).collect()[0]
+    assert r["false_positives"] >= 0
+    assert r["measured_fpr"] <= 3 * r["theoretical_fpr"] + 0.01, r
+
+
+def test_randomization_test_null_is_not_extreme(spark, suite):
+    """Arms are a hash split of the same population → the observed gap
+    is a null draw; p must not be at the extreme low end."""
+    r = suite["randomization_test_uplift"].spark(spark, SF_CORRECT).collect()[0]
+    assert r["n_replicas"] == 32
+    assert r["p_value"] > 2 / 33, r
+
+
+def test_median_of_means_shrugs_off_outliers(
+    spark, suite, tmp_path_factory
+):
+    """A handful of enormous orders drags the plain mean far more than
+    the median-of-means — the estimator's whole point."""
+    rows = [(i, 100.0) for i in range(2000)]
+    rows += [(100000 + i, 1e9) for i in range(5)]  # corrupted tail
+    df = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    sf = _synthetic_sf(spark, tmp_path_factory, "mom_outliers", df, "orders")
+    r = suite["median_of_means"].spark(spark, sf).collect()[0]
+    assert abs(r["mom_mean"] - 100.0) < abs(r["plain_mean"] - 100.0) / 100
+    assert r["plain_mean"] > 1e6  # the plain mean IS dragged
+
+
+def test_lsh_curve_monotone_and_bounded(spark, suite):
+    out = (
+        suite["lsh_tuning_curve"].spark(spark, SF_CORRECT)
+        .orderBy("s_pct")
+        .collect()
+    )
+    ps = [r["p_catch"] for r in out]
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    assert ps == sorted(ps) and ps[0] < ps[-1]
+    # census consistency: one census, repeated on every curve row
+    assert len({(r["n_buckets"], r["n_candidate_pairs"]) for r in out}) == 1
+
+
+def test_sprt_llr_consistent_with_decision(spark, suite):
+    out = suite["sprt_conversion_gate"].spark(spark, SF_CORRECT).collect()
+    up, lo = 2.9444389791664403, -2.9444389791664403
+    prev_n = 0
+    for r in sorted(out, key=lambda r: r["day"]):
+        assert r["n_cum"] >= prev_n
+        prev_n = r["n_cum"]
+        want = (
+            "accept_h1" if r["llr"] >= up
+            else "accept_h0" if r["llr"] <= lo
+            else "continue"
+        )
+        assert r["decision"] == want, r
+
+
+def test_mwu_upweights_higher_cross_entropy(spark, suite):
+    """The mix weight must be strictly increasing in the source's
+    cross-entropy (the polynomial-MWU factor is monotone in H)."""
+    out = suite["xent_mix_weights"].spark(spark, SF_CORRECT).collect()
+    by_h = sorted(out, key=lambda r: r["xent_nats"])
+    ws = [r["mix_weight"] for r in by_h]
+    assert ws == sorted(ws)
+    assert abs(sum(ws) - 1.0) < 1e-4
+
+
+def test_mi_zero_for_constant_feature(spark, suite, tmp_path_factory):
+    """A constant feature carries zero information about any label —
+    MI must be exactly 0 for it."""
+    rows = [
+        (i, float(i % 2) / 10, "A", "F", 1.0, "2024-01-0%d" % (i % 9 + 1))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_discount double, l_returnflag string,"
+        " l_linestatus string, l_quantity double, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_date("l_shipdate"))
+    sf = _synthetic_sf(spark, tmp_path_factory, "mi_const", df, "lineitem")
+    out = {
+        r["feature"]: r["mi_nats"]
+        for r in suite["mi_feature_screen"].spark(spark, sf).collect()
+    }
+    # returnflag and linestatus are constant -> zero MI; qty too
+    assert out["returnflag"] == 0.0
+    assert out["linestatus"] == 0.0
