@@ -71,6 +71,7 @@ _ROUND_NEW = (
     "randomization_test_uplift",
     "lsh_tuning_curve",
     "xent_mix_weights",
+    "hll_union_intersect_audit",
     "t_closeness_audit",
     "jackknife_ratio_se",
     "adamic_adar_links",

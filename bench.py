@@ -289,6 +289,7 @@ HEADLINE = [
     "randomization_test_uplift",
     "lsh_tuning_curve",
     "xent_mix_weights",
+    "hll_union_intersect_audit",
 ]
 
 

@@ -1459,6 +1459,197 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# hll_union_intersect_audit — sketch MERGEABILITY, certified: distinct
+# customers of two order-date halves, their union by register max,
+# their intersection by inclusion-exclusion — each against the exact
+# answer.
+#
+# The property that makes sketches the distributed-rollup currency is
+# that registers MERGE (max per bucket) without re-reading data: any
+# time-range union is a 4096-row max, not a scan. This query builds
+# per-half HLL registers (same p=12 family as hll_distinct_audit),
+# merges them, and reports estimated vs exact |A|, |B|, |A∪B| and the
+# inclusion-exclusion |A∩B| — the latter is the sketch's known weak
+# spot (error compounds), which the exact column makes visible
+# instead of hiding.
+#
+# Determinism: identical md5 register math as hll_distinct_audit;
+# merge = MAX over the union of register frames; only doubles are the
+# three raw-estimate divisions (the corpus keeps every group out of
+# the linear-counting regime; the LC branch is certified separately
+# in hll_distinct_audit).
+#
+# Scale: registers are built by one map-side partial-max aggregate
+# per half; the merge and all estimates run on ≤ 3·4096 rows. Exact
+# distincts ride along only to certify (sample tier at 100 TB).
+# --------------------------------------------------------------------------
+
+
+def q_hll_union_intersect_audit(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    mid = orders.agg(
+        (F.min("o_orderdate") + F.expr("INTERVAL 365 DAYS")).alias("cut")
+    )
+    h = F.md5(F.col("o_custkey").cast("string"))
+    tagged = orders.join(F.broadcast(mid)).select(
+        F.when(F.col("o_orderdate") < F.col("cut"), "early")
+        .otherwise("late")
+        .alias("half"),
+        F.conv(F.substring(h, 1, 3), 16, 10).cast("int").alias("b"),
+        F.when(
+            F.conv(F.substring(h, 4, 12), 16, 10).cast("bigint") == 0,
+            F.lit(49),
+        )
+        .otherwise(
+            F.lit(49)
+            - F.length(
+                F.bin(F.conv(F.substring(h, 4, 12), 16, 10).cast("bigint"))
+            )
+        )
+        .alias("rho"),
+        "o_custkey",
+    )
+    regs = tagged.groupBy("half", "b").agg(F.max("rho").alias("m_j"))
+    union_regs = regs.groupBy("b").agg(F.max("m_j").alias("m_j")).select(
+        F.lit("union").alias("half"), "b", "m_j"
+    )
+    all_regs = regs.unionAll(union_regs)
+    per = all_regs.groupBy("half").agg(
+        F.count("*").alias("v_obs"),
+        F.sum(F.expr("shiftleft(1L, 49 - m_j)")).alias("s_obs"),
+    )
+    v_empty = F.lit(_HLL_M) - F.col("v_obs")
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * _HLL_M
+        * _HLL_M
+        * (
+            F.lit(float(_HLL_C49))
+            / (F.col("s_obs") + v_empty * F.lit(_HLL_C49)).cast("double")
+        )
+    )
+    lc = _HLL_M * F.round(
+        F.log(F.lit(_HLL_M).cast("double") / v_empty.cast("double")), 8
+    )
+    est = per.select(
+        "half",
+        F.round(
+            F.when((raw <= 2.5 * _HLL_M) & (v_empty > 0), lc).otherwise(raw),
+            4,
+        ).alias("est"),
+    )
+    exact_halves = tagged.groupBy("half").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    exact_union = tagged.agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    ).select(F.lit("union").alias("half"), "n_exact")
+    exact = exact_halves.unionAll(exact_union)
+    wide = (
+        est.join(exact, "half")
+        .groupBy()
+        .pivot("half", ["early", "late", "union"])
+        .agg(F.max("est").alias("est"), F.max("n_exact").alias("exact"))
+    )
+    inter_est = F.round(
+        F.col("early_est") + F.col("late_est") - F.col("union_est"), 4
+    )
+    inter_exact = (
+        F.col("early_exact") + F.col("late_exact") - F.col("union_exact")
+    )
+    return wide.select(
+        F.col("early_exact").alias("exact_early"),
+        F.col("early_est").alias("hll_early"),
+        F.col("late_exact").alias("exact_late"),
+        F.col("late_est").alias("hll_late"),
+        F.col("union_exact").alias("exact_union"),
+        F.col("union_est").alias("hll_union"),
+        inter_exact.alias("exact_intersect"),
+        inter_est.alias("hll_intersect"),
+    )
+
+
+def _hll_union_sql() -> str:
+    reg_math = """
+         CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 3) AS INT)
+           AS b,
+         CASE WHEN CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 4, 12)
+                        AS BIGINT) = 0 THEN 49
+              ELSE 49 - length(bin(CAST('0x' ||
+                     substr(md5(CAST(o_custkey AS VARCHAR)), 4, 12)
+                     AS BIGINT)))
+         END AS rho"""
+    raw_est = (
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}"
+        f" * (CAST({_HLL_C49} AS DOUBLE)"
+        f" / CAST(s_obs + ({_HLL_M} - v_obs)"
+        f" * CAST({_HLL_C49} AS BIGINT) AS DOUBLE))"
+    )
+    return f"""
+WITH mid AS (
+  SELECT MIN(o_orderdate) + INTERVAL 365 DAY AS cut FROM orders
+),
+tagged AS (
+  SELECT CASE WHEN o_orderdate < (SELECT cut FROM mid)
+              THEN 'early' ELSE 'late' END AS half,
+         {reg_math},
+         o_custkey
+  FROM orders
+),
+regs AS (
+  SELECT half, b, MAX(rho) AS m_j FROM tagged GROUP BY half, b
+),
+all_regs AS (
+  SELECT half, b, m_j FROM regs
+  UNION ALL
+  SELECT 'union' AS half, b, MAX(m_j) AS m_j FROM regs GROUP BY b
+),
+per AS (
+  SELECT half, COUNT(*) AS v_obs,
+         CAST(SUM(CAST(1 AS BIGINT) << (49 - m_j)) AS BIGINT) AS s_obs
+  FROM all_regs GROUP BY half
+),
+raw AS (
+  SELECT half, v_obs, {_HLL_M} - v_obs AS v_empty,
+         {raw_est} AS raw
+  FROM per
+),
+est AS (
+  SELECT half,
+         {_sql_round(
+             f'''CASE WHEN raw <= 2.5 * {_HLL_M} AND v_empty > 0
+              THEN {_HLL_M} * CAST({_sql_round(
+                  f"ln(CAST({_HLL_M} AS DOUBLE) / CAST(v_empty AS DOUBLE))", 8
+              )} AS DOUBLE)
+              ELSE raw END''',
+             4,
+         )} AS est
+  FROM raw
+),
+exact AS (
+  SELECT half, COUNT(DISTINCT o_custkey) AS n_exact FROM tagged GROUP BY half
+  UNION ALL
+  SELECT 'union', COUNT(DISTINCT o_custkey) FROM tagged
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN half = 'early' THEN n_exact END) AS exact_early,
+    MAX(CASE WHEN half = 'early' THEN est END) AS hll_early,
+    MAX(CASE WHEN half = 'late' THEN n_exact END) AS exact_late,
+    MAX(CASE WHEN half = 'late' THEN est END) AS hll_late,
+    MAX(CASE WHEN half = 'union' THEN n_exact END) AS exact_union,
+    MAX(CASE WHEN half = 'union' THEN est END) AS hll_union
+  FROM est JOIN exact USING (half)
+)
+SELECT exact_early, hll_early, exact_late, hll_late,
+       exact_union, hll_union,
+       exact_early + exact_late - exact_union AS exact_intersect,
+       {_sql_round('hll_early + hll_late - hll_union', 4)} AS hll_intersect
+FROM wide
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_auc_separability": Query(
         q_embedding_auc_separability,
@@ -1514,5 +1705,10 @@ QUERIES: dict[str, Query] = {
         q_xent_mix_weights,
         _xent_mix_sql(),
         ("training-mix", "cross-entropy", "mwu"),
+    ),
+    "hll_union_intersect_audit": Query(
+        q_hll_union_intersect_audit,
+        _hll_union_sql(),
+        ("sketch", "hyperloglog", "mergeability", "set-ops"),
     ),
 }

@@ -270,6 +270,7 @@ _INTENTIONAL_BNLJ = {
     "embedding_auc_separability",  # broadcast |labels|-row centroid table
     "bloom_fpr_audit",        # 1-row member/bit/fp count readout joins
     "median_of_means",        # 1-row readout over the k-shard frame
+    "hll_union_intersect_audit",  # broadcast 1-row date-cut scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
