@@ -74,6 +74,31 @@ def streaming_event_stats(
     )
 
 
+def streaming_hll_registers(
+    events: DataFrame, key: str = "user_id", group: str = "event_type"
+) -> DataFrame:
+    """Streaming distinct-count sketch: HyperLogLog registers (p=12,
+    the suite.mlops hll_distinct_audit family) as a plain streaming
+    max-aggregate.
+
+    This is the mergeability property made operational: because an
+    HLL register only ever takes MAX, the unbounded stream needs no
+    per-key distinct state — state is capped at groups × 4096 rows
+    FOREVER, and the streamed registers are bit-identical to a batch
+    build over the same rows (asserted in test_streaming.py). Run in
+    update/complete mode; estimate cardinality downstream exactly as
+    the batch audit does."""
+    h = F.md5(F.col(key).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    v48 = F.conv(F.substring(h, 4, 12), 16, 10).cast("bigint")
+    rho = F.when(v48 == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.bin(v48))
+    )
+    return events.groupBy(
+        F.col(group), bucket.alias("bucket")
+    ).agg(F.max(rho).alias("m_j"))
+
+
 def stream_to_parquet(
     stream_df: DataFrame,
     path: str,

@@ -562,3 +562,43 @@ def test_streaming_session_window_agrees_with_batch(spark, tmp_path):
         .collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """Mergeability made operational: the registers a streaming
+    max-aggregate accumulates across micro-batches are bit-identical
+    to a batch build over the same rows — state stays capped at
+    groups x 4096 regardless of stream length."""
+    from pyspark.sql import functions as F
+
+    from city_payroll_data_pipeline_spark.streaming.jobs import (
+        run_to_memory,
+        streaming_hll_registers,
+    )
+
+    src = tmp_path / "ev"
+    rows = [
+        (i, "t%d" % (i % 3), 1.0) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    # two separate files -> at least two input splits for the backlog
+    df.filter(F.col("user_id") < 250).write.parquet(f"{src}/a.parquet")
+    df.filter(F.col("user_id") >= 250).write.parquet(f"{src}/b.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    assert stream.isStreaming
+    run_to_memory(streaming_hll_registers(stream), "hll_stream")
+    streamed = {
+        (r["event_type"], r["bucket"]): r["m_j"]
+        for r in spark.sql("SELECT * FROM hll_stream").collect()
+    }
+    batch = {
+        (r["event_type"], r["bucket"]): r["m_j"]
+        for r in streaming_hll_registers(df).collect()
+    }
+    assert streamed == batch
+    assert len(batch) <= 3 * 4096
