@@ -72,6 +72,8 @@ _ROUND_NEW = (
     "lsh_tuning_curve",
     "xent_mix_weights",
     "hll_union_intersect_audit",
+    "offpolicy_eval_ips",
+    "quantile_treatment_effects",
     "t_closeness_audit",
     "jackknife_ratio_se",
     "adamic_adar_links",

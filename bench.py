@@ -290,6 +290,8 @@ HEADLINE = [
     "lsh_tuning_curve",
     "xent_mix_weights",
     "hll_union_intersect_audit",
+    "offpolicy_eval_ips",
+    "quantile_treatment_effects",
 ]
 
 

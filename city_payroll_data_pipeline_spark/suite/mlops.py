@@ -1650,6 +1650,213 @@ FROM wide
 """
 
 
+# --------------------------------------------------------------------------
+# offpolicy_eval_ips — counterfactual policy value via inverse
+# propensity scoring (IPS) and its self-normalized variant (SNIPS).
+#
+# The logged-bandit eval every recommender/agent pipeline needs:
+# "what reward WOULD the uniform target policy have earned on this
+# logged traffic?" — answered without running it, by reweighting each
+# logged event with π_target/π_behavior (Horvitz-Thompson). The
+# behavior propensity is the MLE event-type share; the target is
+# uniform over the K observed types. SNIPS divides by Σw instead of
+# n (lower variance, and here Σw = n·(K_obs/K)·… collapses exactly —
+# the readout shows both).
+#
+# Determinism: rewards sum in DECIMAL per type BEFORE any division —
+# IPS = (1/n)·Σ_type [ n·S_type / (K·n_type) ] needs exactly one
+# double division per TYPE (K rows), each rounded 8 dp and
+# DECIMAL-summed; no per-row weight is ever a float.
+#
+# Scale: one groupBy to the |types|-row frame; the whole estimator
+# is algebra on it. Per-row reweighting (the textbook formulation)
+# is algebraically eliminated — the map-side partial sums ARE the
+# sufficient statistics.
+# --------------------------------------------------------------------------
+
+
+def q_offpolicy_eval_ips(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_t"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s_t"),
+    )
+    tot = per_type.agg(
+        F.sum("n_t").alias("n"), F.count("*").alias("k")
+    )
+    terms = per_type.join(F.broadcast(tot)).select(
+        "event_type",
+        "n_t",
+        "s_t",
+        "n",
+        "k",
+        # per-type IPS contribution: (n / (K·n_t)) · S_t, one division
+        F.round(
+            (F.col("s_t").cast("double") * F.col("n"))
+            / (F.col("k") * F.col("n_t")).cast("double"),
+            8,
+        ).alias("contrib"),
+    )
+    wide = terms.groupBy().agg(
+        F.max("n").alias("n_events"),
+        F.max("k").alias("n_arms"),
+        F.sum(
+            F.round(F.col("contrib"), 8).cast("decimal(28,8)")
+        ).alias("ips_total"),
+        F.sum("s_t").alias("reward_total"),
+    )
+    return wide.select(
+        "n_events",
+        "n_arms",
+        F.round(
+            F.col("reward_total").cast("double") / F.col("n_events"), 6
+        ).alias("logged_mean_reward"),
+        F.round(
+            F.col("ips_total").cast("double") / F.col("n_events"), 6
+        ).alias("ips_value"),
+        # SNIPS: Σ contrib / Σ w, and Σw = Σ_t n·n_t/(K·n_t) = n — so
+        # SNIPS ≡ IPS here; emitted anyway as the variance-reduced
+        # form consumers expect (they differ under partial support)
+        F.round(
+            F.col("ips_total").cast("double") / F.col("n_events"), 6
+        ).alias("snips_value"),
+    )
+
+
+_OFFPOLICY_SQL = f"""
+WITH per_type AS (
+  SELECT event_type, COUNT(*) AS n_t,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s_t
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(n_t) AS BIGINT) AS n, COUNT(*) AS k FROM per_type
+),
+terms AS (
+  SELECT event_type, n_t, s_t, n, k,
+         {_sql_round(
+             '(CAST(s_t AS DOUBLE) * n) / CAST(k * n_t AS DOUBLE)', 8
+         )} AS contrib
+  FROM per_type CROSS JOIN tot
+),
+wide AS (
+  SELECT MAX(n) AS n_events, MAX(k) AS n_arms,
+         SUM(CAST({_sql_round('contrib', 8)} AS DECIMAL(28,8)))
+           AS ips_total,
+         SUM(s_t) AS reward_total
+  FROM terms
+)
+SELECT n_events, n_arms,
+       {_sql_round(
+           'CAST(reward_total AS DOUBLE) / n_events', 6
+       )} AS logged_mean_reward,
+       {_sql_round('CAST(ips_total AS DOUBLE) / n_events', 6)} AS ips_value,
+       {_sql_round('CAST(ips_total AS DOUBLE) / n_events', 6)} AS snips_value
+FROM wide
+"""
+
+
+# --------------------------------------------------------------------------
+# quantile_treatment_effects — decile-level uplift, not just the mean.
+#
+# A treatment that moves the median is a different business story
+# than one that only inflates the whales; the QTE curve
+# q_treatment(p) − q_control(p) across deciles is how you see which.
+# Arms are the same md5-parity assignment as mann_whitney_test /
+# randomization_test_uplift — the three queries together are the
+# mean / rank / distributional readout of one experiment.
+#
+# Determinism: both engines interpolate the exact quantile at
+# p·(n−1) (the proven group_percentiles parity); a 6-dp round
+# absorbs last-ulp association differences.
+#
+# Scale: exact per-arm quantiles are a sort-based aggregate — the
+# audit path. At 100 TB swap approx_percentile (same output shape)
+# or the mergeable histogram_quantiles bins for the dashboard path.
+# --------------------------------------------------------------------------
+
+_QTE_PS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def q_quantile_treatment_effects(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import hex_to_long
+
+    orders = table(spark, sf_dir, "orders")
+    arm = F.when(
+        F.pmod(
+            hex_to_long(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12)
+            ),
+            F.lit(2),
+        )
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    per_arm = orders.groupBy(arm.alias("arm")).agg(
+        F.count("*").alias("n"),
+        F.percentile("o_totalprice", _QTE_PS).alias("qs"),
+    )
+    melted = per_arm.select(
+        "arm", "n", F.posexplode("qs").alias("i", "q")
+    ).select(
+        "arm",
+        "n",
+        ((F.col("i") + 1) * 10).cast("int").alias("pctile"),
+        "q",
+    )
+    wide = (
+        melted.groupBy("pctile")
+        .pivot("arm", ["control", "treatment"])
+        .agg(F.max("q").alias("q"), F.max("n").alias("n"))
+    )
+    return wide.select(
+        "pctile",
+        F.col("control_n").alias("n_control"),
+        F.col("treatment_n").alias("n_treatment"),
+        F.round("control_q", 6).alias("q_control"),
+        F.round("treatment_q", 6).alias("q_treatment"),
+        F.round(F.col("treatment_q") - F.col("control_q"), 6).alias("qte"),
+    ).orderBy("pctile")
+
+
+def _qte_sql() -> str:
+    ps = ", ".join(str(p) for p in _QTE_PS)
+    return f"""
+WITH arms AS (
+  SELECT CASE WHEN CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)
+                   AS BIGINT) % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS arm,
+         o_totalprice
+  FROM orders
+),
+per_arm AS (
+  SELECT arm, COUNT(*) AS n,
+         quantile_cont(o_totalprice, [{ps}]) AS qs
+  FROM arms GROUP BY arm
+),
+melted AS (
+  SELECT arm, n, CAST(u.i * 10 AS INT) AS pctile, u.q
+  FROM per_arm,
+       LATERAL (SELECT unnest(qs) AS q,
+                       generate_subscripts(qs, 1) AS i) u
+),
+wide AS (
+  SELECT pctile,
+         MAX(CASE WHEN arm = 'control' THEN n END) AS n_control,
+         MAX(CASE WHEN arm = 'treatment' THEN n END) AS n_treatment,
+         MAX(CASE WHEN arm = 'control' THEN q END) AS cq,
+         MAX(CASE WHEN arm = 'treatment' THEN q END) AS tq
+  FROM melted GROUP BY pctile
+)
+SELECT pctile, n_control, n_treatment,
+       {_sql_round('cq', 6)} AS q_control,
+       {_sql_round('tq', 6)} AS q_treatment,
+       {_sql_round('tq - cq', 6)} AS qte
+FROM wide
+ORDER BY pctile
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_auc_separability": Query(
         q_embedding_auc_separability,
@@ -1710,5 +1917,15 @@ QUERIES: dict[str, Query] = {
         q_hll_union_intersect_audit,
         _hll_union_sql(),
         ("sketch", "hyperloglog", "mergeability", "set-ops"),
+    ),
+    "offpolicy_eval_ips": Query(
+        q_offpolicy_eval_ips,
+        _OFFPOLICY_SQL,
+        ("ml-eval", "off-policy", "ips", "counterfactual"),
+    ),
+    "quantile_treatment_effects": Query(
+        q_quantile_treatment_effects,
+        _qte_sql(),
+        ("stats", "qte", "ab-testing", "quantiles"),
     ),
 }
