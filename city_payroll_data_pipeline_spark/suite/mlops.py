@@ -593,8 +593,12 @@ def q_countmin_heavy_tokens(spark, sf_dir):
     toks = docs.select(
         F.explode(tokens_array(F.col("text"))).alias("tok")
     )
-    # consumed by both the sketch build and the exact counts
-    toks = toks.localCheckpoint()
+    # toks feeds BOTH the sketch and the exact counts, but is NOT
+    # checkpointed: the explosion is corpus-sized (materializing it
+    # would be a memory hazard at scale), and re-deriving it is one
+    # map-side pass per consumer — recompute beats store here, the
+    # opposite call from the tiny quantized/member frames elsewhere
+    # in this module.
     hits = F.array(
         *[
             F.struct(
