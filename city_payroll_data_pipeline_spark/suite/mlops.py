@@ -60,7 +60,12 @@ def q_embedding_auc_separability(spark, sf_dir):
     )
     # consumed twice (centroid build + scoring) and the scoring branch
     # blocks on the centroid broadcast: materialize the quantized scan
-    # once instead of re-reading + re-quantizing per branch
+    # once instead of re-reading + re-quantizing per branch.
+    # Local-vs-cluster delta: this frame is corpus-sized — at 100 TB
+    # swap the checkpoint for recompute (quantize is one map-side
+    # projection) or persist(DISK_ONLY); the local materialization is
+    # a small-input-only convenience (same accepted trade as
+    # stable_doc_ids, see SCALE.md).
     emb = emb.localCheckpoint()
     sums = (
         emb.select("label", F.posexplode("q").alias("pos", "val"))
