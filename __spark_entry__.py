@@ -74,6 +74,8 @@ _ROUND_NEW = (
     "hll_union_intersect_audit",
     "offpolicy_eval_ips",
     "quantile_treatment_effects",
+    "lpa_modularity",
+    "experiment_power_mde",
     "t_closeness_audit",
     "jackknife_ratio_se",
     "adamic_adar_links",

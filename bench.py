@@ -292,6 +292,8 @@ HEADLINE = [
     "hll_union_intersect_audit",
     "offpolicy_eval_ips",
     "quantile_treatment_effects",
+    "lpa_modularity",
+    "experiment_power_mde",
 ]
 
 

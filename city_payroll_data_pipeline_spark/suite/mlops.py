@@ -1866,6 +1866,245 @@ ORDER BY pctile
 """
 
 
+# --------------------------------------------------------------------------
+# lpa_modularity — Newman modularity of the LPA partition, exact.
+#
+# Closes the community-detection loop: lpa_communities FINDS a
+# partition, this query SCORES it — Q = Σ_c [ in_c/(2m) −
+# (deg_c/(2m))² ], the standard "is this partition better than
+# chance" readout (Q ≈ 0: hairball; Q ≳ 0.3: real modular
+# structure). Reported per the whole partition plus the per-community
+# contributions of the top communities, so a single bloated
+# community's negative contribution is visible.
+#
+# Determinism: in_c (intra-community weight) and deg_c are exact
+# BIGINT sums over the same weighted edge frame LPA ran on; Q's
+# terms are cross-multiplied into exact integers — numerator
+# Σ_c [ 2m·in_c·2 − deg_c² ]... kept simpler: each term is one
+# rounded double from exact integer ratios (the ln-rule discipline,
+# minus the ln), DECIMAL-summed.
+#
+# Scale: one labels⋈edges join on src + one on dst (the LPA round
+# shape), then |communities|-row algebra.
+# --------------------------------------------------------------------------
+
+
+def q_lpa_modularity(spark, sf_dir):
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
+    und = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("w"))
+    )
+    both = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+    ).unionAll(
+        und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
+    )
+    w_knn = W.partitionBy("dst").orderBy(F.desc("w"), F.asc("src"))
+    edges = (
+        both.withColumn("rn", F.row_number().over(w_knn))
+        .where(F.col("rn") <= _LPA_KNN)
+        .drop("rn")
+    )
+    edges = edges.localCheckpoint()
+    labels = _lpa_top1(
+        edges.select("dst", F.col("src").alias("lbl"), F.col("w").alias("vote"))
+    )
+    for _ in range(_LPA_ROUNDS - 1):
+        votes = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst", "lbl")
+            .agg(F.sum("w").alias("vote"))
+        )
+        labels = _lpa_top1(votes)
+    labels = labels.localCheckpoint()  # |nodes|-row label frame, used twice
+    lsrc = labels.select(F.col("node").alias("src"), F.col("lbl").alias("c_src"))
+    ldst = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("c_dst"))
+    tagged = edges.join(lsrc, "src").join(ldst, "dst")
+    # directed-both-ways frame: Σw = 2m; intra edges counted both ways
+    per_c = tagged.groupBy(F.col("c_dst").alias("community")).agg(
+        F.sum("w").alias("deg_c"),
+        F.sum(F.when(F.col("c_src") == F.col("c_dst"), F.col("w")).otherwise(0)).alias("in_c"),
+    )
+    m2 = per_c.agg(F.sum("deg_c").alias("m2"))  # = 2m
+    terms = per_c.join(F.broadcast(m2)).select(
+        "community",
+        "deg_c",
+        "in_c",
+        F.round(
+            F.col("in_c").cast("double") / F.col("m2")
+            - (F.col("deg_c").cast("double") / F.col("m2"))
+            * (F.col("deg_c").cast("double") / F.col("m2")),
+            10,
+        ).alias("q_c"),
+    )
+    q = terms.agg(
+        F.sum(F.round(F.col("q_c"), 10).cast("decimal(28,10)")).alias("q"),
+        F.count("*").alias("n_communities"),
+    )
+    top = terms.orderBy(F.desc("deg_c"), "community").limit(10).select(
+        "community", "deg_c", "in_c", F.round("q_c", 8).alias("q_contrib")
+    )
+    return top.join(F.broadcast(q)).select(
+        "community",
+        "deg_c",
+        "in_c",
+        "q_contrib",
+        "n_communities",
+        F.round(F.col("q").cast("double"), 8).alias("modularity"),
+    ).orderBy(F.desc("deg_c"), "community")
+
+
+def _lpa_modularity_sql() -> str:
+    base = _lpa_sql()
+    # reuse the full LPA CTE chain up to its final SELECT
+    cte_part = base[: base.rindex("SELECT lbl AS community")].rstrip()
+    return f"""{cte_part},
+lsrc AS (SELECT node AS src, lbl AS c_src FROM r{_LPA_ROUNDS}),
+ldst AS (SELECT node AS dst, lbl AS c_dst FROM r{_LPA_ROUNDS}),
+tagged AS (
+  SELECT e.w, lsrc.c_src, ldst.c_dst
+  FROM edges e JOIN lsrc USING (src) JOIN ldst USING (dst)
+),
+per_c AS (
+  SELECT c_dst AS community,
+         CAST(SUM(w) AS BIGINT) AS deg_c,
+         CAST(SUM(CASE WHEN c_src = c_dst THEN w ELSE 0 END) AS BIGINT)
+           AS in_c
+  FROM tagged GROUP BY c_dst
+),
+m2 AS (SELECT CAST(SUM(deg_c) AS BIGINT) AS m2 FROM per_c),
+terms AS (
+  SELECT community, deg_c, in_c,
+         {_sql_round(
+             'CAST(in_c AS DOUBLE) / m2'
+             ' - (CAST(deg_c AS DOUBLE) / m2)'
+             ' * (CAST(deg_c AS DOUBLE) / m2)',
+             10,
+         )} AS q_c
+  FROM per_c CROSS JOIN m2
+),
+q AS (
+  SELECT SUM(CAST({_sql_round('q_c', 10)} AS DECIMAL(28,10))) AS q,
+         COUNT(*) AS n_communities
+  FROM terms
+),
+top AS (
+  SELECT community, deg_c, in_c, {_sql_round('q_c', 8)} AS q_contrib
+  FROM terms ORDER BY deg_c DESC, community LIMIT 10
+)
+SELECT community, deg_c, in_c, q_contrib, n_communities,
+       {_sql_round('CAST(q AS DOUBLE)', 8)} AS modularity
+FROM top CROSS JOIN q
+ORDER BY deg_c DESC, community
+"""
+
+
+# --------------------------------------------------------------------------
+# experiment_power_mde — "how small an effect could this experiment
+# even see?" — the pre-registration readout that prevents both
+# underpowered launches and post-hoc significance fishing.
+#
+# Closed-form two-sample MDE at α=0.05 (two-sided), power 80%:
+# MDE = (z_{α/2} + z_β)·sqrt(σ²/n_c + σ²/n_t), with σ² the pooled
+# variance of the metric and the arms the standard md5-parity split.
+# Also reported relative to the mean (the "X% lift detectable"
+# number product teams actually quote).
+#
+# Determinism: z constants are Python literals; σ² comes from exact
+# DECIMAL power sums (the length_moments discipline); one sqrt chain
+# at the end.
+#
+# Scale: one 1-row moment aggregate — nothing else.
+# --------------------------------------------------------------------------
+
+_Z_ALPHA = 1.959963984540054  # Phi^{-1}(0.975)
+_Z_BETA = 0.8416212335729143  # Phi^{-1}(0.80)
+
+
+def q_experiment_power_mde(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import hex_to_long
+
+    orders = table(spark, sf_dir, "orders")
+    arm = F.pmod(
+        hex_to_long(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12)
+        ),
+        F.lit(2),
+    )
+    v = F.col("o_totalprice").cast("decimal(18,2)")
+    m = orders.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(arm == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(v).alias("s1"),
+        F.sum((v * v).cast("decimal(38,4)")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    mde = (_Z_ALPHA + _Z_BETA) * F.sqrt(
+        var / F.col("n_c") + var / F.col("n_t")
+    )
+    return m.select(
+        "n_c",
+        "n_t",
+        F.round(mean, 6).alias("metric_mean"),
+        F.round(F.sqrt(var), 6).alias("metric_sd"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / mean, 6).alias("mde_rel"),
+    )
+
+
+_POWER_MDE_SQL = f"""
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN CAST('0x' ||
+               substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)
+               AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN CAST('0x' ||
+               substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)
+               AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(o_totalprice AS DECIMAL(18,2))
+                  AS DECIMAL(38,4))) AS s2
+  FROM orders
+)
+SELECT n_c, n_t,
+       {_sql_round('CAST(s1 AS DOUBLE) / n', 6)} AS metric_mean,
+       {_sql_round(
+           'sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)'
+           ' * CAST(s1 AS DOUBLE) / n) / (n - 1))', 6
+       )} AS metric_sd,
+       {_sql_round(
+           f'({_Z_ALPHA!r} + {_Z_BETA!r})'
+           ' * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)'
+           ' * CAST(s1 AS DOUBLE) / n) / (n - 1) / n_c'
+           ' + (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)'
+           ' * CAST(s1 AS DOUBLE) / n) / (n - 1) / n_t)', 6
+       )} AS mde_abs,
+       {_sql_round(
+           f'({_Z_ALPHA!r} + {_Z_BETA!r})'
+           ' * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)'
+           ' * CAST(s1 AS DOUBLE) / n) / (n - 1) / n_c'
+           ' + (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)'
+           ' * CAST(s1 AS DOUBLE) / n) / (n - 1) / n_t)'
+           ' / (CAST(s1 AS DOUBLE) / n)', 6
+       )} AS mde_rel
+FROM m
+"""
+
+
 QUERIES: dict[str, Query] = {
     "embedding_auc_separability": Query(
         q_embedding_auc_separability,
@@ -1936,5 +2175,15 @@ QUERIES: dict[str, Query] = {
         q_quantile_treatment_effects,
         _qte_sql(),
         ("stats", "qte", "ab-testing", "quantiles"),
+    ),
+    "lpa_modularity": Query(
+        q_lpa_modularity,
+        _lpa_modularity_sql(),
+        ("graph", "communities", "modularity"),
+    ),
+    "experiment_power_mde": Query(
+        q_experiment_power_mde,
+        _POWER_MDE_SQL,
+        ("stats", "power", "mde", "ab-testing"),
     ),
 }

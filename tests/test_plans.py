@@ -271,6 +271,11 @@ _INTENTIONAL_BNLJ = {
     "bloom_fpr_audit",        # 1-row member/bit/fp count readout joins
     "median_of_means",        # 1-row readout over the k-shard frame
     "hll_union_intersect_audit",  # broadcast 1-row date-cut scalar
+    "randomization_test_uplift",  # broadcast 1-row observed-diff scalar
+    "lsh_tuning_curve",       # 19-row literal grid × 1-row census
+    "xent_mix_weights",       # broadcast 1-row weight-total scalar
+    "offpolicy_eval_ips",     # broadcast 1-row (n, K) totals scalar
+    "lpa_modularity",         # broadcast 1-row 2m total + 1-row Q scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
