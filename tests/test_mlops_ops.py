@@ -172,3 +172,40 @@ def test_mi_zero_for_constant_feature(spark, suite, tmp_path_factory):
     # returnflag and linestatus are constant -> zero MI; qty too
     assert out["returnflag"] == 0.0
     assert out["linestatus"] == 0.0
+
+
+def test_modularity_half_on_two_cliques(spark, suite, tmp_path_factory):
+    """Two equal disconnected communities: Q = 2*(1/2 - (1/2)^2) = 0.5,
+    the textbook value for a perfect 2-community partition."""
+    rows = []
+    for o in range(1, 7):
+        for p in (1, 2, 3, 4):
+            rows.append((o, p))
+    for o in range(101, 107):
+        for p in (11, 12, 13, 14):
+            rows.append((o, p))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    d = tmp_path_factory.mktemp("mod_cliques")
+    df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = suite["lpa_modularity"].spark(spark, str(d)).collect()
+    assert out[0]["n_communities"] == 2
+    assert out[0]["modularity"] == pytest.approx(0.5, abs=1e-6)
+    # every edge is intra-community in a perfect partition
+    for r in out:
+        assert r["in_c"] == r["deg_c"]
+
+
+def test_power_mde_shrinks_with_n(spark, suite):
+    """More data → smaller detectable effect: MDE at sf0.01 must beat
+    the sf0.001 readout (1/sqrt(n) scaling, ~3x for 10x rows)."""
+    small = suite["experiment_power_mde"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    big = suite["experiment_power_mde"].spark(spark, SF_CORRECT).collect()[0]
+    assert big["n_c"] + big["n_t"] > 5 * (small["n_c"] + small["n_t"])
+    assert 0 < big["mde_rel"] < small["mde_rel"]
+    assert big["mde_abs"] == pytest.approx(
+        small["mde_abs"] / ((small["n_c"] + small["n_t"])
+                            / (big["n_c"] + big["n_t"])) ** -0.5,
+        rel=0.35,
+    )
