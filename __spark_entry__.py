@@ -100,27 +100,31 @@ _ROUND_NEW = (
     "simpson_paradox_audit",
     "decision_stump_split",
     "bpe_merges",  # graduated rows-only -> full oracle this round
-    # --- round-5 rewrites + r4-flagged regressions: a fresh official
-    # verdict on the changed plans retires the most risk.
+    # --- round-5 rewrites: a fresh official verdict on the changed
+    # plans retires the most risk. (mann_whitney_test and
+    # stable_doc_ids represent the two r4 rewrite patterns —
+    # distinct-value cumsum and sharded row ids; their pattern twins
+    # queue for r6.)
     "revenue_concentration",  # r5: rewritten on sharded row ids
     "key_gini_skew",  # r5: rewritten on distinct-count cumsum ranks
-    "touch_attribution",  # r4 bench regression — get a fresh verdict
-    "jl_projection_error",  # r4 bench regression — get a fresh verdict
     "mann_whitney_test",  # r4: rebuilt on distinct-value cumsum
-    "quantile_normalize_lengths",  # r4: rebuilt on sharded row ids
     "stable_doc_ids",  # r4: rebuilt on sharded row ids
     # --- heaviest never-checked custom-determinism machinery (VERDICT
-    # r4 item 7; ann_recall_report also certifies all four retrievers).
+    # r4 item 7 names these six; ann_recall_report also certifies all
+    # four retrievers). All six must sit ABOVE the driver's 50-cut.
     "ann_recall_report",
     "bm25_search",
     "cdc_chunks",
     "corpus_clean_pipeline",
     "bloom_semi_join",
     "winnow_fingerprints",
+    # below the 50-cut this round; next in line for r6
     "dedup_clusters",
     "minhash_dedup_pairs",
     "semantic_dedup_pairs",
-    # below the 50-cut this round; next in line for r6
+    "touch_attribution",  # r4 bench regression — floor re-confirmed solo
+    "jl_projection_error",  # r4 bench regression — fixed + floor confirmed
+    "quantile_normalize_lengths",  # r4: rebuilt on sharded row ids
     "trade_pagerank",
     "nation_ppr",
     "bpe_encode_tokens",

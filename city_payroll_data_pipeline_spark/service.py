@@ -50,7 +50,17 @@ def egress_batches(df):
     import pyarrow.parquet as pq
 
     tmp = tempfile.mkdtemp(prefix="flight_egress_")
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+
+    # A per-spool closure (NOT a bare shutil.rmtree registration): the
+    # normal completion path unregisters it, and atexit.unregister
+    # removes every registration of the given function object — a
+    # shared callee would cancel the fallback of other in-flight
+    # spools. Without the unregister, a long-lived server would grow
+    # one stale registry entry per completed export.
+    def _sweep_spool(path=tmp):
+        shutil.rmtree(path, ignore_errors=True)
+
+    atexit.register(_sweep_spool)
     out = os.path.join(tmp, "result")
     df.write.mode("overwrite").parquet(out)
     # Sort by the PARSED task index, not lexicographically: Spark pads
@@ -66,6 +76,7 @@ def egress_batches(df):
             df.limit(0).toPandas(), preserve_index=False
         )
         shutil.rmtree(tmp, ignore_errors=True)
+        atexit.unregister(_sweep_spool)
         return table.schema, iter(table.to_batches())
 
     def batches():
@@ -77,6 +88,7 @@ def egress_batches(df):
                     yield from pf.iter_batches()
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+            atexit.unregister(_sweep_spool)
 
     return pq.ParquetFile(files[0]).schema_arrow, batches()
 

@@ -8,7 +8,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_CORRECT
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 from city_payroll_data_pipeline_spark.suite import build_suite
 
@@ -198,9 +198,7 @@ def test_modularity_half_on_two_cliques(spark, suite, tmp_path_factory):
 def test_power_mde_shrinks_with_n(spark, suite):
     """More data → smaller detectable effect: MDE at sf0.01 must beat
     the sf0.001 readout (1/sqrt(n) scaling, ~3x for 10x rows)."""
-    small = suite["experiment_power_mde"].spark(
-        spark, "/root/testdata/sf0.001"
-    ).collect()[0]
+    small = suite["experiment_power_mde"].spark(spark, SF_SMOKE).collect()[0]
     big = suite["experiment_power_mde"].spark(spark, SF_CORRECT).collect()[0]
     assert big["n_c"] + big["n_t"] > 5 * (small["n_c"] + small["n_t"])
     assert 0 < big["mde_rel"] < small["mde_rel"]

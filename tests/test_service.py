@@ -159,3 +159,43 @@ def test_egress_spool_cleaned_up_after_exhaustion(spark, tmp_path):
     assert during  # spool exists while streaming
     list(batches)  # exhaust
     assert not (set(glob.glob("/tmp/flight_egress_*")) - before)
+
+
+def test_egress_atexit_registry_does_not_grow(spark):
+    """A completed export must unregister its atexit fallback — a
+    long-lived Flight server serving millions of do_get calls would
+    otherwise accumulate one stale registry entry per export. The
+    fallback must survive only for abandoned (unexhausted) streams."""
+    import atexit
+
+    from city_payroll_data_pipeline_spark.service import egress_batches
+
+    registered = []
+    real_register = atexit.register
+    real_unregister = atexit.unregister
+
+    def spy_register(fn, *a, **kw):
+        registered.append(fn)
+        return real_register(fn, *a, **kw)
+
+    def spy_unregister(fn):
+        if fn in registered:
+            registered.remove(fn)
+        return real_unregister(fn)
+
+    atexit.register = spy_register
+    atexit.unregister = spy_unregister
+    try:
+        _, batches = egress_batches(spark.range(0, 10))
+        assert len(registered) == 1  # fallback armed while in flight
+        list(batches)
+        assert registered == []  # disarmed on completion
+        # abandoned stream keeps its (single) fallback armed
+        _, abandoned = egress_batches(spark.range(0, 10))
+        next(abandoned)
+        assert len(registered) == 1
+        abandoned.close()  # generator close runs finally -> unregister
+        assert registered == []
+    finally:
+        atexit.register = real_register
+        atexit.unregister = real_unregister
