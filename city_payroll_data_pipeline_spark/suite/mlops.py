@@ -910,7 +910,8 @@ FROM means
 # cardinality, countmin_heavy_tokens = frequency, this = membership):
 # an m=16384-bit, k=4-hash Bloom set is built over the customer keys
 # that placed orders, then probed with a DISJOINT synthetic key range
-# (member keys offset beyond the domain). Every probe that "hits" is
+# (max(custkey)+1 onward, derived in-plan so the disjointness holds
+# at every scale factor). Every probe that "hits" is
 # by construction a false positive, so the measured FPR is exact —
 # reported against the theoretical (1 − e^{−kn/m})^k. The oracle
 # replays bit positions, hit counts, and both rates; the hash match
@@ -933,7 +934,13 @@ FROM means
 _BF_M = 16384
 _BF_K = 4
 _BF_PROBES = 5000
-_BF_PROBE_OFFSET = 10_000_000  # beyond any custkey in the domain
+# Probe keys start at max(o_custkey)+1, derived IN-PLAN (one 1-row
+# broadcast), not a fixed literal: TPC-H has 150k customers per unit
+# SF, so any constant offset is eventually overtaken (a 100 TB run
+# crosses 10M custkeys around sf≈67) and "every hit is a false
+# positive" silently stops being true — true members would inflate
+# measured_fpr with no oracle mismatch to catch it, because both
+# engines would share the bad constant.
 
 
 def _bf_bit(key: F.Column, i: int) -> F.Column:
@@ -962,9 +969,12 @@ def q_bloom_fpr_audit(spark, sf_dir):
         )
         .distinct()
     )
-    probes = spark.range(
-        _BF_PROBE_OFFSET, _BF_PROBE_OFFSET + _BF_PROBES
-    ).select(F.col("id").alias("key"))
+    maxk = members.agg(F.max("key").alias("_maxk"))
+    probes = (
+        spark.range(0, _BF_PROBES)
+        .crossJoin(F.broadcast(maxk))
+        .select((F.col("_maxk") + 1 + F.col("id")).alias("key"))
+    )
     probe_bits = probes.select(
         "key",
         F.explode(
@@ -1030,8 +1040,8 @@ bits AS MATERIALIZED (
   SELECT DISTINCT bit FROM ({member_bits})
 ),
 probes AS (
-  SELECT unnest(range({_BF_PROBE_OFFSET},
-                      {_BF_PROBE_OFFSET + _BF_PROBES})) AS key
+  SELECT (SELECT MAX(key) FROM members) + 1 + unnest(range(0, {_BF_PROBES}))
+         AS key
 ),
 probe_bits AS ({probe_bits}),
 hits AS (
