@@ -3303,7 +3303,9 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
-def bpe_replay_ctes(n_merges: int = _BPE_N_MERGES) -> tuple[str, str]:
+def bpe_replay_ctes(
+    n_merges: int = _BPE_N_MERGES, min_pair: int = _BPE_MIN_PAIR
+) -> tuple[str, str]:
     """The shared unrolled SQL replay of the distributed BPE fit:
     n_merges rounds of (adjacent-pair count → lexicographic argmax →
     greedy rewrite). Returns ``(cte_block, final_vocab_name)`` — the
@@ -3312,10 +3314,14 @@ def bpe_replay_ctes(n_merges: int = _BPE_N_MERGES) -> tuple[str, str]:
     ``b1..b{n}`` (merge_idx, l, r, c) for the merge table itself. CTEs
     are MATERIALIZED so each round's vocabulary is computed once.
 
-    The replay applies all n_merges rounds unconditionally; callers
-    that must mirror the trainer's early stop (a best pair below
-    min_pair_count ends training) filter the bests — with real corpus
-    data at the checked SFs every round clears the threshold."""
+    Each round applies its rewrite ONLY when the round's best pair
+    clears ``min_pair`` — mirroring the trainer's early stop
+    (operators/bpe.py:110). Once one round stalls, the vocabulary is
+    unchanged, so every later round re-finds the same sub-threshold
+    best and stalls too: the replay converges to the trainer's
+    stopped state instead of applying merges the trainer refuses. A
+    round with NO adjacent pairs left (every word a single symbol)
+    likewise passes the vocabulary through via the LEFT JOIN."""
     s = "chr(31)"
     ctes = [
         r"""words AS MATERIALIZED (
@@ -3349,9 +3355,11 @@ def bpe_replay_ctes(n_merges: int = _BPE_N_MERGES) -> tuple[str, str]:
 )""")
         ctes.append(f"""t{k} AS MATERIALIZED (
   SELECT word, cnt,
-         replace(canon, {s}||b.l||{s}||{s}||b.r||{s},
-                 {s}||b.l||b.r||{s}) AS canon
-  FROM {prev}, b{k} AS b
+         CASE WHEN b.c >= {min_pair}
+              THEN replace(canon, {s}||b.l||{s}||{s}||b.r||{s},
+                           {s}||b.l||b.r||{s})
+              ELSE canon END AS canon
+  FROM {prev} LEFT JOIN b{k} AS b ON TRUE
 )""")
     return ", ".join(ctes), f"t{n_merges}"
 
@@ -3406,6 +3414,11 @@ def q_bpe_compression_curve(spark, sf_dir):
         cur = bpe._merge_pair(cur, l, r)
         if idx in _CURVE_KS:
             sizes[idx] = F.size(cur)
+    for k in _CURVE_KS:
+        # trainer early-stopped below k merges: "after k merges" is
+        # the stopped vocabulary (the SQL replay stalls identically)
+        if k not in sizes:
+            sizes[k] = F.size(cur)
     agg = hist.select(
         "count", *[sizes[k].alias(f"s{k}") for k in _CURVE_KS]
     ).agg(

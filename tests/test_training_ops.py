@@ -548,6 +548,43 @@ def test_bpe_stops_when_no_pair_repeats(spark):
     assert train_bpe(corpus, "text", n_merges=5) == []
 
 
+def test_bpe_compression_curve_survives_early_stop(spark, tmp_path):
+    """A corpus with fewer learnable merges than max(_CURVE_KS)=8 must
+    yield a full 0/2/4/8 curve (the stopped vocabulary repeats), not a
+    KeyError — and the DuckDB oracle replay must stall on the same
+    merge the trainer refuses, keeping the hashes equal."""
+    import duckdb
+
+    from city_payroll_data_pipeline_spark.suite import build_suite
+
+    # 'aa' repeats -> exactly one learnable merge (a,a); after it no
+    # adjacent pair reaches min_pair_count=2
+    docs = spark.createDataFrame(
+        [(1, "aa xy"), (2, "aa qr")], "doc_id int, text string"
+    )
+    d = tmp_path / "sf_tiny"
+    d.mkdir()
+    docs.coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    q = build_suite()["bpe_compression_curve"]
+    got = [
+        (r["n_merges"], r["bpe_tokens"], r["words"])
+        for r in q.spark(spark, str(d)).collect()
+    ]
+    # 6 words? no: 4 words total (aa, xy, aa, qr) -> hist aa:2 xy:1 qr:1
+    # chars: aa=2,xy=2,qr=2 -> 8 tokens at k=0; the single (a,a) merge
+    # collapses both 'aa' to 1 symbol -> 6 tokens for every k >= 2
+    assert got == [(0, 8, 4), (2, 6, 4), (4, 6, 4), (8, 6, 4)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d / 'documents.parquet'}/*.parquet')"
+    )
+    oracle = con.execute(q.oracle).fetchall()
+    assert [(r[0], r[1], r[2]) for r in oracle] == got
+
+
 def test_single_shard_degenerates_to_identity(spark):
     """n_shards=1 → no boundaries, every row in shard 0."""
     from city_payroll_data_pipeline_spark.operators import sharding
