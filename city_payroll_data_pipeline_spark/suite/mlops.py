@@ -188,14 +188,16 @@ ORDER BY label
 # Scale: pair generation is bounded by construction (≤ C(7,2) pairs
 # per order — the basket_pairs bound), then the graph is sparsified
 # to each node's top-K strongest incident edges (w DESC, neighbor
-# ASC — the mutual-kNN sparsification every production LPA runs,
-# because the raw co-occurrence graph is quadratic-dense in hub
-# nodes) so the per-round frame is ≤ K·|nodes| regardless of corpus
-# size. Round 1 is free: with identity initialization the votes ARE
-# the edges, so the first join is elided. Each later round is ONE
-# edges⋈labels shuffle plus a (dst,label) aggregate; every argmax
-# window is PARTITIONED by dst. Fixed round count → lineage is
-# statically bounded (edge frame checkpointed once).
+# ASC) and SYMMETRIZED (kept ∪ reversed-kept: an edge survives if
+# either endpoint ranked it — the union-kNN sparsification, chosen
+# over raw per-dst kNN because the raw co-occurrence graph is
+# quadratic-dense in hub nodes AND modularity scoring needs a
+# symmetric frame). The per-round frame is ≤ 2K·|nodes| regardless
+# of corpus size. Round 1 is free: with identity initialization the
+# votes ARE the edges, so the first join is elided. Each later round
+# is ONE edges⋈labels shuffle plus a (dst,label) aggregate; every
+# argmax window is PARTITIONED by dst. Fixed round count → lineage
+# is statically bounded (edge frame checkpointed once).
 # --------------------------------------------------------------------------
 
 _LPA_ROUNDS = 3
@@ -211,7 +213,18 @@ def _lpa_top1(votes):
     )
 
 
-def q_lpa_communities(spark, sf_dir):
+def _lpa_edges(spark, sf_dir):
+    """The SYMMETRIZED kNN-sparsified co-purchase edge frame both LPA
+    queries run on (one definition — lpa_modularity must score the
+    exact graph lpa_communities votes on). Each node keeps its K
+    strongest incident edges (w DESC, neighbor ASC tie-break), then
+    the kept set is UNIONED with its reverses: an edge survives if
+    EITHER endpoint ranked it, so the frame is symmetric by
+    construction — for every (a,b,w) row the (b,a,w) row exists.
+    Per-dst kNN alone is asymmetric (a hub can rank (a,b) while b's
+    top-K drops (b,a)), which would silently break the Σw = 2m /
+    intra-counted-both-ways premise Newman modularity needs.
+    Returns a localCheckpoint'd frame (consumed once per LPA round)."""
     li = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -229,17 +242,26 @@ def q_lpa_communities(spark, sf_dir):
     ).unionAll(
         und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
     )
-    # kNN sparsification: each node listens to its K strongest
-    # neighbors only (deterministic tie-break on the neighbor id)
     w_knn = W.partitionBy("dst").orderBy(F.desc("w"), F.asc("src"))
-    edges = (
+    kept = (
         both.withColumn("rn", F.row_number().over(w_knn))
         .where(F.col("rn") <= _LPA_KNN)
         .drop("rn")
     )
-    # consumed once per round: materialize the sparsified frame
-    edges = edges.localCheckpoint()
-    # round 1 with identity labels: votes == edges (lbl = src)
+    # symmetrize: w is the undirected pair weight, so the reversed row
+    # carries the identical w and a full-row DISTINCT dedups the
+    # mutually-kept edges
+    edges = kept.unionAll(
+        kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).distinct()
+    return edges.localCheckpoint()
+
+
+def _lpa_labels(edges):
+    """_LPA_ROUNDS of synchronous weighted label propagation over a
+    symmetric edge frame. Round 1 is free: with identity
+    initialization the votes ARE the edges (lbl = src); each later
+    round is ONE edges⋈labels shuffle plus a (dst,label) aggregate."""
     labels = _lpa_top1(
         edges.select("dst", F.col("src").alias("lbl"), F.col("w").alias("vote"))
     )
@@ -250,6 +272,11 @@ def q_lpa_communities(spark, sf_dir):
             .agg(F.sum("w").alias("vote"))
         )
         labels = _lpa_top1(votes)
+    return labels
+
+
+def q_lpa_communities(spark, sf_dir):
+    labels = _lpa_labels(_lpa_edges(spark, sf_dir))
     return (
         labels.groupBy("lbl")
         .agg(F.count("*").alias("n_parts"))
@@ -267,7 +294,7 @@ und AS MATERIALIZED (
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY pa, pb
 ),
-edges AS MATERIALIZED (
+kept AS (
   SELECT src, dst, w FROM (
     SELECT src, dst, w,
            ROW_NUMBER() OVER (PARTITION BY dst
@@ -276,6 +303,13 @@ edges AS MATERIALIZED (
           UNION ALL
           SELECT pb AS src, pa AS dst, w FROM und)
   ) WHERE rn <= {_LPA_KNN}
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst, w FROM (
+    SELECT src, dst, w FROM kept
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM kept
+  )
 ),
 r1 AS MATERIALIZED (
   SELECT dst AS node, lbl FROM (
@@ -1900,45 +1934,14 @@ ORDER BY pctile
 
 
 def q_lpa_modularity(spark, sf_dir):
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
-    und = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("w"))
-    )
-    both = und.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
-    ).unionAll(
-        und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
-    )
-    w_knn = W.partitionBy("dst").orderBy(F.desc("w"), F.asc("src"))
-    edges = (
-        both.withColumn("rn", F.row_number().over(w_knn))
-        .where(F.col("rn") <= _LPA_KNN)
-        .drop("rn")
-    )
-    edges = edges.localCheckpoint()
-    labels = _lpa_top1(
-        edges.select("dst", F.col("src").alias("lbl"), F.col("w").alias("vote"))
-    )
-    for _ in range(_LPA_ROUNDS - 1):
-        votes = (
-            edges.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy("dst", "lbl")
-            .agg(F.sum("w").alias("vote"))
-        )
-        labels = _lpa_top1(votes)
+    edges = _lpa_edges(spark, sf_dir)
+    labels = _lpa_labels(edges)
     labels = labels.localCheckpoint()  # |nodes|-row label frame, used twice
     lsrc = labels.select(F.col("node").alias("src"), F.col("lbl").alias("c_src"))
     ldst = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("c_dst"))
     tagged = edges.join(lsrc, "src").join(ldst, "dst")
-    # directed-both-ways frame: Σw = 2m; intra edges counted both ways
+    # _lpa_edges is symmetric by construction, so Σw = 2m exactly and
+    # every intra-community edge is counted once per direction
     per_c = tagged.groupBy(F.col("c_dst").alias("community")).agg(
         F.sum("w").alias("deg_c"),
         F.sum(F.when(F.col("c_src") == F.col("c_dst"), F.col("w")).otherwise(0)).alias("in_c"),

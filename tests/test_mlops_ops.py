@@ -195,6 +195,36 @@ def test_modularity_half_on_two_cliques(spark, suite, tmp_path_factory):
         assert r["in_c"] == r["deg_c"]
 
 
+def test_lpa_edge_frame_is_symmetric_on_hub_graphs(spark, tmp_path_factory):
+    """Per-dst kNN alone is asymmetric on hubs: a 10-spoke hub's top-8
+    prunes (spoke→hub) for its two weakest spokes while every spoke
+    keeps (hub→spoke). The symmetrized frame must contain the reverse
+    of every edge with the same weight — the invariant Newman
+    modularity's Σw = 2m premise rests on."""
+    from city_payroll_data_pipeline_spark.suite.mlops import _lpa_edges
+
+    rows = []
+    order = 0
+    for spoke in range(1, 11):  # hub part 100, spokes 1..10
+        for _ in range(spoke):  # pair weight = spoke index
+            order += 1
+            rows.append((order, 100))
+            rows.append((order, spoke))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    d = tmp_path_factory.mktemp("lpa_hub")
+    df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+    edges = {
+        (r["src"], r["dst"], r["w"])
+        for r in _lpa_edges(spark, str(d)).collect()
+    }
+    assert edges  # non-degenerate
+    assert {(d_, s, w) for (s, d_, w) in edges} == edges  # symmetric
+    # survival-by-either-endpoint: all 10 hub edges survive even
+    # though the hub's own top-8 drops the two weakest
+    assert {(100, s, s) for s in range(1, 11)} <= edges
+
+
 def test_power_mde_shrinks_with_n(spark, suite):
     """More data → smaller detectable effect: MDE at sf0.01 must beat
     the sf0.001 readout (1/sqrt(n) scaling, ~3x for 10x rows)."""
