@@ -88,12 +88,11 @@ def streaming_hll_registers(
     build over the same rows (asserted in test_streaming.py). Run in
     update/complete mode; estimate cardinality downstream exactly as
     the batch audit does."""
-    h = F.md5(F.col(key).cast("string"))
-    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
-    v48 = F.conv(F.substring(h, 4, 12), 16, 10).cast("bigint")
-    rho = F.when(v48 == 0, F.lit(49)).otherwise(
-        F.lit(49) - F.length(F.bin(v48))
+    from city_payroll_data_pipeline_spark.functions.sketches import (
+        hll_bucket_rho,
     )
+
+    bucket, rho = hll_bucket_rho(F.col(key))
     return events.groupBy(
         F.col(group), bucket.alias("bucket")
     ).agg(F.max(rho).alias("m_j"))

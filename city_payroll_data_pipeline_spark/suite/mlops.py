@@ -20,6 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from city_payroll_data_pipeline_spark.functions.sketches import (
+    HLL_M as _HLL_M,
+)
+from city_payroll_data_pipeline_spark.functions.sketches import (
+    hll_bucket_rho,
+)
 from city_payroll_data_pipeline_spark.suite import Query, table
 from city_payroll_data_pipeline_spark.suite.parity import _sql_round
 
@@ -371,20 +377,16 @@ ORDER BY n_parts DESC, community
 # (drop it at 100 TB — certification runs on a sample tier).
 # --------------------------------------------------------------------------
 
-_HLL_P = 12
-_HLL_M = 1 << _HLL_P  # 4096
+# register derivation (p, bucket, rho) lives in functions/sketches.py
+# — shared with the streaming register job so the surfaces stay
+# bit-identical and mergeable
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
 _HLL_C49 = 1 << 49
 
 
 def q_hll_distinct_audit(spark, sf_dir):
     orders = table(spark, sf_dir, "orders")
-    h = F.md5(F.col("o_custkey").cast("string"))
-    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
-    v48 = F.conv(F.substring(h, 4, 12), 16, 10).cast("bigint")
-    rho = F.when(v48 == 0, F.lit(49)).otherwise(
-        F.lit(49) - F.length(F.bin(v48))
-    )
+    bucket, rho = hll_bucket_rho(F.col("o_custkey"))
     regs = (
         orders.select(F.col("o_orderpriority").alias("grp"), bucket.alias("b"), rho.alias("rho"))
         .groupBy("grp", "b")
@@ -1544,23 +1546,13 @@ def q_hll_union_intersect_audit(spark, sf_dir):
     mid = orders.agg(
         (F.min("o_orderdate") + F.expr("INTERVAL 365 DAYS")).alias("cut")
     )
-    h = F.md5(F.col("o_custkey").cast("string"))
+    bucket, rho = hll_bucket_rho(F.col("o_custkey"))
     tagged = orders.join(F.broadcast(mid)).select(
         F.when(F.col("o_orderdate") < F.col("cut"), "early")
         .otherwise("late")
         .alias("half"),
-        F.conv(F.substring(h, 1, 3), 16, 10).cast("int").alias("b"),
-        F.when(
-            F.conv(F.substring(h, 4, 12), 16, 10).cast("bigint") == 0,
-            F.lit(49),
-        )
-        .otherwise(
-            F.lit(49)
-            - F.length(
-                F.bin(F.conv(F.substring(h, 4, 12), 16, 10).cast("bigint"))
-            )
-        )
-        .alias("rho"),
+        bucket.alias("b"),
+        rho.alias("rho"),
         "o_custkey",
     )
     regs = tagged.groupBy("half", "b").agg(F.max("rho").alias("m_j"))
