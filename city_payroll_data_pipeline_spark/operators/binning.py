@@ -39,12 +39,18 @@ def approx_cut_points(
 def bucket_expr(col: Column, cuts: list[float]) -> Column:
     """1-based bucket index against sorted cut points: a codegen'd
     fold counting cut points strictly below the value (ties land in
-    the lower bucket, like ntile's boundary). Pure map — no shuffle."""
-    return F.aggregate(
+    the lower bucket, like ntile's boundary). Pure map — no shuffle.
+
+    NULL in → NULL out (width_bucket semantics): without the guard,
+    each ``when(col > c)`` of the fold would take the otherwise(0)
+    branch on a NULL comparison and NULL rows would land in bucket 1,
+    indistinguishable from genuinely small values."""
+    fold = F.aggregate(
         F.array(*[F.lit(float(c)) for c in cuts]),
         F.lit(1),
         lambda acc, c: acc + F.when(col > c, 1).otherwise(0),
     )
+    return F.when(col.isNull(), F.lit(None)).otherwise(fold)
 
 
 def with_quantile_buckets(

@@ -167,8 +167,12 @@ def kmeans(
         assignments = assign_clusters(corpus, "_v", centers).select(
             id_col, "cluster"
         )
-        # materialize before unpersist: callers get a frame whose
-        # lineage still references the persisted corpus
+        # materialize BEFORE the finally unpersists corpus: the
+        # returned frame is a narrow (id, cluster) projection, and
+        # without the eager checkpoint the caller's first action
+        # would recompute the whole upstream scan the persist existed
+        # to avoid
+        assignments = assignments.localCheckpoint(eager=True)
         return assignments, centers, n_iter
     finally:
         corpus.unpersist(blocking=False)

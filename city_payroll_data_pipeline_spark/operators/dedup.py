@@ -83,8 +83,14 @@ def shingle_frame(
     """Distinct hashed shingles per doc: (doc_id, a, b) where a/b are
     the two 48-bit halves of md5(shingle) — the shared intermediate of
     the minhash and n-gram-Jaccard pipelines. Callers that reuse it
-    should persist it (minhash_dedup_pairs does): at corpus scale the
-    shingle explosion is the dominant cost and must be paid once.
+    should localCheckpoint it (minhash_dedup_pairs does): at corpus
+    scale the shingle explosion is the dominant cost and must be paid
+    once. localCheckpoint, not persist: these operators return lazy
+    frames and can never issue the matching unpersist, and a
+    CacheManager entry is pinned until one — checkpoint blocks are
+    instead released by the ContextCleaner once the frame is
+    unreachable, so repeated calls in a long-lived session don't
+    accumulate pinned shingle-scale caches.
 
     Hashing happens BEFORE the distinct: the dedup shuffle and every
     downstream join carry two bigints (16 bytes) instead of a shingle
@@ -259,11 +265,12 @@ def minhash_dedup_pairs(
     """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ t.
 
     The shingle frame feeds signature generation, size counts, and the
-    intersection join — persist it so the explode+distinct shuffle is
-    paid once per action instead of four times (at corpus scale this
-    is the dominant cost; on a cluster use StorageLevel.DISK_ONLY for
-    100 TB corpora)."""
-    sh = shingle_frame(df, id_col, text_col, shingle_n).persist()
+    intersection join — localCheckpoint it so the explode+distinct
+    shuffle is paid once instead of four times (at corpus scale this
+    is the dominant cost; see shingle_frame's docstring for why
+    checkpoint rather than persist; on a cluster prefer a reliable
+    checkpoint dir for 100 TB corpora)."""
+    sh = shingle_frame(df, id_col, text_col, shingle_n).localCheckpoint()
     cands = minhash_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n, _shingles=sh
     )
@@ -299,7 +306,7 @@ def ngram_jaccard_pairs(
     Unlike minhash, the verify step still uses the complete shingle
     frame — the guards only limit which pairs are *considered*, not
     how they are scored."""
-    sh = shingle_frame(df, id_col, text_col, shingle_n).persist()
+    sh = shingle_frame(df, id_col, text_col, shingle_n).localCheckpoint()
     rare = (
         sh.groupBy("a", "b")
         .agg(F.count("*").alias("df"))
@@ -366,7 +373,7 @@ def ngram_containment_pairs(
             (F.col("a") * 4096 + F.pmod(F.col("b"), 4096)).alias("c"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     rare = (
         shc.groupBy("c")
@@ -489,7 +496,7 @@ def prefix_jaccard_pairs(
             (F.col("a") * 4096 + F.pmod(F.col("b"), 4096)).alias("c"),
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     dfreq = shc.groupBy("c").agg(F.count("*").alias("df"))
     ranked = shc.join(dfreq, ["c"])
@@ -503,7 +510,7 @@ def prefix_jaccard_pairs(
             <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
         )
         .select("doc_id", "c", "sz", "rn")
-        .persist()  # the self-join reads it twice; windows paid once
+        .localCheckpoint()  # the self-join reads it twice; windows paid once
     )
     min_overlap = (F.lit(threshold) / (1 + threshold)) * (
         F.col("x.sz") + F.col("y.sz")
@@ -623,16 +630,19 @@ def connected_components(
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint()
     )
-    # convergence signal: labels only ever decrease, so the label sum
-    # strictly decreases on any changing round
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # convergence signal: exact count of nodes whose label improved
+    # this round, carried as a flag through the same join the update
+    # needs — works for ANY orderable id type. (The previous
+    # sum-of-labels shortcut silently broke on string doc ids:
+    # sum(string) is NULL, NULL == NULL ended the loop after round 1
+    # and split every component of diameter ≥ 2.)
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("component").alias("neigh_min"))
         )
-        labels = (
+        upd = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
@@ -640,13 +650,15 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("neigh_min"), F.col("component")),
                 ).alias("component"),
+                F.coalesce(
+                    F.col("neigh_min") < F.col("component"), F.lit(False)
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if new_sum == prev_sum:
+        labels = upd.drop("_changed")
+        if upd.agg(F.count_if("_changed")).collect()[0][0] == 0:
             break
-        prev_sum = new_sum
     return labels
 
 

@@ -161,6 +161,12 @@ def pagerank_scaled(
             # round (same pathology measured in connected_components)
             ranks = ranks.localCheckpoint(eager=True)
 
+    # materialize the node-sized result BEFORE dropping the cached
+    # inputs: the in-loop checkpoint deliberately skips the final
+    # round, so the returned lineage still references norm_edges —
+    # unpersisting first would force a full recompute on the caller's
+    # first action
+    ranks = ranks.localCheckpoint(eager=True)
     norm_edges.unpersist()
     dangling_nodes.unpersist()
     return ranks

@@ -74,7 +74,13 @@ def local_heavy_hitter_candidates(
             out = [t for t, c in counts.items() if c * den >= num * total]
             yield pd.DataFrame({token_col: out})
 
-    return tokens.mapInPandas(per_partition, schema=f"{token_col} string")
+    # output schema mirrors the input column's type — a hardcoded
+    # 'string' would crash the Arrow serializer on bigint/int keys,
+    # and the contract is any groupable key
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([StructField(token_col, tokens.schema[token_col].dataType)])
+    return tokens.mapInPandas(per_partition, schema=schema)
 
 
 def heavy_hitters(

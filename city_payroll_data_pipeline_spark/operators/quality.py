@@ -41,10 +41,16 @@ def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     (rule, n_violations, n_rows, pass_rate) computed in a single scan —
     the violation counts are conditional aggregates, then unpivoted.
 
+    A row VIOLATES a rule unless the predicate is literally TRUE:
+    NULL counts as a violation (``count_if(~cond)`` alone would skip
+    NULL evaluations — and NULLs are the most common bad value a
+    quality gate exists to catch).
+
     Deterministic: counts are exact integers; pass_rate is one double
     division rounded to 6."""
     viol_aggs = [
-        F.count_if(~cond).alias(f"_v_{name}") for name, cond in rules.items()
+        F.count_if(~F.coalesce(cond, F.lit(False))).alias(f"_v_{name}")
+        for name, cond in rules.items()
     ]
     wide = df.agg(F.count("*").alias("_n"), *viol_aggs)
     per_rule = F.explode(
@@ -82,9 +88,16 @@ def quarantine(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     Pure narrow projection — the reason array is a compact of
     per-rule CASE tags, codegen'd into the scan; zero shuffles, and
     splitting pass/fail downstream reuses one cached scan."""
+    # NULL predicate = violation (same contract as check_rules): a
+    # bare ``when(~cond, ...)`` yields NULL for NULL evaluations,
+    # array_compact would drop the tag, and the row would flow on as
+    # clean with no audit trail.
     reasons = F.array_compact(
         F.array(
-            *[F.when(~cond, F.lit(name)) for name, cond in rules.items()]
+            *[
+                F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+                for name, cond in rules.items()
+            ]
         )
     )
     return df.withColumn("quarantine_reasons", reasons).withColumn(

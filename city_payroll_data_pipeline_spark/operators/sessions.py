@@ -48,12 +48,18 @@ def session_stats(
     df: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
     gap_seconds: int = 3600,
 ) -> DataFrame:
-    """One row per session: event count + whole-second duration."""
+    """One row per session: event count + whole-second duration.
+    ``order_tiebreak`` is forwarded to :func:`assign_sessions` —
+    without it, tables lacking an ``event_id`` column could not use
+    this wrapper at all (unresolved-column AnalysisException)."""
     secs = F.unix_timestamp(F.col(ts_col))
     return (
-        assign_sessions(df, user_col, ts_col, gap_seconds=gap_seconds)
+        assign_sessions(
+            df, user_col, ts_col, order_tiebreak, gap_seconds=gap_seconds
+        )
         .groupBy(user_col, "session_id")
         .agg(
             F.count("*").alias("n_events"),

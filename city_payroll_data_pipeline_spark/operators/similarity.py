@@ -67,6 +67,31 @@ def with_quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ).withColumn("n2", norm2_q(F.col("q")))
 
 
+
+def _per_query_topk(
+    scored: DataFrame, score_col: str, k: int, round_score: bool = True
+) -> DataFrame:
+    """Shared per-query top-k: rank by (score DESC, neighbor_id ASC —
+    the deterministic tie-break every retriever must agree on), keep
+    rank ≤ k. ``round_score`` emits the score rounded to 6 dp (the
+    cosine retrievers' cross-engine convention); integer scores
+    (sq8's dot8) pass through unrounded. One definition so a tie-break
+    or ranking fix can never drift between the four retrievers."""
+    w = W.partitionBy("query_id").orderBy(
+        F.desc(score_col), F.asc("neighbor_id")
+    )
+    out_score = (
+        F.round(score_col, 6).alias(score_col)
+        if round_score
+        else F.col(score_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", out_score)
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,
@@ -95,12 +120,7 @@ def brute_force_topk(
             ).alias("cosine"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
-    )
+    return _per_query_topk(joined, "cosine", k)
 
 
 def quantize_sq8(vec: Column) -> Column:
@@ -149,12 +169,8 @@ def sq8_topk(
             dot_q(F.col("p.q8"), F.col("c.q8")).alias("dot8"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("dot8"), F.asc("neighbor_id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "dot8")
-    )
+    # integer dot — exact, no rounding
+    return _per_query_topk(joined, "dot8", k, round_score=False)
 
 
 def cosine_near_dup_pairs(
@@ -280,12 +296,7 @@ def ivf_topk(
         # no dedup needed: each corpus vector lives in exactly one list,
         # so a (query, neighbor) pair matches at most one probed list
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
-    )
+    return _per_query_topk(joined, "cosine", k)
 
 
 def lsh_topk(
@@ -322,12 +333,7 @@ def lsh_topk(
             ).alias("cosine"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
-    )
+    return _per_query_topk(joined, "cosine", k)
 
 
 def rrf_fuse(

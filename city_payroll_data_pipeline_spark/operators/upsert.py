@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LATEST = "_LATEST"
 
@@ -104,11 +105,17 @@ def delete_where(
     spark: SparkSession, root: str, condition
 ) -> int:
     """Anti-materialize a delete (GDPR/right-to-forget pass): commit a
-    new version without the matching rows."""
+    new version without the matching rows. Rows where ``condition``
+    evaluates to NULL are KEPT — a delete must remove only rows that
+    provably match (bare ``filter(~cond)`` would also drop every row
+    where the predicate column is NULL, silently destroying unrelated
+    records)."""
     v = current_version(root)
     current = read_table(spark, root, v)
     next_v = v + 1
-    _commit(current.filter(~condition), root, next_v)
+    _commit(
+        current.filter(~F.coalesce(condition, F.lit(False))), root, next_v
+    )
     return next_v
 
 

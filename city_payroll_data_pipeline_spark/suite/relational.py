@@ -1251,10 +1251,12 @@ def q_lineitem_dq_checks(spark, sf_dir):
 LINEITEM_DQ_CHECKS_SQL = f"""
 WITH wide AS (
   SELECT COUNT(*) AS n_rows,
-         COUNT(*) FILTER (NOT (l_quantity > 0)) AS v_quantity_positive,
-         COUNT(*) FILTER (NOT (l_discount >= 0 AND l_discount <= 1))
-           AS v_discount_in_range,
-         COUNT(*) FILTER (NOT (l_extendedprice > 0)) AS v_price_positive,
+         COUNT(*) FILTER (NOT COALESCE(l_quantity > 0, FALSE))
+           AS v_quantity_positive,
+         COUNT(*) FILTER (NOT COALESCE(l_discount >= 0 AND l_discount <= 1,
+                                       FALSE)) AS v_discount_in_range,
+         COUNT(*) FILTER (NOT COALESCE(l_extendedprice > 0, FALSE))
+           AS v_price_positive,
          COUNT(*) FILTER (l_shipdate IS NULL) AS v_shipdate_present
   FROM lineitem
 ),
@@ -1332,8 +1334,10 @@ WITH dirty AS (
 tagged AS (
   SELECT l_orderkey,
          concat_ws(',',
-           CASE WHEN NOT (l_quantity > 0) THEN 'quantity_positive' END,
-           CASE WHEN NOT (l_discount >= 0 AND l_discount <= 1)
+           CASE WHEN NOT COALESCE(l_quantity > 0, FALSE)
+                THEN 'quantity_positive' END,
+           CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 1,
+                                  FALSE)
                 THEN 'discount_in_range' END,
            CASE WHEN l_shipdate IS NULL THEN 'shipdate_present' END
          ) AS reasons

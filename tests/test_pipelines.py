@@ -474,6 +474,56 @@ def test_quarantine_routing(spark):
     assert (good, bad) == (1, 3)
 
 
+def test_quality_gates_treat_null_as_violation(spark):
+    """Three-valued-logic hole: a NULL predicate evaluation must count
+    as a violation in check_rules AND route to quarantine — NULLs are
+    the most common bad value a quality gate exists to catch, and a
+    bare NOT(cond) makes them invisible to both operators."""
+    from city_payroll_data_pipeline_spark.operators.quality import (
+        check_rules,
+        quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, -1)], "id int, qty int"
+    )
+    rules = {"qty_pos": F.col("qty") > 0}
+    checked = check_rules(df, rules).collect()[0]
+    assert checked["n_violations"] == 2  # NULL and -1
+    assert checked["pass_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    routed = {r["id"]: r for r in quarantine(df, rules).collect()}
+    assert routed[2]["quarantine_reasons"] == ["qty_pos"]
+    assert routed[2]["is_quarantined"]
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """A delete removes only rows that provably match: rows where the
+    predicate evaluates NULL (e.g. a NULL in the predicate column)
+    must survive, not be silently destroyed alongside the target."""
+    from city_payroll_data_pipeline_spark.operators import upsert as U
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a@b.com"), (2, None), (3, "c@d.com")], "id int, email string"
+    )
+    U.write_version(df, root)
+    U.delete_where(spark, root, F.col("email") == "a@b.com")
+    left = {r["id"] for r in U.read_table(spark, root).collect()}
+    assert left == {2, 3}  # id=2 (NULL email) kept
+
+
+def test_bucket_expr_null_in_null_out(spark):
+    """width_bucket semantics: NULL values get a NULL bucket, not a
+    silent assignment to the lowest bin."""
+    from city_payroll_data_pipeline_spark.operators.binning import bucket_expr
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (9.0,)], "v double"
+    ).select("v", bucket_expr(F.col("v"), [2.0, 5.0]).alias("b"))
+    out = {r["v"]: r["b"] for r in df.collect()}
+    assert out == {1.0: 1, None: None, 9.0: 3}
+
+
 def test_binary_file_ingest(spark, tmp_path):
     """binaryFile source: glob filter keeps non-matching files closed,
     max_bytes guard drops oversized blobs on the metadata column, and

@@ -280,6 +280,27 @@ def test_connected_components_multihop_chain(spark):
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
 
 
+def test_connected_components_string_ids_multihop(spark):
+    """String doc ids must converge too: the old sum-of-labels
+    convergence signal was NULL on strings (sum casts to double), so
+    NULL == NULL ended the loop after one round and any component of
+    diameter >= 2 came back split."""
+    from city_payroll_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        schema="doc_a string, doc_b string",
+    )
+    out = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x"}
+
+
 def test_kmeans_deterministic_and_improving(spark):
     """Two independent fits produce identical assignments; the fitted
     objective (total within-cluster sq dist) beats assigning everything
@@ -851,6 +872,18 @@ def test_heavy_hitters_pigeonhole_guarantee(spark):
 
     got2 = {r["tok"] for r in heavy_hitters(toks, "tok", 0.05).collect()}
     assert got2 == {"hot", "warm"}
+
+
+def test_heavy_hitters_on_bigint_keys(spark):
+    """The contract is any groupable key: a bigint key column must
+    work (the candidate emitter's output schema used to be hardcoded
+    'string', crashing the Arrow serializer on int64 partitions)."""
+    from city_payroll_data_pipeline_spark.operators.heavyhitters import heavy_hitters
+
+    rows = [(7,)] * 30 + [(i,) for i in range(60)]
+    toks = spark.createDataFrame(rows, "uid bigint").repartition(4)
+    got = {r["uid"]: r["cnt"] for r in heavy_hitters(toks, "uid", 0.2).collect()}
+    assert got == {7: 31}  # 30 hot + the one range row uid=7
 
 
 def test_pav_kernel_known_cases():
