@@ -35,6 +35,49 @@ RAW_COLUMNS = {
 }
 
 
+def _assert_plain_query(session: SparkSession, query: str) -> None:
+    """Reject any statement that does not parse to a plain query.
+
+    DDL/DML/utility statements parse to *Command / *Statement /
+    CreateTable / InsertInto / MergeInto / ... logical plans; a
+    SELECT/WITH/VALUES query parses to ordinary relational operators.
+    Gate on the PARSED plan class, not on string matching, so comment
+    tricks and case games don't slip through."""
+    from city_payroll_data_pipeline_spark.sources.tenancy import (
+        ValidationError,
+    )
+
+    try:
+        plan = (
+            session._jsparkSession.sessionState()
+            .sqlParser()
+            .parsePlan(query)
+        )
+    except Exception as exc:  # parse error: let session.sql re-raise it
+        if type(exc).__name__ == "Py4JJavaError":
+            return
+        raise
+    jvm = session._jvm
+    is_ddl_dml = any(
+        jvm.java.lang.Class.forName(trait).isInstance(plan)
+        for trait in (
+            # every runnable command (CREATE/DROP/SET/CACHE/SHOW/
+            # EXPLAIN/ANALYZE/MERGE/...) mixes in Command; INSERT
+            # parses to a ParsedStatement. Plain SELECT/WITH/VALUES/
+            # TABLE parse to ordinary relational operators, which are
+            # neither — trait membership, not class-name matching, so
+            # new command types stay covered.
+            "org.apache.spark.sql.catalyst.plans.logical.Command",
+            "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement",
+        )
+    )
+    if is_ddl_dml:
+        raise ValidationError(
+            "only plain queries are allowed through Engine.sql; got a "
+            f"{plan.getClass().getSimpleName()} statement"
+        )
+
+
 class Engine:
     """Multi-tenant payroll analytics engine (library surface)."""
 
@@ -140,11 +183,18 @@ class Engine:
         threaded Flight facade) can never observe each other's views.
         ``spark.sql.runSQLOnFiles`` is disabled in the subsession, so
         direct path addressing (``SELECT * FROM parquet.`/any/path```)
-        fails analysis instead of bypassing the auth/path scoping."""
+        fails analysis instead of bypassing the auth/path scoping —
+        and the statement must PARSE to a plain query: DDL/DML plans
+        (CreateTable/Insert/Set/...) are rejected up front, because
+        ``newSession()`` shares the persistent catalog, so an
+        unchecked ``CREATE TABLE ... USING parquet LOCATION`` would
+        re-open the exact cross-tenant path escape runSQLOnFiles
+        closes (read another tenant's fact tables, or users.json)."""
         tenant = self.registry.authenticate(client_id, password)
         clean = self.registry.clean_path(client_id, upload_basename)
         session = self.spark.newSession()
         session.conf.set("spark.sql.runSQLOnFiles", "false")
+        _assert_plain_query(session, query)
         fct = session.read.parquet(os.path.join(clean, f"fct_{tenant.industry}"))
         fct.createOrReplaceTempView("fct")
         stg_path = os.path.join(clean, f"stg_{tenant.industry}")

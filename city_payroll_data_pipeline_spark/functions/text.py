@@ -87,8 +87,30 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+#: Unicode-aware character classes, valid with IDENTICAL semantics in
+#: Java regex (Spark) and RE2 (DuckDB oracle) — verified on CJK,
+#: Cyrillic-adjacent accents, and ASCII. ASCII-only [A-Za-z] / [^\w\s]
+#: misclassified every non-ASCII letter as punctuation, collapsing
+#: quality_score to ~0 for the CJK documents LANG_MARKERS explicitly
+#: supports.
+ALPHA_CHAR_RE = r"\p{L}"
+PUNCT_CHAR_RE = r"[^\p{L}\p{N}_\s]"
+
+
 def lang_marker_pattern(lang: str) -> str:
-    return r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    """Alternation over the language's markers. ASCII markers are
+    \\b-wrapped (whole-word matches); CJK markers are bare — Java and
+    RE2 both implement \\b at ASCII \\w transitions only, so a
+    \\b-wrapped CJK marker can NEVER match inside pure Chinese text
+    (zh would be undetectable). Chinese is unsegmented, so substring
+    counting is the correct semantics there anyway."""
+    import re as _re
+
+    markers = LANG_MARKERS[lang]
+    alts = "|".join(markers)
+    if all(_re.fullmatch(r"[A-Za-z0-9_]+", m) for m in markers):
+        return r"\b(" + alts + r")\b"
+    return "(" + alts + ")"
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -122,8 +144,8 @@ def quality_features(text: Column) -> dict[str, Column]:
     per-row arithmetic over exact integer counts → deterministic."""
     n_chars = F.length(text)
     n_tokens = token_count(text)
-    n_alpha = F.regexp_count(text, F.lit(r"[A-Za-z]"))
-    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    n_alpha = F.regexp_count(text, F.lit(ALPHA_CHAR_RE))
+    n_punct = F.regexp_count(text, F.lit(PUNCT_CHAR_RE))
     n_stop = F.regexp_count(F.lower(text), F.lit(lang_marker_pattern("en")))
     denom_c = F.when(n_chars > 0, n_chars.cast("double"))
     denom_t = F.when(n_tokens > 0, n_tokens.cast("double"))

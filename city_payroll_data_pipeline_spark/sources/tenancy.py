@@ -123,6 +123,18 @@ class TenantRegistry:
         )
 
     def list_files(self, client_id: str, subdir: str = "Clean") -> list[str]:
-        """S11: sorted listing of a tenant storage dir."""
-        path = self.storage_path(client_id, subdir)
+        """S11: sorted listing of a tenant storage dir.
+
+        ``subdir`` is caller-supplied (the Flight ``list_files`` action
+        forwards it verbatim), so it must be confined to the tenant's
+        own storage root: an absolute path makes ``os.path.join``
+        discard the prefix entirely, and ``..`` segments climb into
+        other tenants' directories — both are rejected against the
+        resolved real path, not by string inspection."""
+        tenant_root = os.path.realpath(self.storage_path(client_id))
+        path = os.path.realpath(self.storage_path(client_id, subdir))
+        if path != tenant_root and not path.startswith(tenant_root + os.sep):
+            raise ValidationError(
+                f"subdir {subdir!r} escapes the tenant storage root"
+            )
         return sorted(os.listdir(path)) if os.path.isdir(path) else []

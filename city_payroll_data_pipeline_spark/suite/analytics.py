@@ -1312,7 +1312,7 @@ def q_quality_logit_deciles(spark, sf_dir):
             F.lit(_QL_W["bias"])
             + _QL_W["tok"] * token_count(t)
             + _QL_W["stop"] * F.regexp_count(F.lower(t), F.lit(lang_marker_pattern("en")))
-            + _QL_W["punct"] * F.regexp_count(t, F.lit(r"[^\w\s]"))
+            + _QL_W["punct"] * F.regexp_count(t, F.lit(r"[^\p{L}\p{N}_\s]"))
             + _QL_W["chars"] * F.length(t)
         ).cast("long").alias("logit"),
     )
@@ -1337,7 +1337,7 @@ WITH scored AS (
               + {_QL_W["tok"]} * len(regexp_extract_all(text, '\S+', 0))
               + {_QL_W["stop"]} * len(regexp_extract_all(lower(text),
                     '{lang_marker_pattern("en")}', 0))
-              + {_QL_W["punct"]} * len(regexp_extract_all(text, '[^\w\s]', 0))
+              + {_QL_W["punct"]} * len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}_\s]', 0))
               + {_QL_W["chars"]} * length(text)
            AS BIGINT) AS logit
   FROM documents
@@ -1374,7 +1374,7 @@ def q_quality_logit_deciles_scaled(spark, sf_dir):
             F.lit(_QL_W["bias"])
             + _QL_W["tok"] * token_count(t)
             + _QL_W["stop"] * F.regexp_count(F.lower(t), F.lit(lang_marker_pattern("en")))
-            + _QL_W["punct"] * F.regexp_count(t, F.lit(r"[^\w\s]"))
+            + _QL_W["punct"] * F.regexp_count(t, F.lit(r"[^\p{L}\p{N}_\s]"))
             + _QL_W["chars"] * F.length(t)
         ).cast("long").alias("logit"),
     )

@@ -477,8 +477,8 @@ WITH feat AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
          length(text) AS n_chars,
-         len(regexp_extract_all(text, '[A-Za-z]', 0)) AS n_alpha,
-         len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+         len(regexp_extract_all(text, '\p{{L}}', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}_\s]', 0)) AS n_punct,
          len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
   FROM documents
 )
@@ -762,8 +762,8 @@ feat AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
          length(text) AS n_chars,
-         len(regexp_extract_all(text, '[A-Za-z]', 0)) AS n_alpha,
-         len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+         len(regexp_extract_all(text, '\p{{L}}', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}_\s]', 0)) AS n_punct,
          len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
   FROM corpus2
 ),
@@ -930,8 +930,8 @@ feat AS (
   SELECT source,
          len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
          length(text) AS n_chars,
-         len(regexp_extract_all(text, '[A-Za-z]', 0)) AS n_alpha,
-         len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+         len(regexp_extract_all(text, '\p{{L}}', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}_\s]', 0)) AS n_punct,
          len(regexp_extract_all(lower(text), '{lang_marker_pattern("en")}', 0)) AS n_stop,
          {scores}
   FROM kept
@@ -1762,8 +1762,8 @@ WITH feat AS (
   SELECT doc_id,
          length(text) AS n_chars,
          len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
-         len(regexp_extract_all(text, '[A-Za-z]', 0)) AS n_alpha,
-         len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+         len(regexp_extract_all(text, '\p{{L}}', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}_\s]', 0)) AS n_punct,
          len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
   FROM documents
 ),
@@ -1828,8 +1828,8 @@ WITH feat AS (
   SELECT source,
          len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
          length(text) AS n_chars,
-         len(regexp_extract_all(text, '[A-Za-z]', 0)) AS n_alpha,
-         len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+         len(regexp_extract_all(text, '\p{{L}}', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}_\s]', 0)) AS n_punct,
          len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
   FROM documents
 ),
@@ -2704,8 +2704,9 @@ _QUALITY_GATE_SQL = rf"""
     SELECT doc_id, lang, text,
            length(text) AS n_chars,
            len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]', 0)) AS n_alpha,
-           len(regexp_extract_all(text, '[^\w\s]', 0)) AS n_punct,
+           len(regexp_extract_all(text, '\p{{{{L}}}}', 0)) AS n_alpha,
+           len(regexp_extract_all(text, '[^\p{{{{L}}}}\p{{{{N}}}}_\s]', 0))
+             AS n_punct,
            len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
     FROM keep
   )

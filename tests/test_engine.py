@@ -236,6 +236,54 @@ def test_sql_blocks_direct_path_addressing(engine, corporate_csv):
     assert engine.spark.conf.get("spark.sql.runSQLOnFiles") != "false"
 
 
+def test_sql_blocks_ddl_catalog_escape(engine, corporate_csv):
+    """newSession() shares the PERSISTENT catalog, so an unchecked
+    CREATE TABLE ... USING parquet LOCATION would re-open the path
+    escape runSQLOnFiles closes (and SET could re-enable
+    runSQLOnFiles itself). Every non-query statement must be rejected
+    at parse time; plain SELECTs still work."""
+    from city_payroll_data_pipeline_spark.sources.tenancy import (
+        ValidationError,
+    )
+
+    engine.ingest(
+        "ACME", "secret", corporate_csv, processed_at="2024-06-01T00:00:00"
+    )
+    clean = engine.registry.clean_path("ACME", corporate_csv)
+    for ddl in (
+        f"CREATE TABLE leak USING parquet LOCATION '{clean}/fct_corporate'",
+        "SET spark.sql.runSQLOnFiles=true",
+        "DROP TABLE IF EXISTS anything",
+        "CACHE TABLE fct",
+        "SHOW TABLES",
+        "CREATE TEMPORARY VIEW v AS SELECT 1",
+        "INSERT INTO fct VALUES (1)",
+    ):
+        with pytest.raises(ValidationError):
+            engine.sql("ACME", "secret", corporate_csv, ddl)
+    # queries still pass: plain, WITH-prefixed, and VALUES
+    assert engine.sql(
+        "ACME", "secret", corporate_csv,
+        "WITH t AS (SELECT count(*) AS n FROM fct) SELECT n FROM t",
+    ).collect()[0]["n"] > 0
+
+
+def test_list_files_rejects_traversal(engine, corporate_csv):
+    """The Flight list_files action forwards a caller-supplied subdir:
+    '..' segments and absolute paths must be rejected, not listed."""
+    from city_payroll_data_pipeline_spark.sources.tenancy import (
+        ValidationError,
+    )
+
+    engine.ingest(
+        "ACME", "secret", corporate_csv, processed_at="2024-06-01T00:00:00"
+    )
+    assert engine.registry.list_files("ACME", "Clean")  # sane call works
+    for subdir in ("../OTHER/Clean", "..", "/etc", "Clean/../../.."):
+        with pytest.raises(ValidationError):
+            engine.registry.list_files("ACME", subdir)
+
+
 def test_sql_concurrent_tenants_no_view_race(engine, spark, tmp_path_factory):
     """Two tenants issuing interleaved Engine.sql calls from threads:
     each call's fct view is private to its newSession(), so neither

@@ -153,6 +153,33 @@ def test_lang_id_markers(spark):
     assert [r["lang"] for r in df.collect()] == ["en", "fr", "de", "und"]
 
 
+def test_lang_id_detects_chinese_and_quality_survives_cjk(spark):
+    """Java/RE2 \\b fires only at ASCII \\w transitions, so \\b-wrapped
+    CJK markers never matched pure Chinese text (zh was undetectable),
+    and ASCII [A-Za-z]/[^\\w\\s] classified every CJK char as
+    punctuation, collapsing quality_score to ~0 for exactly the
+    documents LANG_MARKERS declares supported."""
+    from city_payroll_data_pipeline_spark.functions.text import (
+        lang_id,
+        quality_features,
+        quality_score,
+    )
+
+    zh = "我的书是在桌子上的 和 他是好人 " * 5  # markers: 的/是/在/和
+    df = spark.createDataFrame([(zh,), ("the cat is here " * 5,)], "text string")
+    out = df.select(
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+        quality_features(F.col("text"))["punct_ratio"].alias("pr"),
+    ).collect()
+    assert out[0]["lang"] == "zh"
+    assert out[0]["pr"] < 0.05  # CJK letters are NOT punctuation
+    assert out[1]["lang"] == "en"
+    # a clean CJK doc scores in the same band as clean English minus
+    # the (intentionally en-only) stopword term, not near zero
+    assert out[0]["q"] > 0.5
+
+
 def test_shingles_short_doc(spark):
     from city_payroll_data_pipeline_spark.functions.text import (
         shingles,
