@@ -79,11 +79,26 @@ def compact_parquet(
     problem; Delta/Iceberg call this OPTIMIZE).
 
     Write-to-temp-then-swap: Spark cannot safely overwrite a directory
-    it is lazily reading, and the swap keeps a crash from leaving the
-    dataset truncated (worst case: the old directory survives under
-    its backup name). Returns the new file count."""
+    it is lazily reading. The two renames are not one atomic step, so
+    a crash can leave the dataset parked under its backup name — the
+    recovery preamble below repairs that automatically on the next
+    call (restore the backup if the live dir is missing, clear stale
+    backup/tmp otherwise) instead of failing the rename on leftovers.
+    Returns the new file count."""
     import math
     import shutil as _sh
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    bak = path.rstrip("/") + "._compact_bak"
+    if os.path.isdir(bak):
+        if not os.path.isdir(path):
+            # crashed between the two renames: the original data is
+            # intact under the backup name — restore it
+            os.rename(bak, path)
+        else:
+            _sh.rmtree(bak)  # crashed after the swap: stale backup
+    if os.path.isdir(tmp):
+        _sh.rmtree(tmp)  # partial compaction output, always safe
 
     total = sum(
         os.path.getsize(os.path.join(root, f))
@@ -92,8 +107,6 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / target_file_bytes))
-    tmp = path.rstrip("/") + "._compact_tmp"
-    bak = path.rstrip("/") + "._compact_bak"
     spark.read.parquet(path).repartition(n_files).write.mode(
         "overwrite"
     ).parquet(tmp)
@@ -165,8 +178,16 @@ def zorder_value(cols, mins, maxs, bits: int = 16):
     """Morton (Z-order) key from N numeric columns: each column is
     scaled to a ``bits``-bit integer grid over its [min, max] range,
     then the bit-spread values are interleaved. Pure JVM expressions
-    (shifts + masks) — codegen'd, no UDF."""
+    (shifts + masks) — codegen'd, no UDF.
+
+    ``bits`` is capped at 63 // n_cols: the interleave reaches bit
+    position bits·n − 1, so the uncapped default (16) with 4 columns
+    would set the bigint SIGN bit (large keys sort before small ones)
+    and with 5+ columns Java's shiftleft wraps the shift amount mod
+    64, scrambling the Morton code entirely."""
     from pyspark.sql import functions as F
+
+    bits = min(bits, 63 // max(1, len(cols)))
 
     def spread(x, stride):
         # spread `bits` low bits of x so consecutive bits land

@@ -3,13 +3,19 @@
 ``suite.relational.q_ewma_user_value``.
 
 Per user key, the running average lives in group state as (ewma,
-n_events, last_us). Each micro-batch folds its rows in (ts, event_id)
-order onto the carried accumulator — so across any micro-batch
-boundary placement, the final value equals the batch fold over the
-whole series (the agreement the test asserts). State is three scalars
-per ACTIVE user: update mode emits the refreshed value each batch and
-the per-key footprint is constant, so state size tracks the keyspace,
-not stream length — safe on an unbounded feed.
+n_events, last_us, last_ord). Each micro-batch folds its rows in
+(ts, event_id) order onto the carried accumulator, and rows at or
+before the high-water mark (last_us, last_ord) are DROPPED: an EWMA
+fold cannot retro-insert a late row without replaying history, and
+silently folding it as-if-newest would diverge from the batch twin on
+every late arrival. With the guard, stream == batch fold exactly
+whenever micro-batch boundaries respect event order (the agreement
+the test asserts), and out-of-order spill across a boundary has a
+defined, stated policy (late rows ignored) instead of a silent
+reordering. State is four scalars per ACTIVE user: update mode emits
+the refreshed value each batch and the per-key footprint is constant,
+so state size tracks the keyspace, not stream length — safe on an
+unbounded feed.
 """
 
 from __future__ import annotations
@@ -19,7 +25,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, ewma_value double"
-STATE_SCHEMA = "ewma double, n_events bigint, last_us bigint"
+STATE_SCHEMA = (
+    "ewma double, n_events bigint, last_us bigint, last_ord bigint"
+)
 
 
 def ewma_stream(
@@ -41,15 +49,23 @@ def ewma_stream(
             return
         batch = batch.sort_values([ts_col, order_col])
         if state.exists:
-            ewma, n, last_us = state.get
+            ewma, n, last_us, last_ord = state.get
         else:
-            ewma, n, last_us = None, 0, 0
-        for x in batch[value_col]:
+            ewma, n, last_us, last_ord = None, 0, -1, -1
+        for ts, ordv, x in zip(
+            batch[ts_col], batch[order_col], batch[value_col]
+        ):
+            us = int(ts.timestamp() * 1_000_000)
+            ordv = int(ordv)
+            if (us, ordv) <= (last_us, last_ord):
+                continue  # late arrival: defined drop policy (see top)
             x = float(x)
             ewma = x if ewma is None else alpha * x + (1.0 - alpha) * ewma
             n += 1
-        last_us = int(batch[ts_col].max().timestamp() * 1_000_000)
-        state.update((ewma, n, last_us))
+            last_us, last_ord = us, ordv
+        if ewma is None:
+            return  # every row was late; nothing to emit or update
+        state.update((ewma, n, last_us, last_ord))
         yield pd.DataFrame(
             [{"user_id": user_id, "n_events": n, "ewma_value": ewma}]
         )

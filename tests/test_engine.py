@@ -110,6 +110,68 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert not os.path.exists(path + "._compact_bak")
 
 
+def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
+    """The two-rename swap is not atomic. Simulate each crash window
+    and assert the next compaction self-repairs instead of 404ing
+    readers or failing on leftover directories."""
+    import os
+    import shutil
+
+    from city_payroll_data_pipeline_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "tbl")
+    spark.range(1000).withColumnRenamed("id", "v").repartition(
+        8
+    ).write.parquet(path)
+
+    # window (b): crashed between the renames — data parked at bak,
+    # live dir missing, completed tmp also present
+    shutil.copytree(path, path + "._compact_tmp")
+    os.rename(path, path + "._compact_bak")
+    assert not os.path.isdir(path)
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + "._compact_bak")
+    assert not os.path.exists(path + "._compact_tmp")
+
+    # window (c): crashed after the swap — stale backup next to a
+    # healthy live dir must not fail the next run's rename
+    shutil.copytree(path, path + "._compact_bak")
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + "._compact_bak")
+
+
+def test_zorder_bits_capped_no_sign_bit(spark, tmp_path):
+    """4+ interleaved columns at the default 16 bits would reach the
+    bigint sign bit (and 5 columns would wrap shift amounts mod 64);
+    the cap keeps every Morton key non-negative so range partitioning
+    orders large keys last, not first."""
+    from pyspark.sql import functions as F
+
+    from city_payroll_data_pipeline_spark.sources.sinks import zorder_value
+
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("a"),
+        (99 - F.col("id")).cast("double").alias("b"),
+        (F.col("id") % 7).cast("double").alias("c"),
+        (F.col("id") % 11).cast("double").alias("d"),
+        (F.col("id") % 13).cast("double").alias("e"),
+    )
+    for cols in (["a", "b", "c", "d"], ["a", "b", "c", "d", "e"]):
+        zs = df.select(
+            zorder_value(
+                [F.col(c) for c in cols],
+                [0.0] * len(cols),
+                [99.0] * len(cols),
+            ).alias("z")
+        ).collect()
+        assert all(r["z"] >= 0 for r in zs), cols
+        assert len({r["z"] for r in zs}) > 1  # still discriminates
+
+
 def test_concurrent_tenant_ingest(spark, tmp_path):
     """Two tenants ingest in parallel threads — the engine needs no
     global transform lock (the reference serializes all uploads behind

@@ -602,3 +602,72 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) <= 3 * 4096
+
+
+def test_session_timeout_flush_preserves_ordinal():
+    """The quiet-user flush must leave an ordinal tombstone, not
+    remove state outright: a returning user restarting at session_id=1
+    would emit duplicate (user_id, session_id) keys into the append
+    stream. Driven against a stub GroupState because availableNow
+    drains can never fire processing-time timeouts."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from city_payroll_data_pipeline_spark.streaming.sessionize import (
+        _make_session_fold,
+    )
+
+    class StubState:
+        def __init__(self):
+            self.value = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self.value is not None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = tuple(v)
+
+        def remove(self):
+            self.value = None
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    fn = _make_session_fold(
+        gap_seconds=1800, ts_col="ts", flush_timeout_seconds=1800
+    )
+    state = StubState()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    # batch 1: two events, one open session
+    out1 = list(
+        fn(
+            (7,),
+            [pd.DataFrame({"ts": [t0, t0 + dt.timedelta(seconds=60)]})],
+            state,
+        )
+    )
+    assert out1 == []  # session still open
+    assert state.value[0] == 1  # ordinal 1 in state
+
+    # timeout fires: session 1 flushed, ordinal tombstone remains
+    state.hasTimedOut = True
+    flushed = pd.concat(list(fn((7,), iter([]), state)))
+    assert flushed["session_id"].tolist() == [1]
+    assert state.value == (2, None, None, 0)  # tombstone, NOT removed
+
+    # a second timeout on the tombstone must not emit a ghost session
+    assert list(fn((7,), iter([]), state)) == []
+
+    # user returns: next session numbers 2, not a duplicate 1
+    state.hasTimedOut = False
+    t1 = t0 + dt.timedelta(hours=6)
+    list(fn((7,), [pd.DataFrame({"ts": [t1]})], state))
+    assert state.value[0] == 2
