@@ -223,6 +223,45 @@ def lsh_bucket(qvec: Column, n_planes: int, dim: int) -> Column:
     return bucket
 
 
+def ivf_seed_centroids(
+    quantized: DataFrame, n_lists: int = 8, centroid_stride: int = 7
+) -> DataFrame:
+    """Deterministic seed centroids (vec_id = 0, stride, 2·stride, …)
+    from an already-quantized frame: (list_id, cq, cn2). No k-means
+    RNG, so the DuckDB oracle replays the cells bit-exactly."""
+    return quantized.filter(
+        (F.col("vec_id") % centroid_stride == 0)
+        & (F.col("vec_id") < centroid_stride * n_lists)
+    ).select(
+        (F.col("vec_id") / centroid_stride).cast("int").alias("list_id"),
+        F.col("q").alias("cq"),
+        F.col("n2").alias("cn2"),
+    )
+
+
+def ivf_assign(
+    side: DataFrame, cents: DataFrame, n_best: int
+) -> DataFrame:
+    """Nearest-cell assignment shared by ivf_topk and the semantic
+    dedup query (cosine to every centroid, keep the n_best cells per
+    vector; ties break on the smaller list_id). One definition so a
+    tie-break or zero-norm-guard fix can never drift between the two
+    consumers."""
+    scored = side.alias("v").join(F.broadcast(cents)).select(
+        "v.*",
+        "list_id",
+        cosine_q(
+            dot_q(F.col("v.q"), F.col("cq")), F.col("v.n2"), F.col("cn2")
+        ).alias("_csim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("_csim"), F.asc("list_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_best)
+        .drop("_csim", "_r")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -249,36 +288,10 @@ def ivf_topk(
     distribution and n_probe trades recall for cost query-side without
     re-bucketing the corpus."""
     corpus = with_quantized(df, id_col, vec_col)
-    cents = (
-        corpus.filter(
-            (F.col("vec_id") % centroid_stride == 0)
-            & (F.col("vec_id") < centroid_stride * n_lists)
-        )
-        .select(
-            (F.col("vec_id") / centroid_stride).cast("int").alias("list_id"),
-            F.col("q").alias("cq"),
-            F.col("n2").alias("cn2"),
-        )
-    )
-
-    def assign(side: DataFrame, n_best: int) -> DataFrame:
-        scored = side.alias("v").join(F.broadcast(cents)).select(
-            "v.*",
-            "list_id",
-            cosine_q(
-                dot_q(F.col("v.q"), F.col("cq")), F.col("v.n2"), F.col("cn2")
-            ).alias("_csim"),
-        )
-        w = W.partitionBy("vec_id").orderBy(F.desc("_csim"), F.asc("list_id"))
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= n_best)
-            .drop("_csim", "_r")
-        )
-
-    corpus_a = assign(corpus, 1)
+    cents = ivf_seed_centroids(corpus, n_lists, centroid_stride)
+    corpus_a = ivf_assign(corpus, cents, 1)
     qry = with_quantized(queries if queries is not None else df, id_col, vec_col)
-    qry_a = assign(qry, n_probe)
+    qry_a = ivf_assign(qry, cents, n_probe)
     joined = (
         corpus_a.alias("c")
         .join(

@@ -83,17 +83,26 @@ def normalize_name(name: str) -> str:
 
 def normalize_columns(df: DataFrame) -> DataFrame:
     """Rename every column via :func:`normalize_name`, de-duplicating
-    collisions with ``_1``, ``_2``, ... suffixes (DuckDB behavior).
+    collisions with ``_1``, ``_2``, ... suffixes (DuckDB behavior for
+    first-level collisions). The suffix counter keeps incrementing
+    until the candidate is UNUSED — a suffixed name must be re-checked
+    against every name already taken, or headers like
+    ``[a_1, a, a]`` emit a duplicate ``a_1`` and every later
+    by-name reference raises AMBIGUOUS_REFERENCE. (DuckDB's own
+    escalation beyond the first level is version-dependent; the
+    guarantee here is uniqueness with identical common-case names.)
     Pure metadata operation — no job is triggered.
     """
-    seen: dict[str, int] = {}
+    taken: set[str] = set()
+    counts: dict[str, int] = {}
     out: list[str] = []
     for c in df.columns:
         n = normalize_name(c)
-        if n in seen:
-            seen[n] += 1
-            n = f"{n}_{seen[n]}"
-        seen.setdefault(n, 0)
+        base = n
+        while n in taken:
+            counts[base] = counts.get(base, 0) + 1
+            n = f"{base}_{counts[base]}"
+        taken.add(n)
         out.append(n)
     return df.toDF(*out)
 

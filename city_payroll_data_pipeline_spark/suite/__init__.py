@@ -74,14 +74,30 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     dt = df.schema["ts"].dataType
     if isinstance(dt, LongType):
+        # genuinely NANOS-typed file: the conf must STAY set for the
+        # scan to execute; within this system events.parquet is the
+        # only nanos file, so the session-wide setting has no other
+        # reader to affect (documented trade — a per-read option does
+        # not exist for this legacy conf)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(dt, TimestampNTZType):
-        # session tz is pinned to UTC in table(); the cast is exact
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        # MICROS-generation testdata: the legacy conf was not needed —
+        # restore it so unrelated reads in this shared session keep
+        # Spark's loud default error on unexpected nanos files instead
+        # of silently receiving bigint nanos
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+        if isinstance(dt, TimestampNTZType):
+            # session tz is pinned to UTC in table(); the cast is exact
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

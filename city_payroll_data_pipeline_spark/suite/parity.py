@@ -153,6 +153,15 @@ FROM report
 # --------------------------------------------------------------------------
 
 def q_money_clean_cast(spark, sf_dir):
+    # the PRODUCTION cleaning path (functions/cleaning.py), not an
+    # inline re-spelling: stg_corporate runs money_to_double
+    # (regexp_replace + try_cast), so a regression there must fail
+    # THIS oracle gate — an inline cast() twin would keep passing
+    from city_payroll_data_pipeline_spark.functions.cleaning import (
+        money_to_double,
+        zero_fill,
+    )
+
     li = table(spark, sf_dir, "lineitem")
     money = F.concat(
         F.lit("$"), F.col("l_extendedprice").cast("decimal(18,2)").cast("string")
@@ -161,9 +170,7 @@ def q_money_clean_cast(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         money.alias("raw_money"),
-        F.coalesce(
-            F.regexp_replace(money, r"[$,]", "").cast("double"), F.lit(0.0)
-        ).alias("base_pay"),
+        zero_fill(money_to_double(money)).alias("base_pay"),
     )
 
 

@@ -330,10 +330,8 @@ def q_ann_retrieve_docs(spark, sf_dir):
     for their payload. The top-k result is tiny — broadcast it against
     the doc table so the 100 TB side never shuffles; at scale the doc
     fetch is a broadcast-semi-filtered scan, not a join of the corpus."""
-    from city_payroll_data_pipeline_spark.suite import table as t
-
     topk = q_cosine_topk(spark, sf_dir)
-    docs = t(spark, sf_dir, "documents").select(
+    docs = table(spark, sf_dir, "documents").select(
         F.col("doc_id"), F.substring("text", 1, 40).alias("snippet")
     )
     return (
@@ -384,26 +382,10 @@ def q_semantic_dedup_pairs(spark, sf_dir):
     )
     corpus = emb.unionAll(copies)
     qv = sim.with_quantized(corpus, "vec_id", "embedding")
-    cents = qv.filter(
-        (F.col("vec_id") % CENTROID_STRIDE == 0)
-        & (F.col("vec_id") < CENTROID_STRIDE * N_LISTS)
-    ).select(
-        (F.col("vec_id") / CENTROID_STRIDE).cast("int").alias("list_id"),
-        F.col("q").alias("cq"),
-        F.col("n2").alias("cn2"),
-    )
-    scored = qv.alias("v").join(F.broadcast(cents)).select(
-        "v.*",
-        "list_id",
-        sim.cosine_q(
-            sim.dot_q(F.col("v.q"), F.col("cq")), F.col("v.n2"), F.col("cn2")
-        ).alias("_csim"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("_csim"), F.asc("list_id"))
-    assigned = (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "q", "n2", "list_id")
+    # the ivf_topk assignment machinery, shared (operators/similarity)
+    cents = sim.ivf_seed_centroids(qv, N_LISTS, CENTROID_STRIDE)
+    assigned = sim.ivf_assign(qv, cents, 1).select(
+        "vec_id", "q", "n2", "list_id"
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
@@ -519,6 +501,12 @@ def kmeans_cached(spark, sf_dir):
 
     key = (id(spark), sf_dir)
     if key not in _KMEANS_CACHE:
+        # FIFO-bounded: a long-lived session sweeping many scale
+        # factors must not pin one checkpointed assignments frame per
+        # sf_dir forever (evicted entries' checkpoint blocks are
+        # GC-cleaned once unreferenced)
+        while len(_KMEANS_CACHE) >= 4:
+            _KMEANS_CACHE.pop(next(iter(_KMEANS_CACHE)))
         emb = table(spark, sf_dir, "embeddings", spread=True)
         _KMEANS_CACHE[key] = kmeans(
             emb, "vec_id", "embedding", k=KMEANS_K, max_iter=_KMEANS_MAX_ITER
@@ -791,7 +779,11 @@ def q_embedding_spectral_norm(spark, sf_dir):
     qv = emb.select(sim.quantize(F.col("embedding")).alias("qv"))
     # consumed once per iteration + twice at the end — materialize
     qv = qv.localCheckpoint()
-    dim = len(qv.limit(1).collect()[0]["qv"])
+    # DIM is the module constant the matching oracle is generated
+    # with (_spectral_sql(dim=DIM)) — deriving it from a
+    # limit(1).collect() spent a Spark job per call and raised
+    # IndexError on an empty table instead of returning 0 rows
+    dim = DIM
 
     def dot_lit(v):
         vlit = F.lit(v).cast("array<bigint>")
@@ -890,12 +882,15 @@ agg AS (
   FROM sf
 )
 SELECT n_vectors, {dim} AS dim,
-       round(sqrt(CAST(num AS DOUBLE)
-                  / (SELECT CAST(den AS DOUBLE) FROM den))
-             / sqrt({float(_QUANT2)}), 6) AS spectral_norm_unit,
-       round((CAST(num AS DOUBLE) / (SELECT CAST(den AS DOUBLE) FROM den))
-             / CAST(trace AS DOUBLE), 6) AS top_eig_share,
-       round(CAST(trace AS DOUBLE) / {float(_QUANT2)}, 6) AS trace_unit
+       {_sql_round(
+           f"sqrt(CAST(num AS DOUBLE)"
+           f" / (SELECT CAST(den AS DOUBLE) FROM den))"
+           f" / sqrt({float(_QUANT2)})", 6)} AS spectral_norm_unit,
+       {_sql_round(
+           "(CAST(num AS DOUBLE) / (SELECT CAST(den AS DOUBLE) FROM den))"
+           " / CAST(trace AS DOUBLE)", 6)} AS top_eig_share,
+       {_sql_round(
+           f"CAST(trace AS DOUBLE) / {float(_QUANT2)}", 6)} AS trace_unit
 FROM agg
 """
 

@@ -184,6 +184,18 @@ def test_normalize_name_rules():
     assert normalize_name("123abc") == "_123abc"
 
 
+def test_normalize_columns_never_emits_duplicates(spark):
+    """A collision-renamed column must be re-checked against names
+    already taken: headers like [a_1, a, a] used to produce a second
+    'a_1', making every later by-name reference ambiguous."""
+    from city_payroll_data_pipeline_spark.schemas import normalize_columns
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], ["A 1", "a", "A", "a_1"])
+    cols = normalize_columns(df).columns
+    assert len(cols) == len(set(cols)), cols
+    assert cols[0] == "a_1" and cols[1] == "a"  # common-case names kept
+
+
 def test_jsonl_roundtrip_documents(spark, tmp_path):
     """documents → compressed JSONL shards → explicit-schema read
     returns identical rows (the corpus interchange contract)."""
