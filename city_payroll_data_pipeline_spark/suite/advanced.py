@@ -143,7 +143,12 @@ ORDER BY o_orderpriority
 # --------------------------------------------------------------------------
 
 
-def q_markov_transitions(spark, sf_dir):
+def _transition_counts(spark, sf_dir):
+    """(src, dst, n) event-type transition counts — ONE LEAD window on
+    the user's natural (ts, event_id) key, shared by
+    q_markov_transitions, q_markov_stationary and q_journey_entropy so
+    a tie-break or null-handling fix can never drift between their
+    oracles."""
     ev = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
@@ -151,9 +156,13 @@ def q_markov_transitions(spark, sf_dir):
         .withColumn("next_type", F.lead("event_type").over(w))
         .where(F.col("next_type").isNotNull())
     )
-    counts = pairs.groupBy(
+    return pairs.groupBy(
         F.col("event_type").alias("src"), F.col("next_type").alias("dst")
     ).agg(F.count("*").alias("n"))
+
+
+def q_markov_transitions(spark, sf_dir):
+    counts = _transition_counts(spark, sf_dir)
     wsrc = W.partitionBy("src")
     return (
         counts.withColumn("src_total", F.sum("n").over(wsrc))
@@ -210,16 +219,7 @@ _MKV_SCALE = 10 ** 12
 
 
 def q_markov_stationary(spark, sf_dir):
-    ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.select("user_id", "ts", "event_id", "event_type")
-        .withColumn("next_type", F.lead("event_type").over(w))
-        .where(F.col("next_type").isNotNull())
-    )
-    counts = pairs.groupBy(
-        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
-    ).agg(F.count("*").alias("n"))
+    counts = _transition_counts(spark, sf_dir)
     rows = counts.collect()
     src_tot: dict[str, int] = {}
     for r in rows:
@@ -431,23 +431,17 @@ risk AS (
 terms AS (
   SELECT d1, d2, N1, N2,
          CAST(CASE WHEN d1 + d2 > 0
-              THEN round(CAST((d1 + d2) * r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE), 10)
+              THEN CAST(ROUND(CAST(CAST((CAST((d1 + d2) * r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,20)), 10) AS DOUBLE)
               ELSE 0.0 END AS DECIMAL(28,10)) AS e1t,
          CAST(CASE WHEN d1 + d2 > 0 AND r1 + r2 > 1
-              THEN round(CAST(d1 + d2 AS DOUBLE)
-                         * (CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
-                         * (1 - CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE))
-                         * CAST(r1 + r2 - (d1 + d2) AS DOUBLE)
-                         / CAST(r1 + r2 - 1 AS DOUBLE), 10)
+              THEN CAST(ROUND(CAST(CAST((CAST(d1 + d2 AS DOUBLE) * (CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE)) * (1 - CAST(r1 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE)) * CAST(r1 + r2 - (d1 + d2) AS DOUBLE) / CAST(r1 + r2 - 1 AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,20)), 10) AS DOUBLE)
               ELSE 0.0 END AS DECIMAL(28,10)) AS vt
   FROM risk
 )
 SELECT MAX(N1) AS n1_users, MAX(N2) AS n2_users,
        CAST(SUM(d1) AS BIGINT) AS o1, CAST(SUM(d2) AS BIGINT) AS o2,
-       round(CAST(SUM(e1t) AS DOUBLE), 6) AS e1,
-       round((CAST(SUM(d1) AS BIGINT) - CAST(SUM(e1t) AS DOUBLE))
-             * (CAST(SUM(d1) AS BIGINT) - CAST(SUM(e1t) AS DOUBLE))
-             / CAST(SUM(vt) AS DOUBLE), 6) AS chi2
+       CAST(ROUND(CAST(CAST((CAST(SUM(e1t) AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS e1,
+       CAST(ROUND(CAST(CAST(((CAST(SUM(d1) AS BIGINT) - CAST(SUM(e1t) AS DOUBLE)) * (CAST(SUM(d1) AS BIGINT) - CAST(SUM(e1t) AS DOUBLE)) / CAST(SUM(vt) AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS chi2
 FROM terms
 """
 
@@ -859,7 +853,11 @@ def _jl_oracle_sql() -> str:
         "[" + ", ".join(str(s) for s in _JL_SIGNS[j]) + "]"
         for j in range(_JL_K)
     )
-    scale = float(_JL_K) * 10_000 * 10_000
+    from city_payroll_data_pipeline_spark.operators import similarity as sim
+
+    # sim.QUANT, not a hardcoded 10_000: a grid change in
+    # operators/similarity.py must move this oracle with its Spark twin
+    scale = float(_JL_K) * sim.QUANT * sim.QUANT
     return f"""
 WITH q AS (
   SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings
@@ -1398,8 +1396,14 @@ ORDER BY source
 # doubles: every segment mean is an exact-int/int division (correctly
 # rounded in both engines) and rounding is monotone, so min/max of
 # rounded means == rounded min/max (verified bitwise against the PAV
-# kernel on 300 random integer datasets). The summary reports how much
-# pooling happened (n_blocks < n_points ⇔ violations existed).
+# kernel on 300 random integer datasets). The summary reports
+# n_levels = COUNT(DISTINCT y_hat): the number of distinct fitted
+# VALUES, i.e. the canonical block partition in which adjacent
+# equal-mean blocks are merged. It is a lower bound on PAV's internal
+# block count, NOT a violation detector — two violation-free points
+# with equal y collapse to one level too, so n_levels < n_points does
+# not imply pooling occurred (the column name n_blocks is kept for
+# schema stability; read it as n_levels).
 # --------------------------------------------------------------------------
 
 
@@ -1643,7 +1647,12 @@ def q_psi_drift(spark, sf_dir):
         )
         .join(counts, ["source", "bucket"], "left")
         .withColumn("n_sb", F.coalesce("n_sb", F.lit(0)))
-        .join(F.broadcast(per_bkt), "bucket")
+        # LEFT join: a bucket empty across ALL sources has no per_bkt
+        # row, and an inner join would drop it from the grid — but the
+        # Laplace smoothing means such a bucket still contributes
+        # (1/(n_src+B) − 1/(n_rest+B))·ln(...) ≠ 0 to every source
+        .join(F.broadcast(per_bkt), "bucket", "left")
+        .withColumn("n_bkt", F.coalesce("n_bkt", F.lit(0)))
         .join(F.broadcast(tot))
     )
     # p = (n_sb+1)/(n_src+B), q = (n_rest_b+1)/(n_rest+B); all integers
@@ -1686,11 +1695,12 @@ per_bkt AS (
 tot AS (SELECT COUNT(*) AS n_all FROM bucketed),
 grid AS (
   SELECT s.source, b.bucket,
-         COALESCE(c.n_sb, 0) AS n_sb, s.n_src, pb.n_bkt, t.n_all
+         COALESCE(c.n_sb, 0) AS n_sb, s.n_src,
+         COALESCE(pb.n_bkt, 0) AS n_bkt, t.n_all
   FROM per_src s
   CROSS JOIN (SELECT unnest(range(0, {_PSI_BUCKETS})) AS bucket) b
   LEFT JOIN counts c ON c.source = s.source AND c.bucket = b.bucket
-  JOIN per_bkt pb ON pb.bucket = b.bucket
+  LEFT JOIN per_bkt pb ON pb.bucket = b.bucket
   CROSS JOIN tot t
 ),
 terms AS (
@@ -1895,7 +1905,9 @@ def _embedding_scatter_sql() -> str:
         _dot_sql,
     )
 
-    scale = 10_000.0 * 10_000.0
+    from city_payroll_data_pipeline_spark.operators import similarity as sim
+
+    scale = float(sim.QUANT) * sim.QUANT  # grid constant, shared with the Spark twin
     return f"""
 WITH q AS (SELECT label, {_QUANT_SQL} AS q FROM embeddings),
 norms AS (
@@ -2385,7 +2397,15 @@ def _sharded_sweep(ticks, n_shards: int = 8):
     )
 
 
-def q_peak_concurrency(spark, sf_dir):
+def _session_spans(spark, sf_dir, materialize=False):
+    """Shared sweep-line prelude of q_peak_concurrency and
+    q_session_coverage: sessionize events (3600s gap), collapse to
+    per-(user, session) [t0, t1] spans, and emit the per-tick net
+    deltas. One definition so a tie-break or gap fix can never drift
+    between the two sweep consumers. ``materialize`` checkpoints the
+    span frame for callers that consume it more than once (coverage's
+    totals branch would otherwise re-run the event-scale sessionizer
+    window pass)."""
     from city_payroll_data_pipeline_spark.operators.sessions import (
         assign_sessions,
     )
@@ -2397,12 +2417,19 @@ def q_peak_concurrency(spark, sf_dir):
         .groupBy("user_id", "session_id")
         .agg(F.min(secs).alias("t0"), F.max(secs).alias("t1"))
     )
+    if materialize:
+        sessions = sessions.localCheckpoint()
     deltas = sessions.select(
         F.col("t0").alias("t"), F.lit(1).alias("d")
     ).unionAll(
         sessions.select((F.col("t1") + 1).alias("t"), F.lit(-1).alias("d"))
     )
     ticks = deltas.groupBy("t").agg(F.sum("d").alias("net"))
+    return sessions, ticks
+
+
+def q_peak_concurrency(spark, sf_dir):
+    _sessions, ticks = _session_spans(spark, sf_dir)
     live = _sharded_sweep(ticks)
     # argmax via TakeOrderedAndProject (distributed heap), not a
     # row_number over an unpartitioned key-scale window
@@ -2429,23 +2456,7 @@ def q_peak_concurrency(spark, sf_dir):
 
 
 def q_session_coverage(spark, sf_dir):
-    from city_payroll_data_pipeline_spark.operators.sessions import (
-        assign_sessions,
-    )
-
-    ev = table(spark, sf_dir, "events")
-    secs = F.unix_timestamp(F.col("ts"))
-    sessions = (
-        assign_sessions(ev, gap_seconds=3600)
-        .groupBy("user_id", "session_id")
-        .agg(F.min(secs).alias("t0"), F.max(secs).alias("t1"))
-    )
-    deltas = sessions.select(
-        F.col("t0").alias("t"), F.lit(1).alias("d")
-    ).unionAll(
-        sessions.select((F.col("t1") + 1).alias("t"), F.lit(-1).alias("d"))
-    )
-    ticks = deltas.groupBy("t").agg(F.sum("d").alias("net"))
+    sessions, ticks = _session_spans(spark, sf_dir, materialize=True)
     live = _sharded_sweep(ticks)
     covered = live.where(
         (F.col("active") > 0) & F.col("t_next").isNotNull()
@@ -2475,15 +2486,19 @@ WITH secs AS (
   FROM events
 ),
 flagged AS (
-  SELECT user_id, s,
+  SELECT user_id, s, event_id,
          CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 3600
               THEN 1 ELSE 0 END AS new_session
   FROM secs
   WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
 ),
 numbered AS (
+  -- event_id tie-break matches Spark's assign_sessions window: an
+  -- ORDER BY s alone leaves same-second rows in nondeterministic
+  -- order, so a new_session=1 row could enumerate after its same-
+  -- second sibling and attach that sibling to the PREVIOUS session
   SELECT user_id, s,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY s
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY s, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 ),
@@ -2526,15 +2541,19 @@ WITH secs AS (
   FROM events
 ),
 flagged AS (
-  SELECT user_id, s,
+  SELECT user_id, s, event_id,
          CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 3600
               THEN 1 ELSE 0 END AS new_session
   FROM secs
   WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
 ),
 numbered AS (
+  -- event_id tie-break matches Spark's assign_sessions window: an
+  -- ORDER BY s alone leaves same-second rows in nondeterministic
+  -- order, so a new_session=1 row could enumerate after its same-
+  -- second sibling and attach that sibling to the PREVIOUS session
   SELECT user_id, s,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY s
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY s, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 ),
@@ -3204,9 +3223,16 @@ def q_mann_whitney_test(spark, sf_dir):
     nc, nt = F.col("n_control"), F.col("n_treatment")
     u2 = F.col("rank_sum_2x") - nt * (nt + 1)  # doubled U statistic
     mu2 = nc * nt  # doubled mean of U
-    var4 = nc * nt * (nc + nt + 1)  # 4×variance (ties ignored: exact
-    # tie correction omitted — prices are near-unique; documented)
-    z = (u2 - mu2).cast("double") / F.sqrt(var4.cast("double"))
+    # Var(U) = nc·nt·(N+1)/12, so 4·Var(U) = nc·nt·(N+1)/3 — the /3
+    # matters: without it z is understated by √3 and a true z=3.0
+    # effect reads ≈1.73, under any 1.96 gate. Kept as an exact
+    # integer product divided by 3.0 once, inside the sqrt (identical
+    # IEEE op order in both engines). Ties ignored: exact tie
+    # correction omitted — prices are near-unique; documented.
+    var4x3 = nc * nt * (nc + nt + 1)  # = 12·Var(U) = 3·(4·Var)
+    z = (u2 - mu2).cast("double") / F.sqrt(
+        var4x3.cast("double") / F.lit(3.0)
+    )
     return wide.select(
         nc,
         nt,
@@ -3251,7 +3277,8 @@ SELECT n_control, n_treatment, rank_sum_2x,
            'CAST(rank_sum_2x - n_treatment * (n_treatment + 1)'
            '     - n_control * n_treatment AS DOUBLE)'
            ' / sqrt(CAST(n_control * n_treatment'
-           '             * (n_control + n_treatment + 1) AS DOUBLE))',
+           '             * (n_control + n_treatment + 1) AS DOUBLE)'
+           '        / 3.0)',
            6,
        )} AS z_stat
 FROM wide
@@ -3680,16 +3707,7 @@ ORDER BY prefix_dims
 
 
 def q_journey_entropy(spark, sf_dir):
-    ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.select("user_id", "ts", "event_id", "event_type")
-        .withColumn("nxt", F.lead("event_type").over(w))
-        .where(F.col("nxt").isNotNull())
-    )
-    counts = pairs.groupBy(
-        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
-    ).agg(F.count("*").alias("n"))
+    counts = _transition_counts(spark, sf_dir)
     wsrc = W.partitionBy("src")
     terms = counts.withColumn("tot", F.sum("n").over(wsrc)).withColumn(
         "k", F.count("*").over(wsrc)
@@ -3714,10 +3732,17 @@ def q_journey_entropy(spark, sf_dir):
             F.first("tot").alias("n_transitions"),
             F.first("k").alias("n_destinations"),
             F.sum("term").cast("double").alias("entropy_bits"),
-            F.round(
-                F.sum("term").cast("double")
-                / F.round(F.log2(F.first("k").cast("double")), 8),
-                6,
+            # k=1 (a perfectly deterministic funnel step — the exact
+            # case this query exists to surface): log2(1)=0, so the
+            # ratio is NULL in DuckDB but NaN in Spark; emit NULL in
+            # both engines explicitly
+            F.when(
+                F.first("k") > 1,
+                F.round(
+                    F.sum("term").cast("double")
+                    / F.round(F.log2(F.first("k").cast("double")), 8),
+                    6,
+                ),
             ).alias("normalized_entropy"),
         )
         .orderBy("src")
@@ -3756,10 +3781,11 @@ SELECT src,
        ANY_VALUE(tot) AS n_transitions,
        ANY_VALUE(k) AS n_destinations,
        CAST(SUM(term) AS DOUBLE) AS entropy_bits,
-       round(CAST(SUM(term) AS DOUBLE)
-             / CAST(round(CAST(CAST(log2(ANY_VALUE(k))
-                 AS VARCHAR) AS DECIMAL(38,20)), 8) AS DOUBLE), 6)
-         AS normalized_entropy
+       CASE WHEN ANY_VALUE(k) > 1 THEN
+         round(CAST(SUM(term) AS DOUBLE)
+               / CAST(round(CAST(CAST(log2(ANY_VALUE(k))
+                   AS VARCHAR) AS DECIMAL(38,20)), 8) AS DOUBLE), 6)
+       END AS normalized_entropy
 FROM t2
 GROUP BY src
 ORDER BY src
@@ -3986,7 +4012,7 @@ bucketed AS (
 per AS (SELECT decile, COUNT(*) AS new_types FROM bucketed GROUP BY decile),
 dense AS (
   SELECT s.decile, CAST(COALESCE(per.new_types, 0) AS BIGINT) AS new_types
-  FROM (SELECT unnest(range(0, 10)) AS decile) s
+  FROM (SELECT unnest(range(0, {_HEAPS_BUCKETS})) AS decile) s
   LEFT JOIN per USING (decile)
 )
 SELECT decile, new_types,

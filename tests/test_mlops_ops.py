@@ -237,3 +237,49 @@ def test_power_mde_shrinks_with_n(spark, suite):
                             / (big["n_c"] + big["n_t"])) ** -0.5,
         rel=0.35,
     )
+
+
+def test_mann_whitney_z_matches_textbook_formula(spark, suite):
+    """Independent pure-Python recomputation of the normal-approx
+    Mann-Whitney z on the same data: Var(U) = nc*nt*(N+1)/12. The
+    original implementation dropped the /3 inside the 4x-variance
+    shortcut, understating every z by sqrt(3) — and the oracle
+    replicated the formula, so hash parity could not catch it."""
+    import hashlib
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT o_custkey, o_totalprice FROM "
+        f"read_parquet('{SF_CORRECT}/orders.parquet')"
+    ).fetchall()
+    sample = []
+    for ck, price in rows:
+        arm = int(hashlib.md5(str(ck).encode()).hexdigest()[:12], 16) % 2
+        sample.append((arm, float(price)))
+    # tie-averaged ranks
+    sample_sorted = sorted(range(len(sample)), key=lambda i: sample[i][1])
+    ranks = [0.0] * len(sample)
+    i = 0
+    while i < len(sample_sorted):
+        j = i
+        while (
+            j + 1 < len(sample_sorted)
+            and sample[sample_sorted[j + 1]][1] == sample[sample_sorted[i]][1]
+        ):
+            j += 1
+        avg = (i + 1 + j + 1) / 2
+        for k in range(i, j + 1):
+            ranks[sample_sorted[k]] = avg
+        i = j + 1
+    nt = sum(1 for a, _ in sample if a != 0)
+    nc = len(sample) - nt
+    r_t = sum(r for (a, _), r in zip(sample, ranks) if a != 0)
+    u = r_t - nt * (nt + 1) / 2
+    mu = nc * nt / 2
+    var = nc * nt * (nc + nt + 1) / 12
+    z_expected = (u - mu) / var**0.5
+
+    out = suite["mann_whitney_test"].spark(spark, SF_CORRECT).collect()[0]
+    assert out["n_control"] == nc and out["n_treatment"] == nt
+    assert out["z_stat"] == pytest.approx(z_expected, abs=1e-4)
