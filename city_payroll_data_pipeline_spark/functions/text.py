@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 #: uses the same boundary); counting these is whitespace token count.
 TOKEN_PATTERN = r"\S+"
 
-#: "wordish" tokens for quality scoring: letter runs only
+#: "wordish" tokens: ASCII letter runs, BY DESIGN — word-level
+#: operators (vocab, TF-IDF, BM25, BPE word histograms) tokenize
+#: space-delimited ASCII text; CJK has no space boundaries and needs a
+#: segmenter, which is out of scope, so CJK documents are deliberately
+#: invisible to word-level indexing (the char-level operators —
+#: char_entropy, doc_lang_id, the quality classes above — are the
+#: CJK-aware surface).
 WORD_PATTERN = r"[A-Za-z]+"
 
 
@@ -93,24 +99,40 @@ LANG_MARKERS: dict[str, list[str]] = {
 #: misclassified every non-ASCII letter as punctuation, collapsing
 #: quality_score to ~0 for the CJK documents LANG_MARKERS explicitly
 #: supports.
+#:
+#: Whitespace is spelled EXPLICITLY, not as \s: Java's \s includes
+#: vertical tab U+000B, RE2's does not, so a bare \s inside the class
+#: would count VT as punctuation in the oracle but not in Spark. The
+#: same 1-char divergence latently applies to every bare \s / \S in
+#: cross-engine patterns (e.g. the \S+ token splitter); the current
+#: testdata contains no VT at any SF and sanitize_text strips control
+#: characters, so those sites are safe by corpus invariant — any new
+#: class pattern should prefer this explicit spelling.
 ALPHA_CHAR_RE = r"\p{L}"
-PUNCT_CHAR_RE = r"[^\p{L}\p{N}_\s]"
+PUNCT_CHAR_RE = "[^\\p{L}\\p{N}_ \\t\\n\\x0B\\f\\r]"
 
 
 def lang_marker_pattern(lang: str) -> str:
-    """Alternation over the language's markers. ASCII markers are
-    \\b-wrapped (whole-word matches); CJK markers are bare — Java and
-    RE2 both implement \\b at ASCII \\w transitions only, so a
-    \\b-wrapped CJK marker can NEVER match inside pure Chinese text
-    (zh would be undetectable). Chinese is unsegmented, so substring
-    counting is the correct semantics there anyway."""
+    """Alternation over the language's markers, each escaped and
+    boundary-wrapped PER MARKER: ASCII-word markers get \\b (whole-word
+    matches); non-ASCII markers are bare — Java and RE2 both implement
+    \\b at ASCII \\w transitions only, so a \\b-wrapped CJK marker can
+    NEVER match inside pure Chinese text (zh would be undetectable),
+    and Chinese is unsegmented so substring counting is the correct
+    semantics there. Per-marker (not all-or-nothing) wrapping means a
+    future mixed list — say French gaining "été" — cannot silently
+    un-word-bound its short ASCII markers ('le' matching inside
+    'apple'); re.escape guards against regex metacharacters in a
+    marker."""
     import re as _re
 
-    markers = LANG_MARKERS[lang]
-    alts = "|".join(markers)
-    if all(_re.fullmatch(r"[A-Za-z0-9_]+", m) for m in markers):
-        return r"\b(" + alts + r")\b"
-    return "(" + alts + ")"
+    parts = []
+    for m in LANG_MARKERS[lang]:
+        if _re.fullmatch(r"[A-Za-z0-9_]+", m):
+            parts.append(r"\b" + _re.escape(m) + r"\b")
+        else:
+            parts.append(_re.escape(m))
+    return "(" + "|".join(parts) + ")"
 
 
 def lang_scores(text: Column) -> dict[str, Column]:

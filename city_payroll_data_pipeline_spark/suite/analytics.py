@@ -18,7 +18,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from city_payroll_data_pipeline_spark.functions.text import lang_marker_pattern
+from city_payroll_data_pipeline_spark.functions.text import (
+    PUNCT_CHAR_RE,
+    lang_marker_pattern,
+)
 from city_payroll_data_pipeline_spark.operators.graph import SCALE, pagerank_scaled
 from city_payroll_data_pipeline_spark.suite import Query, table
 from city_payroll_data_pipeline_spark.suite.parity import _sql_dec_sum, _sql_round
@@ -1312,7 +1315,7 @@ def q_quality_logit_deciles(spark, sf_dir):
             F.lit(_QL_W["bias"])
             + _QL_W["tok"] * token_count(t)
             + _QL_W["stop"] * F.regexp_count(F.lower(t), F.lit(lang_marker_pattern("en")))
-            + _QL_W["punct"] * F.regexp_count(t, F.lit(r"[^\p{L}\p{N}_\s]"))
+            + _QL_W["punct"] * F.regexp_count(t, F.lit(PUNCT_CHAR_RE))
             + _QL_W["chars"] * F.length(t)
         ).cast("long").alias("logit"),
     )
@@ -1337,7 +1340,7 @@ WITH scored AS (
               + {_QL_W["tok"]} * len(regexp_extract_all(text, '\S+', 0))
               + {_QL_W["stop"]} * len(regexp_extract_all(lower(text),
                     '{lang_marker_pattern("en")}', 0))
-              + {_QL_W["punct"]} * len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}_\s]', 0))
+              + {_QL_W["punct"]} * len(regexp_extract_all(text, '{PUNCT_CHAR_RE}', 0))
               + {_QL_W["chars"]} * length(text)
            AS BIGINT) AS logit
   FROM documents
@@ -1374,7 +1377,7 @@ def q_quality_logit_deciles_scaled(spark, sf_dir):
             F.lit(_QL_W["bias"])
             + _QL_W["tok"] * token_count(t)
             + _QL_W["stop"] * F.regexp_count(F.lower(t), F.lit(lang_marker_pattern("en")))
-            + _QL_W["punct"] * F.regexp_count(t, F.lit(r"[^\p{L}\p{N}_\s]"))
+            + _QL_W["punct"] * F.regexp_count(t, F.lit(PUNCT_CHAR_RE))
             + _QL_W["chars"] * F.length(t)
         ).cast("long").alias("logit"),
     )

@@ -13,7 +13,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from city_payroll_data_pipeline_spark.functions.text import (
+    ALPHA_CHAR_RE,
     LANG_MARKERS,
+    PUNCT_CHAR_RE,
     content_fingerprint,
     lang_id,
     lang_marker_pattern,
@@ -472,13 +474,20 @@ def q_doc_quality(spark, sf_dir):
 
 
 _EN = lang_marker_pattern("en")
+
+# brace-doubled copies for templates that pass through a SECOND
+# .format() (the quality gate): the f-string pass halves {{ }} back to
+# the literal braces RE2/Java need
+_ALPHA_FMT = ALPHA_CHAR_RE.replace("{", "{{").replace("}", "}}")
+_PUNCT_FMT = PUNCT_CHAR_RE.replace("{", "{{").replace("}", "}}")
+
 DOC_QUALITY_SQL = rf"""
 WITH feat AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
          length(text) AS n_chars,
-         len(regexp_extract_all(text, '\p{{L}}', 0)) AS n_alpha,
-         len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}_\s]', 0)) AS n_punct,
+         len(regexp_extract_all(text, '{ALPHA_CHAR_RE}', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '{PUNCT_CHAR_RE}', 0)) AS n_punct,
          len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
   FROM documents
 )
@@ -762,8 +771,8 @@ feat AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
          length(text) AS n_chars,
-         len(regexp_extract_all(text, '\p{{L}}', 0)) AS n_alpha,
-         len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}_\s]', 0)) AS n_punct,
+         len(regexp_extract_all(text, '{ALPHA_CHAR_RE}', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '{PUNCT_CHAR_RE}', 0)) AS n_punct,
          len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
   FROM corpus2
 ),
@@ -930,8 +939,8 @@ feat AS (
   SELECT source,
          len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
          length(text) AS n_chars,
-         len(regexp_extract_all(text, '\p{{L}}', 0)) AS n_alpha,
-         len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}_\s]', 0)) AS n_punct,
+         len(regexp_extract_all(text, '{ALPHA_CHAR_RE}', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '{PUNCT_CHAR_RE}', 0)) AS n_punct,
          len(regexp_extract_all(lower(text), '{lang_marker_pattern("en")}', 0)) AS n_stop,
          {scores}
   FROM kept
@@ -1762,8 +1771,8 @@ WITH feat AS (
   SELECT doc_id,
          length(text) AS n_chars,
          len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
-         len(regexp_extract_all(text, '\p{{L}}', 0)) AS n_alpha,
-         len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}_\s]', 0)) AS n_punct,
+         len(regexp_extract_all(text, '{ALPHA_CHAR_RE}', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '{PUNCT_CHAR_RE}', 0)) AS n_punct,
          len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
   FROM documents
 ),
@@ -1828,8 +1837,8 @@ WITH feat AS (
   SELECT source,
          len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
          length(text) AS n_chars,
-         len(regexp_extract_all(text, '\p{{L}}', 0)) AS n_alpha,
-         len(regexp_extract_all(text, '[^\p{{L}}\p{{N}}_\s]', 0)) AS n_punct,
+         len(regexp_extract_all(text, '{ALPHA_CHAR_RE}', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '{PUNCT_CHAR_RE}', 0)) AS n_punct,
          len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
   FROM documents
 ),
@@ -2704,8 +2713,8 @@ _QUALITY_GATE_SQL = rf"""
     SELECT doc_id, lang, text,
            length(text) AS n_chars,
            len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
-           len(regexp_extract_all(text, '\p{{{{L}}}}', 0)) AS n_alpha,
-           len(regexp_extract_all(text, '[^\p{{{{L}}}}\p{{{{N}}}}_\s]', 0))
+           len(regexp_extract_all(text, '{_ALPHA_FMT}', 0)) AS n_alpha,
+           len(regexp_extract_all(text, '{_PUNCT_FMT}', 0))
              AS n_punct,
            len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
     FROM keep
