@@ -49,10 +49,13 @@ def range_shard_boundaries(
     if n_shards <= 1:
         return []  # F.percentile of an empty quantile list yields NULL
     qs = [i / n_shards for i in range(1, n_shards)]
-    # round IN-PLAN: F.round is HALF_UP, matching DuckDB's round();
-    # Python round() is half-even and would disagree on an exact .5 at
-    # the last kept decimal, re-introducing the cross-engine
-    # boundary-straddle the rounding exists to absorb
+    # round IN-PLAN with F.round (HALF_UP on the shortest decimal
+    # repr): Python round() is half-even and would disagree on an
+    # exact .5 at the last kept decimal. NOTE an oracle replaying
+    # these cuts must use parity._sql_round, NOT DuckDB's native
+    # round() — DuckDB rounds in binary (x*10^n)/10^n and can differ
+    # from F.round by 1 ulp on .xx5 representations, re-introducing
+    # the cross-engine boundary-straddle the rounding exists to absorb
     row = df.agg(
         F.transform(
             F.percentile(key, F.array(*[F.lit(q) for q in qs])),

@@ -364,7 +364,9 @@ SELECT c_custkey,
        substr(c_name, 1, 4) AS name_prefix,
        length(c_name) AS name_len,
        lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
-       c_mktsegment || '|' || lower(c_name) AS seg_name,
+       -- concat_ws, not ||: Spark's concat_ws skips NULL args
+       -- while || yields NULL if either side is NULL
+       concat_ws('|', c_mktsegment, lower(c_name)) AS seg_name,
        regexp_replace(c_name, '[aeiou]', '_', 'g') AS devoweled
 FROM customer
 """
@@ -577,7 +579,11 @@ def q_distinct_counts(spark, sf_dir):
 DISTINCT_COUNTS_SQL = """
 SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
        COUNT(DISTINCT l_partkey) AS n_parts,
-       COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part_pairs
+       -- Spark's countDistinct(a, b) skips rows where EITHER is
+       -- NULL; DuckDB's row-tuple DISTINCT would count them
+       COUNT(DISTINCT (l_suppkey, l_partkey))
+         FILTER (l_suppkey IS NOT NULL AND l_partkey IS NOT NULL)
+         AS n_supp_part_pairs
 FROM lineitem
 """
 
@@ -1143,15 +1149,21 @@ WITH secs AS (
   FROM events
 ),
 flagged AS (
-  SELECT user_id, s,
+  SELECT user_id, s, event_id,
          CASE WHEN lag(s) OVER w IS NULL
                 OR s - lag(s) OVER w > 3600 THEN 1 ELSE 0 END AS new_session
   FROM secs
   WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
 ),
 numbered AS (
+  -- event_id tiebreak matches Spark's assign_sessions window: ORDER BY
+  -- s alone leaves same-second rows in engine-dependent order, and a
+  -- tie straddling a session boundary could attach a row to the
+  -- PREVIOUS session (a real same-second-after-gap pair exists at
+  -- sf0.1)
   SELECT user_id, s,
-         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY s
+         CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY s, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS BIGINT) AS session_id
   FROM flagged
@@ -1569,16 +1581,16 @@ c AS (
          (SELECT count(*) FROM t2) AS c2, (SELECT count(*) FROM t3) AS c3
 )
 SELECT 1 AS step, 'signup' AS step_name, c0 AS n_users,
-       round(1.0, 6) AS conv_from_prev FROM c
+       CAST(ROUND(CAST(CAST((1.0) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS conv_from_prev FROM c
 UNION ALL
 SELECT 2, 'view', c1,
-       round(CASE WHEN c0 > 0 THEN CAST(c1 AS DOUBLE) / c0 END, 6) FROM c
+       CAST(ROUND(CAST(CAST((CASE WHEN c0 > 0 THEN CAST(c1 AS DOUBLE) / c0 END) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) FROM c
 UNION ALL
 SELECT 3, 'click', c2,
-       round(CASE WHEN c1 > 0 THEN CAST(c2 AS DOUBLE) / c1 END, 6) FROM c
+       CAST(ROUND(CAST(CAST((CASE WHEN c1 > 0 THEN CAST(c2 AS DOUBLE) / c1 END) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) FROM c
 UNION ALL
 SELECT 4, 'purchase', c3,
-       round(CASE WHEN c2 > 0 THEN CAST(c3 AS DOUBLE) / c2 END, 6) FROM c
+       CAST(ROUND(CAST(CAST((CASE WHEN c2 > 0 THEN CAST(c3 AS DOUBLE) / c2 END) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) FROM c
 ORDER BY step
 """
 
@@ -1714,7 +1726,7 @@ active AS (
   GROUP BY 1, 2
 )
 SELECT a.cohort_week, a.week_offset, a.n_active,
-       round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+       CAST(ROUND(CAST(CAST((CAST(a.n_active AS DOUBLE) / s.cohort_size) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS retention
 FROM active a JOIN sizes s USING (cohort_week)
 ORDER BY cohort_week, week_offset
 """
@@ -3029,11 +3041,7 @@ SELECT user_id, ts AS hour_ts,
   CASE WHEN prev_us IS NULL THEN 'bfill'
        WHEN next_us IS NULL THEN 'ffill'
        ELSE 'interp' END AS fill_kind,
-  round(CASE WHEN prev_us IS NULL THEN next_val
-             WHEN next_us IS NULL THEN prev_val
-             ELSE prev_val + (next_val - prev_val)
-                  * ((epoch_us(ts) - prev_us)
-                     / CAST(next_us - prev_us AS DOUBLE)) END, 6) AS value
+  CAST(ROUND(CAST(CAST((CASE WHEN prev_us IS NULL THEN next_val WHEN next_us IS NULL THEN prev_val ELSE prev_val + (next_val - prev_val) * ((epoch_us(ts) - prev_us) / CAST(next_us - prev_us AS DOUBLE)) END) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS value
 FROM ann WHERE is_spine = 1
 ORDER BY user_id, hour_ts
 """
@@ -3131,8 +3139,7 @@ WITH arr AS (
   GROUP BY user_id
 )
 SELECT user_id, len(vals) AS n_events,
-       round(list_reduce(vals,
-             (acc, x) -> {_EWMA_ALPHA} * x + {1.0 - _EWMA_ALPHA} * acc), 6)
+       CAST(ROUND(CAST(CAST((list_reduce(vals, (acc, x) -> {_EWMA_ALPHA} * x + {1.0 - _EWMA_ALPHA} * acc)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
          AS ewma_value
 FROM arr ORDER BY user_id
 """
@@ -3172,8 +3179,13 @@ def q_range_sharded_export(spark, sf_dir):
 def _range_sharded_export_sql() -> str:
     n = _N_EXPORT_SHARDS
     qs = ", ".join(str(i / n) for i in range(1, n))
+    # boundary rounds go through _sql_round: a 1-ulp disagreement with
+    # Spark's F.round on an exact .xx5 cut would reassign every
+    # boundary-straddling row to a different shard
     shard = " + ".join(
-        f"CASE WHEN o_totalprice >= round(q[{i}], 6) THEN 1 ELSE 0 END"
+        "CASE WHEN o_totalprice >= "
+        + _sql_round(f"q[{i}]", 6)
+        + " THEN 1 ELSE 0 END"
         for i in range(1, n)
     )
     return f"""
@@ -3185,8 +3197,8 @@ tagged AS (
   FROM orders, b
 )
 SELECT shard, COUNT(*) AS n_rows,
-       round(MIN(o_totalprice), 2) AS lo,
-       round(MAX(o_totalprice), 2) AS hi
+       CAST(ROUND(CAST(CAST((MIN(o_totalprice)) AS VARCHAR) AS DECIMAL(38,20)), 2) AS DOUBLE) AS lo,
+       CAST(ROUND(CAST(CAST((MAX(o_totalprice)) AS VARCHAR) AS DECIMAL(38,20)), 2) AS DOUBLE) AS hi
 FROM tagged GROUP BY shard ORDER BY shard
 """
 
@@ -3438,9 +3450,14 @@ REFERENTIAL_INTEGRITY_SQL = (
 # the multi-criteria shortlist query (skyline operator). The naive
 # formulation is a NOT EXISTS self-join (O(n²)); for a 2-criteria
 # skyline the monotone structure collapses it to a DISTINCT-SIZE
-# cumulative minimum: a part is dominated iff the cheapest price seen
-# at any STRICTLY larger size undercuts it. Prices compare as exact
-# DECIMAL(12,2).
+# cumulative minimum. A part survives iff (a) it is the cheapest at
+# its own size (price = size_min — a same-size cheaper part strictly
+# dominates) AND (b) every strictly larger size is strictly more
+# expensive (price < best_above — a larger-size part at equal-or-
+# lower price dominates too: strictly better in size, no worse in
+# price). Requiring only (b) with <= kept parts dominated at their
+# own size — 39 of 44 returned rows at sf0.01 were dominated.
+# Prices compare as exact DECIMAL(12,2).
 #
 # Scale: one groupBy on size (cardinality ≪ parts), one window over
 # the distinct-size frame, one broadcast join back — the corpus
@@ -3457,10 +3474,15 @@ def q_part_pareto_frontier(spark, sf_dir):
     per_size = part.groupBy("p_size").agg(F.min("price").alias("size_min"))
     w = W.orderBy(F.desc("p_size")).rowsBetween(W.unboundedPreceding, -1)
     best = per_size.withColumn("best_above", F.min("size_min").over(w))
-    frontier = part.join(F.broadcast(best.select("p_size", "best_above")),
-                         "p_size").filter(
-        F.col("best_above").isNull()
-        | (F.col("price") <= F.col("best_above"))
+    frontier = part.join(
+        F.broadcast(best.select("p_size", "size_min", "best_above")),
+        "p_size",
+    ).filter(
+        (F.col("price") == F.col("size_min"))
+        & (
+            F.col("best_above").isNull()
+            | (F.col("price") < F.col("best_above"))
+        )
     )
     return frontier.select(
         "p_partkey", "p_size", F.col("price").cast("double").alias("price")
@@ -3473,7 +3495,7 @@ WITH per_size AS (
   FROM part GROUP BY p_size
 ),
 best AS (
-  SELECT p_size,
+  SELECT p_size, size_min,
          MIN(size_min) OVER (ORDER BY p_size DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above
   FROM per_size
@@ -3481,8 +3503,9 @@ best AS (
 SELECT p_partkey, p_size,
        CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price
 FROM part JOIN best USING (p_size)
-WHERE best_above IS NULL
-   OR CAST(p_retailprice AS DECIMAL(12,2)) <= best_above
+WHERE CAST(p_retailprice AS DECIMAL(12,2)) = size_min
+  AND (best_above IS NULL
+       OR CAST(p_retailprice AS DECIMAL(12,2)) < best_above)
 ORDER BY p_size DESC, price, p_partkey
 """
 
@@ -3538,7 +3561,7 @@ WITH us AS (
   SELECT user_id, event_id, epoch_us(ts) AS u FROM events
 ),
 flagged AS (
-  SELECT user_id, u,
+  SELECT user_id, u, event_id,
          CASE WHEN lag(u) OVER w IS NULL
                 OR u - lag(u) OVER w >= CAST({_SW_GAP_S} AS BIGINT) * 1000000
               THEN 1 ELSE 0 END AS new_session
@@ -3546,8 +3569,10 @@ flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY u, event_id)
 ),
 numbered AS (
+  -- event_id tiebreak: same-microsecond rows must number in the same
+  -- order both engines' flagged windows used (see EVENT_SESSIONS_SQL)
   SELECT user_id, u,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY u
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY u, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
 ),

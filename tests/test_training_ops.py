@@ -1072,3 +1072,33 @@ def test_asof_forward_null_payload_not_torn(spark):
     ).collect()[0]
     assert row["_asof_matched_ts"] == 12  # the row that won the match
     assert row["payload"] is None  # its genuinely-NULL payload — not 999
+
+
+def test_pareto_frontier_has_no_dominated_rows(spark):
+    """Every returned part must be undominated under (bigger size,
+    lower price): the old <=-only filter kept parts undercut at their
+    OWN size (39 of 44 rows at sf0.01 were dominated). Brute-force
+    NOT-EXISTS audit against the full part table."""
+    from city_payroll_data_pipeline_spark.suite import build_suite, table
+    from tests.conftest import SF_CORRECT
+
+    frontier = [
+        (r["p_partkey"], r["p_size"], r["price"])
+        for r in build_suite()["part_pareto_frontier"]
+        .spark(spark, SF_CORRECT)
+        .collect()
+    ]
+    assert frontier
+    allp = [
+        (r["p_partkey"], r["p_size"], float(r["p_retailprice"]))
+        for r in table(spark, SF_CORRECT, "part")
+        .select("p_partkey", "p_size", "p_retailprice")
+        .collect()
+    ]
+    for fk, fs, fp in frontier:
+        dominated = any(
+            s >= fs and p <= fp and (s > fs or p < fp)
+            for (k, s, p) in allp
+            if k != fk
+        )
+        assert not dominated, (fk, fs, fp)
