@@ -44,7 +44,12 @@ from city_payroll_data_pipeline_spark.suite.parity import _sql_dec_sum, _sql_rou
 _PR_ITERS = 8
 
 
-def q_trade_pagerank(spark, sf_dir):
+def _trade_edges(spark, sf_dir):
+    """The weighted customer-nation → supplier-nation trade edge list
+    (and the nation dim for the readout join) shared by
+    q_trade_pagerank and q_nation_ppr — one definition so an edge
+    tweak (date filter, weight change) can never desynchronize the
+    uniform and personalized rankings or their oracles."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
@@ -59,6 +64,11 @@ def q_trade_pagerank(spark, sf_dir):
         )
         .agg(F.count("*").alias("weight"))
     )
+    return edges, nation
+
+
+def q_trade_pagerank(spark, sf_dir):
+    edges, nation = _trade_edges(spark, sf_dir)
     ranks = pagerank_scaled(edges, iters=_PR_ITERS)
     return (
         ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
@@ -139,20 +149,7 @@ _PPR_SEED = 0  # n_nationkey of the seed
 
 
 def q_nation_ppr(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    customer = table(spark, sf_dir, "customer")
-    supplier = table(spark, sf_dir, "supplier")
-    nation = table(spark, sf_dir, "nation")
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(supplier, li.l_suppkey == supplier.s_suppkey)
-        .groupBy(
-            customer.c_nationkey.alias("src"), supplier.s_nationkey.alias("dst")
-        )
-        .agg(F.count("*").alias("weight"))
-    )
+    edges, nation = _trade_edges(spark, sf_dir)
     ranks = pagerank_scaled(edges, iters=_PR_ITERS, teleport_node=_PPR_SEED)
     return (
         ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
@@ -408,11 +405,15 @@ ORDER BY nationkey, c_name, s_name
 # At 100 TB, files clustered by a single key prune scans on that key
 # only; interleaving the bits of two keys (part, supplier) gives files
 # whose min/max ranges are tight on BOTH — the layout Delta/Iceberg
-# OPTIMIZE ZORDER produces. This query computes the Morton code with
-# portable integer arithmetic ((x div 2^i) mod 2 · 2^(2i+δ) — no
-# engine-specific bit ops), buckets rows as a writer would, and
-# reports per-bucket row counts + min/max of both keys: the judge-able
-# evidence that both dimensions' ranges stay narrow per bucket.
+# OPTIMIZE ZORDER produces. This query reproduces the WRITER's code
+# exactly (sources/sinks.py::zorder_value): each key min/max-scaled
+# onto the 16-bit grid, then interleaved with col0 (partkey) on even
+# bit positions — in portable integer arithmetic ((x div 2^i) mod 2 ·
+# 2^(2i+δ), no engine-specific bit ops). Scaling matters beyond
+# fidelity: interleaving RAW low 16 bits would WRAP any key above
+# 2^16 (l_partkey reaches 200k at SF1), collapsing parts p and
+# p+65536 into one bucket and silently widening every min/max range
+# the audit exists to prove narrow.
 #
 # Scale: the code is a map-side expression; the audit is one groupBy
 # on bucket. The actual clustered writer is
@@ -427,19 +428,49 @@ _Z_BUCKET_SHIFT = 2 ** 16  # keep the top interleaved bits → one bucket per
 
 
 def _morton_terms(x_expr: str, y_expr: str) -> str:
-    """Portable SQL for the 2·_Z_BITS-bit Morton interleave (y even
-    bits, x odd bits), as pure +/div/mod arithmetic valid in both
-    Spark SQL and DuckDB (Spark: div; DuckDB: //)."""
+    """Portable SQL for the 2·_Z_BITS-bit Morton interleave — x (col0)
+    on EVEN bit positions, y (col1) on odd, matching
+    sinks.zorder_value's spread(col_j) << j layout — as pure +/div/mod
+    arithmetic valid in both Spark SQL and DuckDB (Spark: div;
+    DuckDB: //)."""
     terms = []
     for i in range(_Z_BITS):
-        terms.append(f"(({x_expr} {{d}} {2**i}) % 2) * {2**(2*i+1)}")
-        terms.append(f"(({y_expr} {{d}} {2**i}) % 2) * {2**(2*i)}")
+        terms.append(f"(({x_expr} {{d}} {2**i}) % 2) * {2**(2*i)}")
+        terms.append(f"(({y_expr} {{d}} {2**i}) % 2) * {2**(2*i+1)}")
     return " + ".join(terms)
+
+
+def _z_scaled(col: str, lo: str, hi: str) -> str:
+    """min/max scaling onto the 16-bit grid, the identical double
+    arithmetic zorder_value uses: floor((x-lo)/span * grid_max),
+    span 1.0 when the column is constant. One subtract, one divide,
+    one multiply, one floor — same IEEE ops in the same order in both
+    engines."""
+    grid_max = (1 << _Z_BITS) - 1
+    span = f"(CASE WHEN {hi} > {lo} THEN CAST({hi} - {lo} AS DOUBLE) ELSE 1.0 END)"
+    return (
+        f"LEAST({grid_max}, CAST(floor((CAST({col} AS DOUBLE) - {lo})"
+        f" / {span} * {grid_max}) AS BIGINT))"
+    )
 
 
 def q_zorder_layout_stats(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
-    zval = F.expr(_morton_terms("l_partkey", "l_suppkey").format(d="div"))
+    # 1-row key-range broadcast: the writer derives its grid from the
+    # data's min/max, so the audit must too (plan-sweep allowlisted)
+    rng = li.agg(
+        F.min("l_partkey").alias("lo_p"),
+        F.max("l_partkey").alias("hi_p"),
+        F.min("l_suppkey").alias("lo_s"),
+        F.max("l_suppkey").alias("hi_s"),
+    )
+    li = li.join(F.broadcast(rng))
+    zval = F.expr(
+        _morton_terms(
+            _z_scaled("l_partkey", "lo_p", "hi_p"),
+            _z_scaled("l_suppkey", "lo_s", "hi_s"),
+        ).format(d="div")
+    )
     return (
         li.withColumn("zval", zval)
         .withColumn("bucket", F.expr(f"zval div {_Z_BUCKET_SHIFT}"))
@@ -456,10 +487,18 @@ def q_zorder_layout_stats(spark, sf_dir):
 
 
 ZORDER_LAYOUT_STATS_SQL = f"""
-WITH z AS (
-  SELECT l_partkey, l_suppkey,
-         {_morton_terms("l_partkey", "l_suppkey").format(d="//")} AS zval
+WITH r AS (
+  SELECT MIN(l_partkey) AS lo_p, MAX(l_partkey) AS hi_p,
+         MIN(l_suppkey) AS lo_s, MAX(l_suppkey) AS hi_s
   FROM lineitem
+),
+z AS (
+  SELECT l_partkey, l_suppkey,
+         {_morton_terms(
+             _z_scaled("l_partkey", "lo_p", "hi_p"),
+             _z_scaled("l_suppkey", "lo_s", "hi_s"),
+         ).format(d="//")} AS zval
+  FROM lineitem, r
 )
 SELECT zval // {_Z_BUCKET_SHIFT} AS bucket,
        COUNT(*) AS n_rows,
@@ -734,12 +773,7 @@ m AS (
   FROM edges JOIN cdeg USING (c) JOIN sdeg USING (s)
 )
 SELECT n_edges,
-       round((n_edges * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(n_edges * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(n_edges * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 10)
+       CAST(ROUND(CAST(CAST(((n_edges * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(n_edges * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(n_edges * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS VARCHAR) AS DECIMAL(38,20)), 10) AS DOUBLE)
          AS assortativity
 FROM m
 """
@@ -969,9 +1003,12 @@ def q_histogram_quantiles(spark, sf_dir):
         .groupBy("bin")
         .agg(F.count("*").alias("n"))
     )
+    # total from the BIN frame, not a second scan of the fact — the
+    # thousands-row bin aggregate already holds every row exactly once
+    bins = bins.localCheckpoint()
     w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = bins.withColumn("cum", F.sum("n").over(w)).crossJoin(
-        F.broadcast(li.agg(F.count("*").alias("total")))
+        F.broadcast(bins.agg(F.sum("n").alias("total")))
     )
     qs = spark.createDataFrame([(50,), (90,), (99,)], "q int")
     return (
@@ -1035,13 +1072,18 @@ def q_quantile_sketch_error(spark, sf_dir):
     cents = F.expr(
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
     )
-    prices = li.select(cents.alias("c")).withColumn(
-        "bin", F.expr(f"c div {_HQ_BIN_CENTS}")
+    # prices feeds the bin aggregate AND the rank-recovery join —
+    # checkpoint so the fact is scanned once, not three times; total
+    # comes from the bin frame for the same reason
+    prices = (
+        li.select(cents.alias("c"))
+        .withColumn("bin", F.expr(f"c div {_HQ_BIN_CENTS}"))
+        .localCheckpoint()
     )
     bins = prices.groupBy("bin").agg(F.count("*").alias("n"))
     w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = bins.withColumn("cum", F.sum("n").over(w)).crossJoin(
-        F.broadcast(prices.agg(F.count("*").alias("total")))
+        F.broadcast(bins.agg(F.sum("n").alias("total")))
     )
     qs = spark.createDataFrame([(q,) for q in _QERR_QS], "q int")
     qbins = (
@@ -1205,8 +1247,7 @@ cum AS (
 ),
 scored AS (
   SELECT bin, ln, lp, tn - ln AS rn, tp - lp AS rp,
-         round(CAST(lp * lp AS DOUBLE) / CAST(ln AS DOUBLE)
-               + CAST((tp - lp) * (tp - lp) AS DOUBLE) / CAST(tn - ln AS DOUBLE), 10)
+         CAST(ROUND(CAST(CAST((CAST(lp * lp AS DOUBLE) / CAST(ln AS DOUBLE) + CAST((tp - lp) * (tp - lp) AS DOUBLE) / CAST(tn - ln AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,20)), 10) AS DOUBLE)
            AS score
   FROM cum WHERE ln > 0 AND tn - ln > 0
 )
@@ -1298,9 +1339,12 @@ ORDER BY d.source
 _QL_W = {"bias": -50, "tok": 3, "stop": 10, "punct": -8, "chars": 1}
 
 
-def q_quality_logit_deciles(spark, sf_dir):
-    from pyspark.sql import Window as W
-
+def _quality_logit_scored(spark, sf_dir):
+    """(doc_id, n_chars, logit): the integer quality-classifier
+    inference shared by q_quality_logit_deciles and its *_scaled twin
+    — both register against NTILE oracles over the SAME logit, so one
+    definition is the only way a weight or feature-regex change stays
+    consistent across the pair."""
     from city_payroll_data_pipeline_spark.functions.text import (
         lang_marker_pattern,
         token_count,
@@ -1308,7 +1352,7 @@ def q_quality_logit_deciles(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     t = F.col("text")
-    scored = docs.select(
+    return docs.select(
         "doc_id",
         F.col("n_chars"),
         (
@@ -1319,6 +1363,12 @@ def q_quality_logit_deciles(spark, sf_dir):
             + _QL_W["chars"] * F.length(t)
         ).cast("long").alias("logit"),
     )
+
+
+def q_quality_logit_deciles(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    scored = _quality_logit_scored(spark, sf_dir)
     w = W.orderBy("logit", "doc_id")
     return (
         scored.withColumn("decile", F.ntile(10).over(w))
@@ -1358,29 +1408,11 @@ def q_quality_logit_deciles_scaled(spark, sf_dir):
     """The promised scale path for quality_logit_deciles: the same
     calibration table with decile assignment via operators/ntile.py
     (no global row-level sort) — the exact NTILE SQL is its oracle."""
-    from pyspark.sql import Window as W
-
-    from city_payroll_data_pipeline_spark.functions.text import (
-        lang_marker_pattern,
-        token_count,
-    )
     from city_payroll_data_pipeline_spark.operators.ntile import (
         ntile_no_global_sort,
     )
 
-    docs = table(spark, sf_dir, "documents")
-    t = F.col("text")
-    scored = docs.select(
-        "doc_id",
-        F.col("n_chars"),
-        (
-            F.lit(_QL_W["bias"])
-            + _QL_W["tok"] * token_count(t)
-            + _QL_W["stop"] * F.regexp_count(F.lower(t), F.lit(lang_marker_pattern("en")))
-            + _QL_W["punct"] * F.regexp_count(t, F.lit(PUNCT_CHAR_RE))
-            + _QL_W["chars"] * F.length(t)
-        ).cast("long").alias("logit"),
-    )
+    scored = _quality_logit_scored(spark, sf_dir)
     binned = ntile_no_global_sort(scored, 10, "logit", "doc_id", "decile")
     return (
         binned.groupBy("decile")
@@ -1907,14 +1939,28 @@ _BP_MIN_SUPPORT = 3
 _BP_TOP_K = 20
 
 
-def q_basket_pairs(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+def _basket_pair_support(spark, sf_dir):
+    """Canonical co-purchase pair supports — DISTINCT (order, part),
+    self-joined with pa < pb, counted per pair. Shared by
+    q_basket_pairs and q_item_pmi (q_adamic_adar_links needs the
+    basket size carried through and keeps its own variant); one
+    definition so canonicalization or threshold changes cannot drift
+    between the pair miners."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
     pairs = a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+    return li, pairs.groupBy("pa", "pb").agg(F.count("*").alias("support"))
+
+
+def q_basket_pairs(spark, sf_dir):
+    _li, support = _basket_pair_support(spark, sf_dir)
     return (
-        pairs.groupBy("pa", "pb")
-        .agg(F.count("*").alias("support"))
+        support
         .where(F.col("support") >= _BP_MIN_SUPPORT)
         .orderBy(F.desc("support"), "pa", "pb")
         .limit(_BP_TOP_K)
@@ -2018,10 +2064,15 @@ def q_chunk_dedup_rate(spark, sf_dir):
     from city_payroll_data_pipeline_spark.suite.textops import q_doc_chunks
 
     chunks = q_doc_chunks(spark, sf_dir).select(F.md5("chunk_text").alias("fp"))
-    uniq = chunks.select("fp").distinct().agg(F.count("*").alias("n_unique"))
+    # ONE pass: both totals fall out of the per-fingerprint counts —
+    # separate count + distinct-count aggregates would run the whole
+    # chunk-generation pipeline twice
+    per_fp = chunks.groupBy("fp").agg(F.count("*").alias("cnt"))
     return (
-        chunks.agg(F.count("*").alias("n_chunks"))
-        .crossJoin(F.broadcast(uniq))
+        per_fp.agg(
+            F.sum("cnt").alias("n_chunks"),
+            F.count("*").alias("n_unique"),
+        )
         .select(
             "n_chunks",
             "n_unique",
@@ -2154,26 +2205,17 @@ ORDER BY retriever
 # top-k is TakeOrderedAndProject.
 # --------------------------------------------------------------------------
 
-_PMI_MIN_SUPPORT = 3
+_PMI_MIN_SUPPORT = _BP_MIN_SUPPORT  # same a-priori floor as basket_pairs
 _PMI_TOP_K = 20
 
 
 def q_item_pmi(spark, sf_dir):
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    li, support = _basket_pair_support(spark, sf_dir)
     n = li.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_baskets")
     )
     cnt = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
-        .agg(F.count("*").alias("support"))
-        .where(F.col("support") >= _PMI_MIN_SUPPORT)
-    )
+    pairs = support.where(F.col("support") >= _PMI_MIN_SUPPORT)
     scored = (
         pairs.join(cnt.select(F.col("l_partkey").alias("pa"),
                               F.col("cnt").alias("cnt_a")), "pa")
@@ -2291,7 +2333,7 @@ counts AS (
 tot AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_src
         FROM counts GROUP BY source)
 SELECT source, split, n_docs,
-       round(CAST(n_docs AS DOUBLE) / CAST(n_src AS DOUBLE), 6) AS share
+       CAST(ROUND(CAST(CAST((CAST(n_docs AS DOUBLE) / CAST(n_src AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS share
 FROM counts JOIN tot USING (source)
 ORDER BY source, split
 """

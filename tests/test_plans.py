@@ -213,6 +213,7 @@ _INTENTIONAL_BNLJ = {
     "pps_weighted_sample",    # broadcast 1-row weight-total scalar
     "ks_source_drift",        # broadcast 1-row group-sizes scalar
     "histogram_quantiles",    # broadcast 1-row total + 3-row quantile probes
+    "zorder_layout_stats",    # broadcast 1-row key-range (grid lo/hi) stats
     "quantile_sketch_error",  # same 1-row total + 3-row quantile probes
     "decision_stump_split",   # broadcast 1-row (total_n, total_pos) scalar
     "log_rank_test",          # broadcast 1-row (N1, N2) group totals
