@@ -299,7 +299,9 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    # one optional dot only: a greedy [0-9.]+ would capture '0.1.' from
+    # a dir like sf0.1.v2 and crash float() before any query runs
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     from city_payroll_data_pipeline_spark.session import get_spark

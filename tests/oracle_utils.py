@@ -12,6 +12,29 @@ import numpy as np
 import pandas as pd
 
 
+def _norm_cell(v):
+    """Exact, structure-preserving normal form for object cells.
+
+    NOT repr(): numpy's repr truncates arrays beyond 1000 elements
+    with '...' and prints floats at ~8 significant digits, so two
+    genuinely different arrays could compare equal (masking real
+    drift in the middle of a long posting list or a 9th-significant-
+    digit float difference), while an ndarray and an equal plain list
+    compared unequal. Tuples of Python scalars compare exactly
+    element-by-element instead."""
+    if isinstance(v, np.ndarray):
+        return tuple(_norm_cell(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and v != v:
+        return "NaN"  # nested NaN must compare equal to nested NaN
+    return v
+
+
 def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
     out = pdf[sorted(pdf.columns)].copy()
     for c in out.columns:
@@ -23,9 +46,10 @@ def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(s):
             out[c] = s.astype("int64")
         elif s.dtype == object:
-            # decimal.Decimal or lists → stable string form
-            out[c] = s.map(lambda v: repr(v) if not isinstance(v, str) else v,
-                           na_action="ignore")
+            out[c] = s.map(
+                lambda v: v if isinstance(v, str) else _norm_cell(v),
+                na_action="ignore",
+            )
     return out.sort_values(by=list(out.columns), na_position="last").reset_index(
         drop=True
     )

@@ -88,6 +88,10 @@ def test_result_invariant_under_partitioning(name, suite, spark):
 
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
+    # loud failure if the hook is ever renamed — a bare setattr would
+    # create a dead attribute and silently stop exercising the
+    # input-layout sensitivity this sweep exists for
+    assert hasattr(suite_mod, "_HOSTILE_REPARTITION")
     suite_mod._HOSTILE_REPARTITION = 5  # round-robin input re-layout
     try:
         hostile = q.spark(spark, SF_SMOKE).toPandas()

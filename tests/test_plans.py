@@ -72,13 +72,24 @@ def test_topk_plans_take_ordered_not_global_sort(suite, spark):
         assert "TakeOrderedAndProject" in plan(_q(suite, spark, name)), name
 
 
-def test_full_export_prunes_unused_columns(suite, spark):
+def test_budget_report_prunes_unused_columns(suite, spark):
     """The budget report reads exactly (o_orderpriority, o_totalprice)."""
     p = plan(_q(suite, spark, "budget_report"))
     read = next(line for line in p.splitlines() if "ReadSchema" in line)
     assert "o_orderpriority" in read and "o_totalprice" in read
     for col in ("o_custkey", "o_orderdate", "o_orderstatus"):
         assert col not in read, read
+
+
+def test_full_export_plan_is_sorted_scan(suite, spark):
+    """full_export is a projection + global sort: no aggregation, no
+    Python evaluation, vectorized scan (this test previously audited
+    budget_report under full_export's name — the export's plan was
+    never pinned anywhere)."""
+    p = plan(_q(suite, spark, "full_export"), mode="simple")
+    assert "Sort" in p, p
+    assert "EvalPython" not in p and "CartesianProduct" not in p, p
+    assert "Batched: true" in p, p
 
 
 def test_aggregations_stay_jvm_side_and_vectorized(suite, spark):
@@ -103,24 +114,27 @@ def test_shipping_priority_semi_reduces_customer(suite, spark):
     assert "EqualTo(c_mktsegment,BUILDING)" in p
 
 
-def test_bucketed_join_eliminates_shuffle(suite, spark, tmp_path):
+def test_bucketed_join_eliminates_shuffle(suite, spark):
     """Tables bucketed on the join key with equal bucket counts join
     with NO Exchange — the 100 TB repeat-join strategy. Verified
     against the unbucketed plan, which must shuffle at least one side."""
     from city_payroll_data_pipeline_spark.sources.sinks import save_table
     from city_payroll_data_pipeline_spark.suite import table as t
 
-    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
     orders = t(spark, SF_CORRECT, "orders")
     li = t(spark, SF_CORRECT, "lineitem")
-    save_table(orders, "bktest.orders_b", bucket_by=["o_orderkey"], num_buckets=8)
-    save_table(li, "bktest.lineitem_b", bucket_by=["l_orderkey"], num_buckets=8)
     # at sf0.01 the planner prefers broadcast (and rightly so); force the
     # shuffle-join path this test is about — the regime where both sides
     # are too big to broadcast, which is where bucketing pays off
     saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
     try:
+        # writes INSIDE the try: a failed second write must still drop
+        # the bktest database instead of leaking managed tables into
+        # the shared warehouse for every later session
+        save_table(orders, "bktest.orders_b", bucket_by=["o_orderkey"], num_buckets=8)
+        save_table(li, "bktest.lineitem_b", bucket_by=["l_orderkey"], num_buckets=8)
         bo, bl = spark.table("bktest.orders_b"), spark.table("bktest.lineitem_b")
         joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).select(
             "l_orderkey", "o_totalprice", "l_extendedprice"
