@@ -59,71 +59,23 @@ def _already_checked() -> set[str]:
 # 50-query sample so each round's new operators get an official
 # driver verdict immediately. Refresh this tuple each round.
 _ROUND_NEW = (
-    # --- round-5 NEW queries (least battle-tested cross-engine)
-    "embedding_auc_separability",
-    "lpa_communities",
-    "hll_distinct_audit",
-    "sprt_conversion_gate",
-    "countmin_heavy_tokens",
-    "mi_feature_screen",
-    "median_of_means",
-    "bloom_fpr_audit",
-    "randomization_test_uplift",
-    "lsh_tuning_curve",
-    "xent_mix_weights",
-    "hll_union_intersect_audit",
-    "offpolicy_eval_ips",
-    "quantile_treatment_effects",
-    "lpa_modularity",
-    "experiment_power_mde",
-    "t_closeness_audit",
-    "jackknife_ratio_se",
-    "adamic_adar_links",
-    "calibration_ece",
-    "span_corruption_plan",
-    "ndcg_eval",
-    "poisson_bootstrap_ci",
-    "cuped_adjustment",
-    "kneser_ney_bigram",
-    "degree_assortativity",
-    "mahalanobis_outliers",
-    "conformal_calibration",
-    "embedding_spectral_norm",
-    "bpe_compression_curve",
-    "dedup_method_agreement",
-    "k_core_decay",
-    "l_diversity_audit",
-    "quantile_sketch_error",
-    "markov_stationary",
-    "weighted_reservoir_sample",
-    "log_rank_test",
-    "simpson_paradox_audit",
-    "decision_stump_split",
-    "bpe_merges",  # graduated rows-only -> full oracle this round
-    # --- round-5 rewrites: a fresh official verdict on the changed
-    # plans retires the most risk. (mann_whitney_test and
-    # stable_doc_ids represent the two r4 rewrite patterns —
-    # distinct-value cumsum and sharded row ids; their pattern twins
-    # queue for r6.)
-    "revenue_concentration",  # r5: rewritten on sharded row ids
-    "key_gini_skew",  # r5: rewritten on distinct-count cumsum ranks
-    "mann_whitney_test",  # r4: rebuilt on distinct-value cumsum
-    "stable_doc_ids",  # r4: rebuilt on sharded row ids
-    # --- heaviest never-checked custom-determinism machinery (VERDICT
-    # r4 item 7 names these six; ann_recall_report also certifies all
-    # four retrievers). All six must sit ABOVE the driver's 50-cut.
-    "ann_recall_report",
-    "bm25_search",
-    "cdc_chunks",
-    "corpus_clean_pipeline",
-    "bloom_semi_join",
-    "winnow_fingerprints",
-    # below the 50-cut this round; next in line for r6
+    # --- round-6 CHANGED queries: both graduated from rows-only to
+    # full register-level HLL oracles this round (VERDICT r5 item 6) —
+    # the changed plans + new oracles need an official verdict first.
+    "approx_distinct_stats",
+    "approx_rolling_users",
+    # --- the one remaining no-oracle query (current_timestamp is
+    # irreducibly non-deterministic): last official rows-only verdict
+    # was r3; VERDICT r5 item 7 asks for a current-gate re-verdict so
+    # every no-oracle query has a fresh ledger row.
+    "audit_timestamp",
+    # --- the 15 queued below the r5 cut (VERDICT r5 item 1 names
+    # these as the front of the r6 queue).
     "dedup_clusters",
     "minhash_dedup_pairs",
     "semantic_dedup_pairs",
-    "touch_attribution",  # r4 bench regression — floor re-confirmed solo
-    "jl_projection_error",  # r4 bench regression — fixed + floor confirmed
+    "touch_attribution",  # r4 bench regression — floor re-confirmed solo r5
+    "jl_projection_error",  # r4 bench regression — fixed, floor 0.88 s r5
     "quantile_normalize_lengths",  # r4: rebuilt on sharded row ids
     "trade_pagerank",
     "nation_ppr",
@@ -134,6 +86,40 @@ _ROUND_NEW = (
     "sq8_ann_topk",
     "cosine_topk",
     "incremental_dedup",
+    # --- 32 more never-checked, custom-determinism machinery first
+    # (dedup/fingerprint/media/sharding plumbing over simple aggs).
+    "simhash_near_pairs",  # also the r6 solo-refloor target
+    "exact_dedup_groups",
+    "dedup_clusters_star",
+    "dedup_best_keeper",
+    "prefix_jaccard_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_threshold_sweep",
+    "cosine_neardup_pairs",
+    "rrf_fused_topk",
+    "nearest_centroid_eval",
+    "matryoshka_recall",
+    "hard_negative_topk",
+    "contrastive_negatives",
+    "knn_label_noise",
+    "media_feature_extract",
+    "media_frame_sample",
+    "media_chunk_plan",
+    "media_bytes_meta",
+    "doc_fingerprint",
+    "chunk_dedup_rate",
+    "merkle_bucket_manifest",
+    "rendezvous_shards",
+    "epoch_shuffle_plan",
+    "pack_sequences",
+    "doc_chunks",
+    "blocked_fuzzy_match",
+    "fuzzy_name_pairs",
+    "hash_uniformity_check",
+    "zorder_layout_stats",
+    "pps_weighted_sample",
+    "hash_sample_docs",
+    "train_val_test_split",
 )
 
 

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 # derivation lives in one place.
 HLL_P = 12
 HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_C49 = 1 << 49
 
 
 def hll_bucket_rho(key: Column) -> tuple[Column, Column]:
@@ -43,3 +45,29 @@ def hll_bucket_rho(key: Column) -> tuple[Column, Column]:
         F.lit(49) - F.length(F.bin(v48))
     )
     return bucket, rho
+
+
+def hll_estimate(v_obs: Column, s_obs: Column) -> Column:
+    """Cardinality estimate from aggregated register observations.
+
+    ``v_obs`` = number of OCCUPIED registers, ``s_obs`` =
+    Σ 2^(49 − M_j) over occupied registers (an exact BIGINT — the only
+    doubles below are one division, a fixed multiply chain, and the
+    8-dp-rounded ln of an integer ratio, so both engines compute the
+    identical value). Applies the Flajolet linear-counting branch for
+    the small range (raw ≤ 2.5 m with empty registers), matching the
+    DuckDB replay in suite/mlops.py::_hll_sql and the
+    suite/relational.py approx_* oracles expression-for-expression.
+    """
+    v_empty = F.lit(HLL_M) - v_obs
+    s = s_obs + v_empty * F.lit(HLL_C49)
+    raw = (
+        F.lit(HLL_ALPHA)
+        * HLL_M
+        * HLL_M
+        * (F.lit(float(HLL_C49)) / s.cast("double"))
+    )
+    lc = HLL_M * F.round(
+        F.log(F.lit(HLL_M).cast("double") / v_empty.cast("double")), 8
+    )
+    return F.when((raw <= 2.5 * HLL_M) & (v_empty > 0), lc).otherwise(raw)

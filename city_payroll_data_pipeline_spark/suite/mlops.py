@@ -354,9 +354,11 @@ ORDER BY n_parts DESC, community
 # oracle replays bit-for-bit.
 #
 # Spark's approx_count_distinct is engine-specific (its HLL++ register
-# layout can't be replayed in DuckDB, which is why
-# approx_distinct_stats is a declared rows-only check). This operator
-# closes that gap: an explicit HLL (Flajolet et al. 2007) built from
+# layout can't be replayed in DuckDB). This operator closes that gap
+# — and as of round 6 the relational approx_* queries
+# (approx_distinct_stats, approx_rolling_users) reuse the same
+# derivation, so every sketch estimate in the suite is
+# register-level-oracled: an explicit HLL (Flajolet et al. 2007) built from
 # md5-derived buckets, p=12 → m=4096 registers, rho from the 48-bit
 # suffix — every register, the raw estimate, the linear-counting
 # small-range branch, and the relative error against the EXACT
