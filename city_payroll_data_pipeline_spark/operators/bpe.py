@@ -15,6 +15,11 @@ iteration maps to plain distributed primitives:
    by word count, one groupBy to total them, take the argmax
    (deterministic lexicographic tie-break), and rewrite each word's
    symbol array with a left-to-right greedy fold merging that pair.
+   Iterations are BATCHED (standard batched-BPE): one top-k collect
+   feeds a driver-side prover that accepts the longest prefix of the
+   sorted pair list guaranteed identical to merge-serial output
+   (_safe_batch_prefix), cutting driver round trips toward
+   ⌈n_merges/k⌉ with bit-identical merges.
 
 Everything stays JVM-side: the pair explode is ``transform`` over
 array slices, the merge rewrite is ``F.aggregate`` (a codegen'd fold —
@@ -25,11 +30,12 @@ fold per learned merge and Catalyst analysis time would dominate; on
 a cluster use ``checkpoint()`` with a reliable dir).
 
 Scale: iterations = number of merges (thousands for a real tokenizer);
-each is one small shuffle over the vocab histogram, embarrassingly
-parallel. The vocab histogram for 100 TB of text is millions-to-
-billions of distinct words — far smaller than the corpus and safely
-distributed (never collected); only the single argmax row comes back
-to the driver per round.
+each ROUND is one small shuffle over the vocab histogram,
+embarrassingly parallel, and typically learns several merges. The
+vocab histogram for 100 TB of text is millions-to-billions of
+distinct words — far smaller than the corpus and safely distributed
+(never collected); only the top-k pair rows (k≈16) come back to the
+driver per round.
 """
 
 from __future__ import annotations
@@ -81,39 +87,122 @@ def _merge_pair(sym: Column, left: str, right: str) -> Column:
     )
 
 
+def _safe_batch_prefix(
+    rows,
+    k: int,
+    budget: int,
+    min_pair_count: int,
+    learned_names: set[str],
+) -> list[tuple[str, str, int]]:
+    """Longest prefix of the sorted top-``k`` pair rows that is
+    PROVABLY what merge-serial BPE would learn next, judged entirely
+    driver-side from one collect (VERDICT r5 item 5 — batched-BPE with
+    exact serial parity, so the unrolled-fit oracles stay hash-equal).
+
+    A candidate ``c`` after the round's first pair is accepted only if
+    every serial recount between the accepted prefix and ``c`` is
+    provably a no-op for the argmax:
+
+    - symbol-disjointness: ``c`` shares no symbol with any accepted
+      merge (nor its concatenated name), so applying them leaves
+      ``c``'s count bit-unchanged — a merge only rewrites the merged
+      pair's own adjacencies and mints (x,ab)/(ab,y) pairs;
+    - created-pair bound: every pair a prior merge (a,b) can mint is
+      counted by occurrences of a bridging old pair (x,a) or (b,y)
+      (for merge-merge adjacency (ab,cd): the bridge (b,c)), so its
+      count is ≤ that bridge's old count — ≤ the collected bridge row,
+      or ≤ the top-k cut if unseen. ``c`` must STRICTLY beat that
+      bound (strictness also defeats lexicographic tie-steals);
+    - name-collision guard: if an accepted merge's concatenation
+      equals an ALREADY-LEARNED symbol name (e.g. ("a","bc") after
+      ("ab","c") both spell "abc"), pairs involving that name can gain
+      count by up to the merge's own count, which no driver-side bound
+      can dominate — stop the round and let the next collect recount.
+
+    Decreased pairs need no check: a pair whose count only drops and
+    that sorts after ``c`` (equal count ⇒ lexicographically after)
+    can never overtake it; any pair sorted BEFORE ``c`` was itself
+    accepted or ended the round.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    cut = int(rows[-1]["pair_count"]) if len(rows) == k else 0
+    for r in rows:
+        left, right = r["left"], r["right"]
+        cnt = int(r["pair_count"])
+        if cnt < min_pair_count or len(accepted) >= budget:
+            break
+        if accepted:
+            syms = set()
+            for al, ar, _ in accepted:
+                syms.update((al, ar, al + ar))
+            if left in syms or right in syms:
+                break
+            if any(al + ar in learned_names for al, ar, _ in accepted):
+                break
+            heads = {al for al, ar, _ in accepted}
+            tails = {ar for al, ar, _ in accepted}
+            acc_keys = {(al, ar) for al, ar, _ in accepted}
+            bound = cut
+            for q in rows:
+                qk = (q["left"], q["right"])
+                if qk in acc_keys or qk == (left, right):
+                    continue
+                if q["right"] in heads or q["left"] in tails:
+                    bound = max(bound, int(q["pair_count"]))
+            if cnt <= bound:
+                break
+        accepted.append((left, right, cnt))
+    return accepted
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str,
     n_merges: int = 10,
     min_pair_count: int = 2,
+    batch_k: int = 16,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merges over the corpus. Returns
     [(left, right, corpus_pair_count), ...] in learned order. Stops
     early when no pair reaches ``min_pair_count``. Ties break
-    lexicographically so the merge table is bit-deterministic."""
+    lexicographically so the merge table is bit-deterministic.
+
+    Driver round trips are BATCHED: each round collects the top
+    ``batch_k`` pair counts once and accepts the longest serial-parity
+    prefix (see _safe_batch_prefix), so the trainer does between
+    ⌈n_merges/batch_k⌉ and n_merges collects instead of always
+    n_merges — with output bit-identical to merge-serial BPE
+    (tests/test_training_ops.py asserts batched == batch_k=1).
+    """
     vocab = word_histogram(df, text_col).select(
         "count", F.split("word", "").alias("sym")
     )
     vocab = vocab.localCheckpoint()
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        top = (
+    learned_names: set[str] = set()
+    k = max(1, batch_k)
+    while len(merges) < n_merges:
+        rows = (
             vocab.select(
                 "count", F.explode(_adjacent_pairs(F.col("sym"))).alias("p")
             )
             .groupBy("p.left", "p.right")
             .agg(F.sum("count").alias("pair_count"))
             .orderBy(F.desc("pair_count"), "left", "right")
-            .limit(1)
+            .limit(k)
             .collect()
         )
-        if not top or top[0]["pair_count"] < min_pair_count:
+        if not rows or rows[0]["pair_count"] < min_pair_count:
             break
-        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
-        merges.append((left, right, cnt))
-        vocab = vocab.select(
-            "count", _merge_pair(F.col("sym"), left, right).alias("sym")
-        ).localCheckpoint()
+        accepted = _safe_batch_prefix(
+            rows, k, n_merges - len(merges), min_pair_count, learned_names
+        )
+        merges.extend(accepted)
+        learned_names.update(al + ar for al, ar, _ in accepted)
+        sym = F.col("sym")
+        for al, ar, _ in accepted:
+            sym = _merge_pair(sym, al, ar)
+        vocab = vocab.select("count", sym.alias("sym")).localCheckpoint()
     return merges
 
 

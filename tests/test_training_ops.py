@@ -475,6 +475,52 @@ def test_bpe_deterministic_across_runs(spark):
     assert a == b and len(a) == 5
 
 
+def test_bpe_batched_equals_serial(spark):
+    """Batched top-k rounds (default batch_k=16) must emit merges
+    BIT-IDENTICAL to the merge-serial trainer (batch_k=1) — the
+    safe-prefix prover only accepts pairs whose serial argmax it can
+    guarantee, so batching is a pure round-trip optimization."""
+    from city_payroll_data_pipeline_spark.operators.bpe import train_bpe
+    from city_payroll_data_pipeline_spark.suite import table
+
+    docs = (
+        table(spark, SF_CORRECT, "documents", spread=True)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("text")
+    )
+    batched = train_bpe(docs, "text", n_merges=24)
+    serial = train_bpe(docs, "text", n_merges=24, batch_k=1)
+    assert batched == serial and len(batched) == 24
+
+
+def test_bpe_batched_round_trips(spark, monkeypatch):
+    """Disjoint top pairs with distinct counts must all be learned
+    from ONE driver collect (VERDICT r5 item 5: ≤⌈n_merges/k⌉ round
+    trips when the corpus allows it)."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    from city_payroll_data_pipeline_spark.operators.bpe import train_bpe
+
+    text = " ".join(["ab"] * 50 + ["cd"] * 40 + ["ef"] * 30 + ["gh"] * 20)
+    corpus = spark.createDataFrame([(text,)], "text string")
+    calls = {"n": 0}
+    orig = cdf.DataFrame.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cdf.DataFrame, "collect", counting)
+    merges = train_bpe(corpus, "text", n_merges=4)
+    assert merges == [
+        ("a", "b", 50),
+        ("c", "d", 40),
+        ("e", "f", 30),
+        ("g", "h", 20),
+    ]
+    assert calls["n"] == 1, calls["n"]
+
+
 def test_bpe_apply_preserves_characters(spark):
     """Encoding is a segmentation: concatenating a word's BPE tokens
     must reproduce the word's characters exactly."""
