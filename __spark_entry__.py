@@ -69,6 +69,10 @@ _ROUND_NEW = (
     # was r3; VERDICT r5 item 7 asks for a current-gate re-verdict so
     # every no-oracle query has a fresh ledger row.
     "audit_timestamp",
+    # --- round-6 NEW queries: hash-sampled eval twins (VERDICT r5
+    # item 4) — brand-new cross-engine surfaces, verdict needed first.
+    "ann_recall_report_sampled",
+    "ndcg_eval_sampled",
     # --- the 15 queued below the r5 cut (VERDICT r5 item 1 names
     # these as the front of the r6 queue).
     "dedup_clusters",

@@ -126,7 +126,10 @@ HEADLINE = [
     "basket_pairs",
     "source_vocab_overlap",
     "chunk_dedup_rate",
-    "ann_recall_report",
+    # sampled eval twin (VERDICT r5 item 4): exact ground truth cost is
+    # O(sample x corpus); the full-query variant stays suite-registered
+    # for driver certification.
+    "ann_recall_report_sampled",
     "nation_ppr",
     # runtime filter / event LM / time-weighted / novelty batch
     "bloom_semi_join",
@@ -275,7 +278,7 @@ HEADLINE = [
     "adamic_adar_links",
     "calibration_ece",
     "span_corruption_plan",
-    "ndcg_eval",
+    "ndcg_eval_sampled",
     "poisson_bootstrap_ci",
     "cuped_adjustment",
     "embedding_auc_separability",

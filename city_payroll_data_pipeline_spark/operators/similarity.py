@@ -24,7 +24,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from city_payroll_data_pipeline_spark.functions.text import hex_to_long
 
 QUANT = 10_000  # 4-decimal grid
 
@@ -198,29 +197,52 @@ def cosine_near_dup_pairs(
 # LSH (random hyperplanes, deterministic md5-derived planes)
 # --------------------------------------------------------------------------
 
-def hyperplane(plane_idx: int, dim: int) -> Column:
-    """Hyperplane ``p`` as an integer array: component j =
+def hyperplane_components(plane_idx: int, dim: int) -> list[int]:
+    """Hyperplane ``p`` as Python integers: component j =
     (md5int(p|j) mod 2001) - 1000 ∈ [-1000, 1000]. Pure function of
-    (plane_idx, j) — no RNG, identical in any engine."""
-    comps = [
-        hex_to_long(
-            F.substring(F.md5(F.lit(f"plane{plane_idx}|{j}")), 1, 15)
+    (plane_idx, j) — no RNG; hashlib.md5 here, F.md5 in Spark and
+    DuckDB's md5() in the oracle all agree on the hex digest, and all
+    three engines' ``%`` agree on non-negative operands, so the plane
+    is identical however it is materialized."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"plane{plane_idx}|{j}".encode()).hexdigest()[:15], 16
         )
         % 2001
         - 1000
         for j in range(dim)
     ]
-    return F.array(*[c.cast("bigint") for c in comps])
+
+
+def hyperplane(plane_idx: int, dim: int) -> Column:
+    """Hyperplane ``p`` as ONE array literal (values from
+    :func:`hyperplane_components`). Built driver-side: the previous
+    per-component expression form (64 md5→conv→mod trees per plane)
+    cost ~512 py4j round trips per lsh_bucket call and a giant codegen
+    method — the same pathology as the r5 ``jl_projection_error`` fix
+    (SCALE.md "Round-5 bisect"); the emitted values are identical."""
+    return F.lit(hyperplane_components(plane_idx, dim)).cast("array<bigint>")
 
 
 def lsh_bucket(qvec: Column, n_planes: int, dim: int) -> Column:
     """Sign-bit bucket id over ``n_planes`` hyperplanes (integer dots
-    → exact signs → deterministic bucket)."""
-    bucket = F.lit(0).cast("bigint")
-    for p in range(n_planes):
-        sign = F.when(dot_q(qvec, hyperplane(p, dim)) >= 0, 1).otherwise(0)
-        bucket = bucket + (sign * F.lit(1 << p)).cast("bigint")
-    return bucket
+    → exact signs → deterministic bucket). One nested-array literal +
+    transform/zip_with, not n_planes unrolled dot expressions."""
+    planes = F.lit(
+        [hyperplane_components(p, dim) for p in range(n_planes)]
+    ).cast("array<array<bigint>>")
+    weights = F.lit([1 << p for p in range(n_planes)]).cast("array<bigint>")
+    signs = F.transform(
+        planes,
+        lambda row: F.when(dot_q(qvec, row) >= 0, 1).otherwise(0).cast("bigint"),
+    )
+    return F.aggregate(
+        F.zip_with(signs, weights, lambda s, w: s * w),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def ivf_seed_centroids(

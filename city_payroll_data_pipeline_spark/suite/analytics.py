@@ -2115,7 +2115,7 @@ FROM fp
 # --------------------------------------------------------------------------
 
 
-def q_ann_recall_report(spark, sf_dir):
+def q_ann_recall_report(spark, sf_dir, query_ids=None):
     from city_payroll_data_pipeline_spark.suite.vectors import (
         K,
         N_QUERIES,
@@ -2125,8 +2125,10 @@ def q_ann_recall_report(spark, sf_dir):
         q_sq8_ann_topk,
     )
 
-    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    total = K * N_QUERIES
+    exact = q_cosine_topk(spark, sf_dir, query_ids).select(
+        "query_id", "neighbor_id"
+    )
+    total = K * (N_QUERIES if query_ids is None else len(query_ids))
     # NOTE (r5): keep the per-retriever join+agg form. A measured
     # union-all-approx-then-one-join rewrite was 45% SLOWER at sf0.1
     # (8.3s vs 5.7s): the three independent per-part plans reuse the
@@ -2139,7 +2141,7 @@ def q_ann_recall_report(spark, sf_dir):
         ("lsh", q_lsh_ann_topk),
         ("sq8", q_sq8_ann_topk),
     ):
-        ap = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        ap = fn(spark, sf_dir, query_ids).select("query_id", "neighbor_id")
         parts.append(
             ap.join(exact, ["query_id", "neighbor_id"]).agg(
                 F.lit(name).alias("retriever"),
@@ -2154,22 +2156,22 @@ def q_ann_recall_report(spark, sf_dir):
     return out.orderBy("retriever")
 
 
-def _ann_recall_report_sql() -> str:
+def _ann_recall_report_sql(query_ids=None) -> str:
     from city_payroll_data_pipeline_spark.suite.vectors import (
-        COSINE_TOPK_SQL,
-        IVF_ANN_TOPK_SQL,
         K,
-        LSH_ANN_TOPK_SQL,
         N_QUERIES,
-        SQ8_ANN_TOPK_SQL,
+        _cosine_topk_sql,
+        _ivf_ann_topk_sql,
+        _lsh_ann_topk_sql,
+        _sq8_ann_topk_sql,
     )
 
-    total = K * N_QUERIES
+    total = K * (N_QUERIES if query_ids is None else len(query_ids))
     arms = []
     for name, sql in (
-        ("ivf", IVF_ANN_TOPK_SQL),
-        ("lsh", LSH_ANN_TOPK_SQL),
-        ("sq8", SQ8_ANN_TOPK_SQL),
+        ("ivf", _ivf_ann_topk_sql(query_ids)),
+        ("lsh", _lsh_ann_topk_sql(query_ids)),
+        ("sq8", _sq8_ann_topk_sql(query_ids)),
     ):
         arms.append(f"""
 SELECT '{name}' AS retriever,
@@ -2182,11 +2184,22 @@ JOIN exact ON ap.query_id = exact.query_id
     body = "\nUNION ALL\n".join(arms)
     return f"""
 WITH exact AS MATERIALIZED (
-  SELECT query_id, neighbor_id FROM ({COSINE_TOPK_SQL})
+  SELECT query_id, neighbor_id FROM ({_cosine_topk_sql(query_ids)})
 )
 {body}
 ORDER BY retriever
 """
+
+
+def q_ann_recall_report_sampled(spark, sf_dir):
+    """Hash-sampled eval twin (VERDICT r5 item 4): the same recall@K
+    machinery over SAMPLED_QUERY_IDS, so the exact ground truth costs
+    O(sample × corpus) at any corpus scale. The full-query variant
+    stays registered for complete certification; this is the
+    bench/production-cadence path."""
+    from city_payroll_data_pipeline_spark.suite.vectors import SAMPLED_QUERY_IDS
+
+    return q_ann_recall_report(spark, sf_dir, query_ids=SAMPLED_QUERY_IDS)
 
 
 # --------------------------------------------------------------------------
@@ -2967,6 +2980,10 @@ ORDER BY bin
 """
 
 
+from city_payroll_data_pipeline_spark.suite.vectors import (  # noqa: E402
+    SAMPLED_QUERY_IDS as _SAMPLED_QUERY_IDS,
+)
+
 QUERIES = {
     "weighted_median_length": Query(
         q_weighted_median_length,
@@ -3100,6 +3117,11 @@ QUERIES = {
     ),
     "ann_recall_report": Query(
         q_ann_recall_report, _ann_recall_report_sql(), ("vector", "eval", "recall")
+    ),
+    "ann_recall_report_sampled": Query(
+        q_ann_recall_report_sampled,
+        _ann_recall_report_sql(_SAMPLED_QUERY_IDS),
+        ("vector", "eval", "recall", "sampled"),
     ),
     "nation_ppr": Query(
         q_nation_ppr, NATION_PPR_SQL, ("graph", "pagerank", "personalized")

@@ -10,6 +10,8 @@ before the final (Spark-semantics) rounding.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import functions as F
 
 from city_payroll_data_pipeline_spark.operators import similarity as sim
@@ -19,6 +21,39 @@ from city_payroll_data_pipeline_spark.suite.parity import _sql_round
 DIM = 64
 N_QUERIES = 10  # vec_id < 10 act as the query set
 K = 5
+
+# Deterministic hash-sampled query subset (VERDICT r5 item 4): the
+# *_sampled eval twins pay O(sample × corpus) for the exact ground
+# truth instead of O(N_QUERIES × corpus) — the scale knob for eval
+# cost as the corpus grows. The sample is the N_SAMPLE_QUERIES ids
+# with the smallest md5 digest (content-addressed, not positional, so
+# it stays uniform however query ids are assigned); both engines see
+# the same literal id list.
+N_SAMPLE_QUERIES = 3
+SAMPLED_QUERY_IDS: tuple[int, ...] = tuple(
+    sorted(
+        sorted(
+            range(N_QUERIES),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )[:N_SAMPLE_QUERIES]
+    )
+)
+
+
+def _qpred(query_ids, alias: str | None = None) -> str:
+    """SQL predicate selecting the query set: the full ``vec_id <
+    N_QUERIES`` prefix by default, or an explicit sampled id list."""
+    col = f"{alias}.vec_id" if alias else "vec_id"
+    if query_ids is None:
+        return f"{col} < {N_QUERIES}"
+    return f"{col} IN ({', '.join(str(i) for i in sorted(query_ids))})"
+
+
+def _query_frame(emb, query_ids):
+    """Spark twin of _qpred: the query-set DataFrame."""
+    if query_ids is None:
+        return emb.filter(F.col("vec_id") < N_QUERIES)
+    return emb.filter(F.col("vec_id").isin(list(query_ids)))
 
 # shared SQL fragments -----------------------------------------------------
 
@@ -75,13 +110,14 @@ FROM qv
 # Brute-force exact top-k (the correctness baseline for ANN)
 # --------------------------------------------------------------------------
 
-def q_cosine_topk(spark, sf_dir):
+def q_cosine_topk(spark, sf_dir, query_ids=None):
     emb = table(spark, sf_dir, "embeddings", spread=True)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    queries = _query_frame(emb, query_ids)
     return sim.brute_force_topk(emb, "vec_id", "embedding", queries, k=K)
 
 
-COSINE_TOPK_SQL = f"""
+def _cosine_topk_sql(query_ids=None) -> str:
+    return f"""
 WITH qv AS (
   SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2
   FROM ({_Q_CORPUS_SQL})
@@ -89,7 +125,7 @@ WITH qv AS (
 pairs AS (
   SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_dot_sql('p.q', 'c.q')} AS dot, p.n2 AS n2a, c.n2 AS n2b
-  FROM qv p JOIN qv c ON p.vec_id < {N_QUERIES} AND c.vec_id <> p.vec_id
+  FROM qv p JOIN qv c ON {_qpred(query_ids, 'p')} AND c.vec_id <> p.vec_id
 ),
 scored AS (
   SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine FROM pairs
@@ -103,6 +139,9 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, {_sql_round('cosine', 6)} AS cosine
 FROM ranked WHERE rank <= {K}
 """
+
+
+COSINE_TOPK_SQL = _cosine_topk_sql()
 
 # --------------------------------------------------------------------------
 # Near-duplicate pairs (exact copies synthesized at vec_id+100000)
@@ -152,15 +191,16 @@ FROM (SELECT unnest(range(0, {N_PLANES})) AS p)
 """
 
 
-def q_lsh_ann_topk(spark, sf_dir):
+def q_lsh_ann_topk(spark, sf_dir, query_ids=None):
     emb = table(spark, sf_dir, "embeddings", spread=True)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    queries = _query_frame(emb, query_ids)
     return sim.lsh_topk(
         emb, "vec_id", "embedding", queries, k=K, n_planes=N_PLANES, dim=DIM
     )
 
 
-LSH_ANN_TOPK_SQL = f"""
+def _lsh_ann_topk_sql(query_ids=None) -> str:
+    return f"""
 WITH qv AS (
   SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2
   FROM ({_Q_CORPUS_SQL})
@@ -184,7 +224,7 @@ pairs AS (
   SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_dot_sql('p.q', 'c.q')} AS dot, p.n2 AS n2a, c.n2 AS n2b
   FROM qb p JOIN qb c
-    ON p.vec_id < {N_QUERIES} AND p.bucket = c.bucket
+    ON {_qpred(query_ids, 'p')} AND p.bucket = c.bucket
    AND c.vec_id <> p.vec_id
 ),
 scored AS (
@@ -201,6 +241,9 @@ FROM ranked WHERE rank <= {K}
 """
 
 
+LSH_ANN_TOPK_SQL = _lsh_ann_topk_sql()
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) approximate top-k — deterministic seed centroids
 # --------------------------------------------------------------------------
@@ -210,16 +253,17 @@ N_PROBE = 3
 CENTROID_STRIDE = 7
 
 
-def q_ivf_ann_topk(spark, sf_dir):
+def q_ivf_ann_topk(spark, sf_dir, query_ids=None):
     emb = table(spark, sf_dir, "embeddings", spread=True)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    queries = _query_frame(emb, query_ids)
     return sim.ivf_topk(
         emb, "vec_id", "embedding", queries,
         k=K, n_lists=N_LISTS, n_probe=N_PROBE, centroid_stride=CENTROID_STRIDE,
     )
 
 
-IVF_ANN_TOPK_SQL = f"""
+def _ivf_ann_topk_sql(query_ids=None) -> str:
+    return f"""
 WITH qv AS (
   SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2
   FROM ({_Q_CORPUS_SQL})
@@ -248,7 +292,7 @@ ranked_cells AS (
 corpus_a AS (SELECT vec_id, q, n2, list_id FROM ranked_cells WHERE r = 1),
 qry_a AS (
   SELECT vec_id, q, n2, list_id FROM ranked_cells
-  WHERE r <= {N_PROBE} AND vec_id < {N_QUERIES}
+  WHERE r <= {N_PROBE} AND {_qpred(query_ids)}
 ),
 pairs AS (
   SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -268,6 +312,9 @@ final_ranked AS (
 SELECT query_id, rank, neighbor_id, {_sql_round('cosine', 6)} AS cosine
 FROM final_ranked WHERE rank <= {K}
 """
+
+
+IVF_ANN_TOPK_SQL = _ivf_ann_topk_sql()
 
 
 # --------------------------------------------------------------------------
@@ -469,18 +516,19 @@ _SQ8_SQL = (
 )
 
 
-def q_sq8_ann_topk(spark, sf_dir):
+def q_sq8_ann_topk(spark, sf_dir, query_ids=None):
     emb = table(spark, sf_dir, "embeddings", spread=True)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    queries = _query_frame(emb, query_ids)
     return sim.sq8_topk(emb, "vec_id", "embedding", queries, k=K)
 
 
-SQ8_ANN_TOPK_SQL = f"""
+def _sq8_ann_topk_sql(query_ids=None) -> str:
+    return f"""
 WITH qv AS (SELECT vec_id, {_SQ8_SQL} AS q8 FROM embeddings),
 pairs AS (
   SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_dot_sql('p.q8', 'c.q8')} AS dot8
-  FROM qv p JOIN qv c ON p.vec_id < {N_QUERIES} AND c.vec_id <> p.vec_id
+  FROM qv p JOIN qv c ON {_qpred(query_ids, 'p')} AND c.vec_id <> p.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, dot8,
@@ -491,6 +539,9 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, dot8
 FROM ranked WHERE rank <= {K}
 """
+
+
+SQ8_ANN_TOPK_SQL = _sq8_ann_topk_sql()
 
 
 def kmeans_cached(spark, sf_dir):
@@ -920,9 +971,9 @@ EMBEDDING_SPECTRAL_NORM_SQL = _spectral_sql()
 NDCG_K = 10
 
 
-def q_ndcg_eval(spark, sf_dir):
+def q_ndcg_eval(spark, sf_dir, query_ids=None):
     emb = table(spark, sf_dir, "embeddings", spread=True)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    queries = _query_frame(emb, query_ids)
     exact = sim.brute_force_topk(
         emb, "vec_id", "embedding", queries, k=NDCG_K
     ).select("query_id", "neighbor_id", F.col("rank").alias("exact_rank"))
@@ -970,7 +1021,7 @@ def q_ndcg_eval(spark, sf_dir):
     ).orderBy("query_id")
 
 
-def _ndcg_sql() -> str:
+def _ndcg_sql(query_ids=None) -> str:
     disc = _sql_round("1.0 / log2(CAST(l.rank AS DOUBLE) + 1)", 12)
     idcg_disc = _sql_round("1.0 / log2(CAST(i AS DOUBLE) + 1)", 12)
     return f"""
@@ -981,7 +1032,7 @@ WITH qv AS (
 exact_pairs AS (
   SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_dot_sql('p.q', 'c.q')} AS dot, p.n2 AS n2a, c.n2 AS n2b
-  FROM qv p JOIN qv c ON p.vec_id < {N_QUERIES} AND c.vec_id <> p.vec_id
+  FROM qv p JOIN qv c ON {_qpred(query_ids, 'p')} AND c.vec_id <> p.vec_id
 ),
 exact_ranked AS (
   SELECT query_id, neighbor_id, rank FROM (
@@ -1011,7 +1062,7 @@ lsh_pairs AS (
   SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_dot_sql('p.q', 'c.q')} AS dot, p.n2 AS n2a, c.n2 AS n2b
   FROM qb p JOIN qb c
-    ON p.vec_id < {N_QUERIES} AND p.bucket = c.bucket
+    ON {_qpred(query_ids, 'p')} AND p.bucket = c.bucket
    AND c.vec_id <> p.vec_id
 ),
 lsh_ranked AS (
@@ -1068,11 +1119,25 @@ ORDER BY qs.query_id
 """
 
 
+def q_ndcg_eval_sampled(spark, sf_dir):
+    """Hash-sampled eval twin (VERDICT r5 item 4): identical nDCG
+    machinery over the SAMPLED_QUERY_IDS subset, so the exact ground
+    truth costs O(sample × corpus) at any scale. The full-query
+    variant stays registered for complete certification; this one is
+    the bench/production-cadence path."""
+    return q_ndcg_eval(spark, sf_dir, query_ids=SAMPLED_QUERY_IDS)
+
+
 QUERIES = {
     "ndcg_eval": Query(
         q_ndcg_eval,
         _ndcg_sql(),
         ("vector", "eval", "ndcg", "ranking"),
+    ),
+    "ndcg_eval_sampled": Query(
+        q_ndcg_eval_sampled,
+        _ndcg_sql(SAMPLED_QUERY_IDS),
+        ("vector", "eval", "ndcg", "sampled"),
     ),
     "embedding_spectral_norm": Query(
         q_embedding_spectral_norm,
