@@ -354,6 +354,15 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
+    # Regression tripwire for the flagship reference-parity contract
+    # (VERDICT r5 item 8): the 4-query core has floored ~2.8 s at
+    # sf0.1 since r3; if the growing suite ever drags it past 5 s the
+    # flag surfaces in both records without voiding the bench line.
+    core = [q for q in ("budget_report", "full_export", "kpi_stats",
+                        "fct_derivations") if q in times]
+    core_total = round(sum(times[q] for q in core), 3)
+    detail["core_total"] = core_total
+    detail["core_budget_exceeded"] = core_total > 5.0 or len(core) < 4
     # Full per-query detail goes to a file: the driver keeps only the last
     # ~2000 chars of stdout, and the full line (200+ queries) exceeds that,
     # which truncated its head and made round 3's record unparseable.
@@ -366,8 +375,6 @@ def main() -> None:
     # The LAST stdout line is a short, always-parseable summary: the
     # parity-core queries plus the 10 slowest, bounded well under the
     # driver's tail buffer.
-    core = [q for q in ("budget_report", "full_export", "kpi_stats",
-                        "fct_derivations") if q in times]
     slowest = sorted(times, key=times.get, reverse=True)[:10]
     short_queries = {q: times[q] for q in dict.fromkeys(core + slowest)}
     out = {
@@ -377,6 +384,8 @@ def main() -> None:
         "queries": short_queries,
         "n_queries": len(times),
         "n_errors": len(errors),
+        "core_total": core_total,
+        "core_budget_exceeded": detail["core_budget_exceeded"],
         "detail_file": "BENCH_DETAIL.json",
         "sf": sf,
     }
