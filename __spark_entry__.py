@@ -73,6 +73,9 @@ _ROUND_NEW = (
     # item 4) — brand-new cross-engine surfaces, verdict needed first.
     "ann_recall_report_sampled",
     "ndcg_eval_sampled",
+    # --- round-6 NEW: product-quantization retriever + index audit.
+    "pq_ann_topk",
+    "pq_code_balance",
     # --- the 15 queued below the r5 cut (VERDICT r5 item 1 names
     # these as the front of the r6 queue).
     "dedup_clusters",

@@ -416,3 +416,129 @@ def rrf_fuse(
             F.round("rrf_score", 6).alias("rrf_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance (ADC) scoring —
+# the compressed-index family's third member next to SQ8 (scalar) and
+# IVF (coarse cells). At 100 TB PQ is the workhorse: each vector is
+# stored as m_sub small codes (here 8 × 4-bit-range codes vs 64
+# floats), and queries score candidates via a per-query lookup table
+# (ADC: Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search") without ever touching the original vectors.
+#
+# Determinism contract (same as IVF): codewords are subvectors of
+# stride-sampled corpus vectors — no k-means RNG — so the DuckDB
+# oracle replays codebook, codes, LUT and scores bit-exactly. A real
+# deployment Lloyd-refines each subspace codebook; the encode/LUT/ADC
+# plan shape (the part that matters for Spark) is identical.
+# --------------------------------------------------------------------------
+
+
+def pq_subvectors(q: Column, m_sub: int, d_sub: int) -> Column:
+    """array<bigint> → array of ``m_sub`` contiguous subvectors."""
+    return F.array(*[F.slice(q, m * d_sub + 1, d_sub) for m in range(m_sub)])
+
+
+def pq_codebook(
+    quantized: DataFrame, m_sub: int, d_sub: int, k_codes: int, stride: int
+) -> DataFrame:
+    """(m, cw, cq): codeword ``cw`` of subspace ``m`` is subvector ``m``
+    of seed vector vec_id = cw·stride. Tiny frame (m_sub × k_codes
+    rows) — always broadcast by callers."""
+    return (
+        quantized.filter(
+            (F.col("vec_id") % stride == 0)
+            & (F.col("vec_id") < stride * k_codes)
+        )
+        .select(
+            (F.col("vec_id") / stride).cast("int").alias("cw"),
+            F.posexplode(pq_subvectors(F.col("q"), m_sub, d_sub)).alias(
+                "m", "cq"
+            ),
+        )
+    )
+
+
+def pq_encode(
+    quantized: DataFrame, codebook: DataFrame, m_sub: int, d_sub: int
+) -> DataFrame:
+    """Corpus codes (vec_id, m, cw): nearest codeword per subspace by
+    exact integer squared L2 (ties → smaller cw). One broadcast join
+    against the tiny codebook + one bounded window (k_codes rows per
+    (vec, m) group) — the corpus shuffles once on vec_id, never
+    self-joins."""
+    sub = quantized.select(
+        "vec_id",
+        F.posexplode(pq_subvectors(F.col("q"), m_sub, d_sub)).alias(
+            "m", "sub"
+        ),
+    )
+    scored = sub.join(F.broadcast(codebook), "m").select(
+        "vec_id",
+        "m",
+        "cw",
+        (
+            dot_q(F.col("sub"), F.col("sub"))
+            - 2 * dot_q(F.col("sub"), F.col("cq"))
+            + dot_q(F.col("cq"), F.col("cq"))
+        ).alias("_d2"),
+    )
+    w = W.partitionBy("vec_id", "m").orderBy(F.asc("_d2"), F.asc("cw"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "m", "cw")
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    m_sub: int = 32,
+    k_codes: int = 64,
+    codebook_stride: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ/ADC approximate top-k by inner product.
+
+    Defaults are the r6-tuned frontier point (suite/vectors.py): fine
+    2-dim subspaces compensate for untrained seed codebooks —
+    recall@5 0.70 at sf0.01 vs 0.16 for the textbook 8×16 shape.
+
+    Plan shape: encode is one broadcast join + bounded window; the
+    query LUT (queries × m_sub × k_codes rows — e.g. 10×8×16 = 1280)
+    is broadcast against the encoded corpus, and the ADC score is a
+    groupBy-sum of exactly m_sub bigints per (query, neighbor). The
+    original vectors are read once for encoding and never rejoined —
+    the property that makes PQ the 100 TB path: scoring touches only
+    the code table (m_sub small ints per vector).
+    """
+    d_sub = dim // m_sub
+    corpus = with_quantized(df, id_col, vec_col)
+    cb = pq_codebook(corpus, m_sub, d_sub, k_codes, codebook_stride)
+    enc = pq_encode(corpus, cb, m_sub, d_sub)
+    qry = with_quantized(queries if queries is not None else df, id_col, vec_col)
+    lut = (
+        qry.select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(pq_subvectors(F.col("q"), m_sub, d_sub)).alias(
+                "m", "sub"
+            ),
+        )
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id", "m", "cw", dot_q(F.col("sub"), F.col("cq")).alias("dotv")
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(lut), ["m", "cw"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dotv").alias("adc_dot"))
+    )
+    # integer ADC score — exact, no rounding
+    return _per_query_topk(scored, "adc_dot", k, round_score=False)

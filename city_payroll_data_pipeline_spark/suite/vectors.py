@@ -1128,7 +1128,136 @@ def q_ndcg_eval_sampled(spark, sf_dir):
     return q_ndcg_eval(spark, sf_dir, query_ids=SAMPLED_QUERY_IDS)
 
 
+# --------------------------------------------------------------------------
+# Product quantization (PQ/ADC) — the compressed-code retriever
+# (operators/similarity.py pq_topk) plus a codeword-balance audit.
+# --------------------------------------------------------------------------
+
+# Tuned on the recall/compression frontier (r6 sweep, SCALE.md):
+# m=8/k=16 gave recall@5 0.16, m=32/k=16 0.54, m=32/k=64 0.70 at
+# sf0.01 — untrained seed codebooks need fine subspaces (d_sub=2) to
+# quantize acceptably. 32 codes × 6 bits ≈ 24 B/vector vs 256 B of
+# floats. Seeds need max vec_id ≥ stride·(k_codes−1) = 441 (< 500,
+# the smallest SF's corpus).
+PQ_M = 32       # subspaces (d_sub = DIM/PQ_M = 2 dims each)
+PQ_KS = 64      # codewords per subspace
+PQ_STRIDE = 7   # deterministic seed stride
+
+
+def q_pq_ann_topk(spark, sf_dir, query_ids=None):
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    queries = _query_frame(emb, query_ids)
+    return sim.pq_topk(
+        emb, "vec_id", "embedding", queries,
+        k=K, m_sub=PQ_M, k_codes=PQ_KS, codebook_stride=PQ_STRIDE, dim=DIM,
+    )
+
+
+_PQ_DSUB = DIM // PQ_M
+
+_PQ_SUBS_SQL = f"""
+SELECT vec_id, m,
+       list_slice(q, m * {_PQ_DSUB} + 1, (m + 1) * {_PQ_DSUB}) AS sub
+FROM ({_Q_CORPUS_SQL}) CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m)
+"""
+
+_PQ_CB_SQL = f"""
+SELECT CAST(vec_id / {PQ_STRIDE} AS INT) AS cw, m, sub AS cq
+FROM subs
+WHERE vec_id % {PQ_STRIDE} = 0 AND vec_id < {PQ_STRIDE * PQ_KS}
+"""
+
+_PQ_ENC_SQL = f"""
+SELECT vec_id, m, cw FROM (
+  SELECT s.vec_id, s.m, c.cw,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.vec_id, s.m
+           ORDER BY {_dot_sql('s.sub', 's.sub')}
+                    - 2 * {_dot_sql('s.sub', 'c.cq')}
+                    + {_dot_sql('c.cq', 'c.cq')},
+                    c.cw) AS r
+  FROM subs s JOIN cb c ON s.m = c.m)
+WHERE r = 1
+"""
+
+
+def _pq_ann_topk_sql(query_ids=None) -> str:
+    return f"""
+WITH subs AS ({_PQ_SUBS_SQL}),
+cb AS ({_PQ_CB_SQL}),
+enc AS ({_PQ_ENC_SQL}),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.cw, {_dot_sql('s.sub', 'c.cq')} AS dotv
+  FROM subs s JOIN cb c ON s.m = c.m
+  WHERE {_qpred(query_ids, 's')}
+),
+scored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         CAST(SUM(dotv) AS BIGINT) AS adc_dot
+  FROM enc e JOIN lut l ON e.m = l.m AND e.cw = l.cw
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dot,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY adc_dot DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, adc_dot
+FROM ranked WHERE rank <= {K}
+"""
+
+
+PQ_ANN_TOPK_SQL = _pq_ann_topk_sql()
+
+
+def q_pq_code_balance(spark, sf_dir):
+    """Codeword-usage histogram per subspace — the PQ index-health
+    audit. At scale a skewed histogram (one codeword absorbing most
+    vectors) means the ADC score can no longer discriminate within
+    that subspace; this is the check run after every codebook
+    (re)train. share is exact-count arithmetic; max_share surfaces the
+    worst subspace first."""
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    corpus = sim.with_quantized(emb, "vec_id", "embedding")
+    cb = sim.pq_codebook(corpus, PQ_M, _PQ_DSUB, PQ_KS, PQ_STRIDE)
+    enc = sim.pq_encode(corpus, cb, PQ_M, _PQ_DSUB)
+    per = enc.groupBy("m", "cw").agg(F.count("*").alias("n_vecs"))
+    tot = enc.groupBy("m").agg(F.count("*").alias("m_total"))
+    return (
+        per.join(tot, "m")
+        .select(
+            "m",
+            "cw",
+            "n_vecs",
+            F.round(F.col("n_vecs") / F.col("m_total"), 6).alias("share"),
+        )
+        .orderBy("m", "cw")
+    )
+
+
+PQ_CODE_BALANCE_SQL = f"""
+WITH subs AS ({_PQ_SUBS_SQL}),
+cb AS ({_PQ_CB_SQL}),
+enc AS ({_PQ_ENC_SQL}),
+per AS (SELECT m, cw, COUNT(*) AS n_vecs FROM enc GROUP BY m, cw),
+tot AS (SELECT m, COUNT(*) AS m_total FROM enc GROUP BY m)
+SELECT per.m, per.cw, per.n_vecs,
+       {_sql_round('CAST(per.n_vecs AS DOUBLE) / tot.m_total', 6)} AS share
+FROM per JOIN tot ON per.m = tot.m
+ORDER BY per.m, per.cw
+"""
+
+
 QUERIES = {
+    "pq_ann_topk": Query(
+        q_pq_ann_topk, PQ_ANN_TOPK_SQL, ("vector", "ann", "pq", "adc")
+    ),
+    "pq_code_balance": Query(
+        q_pq_code_balance, PQ_CODE_BALANCE_SQL, ("vector", "pq", "audit")
+    ),
     "ndcg_eval": Query(
         q_ndcg_eval,
         _ndcg_sql(),

@@ -237,6 +237,9 @@ _INTENTIONAL_BNLJ = {
     "chunk_dedup_rate",       # broadcast 1-row distinct-count scalar
     "ann_recall_report",      # inherits the retrievers' broadcast query sets
     "ndcg_eval",              # inherits the retrievers' broadcast query sets
+    "ann_recall_report_sampled",  # same shapes over the sampled query subset
+    "ndcg_eval_sampled",      # same shapes over the sampled query subset
+    "approx_distinct_stats",  # cross join of three 1-row scalar frames
     "sq8_ann_topk",           # broadcast query set vs corpus
     "tfidf_top_terms",        # broadcast 1-row corpus count
     "training_mix_report",    # broadcast 1-row min-token + 1-row total

@@ -239,6 +239,55 @@ def test_sq8_topk_recall_vs_brute_force(spark):
     assert len(es & qs) / len(es) >= 0.7
 
 
+def test_pq_topk_recall_vs_brute_force(spark):
+    """PQ/ADC with the tuned 32×64 seed codebooks must hold a solid
+    majority of the exact top-k (measured 0.70 at sf0.01 / 0.62 at
+    sf0.1; the bound is slack for per-round testdata regeneration).
+    It matches its own oracle exactly — this guards the
+    recall/compression trade-off from regressing."""
+    from city_payroll_data_pipeline_spark.suite import build_suite
+    from tests.conftest import SF_CORRECT
+
+    suite = build_suite()
+    exact = suite["cosine_topk"].spark(spark, SF_CORRECT).toPandas()
+    pq = suite["pq_ann_topk"].spark(spark, SF_CORRECT).toPandas()
+    es = set(zip(exact.query_id, exact.neighbor_id))
+    ps = set(zip(pq.query_id, pq.neighbor_id))
+    assert len(es & ps) / len(es) >= 0.5
+
+
+def test_pq_codes_complete_and_bounded(spark):
+    """Every corpus vector gets exactly one code per subspace and all
+    codes are in [0, k_codes) — the invariant the ADC sum relies on
+    (m_sub addends per (query, neighbor) pair)."""
+    from pyspark.sql import functions as F
+
+    from city_payroll_data_pipeline_spark.operators import similarity as sim
+    from city_payroll_data_pipeline_spark.suite import table
+    from city_payroll_data_pipeline_spark.suite.vectors import (
+        _PQ_DSUB,
+        PQ_KS,
+        PQ_M,
+        PQ_STRIDE,
+    )
+    from tests.conftest import SF_CORRECT
+
+    emb = table(spark, SF_CORRECT, "embeddings")
+    corpus = sim.with_quantized(emb, "vec_id", "embedding")
+    cb = sim.pq_codebook(corpus, PQ_M, _PQ_DSUB, PQ_KS, PQ_STRIDE)
+    enc = sim.pq_encode(corpus, cb, PQ_M, _PQ_DSUB)
+    n_vecs = corpus.count()
+    stats = enc.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("vec_id").alias("nv"),
+        F.min("cw").alias("lo"),
+        F.max("cw").alias("hi"),
+    ).collect()[0]
+    assert stats["n"] == n_vecs * PQ_M  # one code per (vector, subspace)
+    assert stats["nv"] == n_vecs
+    assert 0 <= stats["lo"] and stats["hi"] < PQ_KS
+
+
 def test_sanitize_text_strips_and_restores(spark):
     """Control chars, zero-width chars, and whitespace runs all go;
     tabs/newlines collapse to single spaces; clean text is unchanged."""
