@@ -76,6 +76,8 @@ _ROUND_NEW = (
     # --- round-6 NEW: product-quantization retriever + index audit.
     "pq_ann_topk",
     "pq_code_balance",
+    # --- round-6 NEW: published Gopher ruleset as a per-source funnel.
+    "gopher_rules_funnel",
     # --- the 15 queued below the r5 cut (VERDICT r5 item 1 names
     # these as the front of the r6 queue).
     "dedup_clusters",

@@ -46,6 +46,7 @@ HEADLINE = [
     "incremental_dedup",
     "corpus_clean_pipeline",
     "doc_quality",
+    "gopher_rules_funnel",
     "doc_repetition",
     "tfidf_top_terms",
     "common_phrases",

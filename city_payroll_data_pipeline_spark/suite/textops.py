@@ -510,6 +510,164 @@ FROM feat
 # Fingerprint + exact dedup
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, table A1) — the published
+# heuristic ruleset, as a per-source attrition funnel: how many
+# documents each rule kills and what survives all of them. Unlike the
+# generic doc_quality score, the rules are named and thresholded, so
+# the funnel is directly comparable across corpora — the artifact a
+# data team actually reviews before a training run.
+#
+# Every rule is exact-integer counting + one IEEE division compared
+# against a literal, identical in both engines; the whole funnel is
+# one map-side projection and one groupBy(source).
+# --------------------------------------------------------------------------
+
+#: Gopher's "must contain at least 2 of" stop words.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLET_RE = r"^[ \t]*[-*•]"
+_ELLIPSIS_RE = r"(\.\.\.|…)[ \t]*$"
+
+
+def q_gopher_rules_funnel(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    text = F.col("text")
+    low = F.lower(text)
+    toks = tokens_array(text)
+    lines = F.split(text, "\n")
+    n_tokens = F.size(toks)
+    word_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE)))
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_RE)))
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}")))
+    n_symbols = F.regexp_count(text, F.lit("#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.")
+    )
+    n_stop_kinds = sum(
+        F.when(low.rlike(rf"\b{s}\b"), 1).otherwise(0) for s in GOPHER_STOPS
+    )
+    dbl = F.lit(1.0)  # multiply to force double division like the oracle
+    rules = {
+        # r1: 50 <= word count <= 100000
+        "wordcount": (n_tokens >= 50) & (n_tokens <= 100000),
+        # r2: mean word length in [3, 10]
+        "meanlen": (
+            (word_chars * dbl / F.nullif(n_tokens, F.lit(0)) >= 3.0)
+            & (word_chars * dbl / F.nullif(n_tokens, F.lit(0)) <= 10.0)
+        ),
+        # r3: (hash + ellipsis) to word ratio <= 0.1
+        "symbol": n_symbols * dbl / F.nullif(n_tokens, F.lit(0)) <= 0.1,
+        # r4a: <= 90% of lines start with a bullet
+        "bullets": n_bullet * dbl / F.nullif(n_lines, F.lit(0)) <= 0.9,
+        # r4b: <= 30% of lines end with an ellipsis
+        "ellipsis": n_ellipsis * dbl / F.nullif(n_lines, F.lit(0)) <= 0.3,
+        # r5: >= 80% of words contain an alphabetic character
+        "alpha": n_alpha_words * dbl / F.nullif(n_tokens, F.lit(0)) >= 0.8,
+        # r6: at least 2 distinct Gopher stop words present
+        "stopwords": n_stop_kinds >= 2,
+    }
+    # NULL rule (0-token/0-line doc) counts as a failure — when().
+    # otherwise() and SQL's CASE both send NULL conditions to ELSE.
+    flags = docs.select(
+        "source",
+        *[F.when(cond, 0).otherwise(1).alias(f"f_{k}") for k, cond in rules.items()],
+    ).withColumn(
+        "kept",
+        F.when(sum(F.col(f"f_{k}") for k in rules) == 0, 1).otherwise(0),
+    )
+    # n_keep_core: all rules except the stop-word one — the synthetic
+    # corpus' vocabulary contains almost none of Gopher's 8 stop words,
+    # so the faithful rule 6 kills ~everything; the core column keeps
+    # the funnel informative while the full rule set stays published-
+    # faithful.
+    flags = flags.withColumn(
+        "kept_core",
+        F.when(
+            sum(F.col(f"f_{k}") for k in rules if k != "stopwords") == 0, 1
+        ).otherwise(0),
+    )
+    aggs = [F.count("*").alias("n_docs")] + [
+        F.sum(f"f_{k}").alias(f"fail_{k}") for k in rules
+    ] + [
+        F.sum("kept").alias("n_keep"),
+        F.sum("kept_core").alias("n_keep_core"),
+        F.round(F.sum("kept_core") / F.count("*"), 6).alias("keep_core_rate"),
+    ]
+    return flags.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def _gopher_sql() -> str:
+    stops = " + ".join(
+        f"CASE WHEN regexp_matches(lower(text), '\\b{s}\\b') THEN 1 ELSE 0 END"
+        for s in GOPHER_STOPS
+    )
+    rules = {
+        "wordcount": "n_tokens >= 50 AND n_tokens <= 100000",
+        "meanlen": (
+            "CAST(word_chars AS DOUBLE) / NULLIF(n_tokens, 0) >= 3.0 AND "
+            "CAST(word_chars AS DOUBLE) / NULLIF(n_tokens, 0) <= 10.0"
+        ),
+        "symbol": "CAST(n_symbols AS DOUBLE) / NULLIF(n_tokens, 0) <= 0.1",
+        "bullets": "CAST(n_bullet AS DOUBLE) / NULLIF(n_lines, 0) <= 0.9",
+        "ellipsis": "CAST(n_ellipsis AS DOUBLE) / NULLIF(n_lines, 0) <= 0.3",
+        "alpha": "CAST(n_alpha_words AS DOUBLE) / NULLIF(n_tokens, 0) >= 0.8",
+        "stopwords": "n_stop_kinds >= 2",
+    }
+    flag_cols = ",\n         ".join(
+        f"CASE WHEN {cond} THEN 0 ELSE 1 END AS f_{k}" for k, cond in rules.items()
+    )
+    fail_aggs = ",\n       ".join(
+        f"CAST(SUM(f_{k}) AS BIGINT) AS fail_{k}" for k in rules
+    )
+    all_pass = " + ".join(f"f_{k}" for k in rules)
+    core_pass = " + ".join(f"f_{k}" for k in rules if k != "stopwords")
+    return rf"""
+WITH feat AS (
+  SELECT source,
+         len(regexp_extract_all(trim(text), '\S+', 0)) AS n_tokens,
+         CAST(list_sum(list_transform(
+             regexp_extract_all(trim(text), '\S+', 0), t -> length(t)))
+           AS BIGINT) AS word_chars,
+         len(split(text, chr(10))) AS n_lines,
+         len(list_filter(split(text, chr(10)),
+             l -> regexp_matches(l, '{_BULLET_RE}'))) AS n_bullet,
+         len(list_filter(split(text, chr(10)),
+             l -> regexp_matches(l, '{_ELLIPSIS_RE}'))) AS n_ellipsis,
+         len(list_filter(regexp_extract_all(trim(text), '\S+', 0),
+             t -> regexp_matches(t, '\p{{L}}'))) AS n_alpha_words,
+         len(regexp_extract_all(text, '#', 0))
+           + len(regexp_extract_all(text, '\.\.\.', 0)) AS n_symbols,
+         {stops} AS n_stop_kinds
+  FROM documents
+),
+flags AS (
+  SELECT source,
+         {flag_cols}
+  FROM feat
+)
+SELECT source, COUNT(*) AS n_docs,
+       {fail_aggs},
+       CAST(SUM(CASE WHEN {all_pass} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep,
+       CAST(SUM(CASE WHEN {core_pass} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep_core,
+       {_sql_round(
+           f'SUM(CASE WHEN {core_pass} = 0 THEN 1 ELSE 0 END) '
+           '/ CAST(COUNT(*) AS DOUBLE)', 6)} AS keep_core_rate
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+
+GOPHER_RULES_FUNNEL_SQL = _gopher_sql()
+
+
 def q_doc_fingerprint(spark, sf_dir):
     docs = table(spark, sf_dir, "documents", spread=True)
     return docs.select(
@@ -4418,6 +4576,11 @@ QUERIES = {
         ("cleaning", "line-filter", "c4"),
     ),
     "doc_quality": Query(q_doc_quality, DOC_QUALITY_SQL, ("text", "quality")),
+    "gopher_rules_funnel": Query(
+        q_gopher_rules_funnel,
+        GOPHER_RULES_FUNNEL_SQL,
+        ("text", "quality", "gopher", "funnel"),
+    ),
     "doc_fingerprint": Query(q_doc_fingerprint, DOC_FINGERPRINT_SQL, ("text",)),
     "exact_dedup_groups": Query(
         q_exact_dedup_groups, EXACT_DEDUP_GROUPS_SQL, ("dedup", "exact")
