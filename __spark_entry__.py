@@ -78,6 +78,8 @@ _ROUND_NEW = (
     "pq_code_balance",
     # --- round-6 NEW: published Gopher ruleset as a per-source funnel.
     "gopher_rules_funnel",
+    # --- round-6 NEW: deterministic Laplace-mechanism DP release.
+    "dp_noisy_counts",
     # --- the 15 queued below the r5 cut (VERDICT r5 item 1 names
     # these as the front of the r6 queue).
     "dedup_clusters",

@@ -123,6 +123,7 @@ HEADLINE = [
     "dedup_rate_report",
     "key_gini_skew",
     "k_anonymity_audit",
+    "dp_noisy_counts",
     "incremental_report_maintenance",
     "lineitem_corr",
     "basket_pairs",

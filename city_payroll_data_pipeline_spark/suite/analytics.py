@@ -1796,6 +1796,81 @@ ORDER BY k
 
 
 # --------------------------------------------------------------------------
+# dp_noisy_counts — differentially-private release of per-source
+# document counts (Laplace mechanism, doc-level DP: one row per
+# document → sensitivity 1, b = 1/ε).
+#
+# The noise is DETERMINISTIC: u ~ Uniform(-1/2, 1/2) comes from the
+# md5 of a fixed salt + the group key (15 hex chars / 2^60 — an exact
+# double), pushed through the Laplace inverse CDF
+# noise = −b·sign(u)·ln(1 − 2|u|). That makes the release replayable
+# and oracle-checkable; a production system swaps the salt for a
+# per-release secret drawn once (the mechanism and its ε-accounting
+# are unchanged). The 6-dp round absorbs cross-libm ln() ulp drift
+# (house pattern, see lineitem_corr).
+#
+# Scale: noise is one map-side expression on the |groups|-sized
+# aggregate frame — the corpus is read once for the groupBy; nothing
+# about the mechanism grows with corpus size.
+# --------------------------------------------------------------------------
+
+_DP_EPSILON = 1.0
+_DP_SALT = "dp-noise-v1|"
+
+
+def q_dp_noisy_counts(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import hex_to_long
+
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    u01 = hex_to_long(
+        F.substring(F.md5(F.concat(F.lit(_DP_SALT), F.col("source"))), 1, 15)
+    ) / F.lit(float(1 << 60))
+    u = u01 - 0.5
+    b = 1.0 / _DP_EPSILON
+    # 1-2|u| ∈ (2^-60, 1]; greatest() guards the measure-zero u01=0
+    # identically in both engines.
+    noise = -b * F.signum(u) * F.log(
+        F.greatest(F.lit(1e-18), F.lit(1.0) - 2 * F.abs(u))
+    )
+    return (
+        counts.select(
+            "source",
+            "n_docs",
+            F.round(noise, 6).alias("noise"),
+            F.round(F.col("n_docs") + noise, 6).alias("noisy_count"),
+            F.lit(_DP_EPSILON).alias("epsilon"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dp_noisy_sql() -> str:
+    u01 = (
+        f"CAST('0x' || substr(md5('{_DP_SALT}' || source), 1, 15) AS BIGINT)"
+        f" / {float(1 << 60)!r}"
+    )
+    noise = (
+        f"-{1.0 / _DP_EPSILON!r} * sign(({u01}) - 0.5)"
+        f" * ln(greatest(1e-18, 1.0 - 2 * abs(({u01}) - 0.5)))"
+    )
+    return f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT source, n_docs,
+       {_sql_round(noise, 6)} AS noise,
+       {_sql_round(f'n_docs + ({noise})', 6)} AS noisy_count,
+       {_DP_EPSILON!r} AS epsilon
+FROM counts
+ORDER BY source
+"""
+
+
+DP_NOISY_COUNTS_SQL = _dp_noisy_sql()
+
+
+# --------------------------------------------------------------------------
 # incremental_report_maintenance — incremental view maintenance (IVM)
 # for the flagship budget report.
 #
@@ -3092,6 +3167,11 @@ QUERIES = {
     ),
     "key_gini_skew": Query(
         q_key_gini_skew, KEY_GINI_SKEW_SQL, ("skew", "diagnostics", "gini")
+    ),
+    "dp_noisy_counts": Query(
+        q_dp_noisy_counts,
+        DP_NOISY_COUNTS_SQL,
+        ("privacy", "differential-privacy", "laplace"),
     ),
     "k_anonymity_audit": Query(
         q_k_anonymity_audit, K_ANONYMITY_AUDIT_SQL, ("privacy", "governance")
