@@ -80,6 +80,8 @@ _ROUND_NEW = (
     "gopher_rules_funnel",
     # --- round-6 NEW: deterministic Laplace-mechanism DP release.
     "dp_noisy_counts",
+    # --- round-6 NEW: Fellegi-Sunter probabilistic record linkage.
+    "fellegi_sunter_linkage",
     # --- the 15 queued below the r5 cut (VERDICT r5 item 1 names
     # these as the front of the r6 queue).
     "dedup_clusters",

@@ -112,6 +112,7 @@ HEADLINE = [
     "pps_weighted_sample",
     "ks_source_drift",
     "blocked_fuzzy_match",
+    "fellegi_sunter_linkage",
     "zorder_layout_stats",
     "touch_attribution",
     "trade_triangles",

@@ -399,6 +399,126 @@ ORDER BY nationkey, c_name, s_name
 """
 
 # --------------------------------------------------------------------------
+# fellegi_sunter_linkage — probabilistic record linkage (Fellegi &
+# Sunter 1969): the classical entity-resolution decision model on top
+# of blocked candidate generation.
+#
+# Each candidate pair gets a log-likelihood score Σ_i γ_i·ln(m_i/u_i)
+# + (1−γ_i)·ln((1−m_i)/(1−u_i)) over field-agreement indicators γ,
+# then the three-way decision rule (match / review / non-match) by
+# upper/lower thresholds — exactly the artifact a linkage pipeline
+# tunes. m/u parameters are fixed literals here (a production system
+# EM-fits them; the scoring/decision plan is identical), and the
+# ln-weights are computed DRIVER-SIDE so both engines add the same
+# double literals — no cross-libm ln in the row path.
+#
+# Scale: same nation-blocking as blocked_fuzzy_match (|C_b|·|S_b| per
+# block, never |C|·|S|); scoring is a map-side CASE-sum; the output is
+# the |blocks|×3 decision matrix, aggregated with order-independent
+# decimal sums.
+# --------------------------------------------------------------------------
+
+import math as _math
+
+#: (field, m = P(agree|match), u = P(agree|non-match))
+_FS_FIELDS = (
+    ("idtok", 0.95, 0.02),    # 9-char name id-token within edit distance 1
+    ("balcents", 0.90, 0.01), # exact trailing cents digits of the balance
+    ("balband", 0.85, 0.15),  # account-balance thousand-band
+)
+_FS_W = {
+    name: (_math.log(m / u), _math.log((1 - m) / (1 - u)))
+    for name, m, u in _FS_FIELDS
+}
+_FS_UPPER = 3.0
+_FS_LOWER = 0.0
+
+
+def q_fellegi_sunter_linkage(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.substring("c_name", 10, 9).alias("c_id"),
+        (F.floor(F.abs(F.col("c_acctbal")) * 100 + 0.5) % 100).alias("c_cents"),
+        F.floor(F.col("c_acctbal") / 1000).alias("c_band"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.substring("s_name", 10, 9).alias("s_id"),
+        (F.floor(F.abs(F.col("s_acctbal")) * 100 + 0.5) % 100).alias("s_cents"),
+        F.floor(F.col("s_acctbal") / 1000).alias("s_band"),
+    )
+    gammas = {
+        "idtok": F.levenshtein("c_id", "s_id") <= 1,
+        "balcents": F.col("c_cents") == F.col("s_cents"),
+        "balband": F.col("c_band") == F.col("s_band"),
+    }
+    score = sum(
+        F.when(gammas[name], F.lit(wa)).otherwise(F.lit(wd))
+        for name, (wa, wd) in _FS_W.items()
+    )
+    scored = cust.join(supp, "nationkey").select(
+        "nationkey", F.round(score, 6).alias("score")
+    )
+    decision = (
+        F.when(F.col("score") >= _FS_UPPER, "match")
+        .when(F.col("score") <= _FS_LOWER, "non-match")
+        .otherwise("review")
+    )
+    return (
+        scored.withColumn("decision", decision)
+        .groupBy("nationkey", "decision")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_score"),
+        )
+        .orderBy("nationkey", "decision")
+    )
+
+
+def _fellegi_sunter_sql() -> str:
+    terms = []
+    conds = {
+        "idtok": "levenshtein(substr(c_name, 10, 9), substr(s_name, 10, 9)) <= 1",
+        "balcents": (
+            "FLOOR(abs(c_acctbal) * 100 + 0.5) % 100"
+            " = FLOOR(abs(s_acctbal) * 100 + 0.5) % 100"
+        ),
+        "balband": "FLOOR(c_acctbal / 1000) = FLOOR(s_acctbal / 1000)",
+    }
+    for name, (wa, wd) in _FS_W.items():
+        terms.append(f"CASE WHEN {conds[name]} THEN {wa!r} ELSE {wd!r} END")
+    score = " + ".join(terms)
+    return f"""
+WITH scored AS (
+  SELECT c_nationkey AS nationkey,
+         {_sql_round(score, 6)} AS score
+  FROM customer JOIN supplier ON c_nationkey = s_nationkey
+),
+decided AS (
+  SELECT nationkey, score,
+         CASE WHEN score >= {_FS_UPPER!r} THEN 'match'
+              WHEN score <= {_FS_LOWER!r} THEN 'non-match'
+              ELSE 'review' END AS decision
+  FROM scored
+)
+SELECT nationkey, decision, COUNT(*) AS n_pairs,
+       {_sql_round(
+           'CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)', 6
+       )} AS avg_score
+FROM decided
+GROUP BY nationkey, decision
+ORDER BY nationkey, decision
+"""
+
+
+FELLEGI_SUNTER_LINKAGE_SQL = _fellegi_sunter_sql()
+
+
+# --------------------------------------------------------------------------
 # zorder_layout_stats — Z-order (Morton) layout audit for
 # multi-dimensional scan pruning.
 #
@@ -3167,6 +3287,11 @@ QUERIES = {
     ),
     "key_gini_skew": Query(
         q_key_gini_skew, KEY_GINI_SKEW_SQL, ("skew", "diagnostics", "gini")
+    ),
+    "fellegi_sunter_linkage": Query(
+        q_fellegi_sunter_linkage,
+        FELLEGI_SUNTER_LINKAGE_SQL,
+        ("entity-resolution", "linkage", "fellegi-sunter"),
     ),
     "dp_noisy_counts": Query(
         q_dp_noisy_counts,
