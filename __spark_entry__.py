@@ -76,6 +76,7 @@ _ROUND_NEW = (
     # --- round-6 NEW: product-quantization retriever + index audit.
     "pq_ann_topk",
     "pq_code_balance",
+    "ivfpq_ann_topk",
     # --- round-6 NEW: published Gopher ruleset as a per-source funnel.
     "gopher_rules_funnel",
     # --- round-6 NEW: deterministic Laplace-mechanism DP release.

@@ -59,6 +59,7 @@ HEADLINE = [
     "cosine_topk",
     "ivf_ann_topk",
     "pq_ann_topk",
+    "ivfpq_ann_topk",
     # added with the Q13/Q18/Q2/Q16, hygiene, and diagnostics batch
     "customer_order_distribution",
     "large_volume_customers",

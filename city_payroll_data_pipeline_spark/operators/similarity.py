@@ -542,3 +542,64 @@ def pq_topk(
     )
     # integer ADC score — exact, no rounding
     return _per_query_topk(scored, "adc_dot", k, round_score=False)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    centroid_stride: int = 7,
+    m_sub: int = 32,
+    k_codes: int = 64,
+    codebook_stride: int = 13,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ: coarse cells prune the candidate set, PQ/ADC scores the
+    survivors — the composition FAISS-style indexes run at extreme
+    scale. Each corpus vector lives in ONE cell and is stored as
+    m_sub codes; a query probes its n_probe nearest cells and scores
+    only those cells' code rows through the broadcast LUT.
+
+    Plan shape: cell assignment and PQ encode are each one broadcast
+    join over the corpus (done once, at index-build time in a real
+    deployment); the query path joins the code table to the broadcast
+    (query, probed-cell) list and then to the broadcast LUT — scan
+    cost is |probed cells' codes| × m_sub, never the corpus. The two
+    stride constants differ (7 vs 13) so centroids and codewords come
+    from different seed vectors."""
+    d_sub = dim // m_sub
+    corpus = with_quantized(df, id_col, vec_col)
+    cents = ivf_seed_centroids(corpus, n_lists, centroid_stride)
+    corpus_cells = ivf_assign(corpus, cents, 1).select("vec_id", "list_id")
+    cb = pq_codebook(corpus, m_sub, d_sub, k_codes, codebook_stride)
+    enc = pq_encode(corpus, cb, m_sub, d_sub).join(corpus_cells, "vec_id")
+    qry = with_quantized(queries if queries is not None else df, id_col, vec_col)
+    qry_cells = ivf_assign(qry, cents, n_probe).select(
+        F.col("vec_id").alias("query_id"), "list_id"
+    )
+    lut = (
+        qry.select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(pq_subvectors(F.col("q"), m_sub, d_sub)).alias(
+                "m", "sub"
+            ),
+        )
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id", "m", "cw", dot_q(F.col("sub"), F.col("cq")).alias("dotv")
+        )
+    )
+    # each corpus vector is in exactly one cell and each query probes
+    # distinct cells, so a (query, neighbor) pair survives at most once
+    scored = (
+        enc.join(F.broadcast(qry_cells), "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(lut), ["query_id", "m", "cw"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dotv").alias("adc_dot"))
+    )
+    return _per_query_topk(scored, "adc_dot", k, round_score=False)

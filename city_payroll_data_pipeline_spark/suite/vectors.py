@@ -1213,6 +1213,114 @@ FROM ranked WHERE rank <= {K}
 PQ_ANN_TOPK_SQL = _pq_ann_topk_sql()
 
 
+#: IVF-PQ codewords come from stride-13 seeds so they differ from the
+#: stride-7 IVF centroids; 38 codewords keeps the last seed id
+#: (13·37 = 481) inside every SF's corpus (min 500 vectors).
+_IVFPQ_STRIDE = 13
+_IVFPQ_KS = 38
+
+
+def q_ivfpq_ann_topk(spark, sf_dir, query_ids=None):
+    """IVF-PQ composition (coarse-cell prune + ADC scoring) — the
+    FAISS-style architecture; see operators/similarity.py ivfpq_topk
+    for the plan-shape contract."""
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    queries = _query_frame(emb, query_ids)
+    return sim.ivfpq_topk(
+        emb, "vec_id", "embedding", queries,
+        k=K, n_lists=N_LISTS, n_probe=N_PROBE,
+        centroid_stride=CENTROID_STRIDE,
+        m_sub=PQ_M, k_codes=_IVFPQ_KS, codebook_stride=_IVFPQ_STRIDE,
+        dim=DIM,
+    )
+
+
+def _ivfpq_sql(query_ids=None) -> str:
+    subs = f"""
+SELECT vec_id, m,
+       list_slice(q, m * {_PQ_DSUB} + 1, (m + 1) * {_PQ_DSUB}) AS sub
+FROM qv CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m)
+"""
+    cb = f"""
+SELECT CAST(vec_id / {_IVFPQ_STRIDE} AS INT) AS cw, m, sub AS cq
+FROM subs
+WHERE vec_id % {_IVFPQ_STRIDE} = 0 AND vec_id < {_IVFPQ_STRIDE * _IVFPQ_KS}
+"""
+    enc = f"""
+SELECT vec_id, m, cw FROM (
+  SELECT s.vec_id, s.m, c.cw,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.vec_id, s.m
+           ORDER BY {_dot_sql('s.sub', 's.sub')}
+                    - 2 * {_dot_sql('s.sub', 'c.cq')}
+                    + {_dot_sql('c.cq', 'c.cq')},
+                    c.cw) AS r
+  FROM subs s JOIN cb c ON s.m = c.m)
+WHERE r = 1
+"""
+    return f"""
+WITH qv AS (
+  SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2
+  FROM ({_Q_CORPUS_SQL})
+),
+cents AS (
+  SELECT CAST(vec_id // {CENTROID_STRIDE} AS INT) AS list_id,
+         q AS cq, n2 AS cn2
+  FROM qv
+  WHERE vec_id % {CENTROID_STRIDE} = 0
+    AND vec_id < {CENTROID_STRIDE * N_LISTS}
+),
+cell_scored AS (
+  SELECT v.vec_id, c.list_id,
+         CASE WHEN sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) > 0
+              THEN CAST({_dot_sql('v.q', 'c.cq')} AS DOUBLE)
+                   / sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE))
+         END AS csim
+  FROM qv v CROSS JOIN cents c
+),
+ranked_cells AS (
+  SELECT vec_id, list_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, list_id ASC) AS r
+  FROM cell_scored
+),
+corpus_cells AS (SELECT vec_id, list_id FROM ranked_cells WHERE r = 1),
+qry_cells AS (
+  SELECT vec_id AS query_id, list_id FROM ranked_cells
+  WHERE r <= {N_PROBE} AND {_qpred(query_ids)}
+),
+subs AS ({subs}),
+cb AS ({cb}),
+enc AS ({enc}),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.cw, {_dot_sql('s.sub', 'c.cq')} AS dotv
+  FROM subs s JOIN cb c ON s.m = c.m
+  WHERE {_qpred(query_ids, 's')}
+),
+scored AS (
+  SELECT qc.query_id, e.vec_id AS neighbor_id,
+         CAST(SUM(l.dotv) AS BIGINT) AS adc_dot
+  FROM enc e
+  JOIN corpus_cells cc ON e.vec_id = cc.vec_id
+  JOIN qry_cells qc ON qc.list_id = cc.list_id AND qc.query_id <> e.vec_id
+  JOIN lut l ON l.query_id = qc.query_id AND l.m = e.m AND l.cw = e.cw
+  GROUP BY qc.query_id, e.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dot,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY adc_dot DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, adc_dot
+FROM ranked WHERE rank <= {K}
+"""
+
+
+IVFPQ_ANN_TOPK_SQL = _ivfpq_sql()
+
+
 def q_pq_code_balance(spark, sf_dir):
     """Codeword-usage histogram per subspace — the PQ index-health
     audit. At scale a skewed histogram (one codeword absorbing most
@@ -1257,6 +1365,9 @@ QUERIES = {
     ),
     "pq_code_balance": Query(
         q_pq_code_balance, PQ_CODE_BALANCE_SQL, ("vector", "pq", "audit")
+    ),
+    "ivfpq_ann_topk": Query(
+        q_ivfpq_ann_topk, IVFPQ_ANN_TOPK_SQL, ("vector", "ann", "ivf", "pq")
     ),
     "ndcg_eval": Query(
         q_ndcg_eval,

@@ -256,6 +256,21 @@ def test_pq_topk_recall_vs_brute_force(spark):
     assert len(es & ps) / len(es) >= 0.5
 
 
+def test_ivfpq_topk_recall_vs_brute_force(spark):
+    """IVF-PQ pays double approximation (cell prune + code distortion)
+    — measured 0.58 at sf0.01; the bound is slack for per-round
+    testdata regeneration. Its own oracle is exact."""
+    from city_payroll_data_pipeline_spark.suite import build_suite
+    from tests.conftest import SF_CORRECT
+
+    suite = build_suite()
+    exact = suite["cosine_topk"].spark(spark, SF_CORRECT).toPandas()
+    ip = suite["ivfpq_ann_topk"].spark(spark, SF_CORRECT).toPandas()
+    es = set(zip(exact.query_id, exact.neighbor_id))
+    ps = set(zip(ip.query_id, ip.neighbor_id))
+    assert len(es & ps) / len(es) >= 0.4
+
+
 def test_pq_codes_complete_and_bounded(spark):
     """Every corpus vector gets exactly one code per subspace and all
     codes are in [0, k_codes) — the invariant the ADC sum relies on
