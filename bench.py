@@ -60,6 +60,7 @@ HEADLINE = [
     "ivf_ann_topk",
     "pq_ann_topk",
     "ivfpq_ann_topk",
+    "ivf_probe_curve",
     # added with the Q13/Q18/Q2/Q16, hygiene, and diagnostics batch
     "customer_order_distribution",
     "large_volume_customers",

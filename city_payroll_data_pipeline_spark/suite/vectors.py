@@ -318,6 +318,164 @@ IVF_ANN_TOPK_SQL = _ivf_ann_topk_sql()
 
 
 # --------------------------------------------------------------------------
+# ivf_probe_curve — the n_probe recall/cost frontier in ONE pass.
+#
+# Banding theory prices LSH before running it (lsh_tuning_curve); this
+# is the IVF twin: every exact top-K pair is annotated with the rank
+# r of the neighbor's cell in the query's cell ordering, so
+# recall(n_probe = p) = |pairs with r ≤ p| / total falls out of one
+# join — no per-p retriever re-runs. Beside it, the measured cost:
+# avg candidate rows a query scans at probe p (cumulative probed-cell
+# sizes). THE readout for choosing n_probe at any corpus size.
+#
+# Scale: cell assignment is the same one-broadcast-join pass the
+# retriever pays; everything after runs on (queries × n_lists)- and
+# (exact top-K)-sized frames.
+# --------------------------------------------------------------------------
+
+
+def q_ivf_probe_curve(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    corpus = sim.with_quantized(emb, "vec_id", "embedding")
+    cents = sim.ivf_seed_centroids(corpus, N_LISTS, CENTROID_STRIDE)
+    corpus_cells = sim.ivf_assign(corpus, cents, 1).select(
+        "vec_id", "list_id"
+    )
+    cell_sizes = corpus_cells.groupBy("list_id").agg(
+        F.count("*").alias("cell_size")
+    )
+    # query-side cell ranking with the rank RETAINED (ivf_assign drops
+    # it): same cosine + (desc, list_id) tie-break as the retriever.
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES)
+    qscored = queries.alias("v").join(F.broadcast(cents)).select(
+        F.col("v.vec_id").alias("query_id"),
+        "list_id",
+        sim.cosine_q(
+            sim.dot_q(F.col("v.q"), F.col("cq")), F.col("v.n2"), F.col("cn2")
+        ).alias("_csim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("_csim"), F.asc("list_id"))
+    q_ranked = qscored.withColumn("r", F.row_number().over(w)).select(
+        "query_id", "list_id", "r"
+    )
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # rank at which IVF finds each exact pair = rank of the neighbor's
+    # assigned cell in the query's ordering
+    found_at = (
+        exact.join(
+            corpus_cells.withColumnRenamed("vec_id", "neighbor_id"),
+            "neighbor_id",
+        )
+        .join(q_ranked, ["query_id", "list_id"])
+        .select("query_id", "neighbor_id", "r")
+    )
+    total = K * N_QUERIES
+    grid = spark.range(1, N_LISTS + 1).select(
+        F.col("id").cast("int").alias("n_probe")
+    )
+    recall = (
+        grid.join(F.broadcast(found_at))
+        .groupBy("n_probe")
+        .agg(
+            F.sum(
+                F.when(F.col("r") <= F.col("n_probe"), 1).otherwise(0)
+            ).alias("n_found")
+        )
+    )
+    cost = (
+        grid.join(F.broadcast(q_ranked.join(F.broadcast(cell_sizes), "list_id")))
+        .filter(F.col("r") <= F.col("n_probe"))
+        .groupBy("n_probe")
+        .agg(F.sum("cell_size").alias("rows_scanned"))
+    )
+    return (
+        recall.join(cost, "n_probe")
+        .select(
+            "n_probe",
+            "n_found",
+            F.lit(total).cast("long").alias("total"),
+            F.round(F.col("n_found") / F.lit(total), 6).alias("recall_at_k"),
+            F.round(
+                F.col("rows_scanned") / F.lit(float(N_QUERIES)), 6
+            ).alias("avg_candidates"),
+        )
+        .orderBy("n_probe")
+    )
+
+
+IVF_PROBE_CURVE_SQL = f"""
+WITH qv AS (
+  SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2
+  FROM ({_Q_CORPUS_SQL})
+),
+cents AS (
+  SELECT CAST(vec_id // {CENTROID_STRIDE} AS INT) AS list_id,
+         q AS cq, n2 AS cn2
+  FROM qv
+  WHERE vec_id % {CENTROID_STRIDE} = 0
+    AND vec_id < {CENTROID_STRIDE * N_LISTS}
+),
+cell_scored AS (
+  SELECT v.vec_id, c.list_id,
+         CASE WHEN sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) > 0
+              THEN CAST({_dot_sql('v.q', 'c.cq')} AS DOUBLE)
+                   / sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE))
+         END AS csim
+  FROM qv v CROSS JOIN cents c
+),
+ranked_cells AS (
+  SELECT vec_id, list_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, list_id ASC) AS r
+  FROM cell_scored
+),
+corpus_cells AS (SELECT vec_id, list_id FROM ranked_cells WHERE r = 1),
+cell_sizes AS (
+  SELECT list_id, COUNT(*) AS cell_size FROM corpus_cells GROUP BY list_id
+),
+q_ranked AS (
+  SELECT vec_id AS query_id, list_id, r FROM ranked_cells
+  WHERE vec_id < {N_QUERIES}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM ({COSINE_TOPK_SQL})
+),
+found_at AS (
+  SELECT e.query_id, e.neighbor_id, qr.r
+  FROM exact e
+  JOIN corpus_cells cc ON cc.vec_id = e.neighbor_id
+  JOIN q_ranked qr ON qr.query_id = e.query_id AND qr.list_id = cc.list_id
+),
+grid AS (SELECT unnest(range(1, {N_LISTS + 1})) AS n_probe),
+recall AS (
+  SELECT n_probe,
+         CAST(SUM(CASE WHEN f.r <= n_probe THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_found
+  FROM grid CROSS JOIN found_at f
+  GROUP BY n_probe
+),
+cost AS (
+  SELECT n_probe, CAST(SUM(cs.cell_size) AS BIGINT) AS rows_scanned
+  FROM grid
+  CROSS JOIN q_ranked qr
+  JOIN cell_sizes cs ON cs.list_id = qr.list_id
+  WHERE qr.r <= n_probe
+  GROUP BY n_probe
+)
+SELECT r.n_probe, r.n_found,
+       CAST({K * N_QUERIES} AS BIGINT) AS total,
+       {_sql_round(f'r.n_found / CAST({K * N_QUERIES} AS DOUBLE)', 6)}
+         AS recall_at_k,
+       {_sql_round(f'c.rows_scanned / CAST({N_QUERIES} AS DOUBLE)', 6)}
+         AS avg_candidates
+FROM recall r JOIN cost c ON r.n_probe = c.n_probe
+ORDER BY r.n_probe
+"""
+
+
+# --------------------------------------------------------------------------
 # K-means semantic clustering. Iterative, yet FULLY oracle-checked:
 # the fit is deterministic end-to-end (maximin init, literal-centroid
 # assignment, DECIMAL-exact means, Python-float convergence test), and
@@ -1368,6 +1526,11 @@ QUERIES = {
     ),
     "ivfpq_ann_topk": Query(
         q_ivfpq_ann_topk, IVFPQ_ANN_TOPK_SQL, ("vector", "ann", "ivf", "pq")
+    ),
+    "ivf_probe_curve": Query(
+        q_ivf_probe_curve,
+        IVF_PROBE_CURVE_SQL,
+        ("vector", "ivf", "tuning", "recall-cost"),
     ),
     "ndcg_eval": Query(
         q_ndcg_eval,
