@@ -61,6 +61,7 @@ HEADLINE = [
     "pq_ann_topk",
     "ivfpq_ann_topk",
     "ivf_probe_curve",
+    "pq_distortion_report",
     # added with the Q13/Q18/Q2/Q16, hygiene, and diagnostics batch
     "customer_order_distribution",
     "large_volume_customers",

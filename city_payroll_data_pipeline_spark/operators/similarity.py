@@ -461,13 +461,15 @@ def pq_codebook(
 
 
 def pq_encode(
-    quantized: DataFrame, codebook: DataFrame, m_sub: int, d_sub: int
+    quantized: DataFrame, codebook: DataFrame, m_sub: int, d_sub: int,
+    with_dist: bool = False,
 ) -> DataFrame:
     """Corpus codes (vec_id, m, cw): nearest codeword per subspace by
     exact integer squared L2 (ties → smaller cw). One broadcast join
     against the tiny codebook + one bounded window (k_codes rows per
     (vec, m) group) — the corpus shuffles once on vec_id, never
-    self-joins."""
+    self-joins. ``with_dist`` keeps the winning d2 (exact bigint
+    quantization error) for distortion audits."""
     sub = quantized.select(
         "vec_id",
         F.posexplode(pq_subvectors(F.col("q"), m_sub, d_sub)).alias(
@@ -485,10 +487,11 @@ def pq_encode(
         ).alias("_d2"),
     )
     w = W.partitionBy("vec_id", "m").orderBy(F.asc("_d2"), F.asc("cw"))
+    cols = ["vec_id", "m", "cw"] + (["_d2"] if with_dist else [])
     return (
         scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
-        .select("vec_id", "m", "cw")
+        .select(*cols)
     )
 
 

@@ -1504,6 +1504,75 @@ def q_pq_code_balance(spark, sf_dir):
     )
 
 
+def q_pq_distortion_report(spark, sf_dir):
+    """Per-subspace quantization error — code_balance's twin: balance
+    says codewords are USED evenly, distortion says they are CLOSE.
+    avg/max of the exact-bigint winning d2 per subspace (scaled back
+    to embedding units by QUANT², one rounded division each), plus the
+    share of exactly-representable subvectors. Rising distortion after
+    a corpus shift is the retrain trigger for the codebook."""
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    corpus = sim.with_quantized(emb, "vec_id", "embedding")
+    cb = sim.pq_codebook(corpus, PQ_M, _PQ_DSUB, PQ_KS, PQ_STRIDE)
+    enc = sim.pq_encode(corpus, cb, PQ_M, _PQ_DSUB, with_dist=True)
+    scale = float(sim.QUANT) * sim.QUANT
+    return (
+        enc.groupBy("m")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("_d2")).cast("double")
+                / F.count("*")
+                / F.lit(scale),
+                8,
+            ).alias("avg_d2"),
+            F.round(F.max("_d2").cast("double") / F.lit(scale), 8).alias(
+                "max_d2"
+            ),
+            F.sum(F.when(F.col("_d2") == 0, 1).otherwise(0)).alias("n_exact"),
+        )
+        .orderBy("m")
+    )
+
+
+def _pq_distortion_sql() -> str:
+    from city_payroll_data_pipeline_spark.operators import similarity as _s
+
+    scale = float(_s.QUANT) * _s.QUANT
+    enc_d = f"""
+SELECT vec_id, m, cw, d2 FROM (
+  SELECT s.vec_id, s.m, c.cw,
+         {_dot_sql('s.sub', 's.sub')}
+           - 2 * {_dot_sql('s.sub', 'c.cq')}
+           + {_dot_sql('c.cq', 'c.cq')} AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.vec_id, s.m
+           ORDER BY {_dot_sql('s.sub', 's.sub')}
+                    - 2 * {_dot_sql('s.sub', 'c.cq')}
+                    + {_dot_sql('c.cq', 'c.cq')},
+                    c.cw) AS r
+  FROM subs s JOIN cb c ON s.m = c.m)
+WHERE r = 1
+"""
+    return f"""
+WITH subs AS ({_PQ_SUBS_SQL}),
+cb AS ({_PQ_CB_SQL}),
+enc AS ({enc_d})
+SELECT m, COUNT(*) AS n_vecs,
+       {_sql_round(
+           f'CAST(SUM(d2) AS DOUBLE) / COUNT(*) / {scale!r}', 8
+       )} AS avg_d2,
+       {_sql_round(f'CAST(MAX(d2) AS DOUBLE) / {scale!r}', 8)} AS max_d2,
+       CAST(SUM(CASE WHEN d2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+FROM enc
+GROUP BY m
+ORDER BY m
+"""
+
+
+PQ_DISTORTION_REPORT_SQL = _pq_distortion_sql()
+
+
 PQ_CODE_BALANCE_SQL = f"""
 WITH subs AS ({_PQ_SUBS_SQL}),
 cb AS ({_PQ_CB_SQL}),
@@ -1531,6 +1600,11 @@ QUERIES = {
         q_ivf_probe_curve,
         IVF_PROBE_CURVE_SQL,
         ("vector", "ivf", "tuning", "recall-cost"),
+    ),
+    "pq_distortion_report": Query(
+        q_pq_distortion_report,
+        PQ_DISTORTION_REPORT_SQL,
+        ("vector", "pq", "audit", "distortion"),
     ),
     "ndcg_eval": Query(
         q_ndcg_eval,
