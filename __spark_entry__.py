@@ -79,6 +79,7 @@ _ROUND_NEW = (
     "ivfpq_ann_topk",
     "ivf_probe_curve",
     "pq_distortion_report",
+    "pq_recall_report",
     # --- round-6 NEW: published Gopher ruleset as a per-source funnel.
     "gopher_rules_funnel",
     # --- round-6 NEW: deterministic Laplace-mechanism DP release.

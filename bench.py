@@ -62,6 +62,7 @@ HEADLINE = [
     "ivfpq_ann_topk",
     "ivf_probe_curve",
     "pq_distortion_report",
+    "pq_recall_report",
     # added with the Q13/Q18/Q2/Q16, hygiene, and diagnostics batch
     "customer_order_distribution",
     "large_volume_customers",

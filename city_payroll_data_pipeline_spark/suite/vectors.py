@@ -1504,6 +1504,52 @@ def q_pq_code_balance(spark, sf_dir):
     )
 
 
+def q_pq_recall_report(spark, sf_dir):
+    """Recall@K certificate for the two compressed-code retrievers
+    (PQ, IVF-PQ) against the exact baseline — the ann_recall_report
+    pattern extended to the r6 additions, so one driver hash certifies
+    retrievers AND eval. Joins run on (queries × K)-sized frames."""
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    total = K * N_QUERIES
+    parts = []
+    for name, fn in (("pq", q_pq_ann_topk), ("ivfpq", q_ivfpq_ann_topk)):
+        ap = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        parts.append(
+            ap.join(exact, ["query_id", "neighbor_id"]).agg(
+                F.lit(name).alias("retriever"),
+                F.count("*").alias("matched"),
+                F.lit(total).cast("long").alias("total"),
+                (F.count("*") / F.lit(total)).alias("recall_at_k"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("retriever")
+
+
+def _pq_recall_report_sql() -> str:
+    total = K * N_QUERIES
+    arms = []
+    for name, sql in (
+        ("pq", _pq_ann_topk_sql()),
+        ("ivfpq", _ivfpq_sql()),
+    ):
+        arms.append(f"""
+SELECT '{name}' AS retriever,
+       COUNT(*) AS matched,
+       CAST({total} AS BIGINT) AS total,
+       CAST(COUNT(*) AS DOUBLE) / {total} AS recall_at_k
+FROM ({sql}) ap
+JOIN exact ON ap.query_id = exact.query_id
+          AND ap.neighbor_id = exact.neighbor_id""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM ({COSINE_TOPK_SQL})
+)
+{body}
+ORDER BY retriever
+"""
+
+
 def q_pq_distortion_report(spark, sf_dir):
     """Per-subspace quantization error — code_balance's twin: balance
     says codewords are USED evenly, distortion says they are CLOSE.
@@ -1605,6 +1651,11 @@ QUERIES = {
         q_pq_distortion_report,
         PQ_DISTORTION_REPORT_SQL,
         ("vector", "pq", "audit", "distortion"),
+    ),
+    "pq_recall_report": Query(
+        q_pq_recall_report,
+        _pq_recall_report_sql(),
+        ("vector", "eval", "recall", "pq"),
     ),
     "ndcg_eval": Query(
         q_ndcg_eval,
