@@ -218,6 +218,9 @@ _INTENTIONAL_BNLJ = {
     "cosine_neardup_pairs",   # broadcast pair candidates
     "cosine_topk",            # broadcast query set vs corpus
     "ivf_ann_topk",           # broadcast centroids/queries
+    "ivfpq_ann_topk",         # broadcast centroids (ivf_assign) + LUT
+    "ivf_probe_curve",        # broadcast centroids + tiny grid/census joins
+    "pq_recall_report",       # inherits ivfpq's broadcast-centroid shape
     "lsh_ann_topk",           # broadcast plane/query set
     "price_band_range_join",  # broadcast band table
     "idle_rich_customers",    # broadcast 1-row avg-balance scalar
