@@ -82,6 +82,7 @@ _ROUND_NEW = (
     "pq_recall_report",
     # --- round-6 NEW: published Gopher ruleset as a per-source funnel.
     "gopher_rules_funnel",
+    "gopher_repetition_funnel",
     # --- round-6 NEW: deterministic Laplace-mechanism DP release.
     "dp_noisy_counts",
     # --- round-6 NEW: Fellegi-Sunter probabilistic record linkage.

@@ -47,6 +47,7 @@ HEADLINE = [
     "corpus_clean_pipeline",
     "doc_quality",
     "gopher_rules_funnel",
+    "gopher_repetition_funnel",
     "doc_repetition",
     "tfidf_top_terms",
     "common_phrases",

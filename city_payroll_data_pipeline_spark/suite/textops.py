@@ -668,6 +668,174 @@ ORDER BY source
 GOPHER_RULES_FUNNEL_SQL = _gopher_sql()
 
 
+# --------------------------------------------------------------------------
+# gopher_repetition_funnel — the OTHER half of the Gopher ruleset
+# (table A1's repetition rules): fraction of characters inside the
+# most-repeated {2,3,4}-gram and inside all duplicated {5..10}-grams,
+# each against its published threshold, as the same per-source
+# attrition funnel as gopher_rules_funnel.
+#
+# Character-mass definitions (the standard re-implementation
+# approximation — overlapping occurrences are not de-overlapped):
+#   top-n  frac = max over grams of tf·len(gram) / n_chars
+#   dup-n  frac = Σ over grams with tf ≥ 2 of tf·len(gram) / n_chars
+# (gram length counts its single-space separators; both engines agree
+# on every quantity, so the flags are exact-integer comparisons after
+# one IEEE division.)
+#
+# Scale: ONE explode produces all nine gram sizes (Σ_n (T−n+1) ≈ 9·T
+# rows), one (doc, n, gram) count, one per-(doc, n) reduce, one
+# groupBy(source) — no self-joins, no windows.
+# --------------------------------------------------------------------------
+
+_GRF_TOP = {2: 0.20, 3: 0.18, 4: 0.16}
+_GRF_DUP = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+_GRF_NS = tuple(sorted({**_GRF_TOP, **_GRF_DUP}))
+
+
+def q_gopher_repetition_funnel(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import (
+        shingles as _sh,
+        tokens_array as _ta,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    base = docs.select(
+        "doc_id", "source", F.length("text").alias("n_chars"),
+        _ta(F.col("text")).alias("t"),
+    )
+    # single-arg closure, NOT `lambda g, n=n: ...`: F.transform treats
+    # a two-parameter lambda as (element, index) and would silently
+    # bind n to the array INDEX (the r6 debugging scar).
+    def _tag(n):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    gram_arrays = F.flatten(
+        F.array(*[F.transform(_sh(F.col("t"), n), _tag(n)) for n in _GRF_NS])
+    )
+    grams = base.select(
+        "doc_id", "n_chars", F.explode(gram_arrays).alias("ng")
+    ).select("doc_id", "n_chars", "ng.n", "ng.g")
+    tf = grams.groupBy("doc_id", "n_chars", "n", "g").agg(
+        F.count("*").alias("tf")
+    )
+    per_doc_n = tf.groupBy("doc_id", "n_chars", "n").agg(
+        F.max(F.col("tf") * F.length("g")).alias("top_mass"),
+        F.sum(
+            F.when(F.col("tf") >= 2, F.col("tf") * F.length("g")).otherwise(0)
+        ).alias("dup_mass"),
+    )
+    fail_cases = [
+        F.max(
+            F.when(
+                (F.col("n") == n)
+                & (
+                    F.col("top_mass") / F.col("n_chars") > _GRF_TOP[n]
+                    if n in _GRF_TOP
+                    else F.col("dup_mass") / F.col("n_chars") > _GRF_DUP[n]
+                ),
+                1,
+            ).otherwise(0)
+        ).alias(f"f_{n}")
+        for n in _GRF_NS
+    ]
+    per_doc = per_doc_n.groupBy("doc_id").agg(*fail_cases)
+    # docs too short for any n-gram have no per_doc row — they PASS
+    # every repetition rule (coalesce 0 after the left join)
+    flags = base.select("doc_id", "source").join(per_doc, "doc_id", "left")
+    flags = flags.select(
+        "source",
+        *[F.coalesce(F.col(f"f_{n}"), F.lit(0)).alias(f"f_{n}") for n in _GRF_NS],
+    ).withColumn(
+        "kept",
+        F.when(sum(F.col(f"f_{n}") for n in _GRF_NS) == 0, 1).otherwise(0),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[F.sum(f"f_{n}").alias(f"fail_{n}gram") for n in _GRF_NS],
+            F.sum("kept").alias("n_keep"),
+            F.round(F.sum("kept") / F.count("*"), 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _gopher_repetition_sql() -> str:
+    fail_cols = []
+    for n in _GRF_NS:
+        if n in _GRF_TOP:
+            cond = f"n = {n} AND top_mass / CAST(n_chars AS DOUBLE) > {_GRF_TOP[n]!r}"
+        else:
+            cond = f"n = {n} AND dup_mass / CAST(n_chars AS DOUBLE) > {_GRF_DUP[n]!r}"
+        fail_cols.append(
+            f"MAX(CASE WHEN {cond} THEN 1 ELSE 0 END) AS f_{n}"
+        )
+    fail_sel = ",\n         ".join(fail_cols)
+    coalesced = ",\n         ".join(
+        f"COALESCE(f_{n}, 0) AS f_{n}" for n in _GRF_NS
+    )
+    fail_aggs = ",\n       ".join(
+        f"CAST(SUM(f_{n}) AS BIGINT) AS fail_{n}gram" for n in _GRF_NS
+    )
+    all_pass = " + ".join(f"f_{n}" for n in _GRF_NS)
+    ns = ", ".join(str(n) for n in _GRF_NS)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+         regexp_extract_all(trim(text), '\S+', 0) AS t
+  FROM documents
+),
+doc_n AS (
+  SELECT doc_id, n_chars, t, n
+  FROM base CROSS JOIN (SELECT unnest([{ns}]) AS n)
+  WHERE len(t) >= n
+),
+grams AS (
+  SELECT doc_id, n_chars, n,
+         array_to_string(list_slice(t, i + 1, i + n), ' ') AS g
+  FROM (
+    SELECT doc_id, n_chars, t, n,
+           unnest(range(0, len(t) - n + 1)) AS i
+    FROM doc_n)
+),
+tf AS (
+  SELECT doc_id, n_chars, n, g, COUNT(*) AS tf
+  FROM grams GROUP BY doc_id, n_chars, n, g
+),
+per_doc_n AS (
+  SELECT doc_id, n_chars, n,
+         MAX(tf * length(g)) AS top_mass,
+         SUM(CASE WHEN tf >= 2 THEN tf * length(g) ELSE 0 END) AS dup_mass
+  FROM tf GROUP BY doc_id, n_chars, n
+),
+per_doc AS (
+  SELECT doc_id,
+         {fail_sel}
+  FROM per_doc_n GROUP BY doc_id
+),
+flags AS (
+  SELECT b.source,
+         {coalesced}
+  FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+)
+SELECT source, COUNT(*) AS n_docs,
+       {fail_aggs},
+       CAST(SUM(CASE WHEN {all_pass} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep,
+       {_sql_round(
+           f'SUM(CASE WHEN {all_pass} = 0 THEN 1 ELSE 0 END) '
+           '/ CAST(COUNT(*) AS DOUBLE)', 6)} AS keep_rate
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+
+GOPHER_REPETITION_FUNNEL_SQL = _gopher_repetition_sql()
+
+
 def q_doc_fingerprint(spark, sf_dir):
     docs = table(spark, sf_dir, "documents", spread=True)
     return docs.select(
@@ -4580,6 +4748,11 @@ QUERIES = {
         q_gopher_rules_funnel,
         GOPHER_RULES_FUNNEL_SQL,
         ("text", "quality", "gopher", "funnel"),
+    ),
+    "gopher_repetition_funnel": Query(
+        q_gopher_repetition_funnel,
+        GOPHER_REPETITION_FUNNEL_SQL,
+        ("text", "quality", "gopher", "repetition", "funnel"),
     ),
     "doc_fingerprint": Query(q_doc_fingerprint, DOC_FINGERPRINT_SQL, ("text",)),
     "exact_dedup_groups": Query(
