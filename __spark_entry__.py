@@ -83,6 +83,8 @@ _ROUND_NEW = (
     # --- round-6 NEW: published Gopher ruleset as a per-source funnel.
     "gopher_rules_funnel",
     "gopher_repetition_funnel",
+    # --- round-6 NEW: greedy (WordPiece-inference) encoder vs BPE replay.
+    "wordpiece_greedy_encode",
     # --- round-6 NEW: deterministic Laplace-mechanism DP release.
     "dp_noisy_counts",
     # --- round-6 NEW: Fellegi-Sunter probabilistic record linkage.

@@ -126,6 +126,7 @@ HEADLINE = [
     "quality_logit_deciles",
     "discriminative_terms",
     "bpe_encode_tokens",
+    "wordpiece_greedy_encode",
     "dedup_rate_report",
     "key_gini_skew",
     "k_anonymity_audit",

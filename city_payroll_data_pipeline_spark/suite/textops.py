@@ -3814,6 +3814,147 @@ BPE_COMPRESSION_CURVE_SQL = _bpe_curve_sql()
 
 
 # --------------------------------------------------------------------------
+# wordpiece_greedy_encode — greedy longest-match-first (WordPiece
+# inference) encoding over the SAME learned BPE vocabulary, compared
+# against the merge-order replay encoder. The two inference rules are
+# the real production fork (HF tokenizers expose both); where they
+# disagree on piece counts is exactly the compatibility risk when a
+# corpus is re-encoded under a different runtime. Per source: token
+# occurrences, total pieces under each encoder, distinct words whose
+# piece counts differ, and the greedy/replay fertility ratio.
+#
+# Scale: both encoders run on the DISTINCT-WORD frame, weighted back
+# by per-source occurrence counts (the word-histogram trick the whole
+# BPE family rides). Greedy matching is ≤ max-word-length rounds of
+# (≤ lmax candidate prefixes per unfinished word) equi-joined against
+# the broadcast piece vocab — longest-prefix match as a hash join, no
+# UDFs (operators/bpe.py::greedy_piece_counts). The two scalar
+# collects (max word length, max piece length) are 1-row loop bounds.
+#
+# Oracle: the trained vocabulary replays through bpe_replay_ctes; the
+# greedy encoder replays as a recursive CTE whose step picks
+# MAX(plen) over the piece vocab via a correlated prefix probe —
+# bit-identical advance decisions, so the report hash-matches.
+# --------------------------------------------------------------------------
+
+
+def q_wordpiece_greedy_encode(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    merges = bpe.train_bpe(
+        docs.select("text"), "text",
+        n_merges=_BPE_N_MERGES, min_pair_count=_BPE_MIN_PAIR,
+    )
+    words_src = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(r"regexp_extract_all(trim(text), '\\S+', 0)")
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("occ"))
+    )
+    words = words_src.select("word").distinct()
+    syms = bpe.bpe_symbols(words, merges)
+    encoded = words.select("word", syms.alias("syms")).localCheckpoint()
+    n_bpe = encoded.select("word", F.size("syms").alias("n_bpe"))
+    vocab = (
+        encoded.select(F.explode("syms").alias("piece"))
+        .unionByName(
+            words.select(F.explode(F.split("word", "")).alias("piece"))
+        )
+        .distinct()
+        .select("piece", F.length("piece").alias("plen"))
+    ).localCheckpoint()
+    # max piece length is known driver-side from the merge table
+    # (merged symbols are the only multi-char pieces) — no collect
+    lmax = max([1] + [len(l + r) for l, r, _ in merges])
+    greedy = bpe.greedy_piece_counts(words, vocab, lmax)
+    per_word = n_bpe.join(greedy, "word")
+    return (
+        words_src.join(per_word, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("occ").alias("n_tokens"),
+            F.sum(F.col("occ") * F.col("n_bpe")).alias("bpe_pieces"),
+            F.sum(F.col("occ") * F.col("n_greedy")).alias("greedy_pieces"),
+            F.count_distinct(
+                F.when(F.col("n_bpe") != F.col("n_greedy"), F.col("word"))
+            ).alias("diff_words"),
+            F.round(
+                F.sum(F.col("occ") * F.col("n_greedy"))
+                / F.sum(F.col("occ") * F.col("n_bpe")).cast("double"),
+                6,
+            ).alias("fertility_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def _wordpiece_greedy_sql() -> str:
+    cte_block, final_vocab = bpe_replay_ctes(_BPE_N_MERGES, _BPE_MIN_PAIR)
+    s = "chr(31)"
+    return rf"""WITH RECURSIVE {cte_block},
+words_src AS (
+  SELECT source, word, COUNT(*) AS occ FROM (
+    SELECT source, unnest(regexp_extract_all(trim(text), '\S+', 0)) AS word
+    FROM documents
+  ) GROUP BY source, word
+),
+n_bpe AS (
+  SELECT word, len(string_split(trim(canon, {s}), {s}||{s})) AS n_bpe
+  FROM {final_vocab}
+),
+vocab AS (
+  SELECT piece, length(piece) AS plen FROM (
+    SELECT DISTINCT unnest(string_split(trim(canon, {s}), {s}||{s})) AS piece
+    FROM {final_vocab}
+    UNION
+    SELECT DISTINCT unnest(regexp_extract_all(word, '.', 0)) AS piece
+    FROM words
+  )
+),
+pos_grid AS (
+  SELECT word, unnest(range(1, length(word) + 1)) AS pos FROM words
+),
+adv AS (
+  -- longest-piece advance per (word, position), computed BEFORE the
+  -- recursion: DuckDB does not bind correlated subqueries inside a
+  -- recursive term (the probe silently returns NULL there)
+  SELECT g.word, g.pos, COALESCE(MAX(v.plen), 1) AS adv
+  FROM pos_grid g
+  LEFT JOIN vocab v
+    ON substr(g.word, CAST(g.pos AS INT), v.plen) = v.piece
+  GROUP BY g.word, g.pos
+),
+seg AS (
+  SELECT word, CAST(1 AS BIGINT) AS pos, 0 AS n_greedy FROM words
+  UNION ALL
+  SELECT s.word, s.pos + a.adv, s.n_greedy + 1
+  FROM seg s JOIN adv a ON a.word = s.word AND a.pos = s.pos
+  WHERE s.pos <= length(s.word)
+),
+greedy AS (SELECT word, MAX(n_greedy) AS n_greedy FROM seg GROUP BY word)
+SELECT ws.source,
+       CAST(SUM(ws.occ) AS BIGINT) AS n_tokens,
+       CAST(SUM(ws.occ * b.n_bpe) AS BIGINT) AS bpe_pieces,
+       CAST(SUM(ws.occ * g.n_greedy) AS BIGINT) AS greedy_pieces,
+       CAST(COUNT(DISTINCT CASE WHEN b.n_bpe <> g.n_greedy THEN ws.word END)
+            AS BIGINT) AS diff_words,
+       {_sql_round(
+           'SUM(ws.occ * g.n_greedy) / CAST(SUM(ws.occ * b.n_bpe) AS DOUBLE)',
+           6)} AS fertility_ratio
+FROM words_src ws
+JOIN n_bpe b ON ws.word = b.word
+JOIN greedy g ON ws.word = g.word
+GROUP BY ws.source
+ORDER BY ws.source"""
+
+
+WORDPIECE_GREEDY_ENCODE_SQL = _wordpiece_greedy_sql()
+
+
+# --------------------------------------------------------------------------
 # dedup_method_agreement — cross-method audit of the two near-dup pair
 # pipelines. LSH-minhash (probabilistic candidates, exact verify) and
 # rare-shingle blocking (deterministic candidates, exact verify) hunt
@@ -4748,6 +4889,11 @@ QUERIES = {
         q_gopher_rules_funnel,
         GOPHER_RULES_FUNNEL_SQL,
         ("text", "quality", "gopher", "funnel"),
+    ),
+    "wordpiece_greedy_encode": Query(
+        q_wordpiece_greedy_encode,
+        WORDPIECE_GREEDY_ENCODE_SQL,
+        ("tokenizer", "wordpiece", "bpe", "encoder-compat"),
     ),
     "gopher_repetition_funnel": Query(
         q_gopher_repetition_funnel,
