@@ -525,6 +525,44 @@ def test_bpe_matches_reference_implementation(spark):
     assert got == want, f"{got} != {want}"
 
 
+def test_greedy_piece_counts_matches_reference(spark):
+    """The two-pass + fold greedy encoder must reproduce the obvious
+    sequential longest-match-first algorithm word for word, including
+    words with unknown characters (advance-1 fallback) and pieces
+    that cross BPE merge boundaries."""
+    from pyspark.sql import functions as F
+
+    from city_payroll_data_pipeline_spark.operators.bpe import (
+        greedy_piece_counts,
+    )
+
+    pieces = ["ab", "abc", "bcd", "d", "a", "b", "c", "xy"]
+    words = ["abcd", "ababc", "dcba", "zzz", "xyabc", "a"]
+
+    def ref(word):
+        pos, n = 0, 0
+        while pos < len(word):
+            adv = 1
+            for ln in range(min(len(word) - pos, 3), 0, -1):
+                if word[pos : pos + ln] in pieces:
+                    adv = ln
+                    break
+            pos += adv
+            n += 1
+        return n
+
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    vdf = spark.createDataFrame(
+        [(p, len(p)) for p in pieces], "piece string, plen int"
+    )
+    got = {
+        r["word"]: r["n_greedy"]
+        for r in greedy_piece_counts(wdf, vdf, 3).collect()
+    }
+    want = {w: ref(w) for w in words}
+    assert got == want, f"{got} != {want}"
+
+
 def test_bpe_deterministic_across_runs(spark):
     from city_payroll_data_pipeline_spark.operators.bpe import train_bpe
     from city_payroll_data_pipeline_spark.suite import table
