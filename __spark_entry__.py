@@ -85,6 +85,8 @@ _ROUND_NEW = (
     "gopher_repetition_funnel",
     # --- round-6 NEW: greedy (WordPiece-inference) encoder vs BPE replay.
     "wordpiece_greedy_encode",
+    # --- round-6 NEW: leave-one-source-out mix influence.
+    "loo_source_influence",
     # --- round-6 NEW: deterministic Laplace-mechanism DP release.
     "dp_noisy_counts",
     # --- round-6 NEW: Fellegi-Sunter probabilistic record linkage.

@@ -153,6 +153,7 @@ HEADLINE = [
     "prefix_jaccard_pairs",
     # mixing weights + class geometry
     "temperature_mixture",
+    "loo_source_influence",
     "label_centroid_sim",
     # winnowing fingerprints (MOSS)
     "winnow_fingerprints",

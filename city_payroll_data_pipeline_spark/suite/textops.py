@@ -3955,6 +3955,120 @@ WORDPIECE_GREEDY_ENCODE_SQL = _wordpiece_greedy_sql()
 
 
 # --------------------------------------------------------------------------
+# loo_source_influence — leave-one-source-out influence of each source
+# on the corpus-level quality and length means. For linear statistics
+# the counterfactual "corpus without source s" is exact algebra over
+# per-source sums: loo_mean = (T − T_s)/(N − N_s) — NO re-runs, one
+# pass at any corpus size. This is how a mix owner ranks sources by
+# their pull on corpus health before cutting one (the cheap first step
+# before real influence functions).
+#
+# Determinism: per-doc quality is the 6-dp-rounded score the
+# doc_quality oracle already certifies; sums ride DECIMAL so the
+# subtraction T − T_s is exact, with ONE double division per mean.
+# The totals row is a broadcast 1-row cross join (allowlisted shape).
+# --------------------------------------------------------------------------
+
+
+def q_loo_source_influence(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import (
+        quality_score as _q,
+        token_count as _tc,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    per = (
+        docs.select(
+            "source",
+            _q(F.col("text")).cast("decimal(18,6)").alias("q"),
+            _tc(F.col("text")).alias("tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("q").alias("q_s"),
+            F.sum("tok").alias("tok_s"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("n_all"),
+        F.sum("q_s").alias("q_all"),
+        F.sum("tok_s").alias("tok_all"),
+    )
+    loo_n = F.col("n_all") - F.col("n_docs")
+    mean_q = F.col("q_all").cast("double") / F.col("n_all")
+    loo_q = (F.col("q_all") - F.col("q_s")).cast("double") / F.nullif(
+        loo_n, F.lit(0)
+    )
+    mean_t = F.col("tok_all").cast("double") / F.col("n_all")
+    loo_t = (F.col("tok_all") - F.col("tok_s")).cast("double") / F.nullif(
+        loo_n, F.lit(0)
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(loo_q, 6).alias("mean_quality_loo"),
+            F.round(loo_q - mean_q, 8).alias("delta_quality"),
+            F.round(loo_t, 6).alias("mean_tokens_loo"),
+            F.round(loo_t - mean_t, 8).alias("delta_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _loo_influence_sql() -> str:
+    quality = """
+        0.4 * COALESCE(n_alpha / CAST(NULLIF(n_chars, 0) AS DOUBLE), 0.0)
+        + 0.3 * least(COALESCE(n_stop / CAST(NULLIF(n_tokens, 0) AS DOUBLE), 0.0) * 4, 1.0)
+        + 0.2 * greatest(0.0, 1.0 - COALESCE(n_punct / CAST(NULLIF(n_chars, 0) AS DOUBLE), 0.0) * 5)
+        + 0.1 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.3 END)
+    """
+    return rf"""
+WITH feat AS (
+  SELECT source,
+         len(regexp_extract_all(text, '\S+', 0)) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '{ALPHA_CHAR_RE}', 0)) AS n_alpha,
+         len(regexp_extract_all(text, '{PUNCT_CHAR_RE}', 0)) AS n_punct,
+         len(regexp_extract_all(lower(text), '{_EN}', 0)) AS n_stop
+  FROM documents
+),
+per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(CAST({_sql_round(quality, 6)} AS DECIMAL(18,6))) AS q_s,
+         CAST(SUM(n_tokens) AS BIGINT) AS tok_s
+  FROM feat GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_docs) AS n_all, SUM(q_s) AS q_all, SUM(tok_s) AS tok_all
+  FROM per
+)
+SELECT source, n_docs,
+       {_sql_round(
+           'CAST(q_all - q_s AS DOUBLE) / NULLIF(n_all - n_docs, 0)', 6
+       )} AS mean_quality_loo,
+       {_sql_round(
+           'CAST(q_all - q_s AS DOUBLE) / NULLIF(n_all - n_docs, 0)'
+           ' - CAST(q_all AS DOUBLE) / n_all', 8
+       )} AS delta_quality,
+       {_sql_round(
+           'CAST(tok_all - tok_s AS DOUBLE) / NULLIF(n_all - n_docs, 0)', 6
+       )} AS mean_tokens_loo,
+       {_sql_round(
+           'CAST(tok_all - tok_s AS DOUBLE) / NULLIF(n_all - n_docs, 0)'
+           ' - CAST(tok_all AS DOUBLE) / n_all', 8
+       )} AS delta_tokens
+FROM per CROSS JOIN tot
+ORDER BY source
+"""
+
+
+LOO_SOURCE_INFLUENCE_SQL = _loo_influence_sql()
+
+
+# --------------------------------------------------------------------------
 # dedup_method_agreement — cross-method audit of the two near-dup pair
 # pipelines. LSH-minhash (probabilistic candidates, exact verify) and
 # rare-shingle blocking (deterministic candidates, exact verify) hunt
@@ -4889,6 +5003,11 @@ QUERIES = {
         q_gopher_rules_funnel,
         GOPHER_RULES_FUNNEL_SQL,
         ("text", "quality", "gopher", "funnel"),
+    ),
+    "loo_source_influence": Query(
+        q_loo_source_influence,
+        LOO_SOURCE_INFLUENCE_SQL,
+        ("mix", "influence", "leave-one-out"),
     ),
     "wordpiece_greedy_encode": Query(
         q_wordpiece_greedy_encode,

@@ -297,6 +297,7 @@ _INTENTIONAL_BNLJ = {
     "xent_mix_weights",       # broadcast 1-row weight-total scalar
     "offpolicy_eval_ips",     # broadcast 1-row (n, K) totals scalar
     "lpa_modularity",         # broadcast 1-row 2m total + 1-row Q scalar
+    "loo_source_influence",   # broadcast 1-row corpus-totals scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
