@@ -1,0 +1,101 @@
+"""Suite-registry lints — cheap guards for the machinery every round
+relies on: oracle hygiene (a nondeterministic function inside an
+oracle would flake the driver gate, not fail it cleanly) and rotation
+name integrity (a typo in _ROUND_NEW would silently burn a driver
+verification slot on a nonexistent query).
+"""
+
+import importlib.util
+import os
+import re
+
+import pytest
+
+from city_payroll_data_pipeline_spark.suite import build_suite
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def suite():
+    return build_suite()
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_under_test", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+#: functions that would make a DuckDB oracle nondeterministic between
+#: the driver's run and ours. current_timestamp/now have no business
+#: in any oracle (audit_timestamp deliberately has NO oracle).
+_FORBIDDEN = re.compile(
+    r"\b(random|now|current_timestamp|current_date|today|gen_random_uuid)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def test_oracles_are_deterministic_sql(suite):
+    bad = {
+        name: m.group(0)
+        for name, q in suite.items()
+        if q.oracle is not None
+        for m in [_FORBIDDEN.search(q.oracle)]
+        if m
+    }
+    assert not bad, bad
+
+
+def test_oracles_are_single_statements(suite):
+    """One SELECT per oracle: a stray semicolon would make DuckDB run
+    only the first statement and the comparison would test the wrong
+    query. Comments and string literals are stripped first (a ';'
+    inside either is harmless); trailing semicolons are tolerated."""
+
+    def strip(sql: str) -> str:
+        sql = re.sub(r"'(?:[^']|'')*'", "''", sql)  # string literals
+        sql = re.sub(r"--[^\n]*", "", sql)  # line comments
+        return sql
+
+    bad = [
+        name
+        for name, q in suite.items()
+        if q.oracle is not None
+        and ";" in strip(q.oracle).rstrip().rstrip(";")
+    ]
+    assert not bad, bad
+
+
+def test_round_new_names_exist(suite):
+    """Every _ROUND_NEW entry must be a real suite query — a typo
+    would silently burn one of the driver's 50 verification slots."""
+    mod = _entry_module()
+    missing = [n for n in mod._ROUND_NEW if n not in suite]
+    assert not missing, missing
+
+
+def test_round_new_has_no_duplicates():
+    mod = _entry_module()
+    seen, dups = set(), []
+    for n in mod._ROUND_NEW:
+        if n in seen:
+            dups.append(n)
+        seen.add(n)
+    assert not dups, dups
+
+
+def test_checked_ledger_names_exist(suite):
+    """CHECKED.md names must stay resolvable — a renamed query would
+    silently re-enter the rotation as 'never checked'. (Names may
+    legitimately disappear if a query is deleted; flag only when the
+    ledger drifts badly.)"""
+    mod = _entry_module()
+    checked = mod._already_checked()
+    unknown = sorted(n for n in checked if n not in suite)
+    # allow a small tail of legitimately-retired names, but a big gap
+    # means the ledger and the registry have diverged
+    assert len(unknown) <= 5, unknown
