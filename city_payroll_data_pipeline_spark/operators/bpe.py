@@ -118,6 +118,14 @@ def _safe_batch_prefix(
       ("ab","c") both spell "abc"), pairs involving that name can gain
       count by up to the merge's own count, which no driver-side bound
       can dominate — stop the round and let the next collect recount.
+      The same collision INSIDE one batch (two accepted merges
+      spelling the same concatenation) is equally fatal: each pair a
+      minted name participates in could then be created by BOTH
+      merges, so its true post-batch count is bounded by the SUM of
+      the two bridge counts while the created-pair bound below takes
+      only the MAX of individual bridge rows — so a candidate whose
+      left+right equals any same-round accepted concatenation also
+      ends the round before it is applied.
 
     Decreased pairs need no check: a pair whose count only drops and
     that sorts after ``c`` (equal count ⇒ lexicographically after)
@@ -133,9 +141,13 @@ def _safe_batch_prefix(
             break
         if accepted:
             syms = set()
+            concats = set()
             for al, ar, _ in accepted:
                 syms.update((al, ar, al + ar))
+                concats.add(al + ar)
             if left in syms or right in syms:
+                break
+            if left + right in concats:
                 break
             if any(al + ar in learned_names for al, ar, _ in accepted):
                 break

@@ -445,18 +445,30 @@ def pq_codebook(
 ) -> DataFrame:
     """(m, cw, cq): codeword ``cw`` of subspace ``m`` is subvector ``m``
     of seed vector vec_id = cw·stride. Tiny frame (m_sub × k_codes
-    rows) — always broadcast by callers."""
-    return (
-        quantized.filter(
-            (F.col("vec_id") % stride == 0)
-            & (F.col("vec_id") < stride * k_codes)
+    rows) — always broadcast by callers.
+
+    Raises ``ValueError`` when the corpus cannot seed all ``k_codes``
+    codewords (needs vec_id up to stride·(k_codes-1)): a silently
+    truncated codebook would still encode/score without error but with
+    quietly degraded recall (ADVICE r6). The seed count is one cheap
+    job — the vec_id predicates push down to the scan and the frame is
+    ≤ k_codes rows."""
+    seeds = quantized.filter(
+        (F.col("vec_id") % stride == 0)
+        & (F.col("vec_id") < stride * k_codes)
+    )
+    n_seeds = seeds.select("vec_id").count()
+    if n_seeds != k_codes:
+        raise ValueError(
+            f"pq_codebook: corpus seeds only {n_seeds} of k_codes={k_codes} "
+            f"codewords at stride={stride} (needs vec_id up to "
+            f"{stride * (k_codes - 1)}); lower k_codes or stride"
         )
-        .select(
-            (F.col("vec_id") / stride).cast("int").alias("cw"),
-            F.posexplode(pq_subvectors(F.col("q"), m_sub, d_sub)).alias(
-                "m", "cq"
-            ),
-        )
+    return seeds.select(
+        (F.col("vec_id") / stride).cast("int").alias("cw"),
+        F.posexplode(pq_subvectors(F.col("q"), m_sub, d_sub)).alias(
+            "m", "cq"
+        ),
     )
 
 

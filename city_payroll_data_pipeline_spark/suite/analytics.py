@@ -1924,9 +1924,12 @@ ORDER BY k
 # md5 of a fixed salt + the group key (15 hex chars / 2^60 — an exact
 # double), pushed through the Laplace inverse CDF
 # noise = −b·sign(u)·ln(1 − 2|u|). That makes the release replayable
-# and oracle-checkable; a production system swaps the salt for a
-# per-release secret drawn once (the mechanism and its ε-accounting
-# are unchanged). The 6-dp round absorbs cross-libm ln() ulp drift
+# and oracle-checkable — and, to be plain, it FORFEITS the privacy
+# guarantee: with a public salt an adversary replays the noise and
+# subtracts it, so this release is NOT ε-DP until the salt is a
+# per-release secret drawn once. Swapping in that secret restores the
+# guarantee with the mechanism and its ε-accounting otherwise
+# unchanged. The 6-dp round absorbs cross-libm ln() ulp drift
 # (house pattern, see lineitem_corr).
 #
 # Scale: noise is one map-side expression on the |groups|-sized
@@ -1948,8 +1951,12 @@ def q_dp_noisy_counts(spark, sf_dir):
     ) / F.lit(float(1 << 60))
     u = u01 - 0.5
     b = 1.0 / _DP_EPSILON
-    # 1-2|u| ∈ (2^-60, 1]; greatest() guards the measure-zero u01=0
-    # identically in both engines.
+    # 1-2|u| ∈ [2^-60, 1] and 2^-60 ≈ 8.67e-19 < 1e-18, so the
+    # greatest() clamp genuinely binds at the extreme tail (|noise|
+    # capped at b·ln(1e18) ≈ 41.4·b), truncating the Laplace tail for
+    # hash values within ~1e-19 of the edge — not just the measure-zero
+    # u01=0 case. Parity holds because both engines clamp identically;
+    # the bias is ≪ 2^-59 in probability mass.
     noise = -b * F.signum(u) * F.log(
         F.greatest(F.lit(1e-18), F.lit(1.0) - 2 * F.abs(u))
     )

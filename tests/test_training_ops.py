@@ -303,6 +303,28 @@ def test_pq_codes_complete_and_bounded(spark):
     assert 0 <= stats["lo"] and stats["hi"] < PQ_KS
 
 
+def test_pq_codebook_rejects_truncated_seeds(spark):
+    """A corpus too small to seed every codeword must raise, not
+    silently yield a truncated codebook (ADVICE r6: ivfpq_topk's
+    defaults need vec_id up to stride·(k_codes-1), which the smallest
+    corpus can't supply — degraded recall with no error)."""
+    import pytest
+
+    from city_payroll_data_pipeline_spark.operators import similarity as sim
+
+    emb = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5)] * 4).alias("embedding"),
+    )
+    corpus = sim.with_quantized(emb, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="seeds only"):
+        # stride 13, k_codes 64 → needs vec_id 819; corpus has 20 rows
+        sim.pq_codebook(corpus, 2, 2, 64, 13)
+    # and the exact fit passes: stride 1, k_codes 20
+    cb = sim.pq_codebook(corpus, 2, 2, 20, 1)
+    assert cb.count() == 2 * 20
+
+
 def test_sanitize_text_strips_and_restores(spark):
     """Control chars, zero-width chars, and whitespace runs all go;
     tabs/newlines collapse to single spaces; clean text is unchanged."""
@@ -621,6 +643,31 @@ def test_bpe_batched_round_trips(spark, monkeypatch):
         ("g", "h", 20),
     ]
     assert calls["n"] == 1, calls["n"]
+
+
+def test_bpe_safe_prefix_same_batch_name_collision():
+    """Two merges accepted in the SAME batch must never spell the same
+    concatenation (ADVICE r6): ("ab","c") then ("a","bc") both mint
+    "abc", so a pair involving "abc" can be created by BOTH merges and
+    its true post-batch count is the SUM of the two bridge counts —
+    which the prover's max-of-bridge-rows bound cannot dominate. The
+    round must end at the colliding candidate so the next collect
+    recounts, keeping batched output merge-serial-identical."""
+    from pyspark.sql import Row
+
+    from city_payroll_data_pipeline_spark.operators.bpe import (
+        _safe_batch_prefix,
+    )
+
+    rows = [
+        Row(left="ab", right="c", pair_count=100),
+        Row(left="a", right="bc", pair_count=90),
+        Row(left="x", right="y", pair_count=85),
+    ]
+    got = _safe_batch_prefix(
+        rows, k=16, budget=10, min_pair_count=2, learned_names=set()
+    )
+    assert got == [("ab", "c", 100)], got
 
 
 def test_bpe_apply_preserves_characters(spark):
