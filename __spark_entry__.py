@@ -59,89 +59,65 @@ def _already_checked() -> set[str]:
 # 50-query sample so each round's new operators get an official
 # driver verdict immediately. Refresh this tuple each round.
 _ROUND_NEW = (
-    # --- round-6 CHANGED queries: both graduated from rows-only to
-    # full register-level HLL oracles this round (VERDICT r5 item 6) —
-    # the changed plans + new oracles need an official verdict first.
-    "approx_distinct_stats",
-    "approx_rolling_users",
-    # --- the one remaining no-oracle query (current_timestamp is
-    # irreducibly non-deterministic): last official rows-only verdict
-    # was r3; VERDICT r5 item 7 asks for a current-gate re-verdict so
-    # every no-oracle query has a fresh ledger row.
-    "audit_timestamp",
-    # --- round-6 NEW queries: hash-sampled eval twins (VERDICT r5
-    # item 4) — brand-new cross-engine surfaces, verdict needed first.
-    "ann_recall_report_sampled",
-    "ndcg_eval_sampled",
-    # --- round-6 NEW: product-quantization retriever + index audit.
-    "pq_ann_topk",
-    "pq_code_balance",
-    "ivfpq_ann_topk",
-    "ivf_probe_curve",
-    "pq_distortion_report",
-    "pq_recall_report",
-    # --- round-6 NEW: published Gopher ruleset as a per-source funnel.
-    "gopher_rules_funnel",
-    "gopher_repetition_funnel",
-    # --- round-6 NEW: greedy (WordPiece-inference) encoder vs BPE replay.
-    "wordpiece_greedy_encode",
-    # --- round-6 NEW: leave-one-source-out mix influence.
-    "loo_source_influence",
-    # --- round-6 NEW: deterministic Laplace-mechanism DP release.
-    "dp_noisy_counts",
-    # --- round-6 NEW: Fellegi-Sunter probabilistic record linkage.
-    "fellegi_sunter_linkage",
-    # --- the 15 queued below the r5 cut (VERDICT r5 item 1 names
-    # these as the front of the r6 queue).
-    "dedup_clusters",
-    "minhash_dedup_pairs",
-    "semantic_dedup_pairs",
-    "touch_attribution",  # r4 bench regression — floor re-confirmed solo r5
-    "jl_projection_error",  # r4 bench regression — fixed, floor 0.88 s r5
-    "quantile_normalize_lengths",  # r4: rebuilt on sharded row ids
-    "trade_pagerank",
-    "nation_ppr",
-    "bpe_encode_tokens",
-    "media_thumbnail",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "sq8_ann_topk",
-    "cosine_topk",
-    "incremental_dedup",
-    # --- 32 more never-checked, custom-determinism machinery first
-    # (dedup/fingerprint/media/sharding plumbing over simple aggs).
-    "simhash_near_pairs",  # also the r6 solo-refloor target
-    "exact_dedup_groups",
-    "dedup_clusters_star",
-    "dedup_best_keeper",
-    "prefix_jaccard_pairs",
-    "ngram_jaccard_pairs",
-    "dedup_threshold_sweep",
-    "cosine_neardup_pairs",
-    "rrf_fused_topk",
-    "nearest_centroid_eval",
-    "matryoshka_recall",
-    "hard_negative_topk",
-    "contrastive_negatives",
-    "knn_label_noise",
-    "media_feature_extract",
-    "media_frame_sample",
-    "media_chunk_plan",
-    "media_bytes_meta",
+    # --- round-7 NEW queries: brand-new cross-engine surfaces, the
+    # least battle-tested — verdict needed first.
+    "media_phash_pairs",          # perceptual-hash image dedup (r6 item 7)
+    "pq_recall_report_sampled",   # sampled bench twin (r6 item 2)
+    # --- VERDICT r6 item 1's named priority list: custom-determinism
+    # machinery over simple aggregates, never driver-checked.
+    "heavy_hitter_tokens",
+    "repeated_spans",
+    "histogram_quantiles",
+    "pack_sequences",
+    "pii_scrub",
+    "c4_line_filter",
+    "rendezvous_shards",
+    "zorder_layout_stats",
+    "merkle_bucket_manifest",
+    "dataset_manifest",
+    "incremental_report_maintenance",
+    "psi_drift",
+    "ks_source_drift",
+    "trade_triangles",
+    "quality_logit_deciles",
+    "quality_logit_deciles_scaled",
+    # --- the r6 queue tail that fell below that round's 50-cut.
     "doc_fingerprint",
     "chunk_dedup_rate",
-    "merkle_bucket_manifest",
-    "rendezvous_shards",
     "epoch_shuffle_plan",
-    "pack_sequences",
     "doc_chunks",
     "blocked_fuzzy_match",
     "fuzzy_name_pairs",
     "hash_uniformity_check",
-    "zorder_layout_stats",
     "pps_weighted_sample",
     "hash_sample_docs",
     "train_val_test_split",
+    # --- more custom-determinism machinery (sampling/split plumbing,
+    # text scoring) ahead of plain aggregates.
+    "stratified_split_plan",
+    "split_leakage_check",
+    "per_group_sample",
+    "stratified_sample",
+    "budget_rebalance_sample",
+    "tfidf_top_terms",
+    "doc_quality",
+    "doc_repetition",
+    "per_source_ols",
+    "quality_metrics_long",
+    "contamination_check",
+    "unicode_sanitize",
+    # --- stats / corpus-ops tail (fills the 50 exactly; the remaining
+    # ~37 never-checked names close out in round 8).
+    "length_zscores",
+    "mixed_lang_docs",
+    "dedup_rate_report",
+    "temperature_mixture",
+    "corpus_snapshot_diff",
+    "data_freshness_audit",
+    "label_centroid_sim",
+    "embedding_scatter",
+    "embedding_norms",
+    "corpus_health_report",
 )
 
 

@@ -7,6 +7,22 @@ ONE JSON line:
 Execution is forced with the noop sink (full computation, no driver
 collect cost). One warmup query first so JVM/codegen startup is not
 attributed to the first measured query.
+
+COVERAGE RULE (VERDICT r6 item 4): every suite-registry query is
+either timed in HEADLINE or listed in EXCLUDED with its exclusion
+class — tests/test_suite_meta.py asserts HEADLINE ∪ EXCLUDED ==
+registry with no overlap, so the bench denominator is never fuzzy.
+The only exclusion classes are:
+  * warmup            — preview_limit, timed implicitly before every run;
+  * sampled-twin      — full-query eval whose hash-sampled twin is the
+                        benched production-cadence path;
+  * variant-of-benched— identical plan family to a benched query
+                        (salted/SQL-surface/scaled twins);
+  * parity-micro      — reference-parity micro-surfaces (single
+                        projections/casts) whose cost is subsumed by
+                        the benched 4-query parity core;
+  * quadratic-baseline— all-pairs reference kept only to certify its
+                        bucketed scale twin.
 """
 
 from __future__ import annotations
@@ -63,7 +79,10 @@ HEADLINE = [
     "ivfpq_ann_topk",
     "ivf_probe_curve",
     "pq_distortion_report",
-    "pq_recall_report",
+    # sampled twin of pq_recall_report (VERDICT r6 item 2): no full
+    # exact-baseline eval in the bench; the full query stays
+    # suite-registered for driver certification.
+    "pq_recall_report_sampled",
     # added with the Q13/Q18/Q2/Q16, hygiene, and diagnostics batch
     "customer_order_distribution",
     "large_volume_customers",
@@ -308,7 +327,91 @@ HEADLINE = [
     "quantile_treatment_effects",
     "lpa_modularity",
     "experiment_power_mde",
+    # round-7: full bench coverage (VERDICT r6 item 4) — every registry
+    # query not in a documented EXCLUDED class is timed. Mostly
+    # sub-second operator surfaces that had no slot before.
+    "media_phash_pairs",          # NEW r7: perceptual-hash image dedup
+    "ann_retrieve_docs",
+    "approx_distinct_stats",
+    "budget_rebalance_sample",
+    "conditional_agg_mix",
+    "cube_priority_status",
+    "customer_order_windows",
+    "customers_with_orders_semi",
+    "customers_without_orders",
+    "dedup_best_keeper",
+    "dedup_clusters_star",
+    "distinct_counts",
+    "doc_bpe_tokens",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_token_stats",
+    "embedding_norms",
+    "error_spikes",
+    "event_sessionize_asof",
+    "fuzzy_name_pairs",
+    "group_percentiles",
+    "grouping_sets_revenue",
+    "hash_sample_docs",
+    "json_event_props",
+    "late_shipment_priority",
+    "lineitem_dq_checks",
+    "lineitem_profile",
+    "lsh_ann_topk",
+    "media_bytes_meta",
+    "media_chunk_plan",
+    "media_frame_sample",
+    "nation_trade_flows",
+    "order_price_distribution",
+    "orders_by_month",
+    "per_group_sample",
+    "per_source_ols",
+    "pivot_status_by_priority",
+    "pq_code_balance",
+    "priority_order_check",
+    "quality_metrics_long",
+    "revenue_forecast",
+    "rollup_priority_status",
+    "semantic_dedup_pairs",
+    "set_ops_customers",
+    "status_sets_by_priority",
+    "stratified_sample",
+    "string_formatting",
+    "time_rollup_multires",
+    "top_supplier_revenue",
+    "train_val_test_split",
+    "training_mix_report",
+    "user_running_value",
 ]
+
+# Registry queries intentionally NOT timed, each with its exclusion
+# class (see module docstring). tests/test_suite_meta.py asserts
+# HEADLINE and EXCLUDED partition the suite registry exactly.
+EXCLUDED = {
+    "preview_limit": "warmup: timed implicitly before every run",
+    "ann_recall_report": "sampled-twin: ann_recall_report_sampled benched",
+    "ndcg_eval": "sampled-twin: ndcg_eval_sampled benched",
+    "pq_recall_report": "sampled-twin: pq_recall_report_sampled benched",
+    "budget_report_salted": "variant-of-benched: salted twin of budget_report",
+    "order_lineitem_join_salted":
+        "variant-of-benched: salted twin of order_lineitem_join",
+    "budget_report_sql":
+        "variant-of-benched: spark.sql surface twin of budget_report",
+    "length_deciles":
+        "variant-of-benched: global-sort NTILE audit variant; "
+        "length_deciles_scaled is the benched scale path",
+    "money_clean_cast": "parity-micro: F1/F2/F4 cast surface",
+    "education_bonus": "parity-micro: F8/F9/F11 CASE surface",
+    "hospital_amount": "parity-micro: F3/F12 cast surface",
+    "normalize_names": "parity-micro: S2/P1 header surface",
+    "filter_dropna": "parity-micro: P6/P7 filter surface",
+    "sha256_digest": "parity-micro: F15 digest surface",
+    "audit_timestamp": "parity-micro: F14 non-deterministic audit column",
+    "top_k_spenders": "parity-micro: O3 top-k surface",
+    "cosine_neardup_pairs":
+        "quadratic-baseline: all-pairs reference certifying the "
+        "bucketed twin semantic_dedup_pairs (benched)",
+}
 
 
 def main() -> None:

@@ -172,6 +172,41 @@ def resize_image_batch(
     return content.map(lambda b: resizer(b, width, height))
 
 
+DHASH_GRID_W = 6   # horizontal diffs per row
+DHASH_GRID_H = 10  # rows → 60 bits total, fits a signed bigint
+DHASH_BITS = DHASH_GRID_W * DHASH_GRID_H
+
+
+def dhash60(arr) -> int:
+    """60-bit difference hash (dHash) of a grayscale image array: the
+    standard perceptual image fingerprint — nearest-resize to a
+    (DHASH_GRID_W+1) × DHASH_GRID_H grid, then bit (r, c) = 1 iff
+    pixel(r, c) > pixel(r, c+1). Robust to re-encoding and uniform
+    brightness shifts; near-duplicate images land within a small
+    Hamming radius, so pairs come from the same pigeonhole block join
+    as text SimHash (operators/dedup.py hamming_near_pairs). 60 bits
+    (not the textbook 64) keeps the signature in a signed bigint and
+    splits evenly into 4 blocks at hamming_max=3.
+
+    Pure integer index math end to end (nearest-neighbor gather +
+    comparisons), so an SQL oracle replays the hash bit-exactly."""
+    import numpy as np
+
+    small = resize_nearest(arr, DHASH_GRID_W + 1, DHASH_GRID_H)
+    bits = (small[:, :-1].astype(np.int32) > small[:, 1:].astype(np.int32))
+    weights = (
+        np.int64(1) << np.arange(DHASH_BITS, dtype=np.int64)
+    ).reshape(DHASH_GRID_H, DHASH_GRID_W)
+    return int((bits * weights).sum(dtype=np.int64))
+
+
+def dhash_batch(content: pd.Series, decoder: Callable | None = None) -> pd.Series:
+    """Batch dHash over image blobs: decode (PGM/PPM by default, or an
+    injected codec) → :func:`dhash60`. Series of bytes in, Series of
+    int64 out — the mapInPandas batch contract."""
+    return decode_image_batch(content, decoder).map(dhash60)
+
+
 def fake_feature_extract(content: pd.Series) -> pd.Series:
     """Deterministic stand-in for a learned feature extractor: a
     16-bucket normalized byte histogram. Shape-compatible with a real

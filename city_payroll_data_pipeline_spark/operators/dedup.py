@@ -789,26 +789,37 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("doc_id", acc.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, hamming_max: int = 3
+def hamming_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    hamming_max: int = 3,
+    n_bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash_a, simhash_b) ≤ hamming_max via the
-    pigeonhole block join: split 60 bits into hamming_max+1 blocks —
-    any qualifying pair matches exactly on ≥1 block, so candidates come
-    from equality joins, never a cross join. Output: doc_a < doc_b,
-    hamming."""
+    """Pairs with Hamming(sig_a, sig_b) ≤ hamming_max over ANY integer
+    bit-signature frame (SimHash, image dHash/aHash, …) via the
+    pigeonhole block join: split ``n_bits`` into hamming_max+1 blocks —
+    a pair within the radius differs in ≤ hamming_max blocks, so it
+    matches exactly on ≥1 block and candidates come from equality
+    joins, never a cross join. Output: doc_a < doc_b, hamming.
+
+    Scale: the shuffle key is (block_idx, block_val) — candidate
+    generation is bucketed; the corpus never self-joins all-pairs."""
     n_blocks = hamming_max + 1
-    width = SIMHASH_BITS // n_blocks
-    sims = simhash(df, id_col, text_col)
-    blocks = sims.select(
-        "doc_id",
-        "simhash",
+    width = n_bits // n_blocks
+    if width * n_blocks != n_bits:
+        raise ValueError(
+            f"n_bits={n_bits} must split evenly into {n_blocks} blocks"
+        )
+    blocks = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(sig_col).alias("sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(j).alias("block_idx"),
-                        F.shiftright(F.col("simhash"), j * width)
+                        F.shiftright(F.col(sig_col), j * width)
                         .bitwiseAND((1 << width) - 1)
                         .alias("block_val"),
                     )
@@ -816,7 +827,7 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("blk"),
-    ).select("doc_id", "simhash", "blk.block_idx", "blk.block_val")
+    ).select("doc_id", "sig", "blk.block_idx", "blk.block_val")
     a, b = blocks.alias("a"), blocks.alias("b")
     cands = (
         a.join(
@@ -828,13 +839,25 @@ def simhash_near_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
         .distinct()
     )
     return cands.select(
         "doc_a",
         "doc_b",
-        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= hamming_max)
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, hamming_max: int = 3
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) ≤ hamming_max — the
+    text-SimHash front end over the generic pigeonhole block join
+    (:func:`hamming_near_pairs`). Output: doc_a < doc_b, hamming."""
+    sims = simhash(df, id_col, text_col)
+    return hamming_near_pairs(
+        sims, "doc_id", "simhash", hamming_max, SIMHASH_BITS
+    )

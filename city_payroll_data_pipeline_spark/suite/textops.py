@@ -3477,6 +3477,98 @@ ORDER BY media_id
 """
 
 
+def q_media_phash_pairs(spark, sf_dir):
+    """Perceptual-hash image dedup (VERDICT r6 item 7) — the one
+    LLM-pipeline dedup modality text hashes can't cover: re-encoded or
+    resized copies of an image share no bytes, but their dHash agrees
+    within a small Hamming radius. Pipeline: synthesize a P5 netpbm
+    blob per doc (text bytes as the pixel plane, the media_thumbnail
+    fixture), run the REAL codec path inside one Arrow batch —
+    ``decode_ppm`` → nearest-neighbor 7×10 downsample → 60-bit dHash
+    (functions/multimodal.py dhash60) — then find pairs within
+    Hamming ≤ 3 via the same pigeonhole block join as text SimHash
+    (operators/dedup.py hamming_near_pairs): candidates come from
+    equality joins on 15-bit blocks, never an all-pairs self-join.
+
+    dHash is integer index math end to end, so the DuckDB oracle
+    replays pixel gather, bit pattern, and block join bit-exactly —
+    the driver hash certifies the codec round-trip AND the banding."""
+    import numpy as np
+    import pandas as pd
+
+    from city_payroll_data_pipeline_spark.functions import multimodal as mm
+    from city_payroll_data_pipeline_spark.session import ship_package
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    ship_package(docs.sparkSession)
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                h = len(b) // _IMG_W
+                if h < 1:
+                    continue
+                src = np.frombuffer(
+                    b[: h * _IMG_W], dtype=np.uint8
+                ).reshape(h, _IMG_W)
+                blob = mm.encode_ppm(src)
+                ph = mm.dhash_batch(pd.Series([blob]))[0]
+                rows.append((int(doc_id), int(ph)))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    hashes = docs.select("doc_id", "text").mapInPandas(
+        op, "doc_id bigint, phash bigint"
+    )
+    return dedup.hamming_near_pairs(
+        hashes, "doc_id", "phash", hamming_max=3, n_bits=mm.DHASH_BITS
+    ).orderBy("doc_a", "doc_b")
+
+
+# oracle replay: resized pixel (r, c) = source byte at row (r·h)//10,
+# col (c·16)//7 (nearest-neighbor gather, 1-indexed substr; corpus is
+# ASCII so bytes == code points); dHash bit r·6+c = px(r,c) > px(r,c+1);
+# then the identical 4×15-bit pigeonhole block join.
+MEDIA_PHASH_PAIRS_SQL = f"""
+WITH src AS (
+  SELECT doc_id, text, octet_length(encode(text)) // {_IMG_W} AS h
+  FROM documents WHERE octet_length(encode(text)) >= {_IMG_W}
+),
+px AS (
+  SELECT doc_id, r, c,
+         ord(substr(text,
+             CAST(((r * h) // 10) * {_IMG_W} + (c * {_IMG_W}) // 7 + 1
+                  AS INT), 1)) AS v
+  FROM src, unnest(range(0, 10)) tr(r), unnest(range(0, 7)) tc(c)
+),
+bits AS (
+  SELECT a.doc_id, a.r, a.c, CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.c < 6
+),
+ph AS (
+  SELECT doc_id, CAST(SUM(bit * (1::BIGINT << (r * 6 + c))) AS BIGINT)
+           AS phash
+  FROM bits GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, phash, j, (phash >> (15 * j)) & 32767 AS block_val
+  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS pa, b.phash AS pb
+  FROM blocks a JOIN blocks b
+    ON a.j = b.j AND a.block_val = b.block_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(pa, pb)) AS hamming
+FROM cands
+WHERE bit_count(xor(pa, pb)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Context-window chunking — split each document into fixed-size
 # overlapping token chunks (size 64, stride 48 → 16-token overlap),
@@ -5197,6 +5289,11 @@ QUERIES = {
         q_media_thumbnail,
         MEDIA_THUMBNAIL_SQL,
         ("multimodal", "codec", "pandas_udf"),
+    ),
+    "media_phash_pairs": Query(
+        q_media_phash_pairs,
+        MEDIA_PHASH_PAIRS_SQL,
+        ("multimodal", "dedup", "phash", "codec", "pandas_udf"),
     ),
     "doc_chunks": Query(
         q_doc_chunks, DOC_CHUNKS_SQL, ("text", "chunking", "context-window")

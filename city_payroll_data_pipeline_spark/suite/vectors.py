@@ -1504,16 +1504,18 @@ def q_pq_code_balance(spark, sf_dir):
     )
 
 
-def q_pq_recall_report(spark, sf_dir):
+def q_pq_recall_report(spark, sf_dir, query_ids=None):
     """Recall@K certificate for the two compressed-code retrievers
     (PQ, IVF-PQ) against the exact baseline — the ann_recall_report
     pattern extended to the r6 additions, so one driver hash certifies
     retrievers AND eval. Joins run on (queries × K)-sized frames."""
-    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    total = K * N_QUERIES
+    exact = q_cosine_topk(spark, sf_dir, query_ids).select(
+        "query_id", "neighbor_id"
+    )
+    total = K * (N_QUERIES if query_ids is None else len(query_ids))
     parts = []
     for name, fn in (("pq", q_pq_ann_topk), ("ivfpq", q_ivfpq_ann_topk)):
-        ap = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        ap = fn(spark, sf_dir, query_ids).select("query_id", "neighbor_id")
         parts.append(
             ap.join(exact, ["query_id", "neighbor_id"]).agg(
                 F.lit(name).alias("retriever"),
@@ -1525,12 +1527,22 @@ def q_pq_recall_report(spark, sf_dir):
     return parts[0].unionByName(parts[1]).orderBy("retriever")
 
 
-def _pq_recall_report_sql() -> str:
-    total = K * N_QUERIES
+def q_pq_recall_report_sampled(spark, sf_dir):
+    """Hash-sampled twin of pq_recall_report (VERDICT r6 item 2 — the
+    r6 ann_recall_report/ndcg_eval pattern): the identical recall@K
+    machinery over SAMPLED_QUERY_IDS, so the exact baseline and both
+    codebook builds amortize over O(sample) queries. The full-query
+    variant stays registered for complete certification; this is the
+    bench/production-cadence path."""
+    return q_pq_recall_report(spark, sf_dir, query_ids=SAMPLED_QUERY_IDS)
+
+
+def _pq_recall_report_sql(query_ids=None) -> str:
+    total = K * (N_QUERIES if query_ids is None else len(query_ids))
     arms = []
     for name, sql in (
-        ("pq", _pq_ann_topk_sql()),
-        ("ivfpq", _ivfpq_sql()),
+        ("pq", _pq_ann_topk_sql(query_ids)),
+        ("ivfpq", _ivfpq_sql(query_ids)),
     ):
         arms.append(f"""
 SELECT '{name}' AS retriever,
@@ -1543,7 +1555,7 @@ JOIN exact ON ap.query_id = exact.query_id
     body = "\nUNION ALL\n".join(arms)
     return f"""
 WITH exact AS MATERIALIZED (
-  SELECT query_id, neighbor_id FROM ({COSINE_TOPK_SQL})
+  SELECT query_id, neighbor_id FROM ({_cosine_topk_sql(query_ids)})
 )
 {body}
 ORDER BY retriever
@@ -1656,6 +1668,11 @@ QUERIES = {
         q_pq_recall_report,
         _pq_recall_report_sql(),
         ("vector", "eval", "recall", "pq"),
+    ),
+    "pq_recall_report_sampled": Query(
+        q_pq_recall_report_sampled,
+        _pq_recall_report_sql(SAMPLED_QUERY_IDS),
+        ("vector", "eval", "recall", "pq", "sampled"),
     ),
     "ndcg_eval": Query(
         q_ndcg_eval,

@@ -221,6 +221,7 @@ _INTENTIONAL_BNLJ = {
     "ivfpq_ann_topk",         # broadcast centroids (ivf_assign) + LUT
     "ivf_probe_curve",        # broadcast centroids + tiny grid/census joins
     "pq_recall_report",       # inherits ivfpq's broadcast-centroid shape
+    "pq_recall_report_sampled",  # same shapes over the sampled query subset
     "lsh_ann_topk",           # broadcast plane/query set
     "price_band_range_join",  # broadcast band table
     "idle_rich_customers",    # broadcast 1-row avg-balance scalar

@@ -88,6 +88,48 @@ def test_round_new_has_no_duplicates():
     assert not dups, dups
 
 
+def test_round_new_disjoint_from_checked_ledger():
+    """Rotation-overlap lint (VERDICT r6 item 8): a _ROUND_NEW entry
+    already in CHECKED.md would silently burn one of the driver's 50
+    verification slots re-checking a name that already has an official
+    verdict. Intentional re-verdicts (e.g. a changed plan or a new
+    oracle for an already-checked query) must be declared here."""
+    DECLARED_REVERDICTS: tuple[str, ...] = ()
+    mod = _entry_module()
+    overlap = sorted(
+        (set(mod._ROUND_NEW) & mod._already_checked())
+        - set(DECLARED_REVERDICTS)
+    )
+    assert not overlap, overlap
+
+
+def test_bench_headline_and_excluded_partition_registry(suite):
+    """Bench-coverage rule (VERDICT r6 item 4): every registry query is
+    either timed in bench.HEADLINE or carries a documented exclusion
+    class in bench.EXCLUDED — and never both — so the bench total's
+    denominator is exact. Unknown names in either list are typos."""
+    import bench
+
+    names = set(suite)
+    headline, excluded = set(bench.HEADLINE), set(bench.EXCLUDED)
+    assert not headline & excluded, sorted(headline & excluded)
+    assert not headline - names, sorted(headline - names)
+    assert not excluded - names, sorted(excluded - names)
+    uncovered = sorted(names - headline - excluded)
+    assert not uncovered, uncovered
+    # every exclusion reason names one of the documented classes
+    classes = (
+        "warmup", "sampled-twin", "variant-of-benched",
+        "parity-micro", "quadratic-baseline",
+    )
+    unclassed = {
+        n: r
+        for n, r in bench.EXCLUDED.items()
+        if not r.startswith(classes)
+    }
+    assert not unclassed, unclassed
+
+
 def test_checked_ledger_names_exist(suite):
     """CHECKED.md names must stay resolvable — a renamed query would
     silently re-enter the rotation as 'never checked'. (Names may

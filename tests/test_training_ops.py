@@ -138,6 +138,61 @@ def test_decode_ppm_default_and_unknown_format(spark):
     assert (decode_ppm(encode_ppm(gray16)) == gray16).all()
 
 
+def test_dhash_invariances_and_banded_pairs(spark):
+    """dHash must be invariant to uniform brightness shift and to a
+    codec round-trip (the properties that make it a perceptual dedup
+    key), flip bits under a real content change, and the pigeonhole
+    block join must recover a planted near-dup pair exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from city_payroll_data_pipeline_spark.functions.multimodal import (
+        DHASH_BITS,
+        decode_ppm,
+        dhash60,
+        dhash_batch,
+        encode_ppm,
+    )
+    from city_payroll_data_pipeline_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+
+    rng_rows = np.arange(40, dtype=np.uint8)
+    img = (rng_rows[:, None] * 3 + np.arange(32, dtype=np.uint16)[None, :] * 5) % 200
+    img = img.astype(np.uint8)
+    h0 = dhash60(img)
+    assert 0 <= h0 < (1 << DHASH_BITS)
+    # brightness shift preserves every pairwise order → identical hash
+    assert dhash60(np.clip(img.astype(np.int32) + 40, 0, 255).astype(np.uint8)) == h0
+    # codec round-trip is lossless → identical hash
+    assert dhash60(decode_ppm(encode_ppm(img))) == h0
+    # transpose changes the gradient structure → different hash
+    assert dhash60(img.T.copy()) != h0
+    # batch wrapper agrees with the scalar path
+    assert dhash_batch(pd.Series([encode_ppm(img)]))[0] == h0
+
+    # planted near-dup: flip 2 pixels hard → small Hamming distance;
+    # an unrelated image stays far. The banded join finds exactly the
+    # planted pair at hamming_max=3.
+    near = img.copy()
+    near[0, 0] = 255 - near[0, 0]
+    other = ((img.astype(np.int32) * 7 + 13) % 251).astype(np.uint8)
+    sigs = spark.createDataFrame(
+        [(0, dhash60(img)), (1, dhash60(near)), (2, dhash60(other))],
+        "doc_id long, sig long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming_near_pairs(
+            sigs, "doc_id", "sig", hamming_max=3, n_bits=DHASH_BITS
+        ).collect()
+    }
+    assert set(got) == {(0, 1)} and got[(0, 1)] <= 3
+
+    with pytest.raises(ValueError, match="split evenly"):
+        hamming_near_pairs(sigs, "doc_id", "sig", hamming_max=6, n_bits=60)
+
+
 def test_lang_id_markers(spark):
     from city_payroll_data_pipeline_spark.functions.text import lang_id
 
