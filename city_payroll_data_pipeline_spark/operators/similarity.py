@@ -569,7 +569,7 @@ def ivfpq_topk(
     n_probe: int = 3,
     centroid_stride: int = 7,
     m_sub: int = 32,
-    k_codes: int = 64,
+    k_codes: int = 38,
     codebook_stride: int = 13,
     dim: int = 64,
 ) -> DataFrame:
@@ -585,7 +585,10 @@ def ivfpq_topk(
     (query, probed-cell) list and then to the broadcast LUT — scan
     cost is |probed cells' codes| × m_sub, never the corpus. The two
     stride constants differ (7 vs 13) so centroids and codewords come
-    from different seed vectors."""
+    from different seed vectors. The default k_codes=38 keeps the last
+    codebook seed (13·37 = 481) inside even the smallest corpus (~500
+    vectors) — pq_codebook raises on a corpus too small to seed every
+    codeword (ADVICE r6)."""
     d_sub = dim // m_sub
     corpus = with_quantized(df, id_col, vec_col)
     cents = ivf_seed_centroids(corpus, n_lists, centroid_stride)
