@@ -331,6 +331,7 @@ HEADLINE = [
     # query not in a documented EXCLUDED class is timed. Mostly
     # sub-second operator surfaces that had no slot before.
     "media_phash_pairs",          # NEW r7: perceptual-hash image dedup
+    "unigram_viterbi_encode",     # NEW r7: unigram-LM Viterbi segmentation
     "ann_retrieve_docs",
     "approx_distinct_stats",
     "budget_rebalance_sample",

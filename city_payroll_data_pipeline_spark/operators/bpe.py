@@ -254,6 +254,90 @@ def bpe_symbols(words: DataFrame, merges: list[tuple[str, str, int]]) -> Column:
     return sym
 
 
+def viterbi_piece_table(
+    words: DataFrame,
+    vocab_lp: DataFrame,
+    lmax: int,
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi segmentation per word
+    over a piece vocabulary with log-probabilities ``vocab_lp``
+    (piece, plen, lp: decimal(18,6)): the max-likelihood segmentation
+    dp[e] = max_j dp[e−j] + lp(word[e−j+1..e]), ties broken toward the
+    FEWEST pieces. Returns (word, n_vit, logprob) — the piece count and
+    total log-probability of the best segmentation.
+
+    Distributed shape — the greedy_piece_counts pattern upgraded from a
+    scalar walk to a dynamic program, still two passes and NO per-step
+    loop:
+    1. the option table: every (word, end-position) exploded to its
+       ≤ ``lmax`` candidate pieces ENDING there, equi-joined against
+       the broadcast vocab (hash join, no UDF) and packed into a
+       per-position array of (j, lp) structs;
+    2. the DP: one codegen'd ``F.aggregate`` fold appends dp[e] =
+       array_max over the position's candidates, each candidate
+       struct<(score, −pieces)> so Spark's lexicographic struct max
+       IS the (max score, then min pieces) tie-break. Scores ride
+       decimal(18,6), so every addition and comparison is exact given
+       identical 6-dp inputs — bit-reproducible across engines.
+
+    Everything runs on the DISTINCT-WORD frame, never the corpus; the
+    vocab is tiny (pieces of a trained tokenizer) and broadcast."""
+    grid = words.select(
+        "word",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
+    )
+    lens = F.array(*[F.lit(n) for n in range(1, lmax + 1)])
+    cand = (
+        grid.select("word", "s", F.explode(lens).alias("plen"))
+        .withColumn("piece", F.expr("substring(word, s, plen)"))
+        .filter(F.length("piece") == F.col("plen"))
+    )
+    opts = (
+        cand.join(F.broadcast(vocab_lp), ["piece", "plen"])
+        .select(
+            "word",
+            (F.col("s") + F.col("plen") - 1).alias("e"),
+            F.struct(
+                F.col("plen").cast("int").alias("j"), F.col("lp")
+            ).alias("opt"),
+        )
+        .groupBy("word", "e")
+        .agg(F.collect_list("opt").alias("opts"))
+    )
+    arr = opts.groupBy("word").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("e", "opts"))),
+            lambda st: st["opts"],
+        ).alias("a")
+    )
+    zero = F.lit("0").cast("decimal(18,6)")
+    init = F.array(
+        F.struct(zero.alias("sc"), F.lit(0).cast("int").alias("negnp"))
+    )
+
+    def step(acc, e):
+        cands = F.transform(
+            F.element_at(F.col("a"), e),
+            lambda x: F.struct(
+                (F.element_at(acc, e + 1 - x["j"])["sc"] + x["lp"])
+                .cast("decimal(18,6)")
+                .alias("sc"),
+                (F.element_at(acc, e + 1 - x["j"])["negnp"] - 1)
+                .cast("int")
+                .alias("negnp"),
+            ),
+        )
+        return F.concat(acc, F.array(F.array_max(cands)))
+
+    dp = F.aggregate(F.sequence(F.lit(1), F.size("a")), init, step)
+    last = F.element_at(dp, F.size("a") + 1)
+    return arr.select(
+        "word",
+        (-last["negnp"]).alias("n_vit"),
+        last["sc"].alias("logprob"),
+    )
+
+
 def greedy_piece_counts(
     words: DataFrame,
     vocab: DataFrame,

@@ -4047,6 +4047,210 @@ WORDPIECE_GREEDY_ENCODE_SQL = _wordpiece_greedy_sql()
 
 
 # --------------------------------------------------------------------------
+# unigram_viterbi_encode — unigram-LM (SentencePiece-style) maximum-
+# likelihood segmentation, the third tokenizer-inference rule next to
+# BPE merge replay and WordPiece greedy longest-match. Pieces come
+# from the SAME trained BPE vocabulary; piece log-probabilities are
+# the occurrence-weighted usage counts of the BPE segmentation with
+# add-one smoothing (lp = round(ln(cnt/total), 6), ridden as exact
+# DECIMAL(18,6) so every DP addition and comparison is engine-exact).
+# The dynamic program dp[e] = max_j dp[e−j] + lp(word[e−j+1..e]) runs
+# as ONE codegen'd fold over the distinct-word frame
+# (operators/bpe.py::viterbi_piece_table — the greedy walk upgraded to
+# a DP, no Python row path, no per-step Spark stage).
+#
+# Oracle: the trained vocabulary replays through bpe_replay_ctes; the
+# DP replays as a recursive CTE whose step appends
+# max/argmin over the PRE-COMPUTED per-(word, end-position) option
+# lists (correlated subqueries don't bind in DuckDB recursive terms —
+# the wordpiece lesson — but plain joins + list lambdas do).
+#
+# Scale: everything after the word histogram runs on distinct words;
+# the vocab is broadcast; the only driver round trips are the BPE
+# trainer's batched top-k collects. The 1-row piece-count total rides
+# a broadcast cross join (materialized inside the vocab checkpoint).
+#
+# Observed fixed point (sf0.01 AND sf0.1): the max-likelihood
+# segmentation under the BPE-usage unigram LM reproduces the BPE
+# segmentation exactly (diff_words = 0) — the empirical distribution
+# makes its own generating segmentation the argmax. This is not a
+# theorem (a word whose alternative split uses higher-frequency pieces
+# would diverge), so the column is a live regression canary, and the
+# per-word DP scores underneath are fully exercised either way.
+# --------------------------------------------------------------------------
+
+
+def q_unigram_viterbi_encode(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    merges = bpe.train_bpe(
+        docs.select("text"), "text",
+        n_merges=_BPE_N_MERGES, min_pair_count=_BPE_MIN_PAIR,
+    )
+    words_src = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(r"regexp_extract_all(trim(text), '\\S+', 0)")
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("occ"))
+    )
+    words = words_src.select("word").distinct()
+    syms = bpe.bpe_symbols(words, merges)
+    encoded = words.select("word", syms.alias("syms")).localCheckpoint()
+    n_bpe = encoded.select("word", F.size("syms").alias("n_bpe"))
+    occ_w = words_src.groupBy("word").agg(F.sum("occ").alias("w_occ"))
+    usage = (
+        encoded.join(occ_w, "word")
+        .select(F.explode("syms").alias("piece"), "w_occ")
+        .groupBy("piece")
+        .agg(F.sum("w_occ").alias("used"))
+    )
+    vocab0 = (
+        encoded.select(F.explode("syms").alias("piece"))
+        .unionByName(
+            words.select(F.explode(F.split("word", "")).alias("piece"))
+        )
+        .distinct()
+    )
+    counts = vocab0.join(usage, "piece", "left").select(
+        "piece",
+        (F.coalesce(F.col("used"), F.lit(0)) + 1).alias("cnt"),
+    )
+    tot = counts.agg(F.sum("cnt").alias("total"))
+    vocab_lp = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            F.length("piece").alias("plen"),
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("total")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+        .localCheckpoint()
+    )
+    lmax = max([1] + [len(l + r) for l, r, _ in merges])
+    vit = bpe.viterbi_piece_table(words, vocab_lp, lmax)
+    per_word = n_bpe.join(vit, "word")
+    return (
+        words_src.join(per_word, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("occ").alias("n_tokens"),
+            F.sum(F.col("occ") * F.col("n_bpe")).alias("bpe_pieces"),
+            F.sum(F.col("occ") * F.col("n_vit")).alias("viterbi_pieces"),
+            F.count_distinct(
+                F.when(F.col("n_bpe") != F.col("n_vit"), F.col("word"))
+            ).alias("diff_words"),
+            F.round(
+                F.sum(F.col("occ") * F.col("logprob")).cast("double")
+                / F.sum(F.col("occ") * F.col("n_vit")),
+                6,
+            ).alias("avg_piece_logprob"),
+        )
+        .orderBy("source")
+    )
+
+
+def _unigram_viterbi_sql() -> str:
+    cte_block, final_vocab = bpe_replay_ctes(_BPE_N_MERGES, _BPE_MIN_PAIR)
+    s = "chr(31)"
+    lp_expr = _sql_round("ln(CAST(cnt AS DOUBLE) / total)", 6)
+    # dp candidate expressions over the option list (shared between the
+    # max-score reduction and the min-pieces tie-break)
+    cscore = "s.scores[s.i + 2 - x['j']] + x['lp']"
+    cscore_y = "s.scores[s.i + 2 - y['j']] + y['lp']"
+    best = f"list_aggregate(list_transform(o.opts, x -> {cscore}), 'max')"
+    best_y = f"list_aggregate(list_transform(o.opts, y -> {cscore_y}), 'max')"
+    return rf"""WITH RECURSIVE {cte_block},
+words_src AS (
+  SELECT source, word, COUNT(*) AS occ FROM (
+    SELECT source, unnest(regexp_extract_all(trim(text), '\S+', 0)) AS word
+    FROM documents
+  ) GROUP BY source, word
+),
+n_bpe AS (
+  SELECT word, len(string_split(trim(canon, {s}), {s}||{s})) AS n_bpe
+  FROM {final_vocab}
+),
+pieces_used AS (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS used FROM (
+    SELECT cnt, unnest(string_split(trim(canon, {s}), {s}||{s})) AS piece
+    FROM {final_vocab}
+  ) GROUP BY piece
+),
+vocab0 AS (
+  SELECT DISTINCT piece FROM (
+    SELECT unnest(string_split(trim(canon, {s}), {s}||{s})) AS piece
+    FROM {final_vocab}
+    UNION
+    SELECT unnest(regexp_extract_all(word, '.', 0)) AS piece FROM words
+  )
+),
+counts AS (
+  SELECT v.piece, COALESCE(u.used, 0) + 1 AS cnt
+  FROM vocab0 v LEFT JOIN pieces_used u USING (piece)
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+vocab AS MATERIALIZED (
+  SELECT piece, length(piece) AS plen,
+         CAST({lp_expr} AS DECIMAL(18,6)) AS lp
+  FROM counts CROSS JOIN tot
+),
+pos_grid AS (
+  SELECT word, unnest(range(1, length(word) + 1)) AS st FROM words
+),
+opts AS MATERIALIZED (
+  -- option lists per (word, END position), computed BEFORE the
+  -- recursion (DuckDB does not bind correlated subqueries inside a
+  -- recursive term; plain joins and list lambdas do bind)
+  SELECT g.word, g.st + v.plen - 1 AS e,
+         list({{'j': v.plen, 'lp': v.lp}}) AS opts
+  FROM pos_grid g
+  JOIN vocab v ON substr(g.word, CAST(g.st AS INT), v.plen) = v.piece
+  GROUP BY g.word, g.st + v.plen - 1
+),
+seg AS (
+  SELECT word, 0 AS i,
+         [CAST(0 AS DECIMAL(18,6))] AS scores, [CAST(0 AS INT)] AS nps
+  FROM words
+  UNION ALL
+  SELECT s.word, s.i + 1,
+         list_append(s.scores, CAST({best} AS DECIMAL(18,6))),
+         list_append(s.nps, CAST(list_aggregate(list_transform(
+             list_filter(o.opts, x -> {cscore} = {best_y}),
+             x -> s.nps[s.i + 2 - x['j']] + 1), 'min') AS INT))
+  FROM seg s JOIN opts o ON o.word = s.word AND o.e = s.i + 1
+  WHERE s.i < length(s.word)
+),
+vit AS (
+  SELECT word, nps[length(word) + 1] AS n_vit,
+         scores[length(word) + 1] AS logprob
+  FROM seg WHERE i = length(word)
+)
+SELECT ws.source,
+       CAST(SUM(ws.occ) AS BIGINT) AS n_tokens,
+       CAST(SUM(ws.occ * b.n_bpe) AS BIGINT) AS bpe_pieces,
+       CAST(SUM(ws.occ * v.n_vit) AS BIGINT) AS viterbi_pieces,
+       CAST(COUNT(DISTINCT CASE WHEN b.n_bpe <> v.n_vit THEN ws.word END)
+            AS BIGINT) AS diff_words,
+       {_sql_round(
+           'CAST(SUM(ws.occ * v.logprob) AS DOUBLE)'
+           ' / SUM(ws.occ * v.n_vit)', 6)} AS avg_piece_logprob
+FROM words_src ws
+JOIN n_bpe b ON ws.word = b.word
+JOIN vit v ON ws.word = v.word
+GROUP BY ws.source
+ORDER BY ws.source"""
+
+
+UNIGRAM_VITERBI_ENCODE_SQL = _unigram_viterbi_sql()
+
+
+# --------------------------------------------------------------------------
 # loo_source_influence — leave-one-source-out influence of each source
 # on the corpus-level quality and length means. For linear statistics
 # the counterfactual "corpus without source s" is exact algebra over
@@ -5105,6 +5309,11 @@ QUERIES = {
         q_wordpiece_greedy_encode,
         WORDPIECE_GREEDY_ENCODE_SQL,
         ("tokenizer", "wordpiece", "bpe", "encoder-compat"),
+    ),
+    "unigram_viterbi_encode": Query(
+        q_unigram_viterbi_encode,
+        UNIGRAM_VITERBI_ENCODE_SQL,
+        ("tokenizer", "unigram-lm", "viterbi", "encoder-compat"),
     ),
     "gopher_repetition_funnel": Query(
         q_gopher_repetition_funnel,

@@ -700,6 +700,48 @@ def test_bpe_batched_round_trips(spark, monkeypatch):
     assert calls["n"] == 1, calls["n"]
 
 
+def test_viterbi_piece_table_matches_reference_dp(spark):
+    """The one-fold Viterbi segmentation must agree with an independent
+    Python DP on piece count AND total log-probability, including the
+    (max score, then min pieces) tie-break."""
+    from decimal import Decimal
+    from math import inf
+
+    from city_payroll_data_pipeline_spark.operators.bpe import (
+        viterbi_piece_table,
+    )
+
+    vocab = {"a": -3.2, "b": -2.5, "ab": -1.75, "ba": -4.0, "aba": -2.0,
+             "c": -5.0}
+    words = ["ababa", "abc", "cba", "aaaa", "b", "abab"]
+    vdf = spark.createDataFrame(
+        [(p, len(p), Decimal(str(lp))) for p, lp in vocab.items()],
+        "piece string, plen int, lp decimal(18,6)",
+    )
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: (r["n_vit"], float(r["logprob"]))
+        for r in viterbi_piece_table(wdf, vdf, 3).collect()
+    }
+
+    def ref(w):
+        dp = [(0.0, 0)] + [(-inf, 0)] * len(w)
+        for e in range(1, len(w) + 1):
+            best = (-inf, 0)
+            for j in range(1, min(3, e) + 1):
+                piece = w[e - j:e]
+                if piece in vocab:
+                    cand = (dp[e - j][0] + vocab[piece],
+                            -(dp[e - j][1] + 1))
+                    if cand > best:
+                        best = cand
+            dp[e] = (best[0], -best[1])
+        return (dp[-1][1], round(dp[-1][0], 6))
+
+    want = {w: ref(w) for w in words}
+    assert {w: (got[w][0], round(got[w][1], 6)) for w in words} == want
+
+
 def test_bpe_safe_prefix_same_batch_name_collision():
     """Two merges accepted in the SAME batch must never spell the same
     concatenation (ADVICE r6): ("ab","c") then ("a","bc") both mint
