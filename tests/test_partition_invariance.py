@@ -69,6 +69,9 @@ REPRESENTATIVES = [
     "hll_distinct_audit",       # max-register aggregate + LC branch decision
     "randomization_test_uplift",  # bit-parallel rerandomized decimal sums
     "xent_mix_weights",         # rounded-ln terms + decimal MWU trajectory
+    # round-7 additions
+    "unigram_viterbi_encode",   # collect_list-built option arrays + decimal DP
+    "media_phash_pairs",        # per-batch mapInPandas hash + banded join
 ]
 
 
