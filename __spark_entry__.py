@@ -64,6 +64,7 @@ _ROUND_NEW = (
     "media_phash_pairs",          # perceptual-hash image dedup (r6 item 7)
     "pq_recall_report_sampled",   # sampled bench twin (r6 item 2)
     "unigram_viterbi_encode",     # unigram-LM Viterbi segmentation DP
+    "media_audio_energy",         # framed audio energy/VAD (integer DSP)
     # --- VERDICT r6 item 1's named priority list: custom-determinism
     # machinery over simple aggregates, never driver-checked.
     "heavy_hitter_tokens",
@@ -117,7 +118,6 @@ _ROUND_NEW = (
     "data_freshness_audit",
     "label_centroid_sim",
     "embedding_scatter",
-    "embedding_norms",
 )
 
 

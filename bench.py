@@ -332,6 +332,7 @@ HEADLINE = [
     # sub-second operator surfaces that had no slot before.
     "media_phash_pairs",          # NEW r7: perceptual-hash image dedup
     "unigram_viterbi_encode",     # NEW r7: unigram-LM Viterbi segmentation
+    "media_audio_energy",         # NEW r7: framed audio energy/VAD pass
     "ann_retrieve_docs",
     "approx_distinct_stats",
     "budget_rebalance_sample",

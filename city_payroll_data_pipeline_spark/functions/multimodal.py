@@ -172,6 +172,36 @@ def resize_image_batch(
     return content.map(lambda b: resizer(b, width, height))
 
 
+AUDIO_FRAME = 256      # samples per analysis frame
+AUDIO_SILENT_T = 100_000  # frame sum-of-squares below this = "silent"
+
+
+def audio_frame_stats(pcm) -> tuple[int, int, int, int, int, int]:
+    """Integer frame statistics of an 8-bit unsigned PCM buffer — the
+    deterministic stand-in for a real audio featurizer (energy/VAD
+    front end): samples are centred (s = byte − 128), framed at
+    ``AUDIO_FRAME`` samples (last frame may be short), and reduced to
+    (n_samples, n_frames, total_energy, max_frame_energy,
+    n_silent_frames, peak_amp) where energy is the exact per-frame
+    Σ s² and a frame is silent when its energy < ``AUDIO_SILENT_T``.
+    All-integer, so an SQL oracle replays it bit-exactly. Vectorized
+    (frombuffer + reduceat) — no per-sample Python."""
+    import numpy as np
+
+    s = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64) - 128
+    n = len(s)
+    bounds = np.arange(0, n, AUDIO_FRAME)
+    energy = np.add.reduceat(s * s, bounds)
+    return (
+        n,
+        len(bounds),
+        int(energy.sum()),
+        int(energy.max()),
+        int((energy < AUDIO_SILENT_T).sum()),
+        int(np.abs(s).max()),
+    )
+
+
 DHASH_GRID_W = 6   # horizontal diffs per row
 DHASH_GRID_H = 10  # rows → 60 bits total, fits a signed bigint
 DHASH_BITS = DHASH_GRID_W * DHASH_GRID_H

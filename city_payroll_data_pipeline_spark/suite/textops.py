@@ -3569,6 +3569,98 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_media_audio_energy(spark, sf_dir):
+    """Audio-signal analysis over binary PCM inside Arrow batches —
+    the audio counterpart of media_thumbnail (image) and
+    media_frame_sample (video): synthesize an 8-bit PCM blob per
+    audio-kind doc (text bytes as the sample stream, the established
+    media fixture), then run the REAL framed-energy front end
+    (functions/multimodal.py::audio_frame_stats — centred samples,
+    256-sample frames, exact integer Σ s² per frame, silence
+    thresholding, peak amplitude). This is the energy/VAD pass an
+    audio-training pipeline runs before segmentation; one
+    ``mapInPandas`` pass, no shuffle, blobs never leave their
+    partition, and the all-integer math gives a bit-exact SQL oracle."""
+    import pandas as pd
+
+    from city_payroll_data_pipeline_spark.functions import multimodal as mm
+    from city_payroll_data_pipeline_spark.session import ship_package
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    ship_package(docs.sparkSession)
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                if not b:
+                    continue
+                rows.append((int(doc_id),) + mm.audio_frame_stats(b))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "n_frames", "total_energy",
+                    "max_frame_energy", "n_silent_frames", "peak_amp",
+                ],
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % 3 == 1)  # audio-kind convention
+        .select("doc_id", "text")
+        .mapInPandas(
+            op,
+            "media_id bigint, n_samples bigint, n_frames bigint,"
+            " total_energy bigint, max_frame_energy bigint,"
+            " n_silent_frames bigint, peak_amp bigint",
+        )
+        .orderBy("media_id")
+    )
+
+
+# oracle replays the framed energy exactly: sample i of media m is
+# ord(byte i) − 128 (ASCII corpus: bytes == code points), frame =
+# (i−1)//256, energy = Σ s² per frame, silence < 100000
+MEDIA_AUDIO_ENERGY_SQL = f"""
+WITH au AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  FROM documents
+  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 1
+),
+samp AS (
+  SELECT media_id, (ord(substr(text, CAST(i AS INT), 1)) - 128) AS s,
+         (i - 1) // 256 AS frame
+  FROM au, unnest(range(1, n + 1)) t(i)
+),
+fr AS (
+  SELECT media_id, frame, SUM(s * s) AS energy
+  FROM samp GROUP BY media_id, frame
+),
+frames_agg AS (
+  SELECT media_id,
+         COUNT(*) AS n_frames,
+         SUM(energy) AS total_energy,
+         MAX(energy) AS max_frame_energy,
+         SUM(CASE WHEN energy < 100000 THEN 1 ELSE 0 END) AS n_silent
+  FROM fr GROUP BY media_id
+),
+peaks AS (
+  SELECT media_id, MAX(abs(s)) AS peak FROM samp GROUP BY media_id
+)
+SELECT a.media_id,
+       CAST(a.n AS BIGINT) AS n_samples,
+       CAST(f.n_frames AS BIGINT) AS n_frames,
+       CAST(f.total_energy AS BIGINT) AS total_energy,
+       CAST(f.max_frame_energy AS BIGINT) AS max_frame_energy,
+       CAST(f.n_silent AS BIGINT) AS n_silent_frames,
+       CAST(p.peak AS BIGINT) AS peak_amp
+FROM au a
+JOIN frames_agg f ON f.media_id = a.media_id
+JOIN peaks p ON p.media_id = a.media_id
+ORDER BY a.media_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Context-window chunking — split each document into fixed-size
 # overlapping token chunks (size 64, stride 48 → 16-token overlap),
@@ -5503,6 +5595,11 @@ QUERIES = {
         q_media_phash_pairs,
         MEDIA_PHASH_PAIRS_SQL,
         ("multimodal", "dedup", "phash", "codec", "pandas_udf"),
+    ),
+    "media_audio_energy": Query(
+        q_media_audio_energy,
+        MEDIA_AUDIO_ENERGY_SQL,
+        ("multimodal", "audio", "energy", "pandas_udf"),
     ),
     "doc_chunks": Query(
         q_doc_chunks, DOC_CHUNKS_SQL, ("text", "chunking", "context-window")

@@ -138,6 +138,33 @@ def test_decode_ppm_default_and_unknown_format(spark):
     assert (decode_ppm(encode_ppm(gray16)) == gray16).all()
 
 
+def test_audio_frame_stats_exact():
+    """Framed energy must match a hand-computed reference, including
+    the short last frame and the silence threshold."""
+    import numpy as np
+
+    from city_payroll_data_pipeline_spark.functions.multimodal import (
+        AUDIO_FRAME,
+        AUDIO_SILENT_T,
+        audio_frame_stats,
+    )
+
+    # 300 samples: one full frame + one 44-sample tail
+    vals = (np.arange(300) % 7 + 120).astype(np.uint8)  # s in [-8, -2]
+    pcm = vals.tobytes()
+    n, nf, tot, mx, silent, peak = audio_frame_stats(pcm)
+    s = vals.astype(np.int64) - 128
+    e0 = int((s[:AUDIO_FRAME] ** 2).sum())
+    e1 = int((s[AUDIO_FRAME:] ** 2).sum())
+    assert (n, nf) == (300, 2)
+    assert (tot, mx) == (e0 + e1, max(e0, e1))
+    assert silent == sum(e < AUDIO_SILENT_T for e in (e0, e1))
+    assert peak == int(np.abs(s).max())
+    # single loud frame is not silent
+    loud = (np.full(256, 255, np.uint8)).tobytes()
+    assert audio_frame_stats(loud)[4] == 0
+
+
 def test_dhash_invariances_and_banded_pairs(spark):
     """dHash must be invariant to uniform brightness shift and to a
     codec round-trip (the properties that make it a perceptual dedup
