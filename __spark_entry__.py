@@ -65,6 +65,7 @@ _ROUND_NEW = (
     "pq_recall_report_sampled",   # sampled bench twin (r6 item 2)
     "unigram_viterbi_encode",     # unigram-LM Viterbi segmentation DP
     "media_audio_energy",         # framed audio energy/VAD (integer DSP)
+    "embedding_mmd_drift",        # embedding-space drift (linear MMD^2)
     # --- VERDICT r6 item 1's named priority list: custom-determinism
     # machinery over simple aggregates, never driver-checked.
     "heavy_hitter_tokens",
@@ -117,7 +118,6 @@ _ROUND_NEW = (
     "corpus_snapshot_diff",
     "data_freshness_audit",
     "label_centroid_sim",
-    "embedding_scatter",
 )
 
 

@@ -333,6 +333,7 @@ HEADLINE = [
     "media_phash_pairs",          # NEW r7: perceptual-hash image dedup
     "unigram_viterbi_encode",     # NEW r7: unigram-LM Viterbi segmentation
     "media_audio_energy",         # NEW r7: framed audio energy/VAD pass
+    "embedding_mmd_drift",        # NEW r7: embedding-space drift (linear MMD^2)
     "ann_retrieve_docs",
     "approx_distinct_stats",
     "budget_rebalance_sample",

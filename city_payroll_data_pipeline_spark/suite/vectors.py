@@ -107,6 +107,102 @@ FROM qv
 """
 
 # --------------------------------------------------------------------------
+# embedding_mmd_drift — embedding-space distribution drift per source.
+#
+# psi_drift / ks_source_drift cover SCALAR drift; this is the
+# embedding-space counterpart a training-mix owner runs per snapshot:
+# linear-kernel MMD²(source, corpus) = ||μ_source − μ_corpus||², the
+# two-sample mean-discrepancy statistic (Gretton et al. 2012, linear
+# kernel). High-MMD sources are the ones pulling the corpus embedding
+# distribution — the trigger for re-weighting or auditing a feed.
+#
+# Exactness: per-(source, dim) quantized component sums S and the
+# corpus sums T are exact bigints; the mean difference is cleared of
+# divisions via N·S − n_s·T (exact, squared as DECIMAL(38,0) /
+# HUGEINT), summed over dims, with ONE double division chain at the
+# end: mmd2 = Σ_d (N·S − n·T)² / (n·N·QUANT)².
+#
+# Scale: one shuffle for the (source, dim) partial sums (64·|sources|
+# rows out), corpus totals derived from the SAME frame (never a second
+# corpus pass), 1-row N broadcast (allowlisted BNLJ shape). Nothing
+# grows with corpus size except the map-side scan.
+# --------------------------------------------------------------------------
+
+
+def q_embedding_mmd_drift(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", sim.quantize(F.col("embedding")).alias("q")
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    src = emb.join(docs, "vec_id")
+    comp = src.select("source", F.posexplode("q").alias("pos", "v"))
+    per_sd = comp.groupBy("source", "pos").agg(F.sum("v").alias("s"))
+    n_s = src.groupBy("source").agg(F.count("*").alias("n_vecs"))
+    tot = per_sd.groupBy("pos").agg(F.sum("s").alias("t"))
+    big_n = n_s.agg(F.sum("n_vecs").alias("nn"))
+    diff = (
+        F.col("nn") * F.col("s") - F.col("n_vecs") * F.col("t")
+    ).cast("decimal(38,0)")
+    num = (
+        per_sd.join(n_s, "source")
+        .join(tot, "pos")
+        .crossJoin(F.broadcast(big_n))
+        .select("source", "n_vecs", "nn", (diff * diff).alias("d2"))
+        .groupBy("source", "n_vecs", "nn")
+        .agg(F.sum("d2").alias("num"))
+    )
+    denom = (
+        F.col("n_vecs").cast("double")
+        * F.col("nn").cast("double")
+        * F.lit(float(sim.QUANT))
+    )
+    return num.select(
+        "source",
+        "n_vecs",
+        F.round(F.col("num").cast("double") / (denom * denom), 8).alias(
+            "mmd2"
+        ),
+    ).orderBy("source")
+
+
+EMBEDDING_MMD_DRIFT_SQL = f"""
+WITH qv AS (SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings),
+src AS (
+  SELECT d.source, qv.q FROM qv JOIN documents d ON d.doc_id = qv.vec_id
+),
+comp AS (
+  SELECT source, p.pos AS pos, q[p.pos] AS v
+  FROM src CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS pos) p
+),
+per_sd AS (
+  SELECT source, pos, CAST(SUM(v) AS BIGINT) AS s
+  FROM comp GROUP BY source, pos
+),
+ns AS (SELECT source, COUNT(*) AS n_vecs FROM src GROUP BY source),
+tot AS (SELECT pos, CAST(SUM(s) AS BIGINT) AS t FROM per_sd GROUP BY pos),
+nn AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS nn FROM ns),
+num AS (
+  SELECT p.source, ns.n_vecs, nn.nn,
+         SUM(CAST(nn.nn * p.s - ns.n_vecs * tot.t AS HUGEINT)
+             * CAST(nn.nn * p.s - ns.n_vecs * tot.t AS HUGEINT)) AS num
+  FROM per_sd p
+  JOIN ns USING (source)
+  JOIN tot USING (pos)
+  CROSS JOIN nn
+  GROUP BY p.source, ns.n_vecs, nn.nn
+)
+SELECT source, CAST(n_vecs AS BIGINT) AS n_vecs,
+       {_sql_round(
+           "CAST(num AS DOUBLE) / POW(CAST(n_vecs AS DOUBLE)"
+           " * CAST(nn AS DOUBLE) * 10000, 2)", 8)} AS mmd2
+FROM num
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Brute-force exact top-k (the correctness baseline for ANN)
 # --------------------------------------------------------------------------
 
@@ -1690,6 +1786,11 @@ QUERIES = {
         ("vector", "spectral", "iterative"),
     ),
     "embedding_norms": Query(q_embedding_norms, EMBEDDING_NORMS_SQL, ("vector",)),
+    "embedding_mmd_drift": Query(
+        q_embedding_mmd_drift,
+        EMBEDDING_MMD_DRIFT_SQL,
+        ("vector", "drift", "mmd", "two-sample"),
+    ),
     "nearest_centroid_eval": Query(
         q_nearest_centroid_eval,
         NEAREST_CENTROID_EVAL_SQL,

@@ -299,6 +299,7 @@ _INTENTIONAL_BNLJ = {
     "offpolicy_eval_ips",     # broadcast 1-row (n, K) totals scalar
     "lpa_modularity",         # broadcast 1-row 2m total + 1-row Q scalar
     "loo_source_influence",   # broadcast 1-row corpus-totals scalar
+    "embedding_mmd_drift",    # broadcast 1-row corpus-count scalar
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
