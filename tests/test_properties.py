@@ -353,3 +353,120 @@ def test_rendezvous_minimal_reassignment_property(spark, keys):
             assert r["after"] != 7
         else:
             assert r["after"] == r["before"], r
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_viterbi_matches_exhaustive_enumeration(spark, data):
+    """Unigram-LM Viterbi (one codegen'd fold, operators/bpe.py) vs an
+    EXHAUSTIVE enumeration of every segmentation: on random vocabs and
+    words the DP must return the max total log-prob and, among
+    max-score segmentations, the minimum piece count — exactly."""
+    from city_payroll_data_pipeline_spark.operators.bpe import (
+        viterbi_piece_table,
+    )
+
+    alpha = "abc"
+    multi = [
+        x + y for x in alpha for y in alpha
+    ] + [x + y + z for x in alpha for y in alpha for z in alpha]
+    chosen = data.draw(
+        st.lists(st.sampled_from(multi), max_size=8, unique=True)
+    )
+    pieces = list(alpha) + chosen  # single chars always covered
+    lps = {
+        p: data.draw(
+            st.decimals(
+                min_value=Decimal("-9.99"),
+                max_value=Decimal("-0.01"),
+                places=2,
+            ),
+            label=f"lp[{p}]",
+        )
+        for p in pieces
+    }
+    words = data.draw(
+        st.lists(
+            st.text(alphabet=alpha, min_size=1, max_size=7),
+            min_size=1,
+            max_size=5,
+            unique=True,
+        )
+    )
+
+    def enumerate_segs(w):
+        if not w:
+            yield (Decimal(0), 0)
+            return
+        for j in range(1, min(3, len(w)) + 1):
+            if w[:j] in lps:
+                for sc, np_ in enumerate_segs(w[j:]):
+                    yield (sc + lps[w[:j]], np_ + 1)
+
+    def best(w):
+        segs = list(enumerate_segs(w))
+        top = max(sc for sc, _ in segs)
+        return (min(np_ for sc, np_ in segs if sc == top), top)
+
+    vdf = spark.createDataFrame(
+        [(p, len(p), lps[p]) for p in pieces],
+        "piece string, plen int, lp decimal(18,6)",
+    )
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: (r["n_vit"], Decimal(r["logprob"]))
+        for r in viterbi_piece_table(wdf, vdf, 3).collect()
+    }
+    assert got == {w: best(w) for w in words}
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=1, max_size=1500))
+def test_audio_frame_stats_matches_naive(pcm):
+    """Vectorized reduceat framing vs a naive per-sample Python loop on
+    arbitrary byte buffers (any length, incl. short final frames)."""
+    from city_payroll_data_pipeline_spark.functions.multimodal import (
+        AUDIO_FRAME,
+        AUDIO_SILENT_T,
+        audio_frame_stats,
+    )
+
+    s = [b - 128 for b in pcm]
+    frames = [
+        s[i : i + AUDIO_FRAME] for i in range(0, len(s), AUDIO_FRAME)
+    ]
+    energies = [sum(v * v for v in f) for f in frames]
+    want = (
+        len(s),
+        len(frames),
+        sum(energies),
+        max(energies),
+        sum(e < AUDIO_SILENT_T for e in energies),
+        max(abs(v) for v in s),
+    )
+    assert audio_frame_stats(pcm) == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=40), st.integers(min_value=7, max_value=64), st.integers(min_value=0, max_value=2**32 - 1))
+def test_dhash_matches_naive_bit_loop(h, w, seed):
+    """Vectorized dHash vs a naive per-bit double loop over the
+    nearest-neighbor downsample, on random image shapes/content."""
+    import numpy as np
+
+    from city_payroll_data_pipeline_spark.functions.multimodal import (
+        DHASH_GRID_H,
+        DHASH_GRID_W,
+        dhash60,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    small = resize_nearest(img, DHASH_GRID_W + 1, DHASH_GRID_H)
+    want = 0
+    for r in range(DHASH_GRID_H):
+        for c in range(DHASH_GRID_W):
+            if int(small[r, c]) > int(small[r, c + 1]):
+                want |= 1 << (r * DHASH_GRID_W + c)
+    assert dhash60(img) == want
