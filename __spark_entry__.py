@@ -59,65 +59,65 @@ def _already_checked() -> set[str]:
 # 50-query sample so each round's new operators get an official
 # driver verdict immediately. Refresh this tuple each round.
 _ROUND_NEW = (
-    # --- round-7 NEW queries: brand-new cross-engine surfaces, the
+    # --- round-8 NEW queries: brand-new cross-engine surfaces, the
     # least battle-tested — verdict needed first.
-    "media_phash_pairs",          # perceptual-hash image dedup (r6 item 7)
-    "pq_recall_report_sampled",   # sampled bench twin (r6 item 2)
-    "unigram_viterbi_encode",     # unigram-LM Viterbi segmentation DP
-    "media_audio_energy",         # framed audio energy/VAD (integer DSP)
-    "embedding_mmd_drift",        # embedding-space drift (linear MMD^2)
-    # --- VERDICT r6 item 1's named priority list: custom-determinism
-    # machinery over simple aggregates, never driver-checked.
-    "heavy_hitter_tokens",
-    "repeated_spans",
-    "histogram_quantiles",
-    "pack_sequences",
-    "pii_scrub",
-    "c4_line_filter",
-    "rendezvous_shards",
-    "zorder_layout_stats",
-    "merkle_bucket_manifest",
-    "dataset_manifest",
-    "incremental_report_maintenance",
-    "psi_drift",
-    "ks_source_drift",
-    "trade_triangles",
-    "quality_logit_deciles",
-    "quality_logit_deciles_scaled",
-    # --- the r6 queue tail that fell below that round's 50-cut.
-    "doc_fingerprint",
-    "chunk_dedup_rate",
-    "epoch_shuffle_plan",
-    "doc_chunks",
-    "blocked_fuzzy_match",
-    "fuzzy_name_pairs",
-    "hash_uniformity_check",
-    "pps_weighted_sample",
-    "hash_sample_docs",
-    "train_val_test_split",
-    # --- more custom-determinism machinery (sampling/split plumbing,
-    # text scoring) ahead of plain aggregates.
-    "stratified_split_plan",
-    "split_leakage_check",
-    "per_group_sample",
-    "stratified_sample",
-    "budget_rebalance_sample",
-    "tfidf_top_terms",
-    "doc_quality",
-    "doc_repetition",
-    "per_source_ols",
-    "quality_metrics_long",
-    "contamination_check",
-    "unicode_sanitize",
-    # --- stats / corpus-ops tail (fills the 50 exactly; the remaining
-    # ~37 never-checked names close out in round 8).
-    "length_zscores",
-    "mixed_lang_docs",
-    "dedup_rate_report",
-    "temperature_mixture",
-    "corpus_snapshot_diff",
-    "data_freshness_audit",
-    "label_centroid_sim",
+    # (uncommented one-by-one as each lands this round:)
+    # "unigram_em_fit",           # SentencePiece-style unigram-LM EM trainer
+    # "unigram_em_encode",        # Viterbi re-encode with the EM-trained table
+    # "multiscale_repeated_spans",# {8,16,32,64}-token cross-doc span dedup mass
+    # "dsir_importance_weights",  # hashed-ngram DSIR domain-selection weights
+    # "crossdoc_line_dedup",      # C4-style exact line dedup across documents
+    # --- the FULL remaining never-checked complement (40 names, closes
+    # the driver-verification union at 290/290 — VERDICT r7 item 1).
+    "length_deciles",
+    "length_deciles_scaled",
+    "common_phrases",
+    "training_mix_report",
+    "embedding_norms",
+    "ann_retrieve_docs",
+    "item_pmi",
+    "mad_outliers",
+    "discriminative_terms",
+    "k_anonymity_audit",
+    "lineitem_corr",
+    "basket_pairs",
+    "source_vocab_overlap",
+    "markov_transitions",
+    "twap_price",
+    "bigram_novelty",
+    "rfm_segments",
+    "rfm_segments_scaled",
+    "benford_audit",
+    "calinski_harabasz",
+    "embedding_scatter",
+    "trimmed_mean_prices",
+    "lexical_diversity",
+    "zipf_slope",
+    "event_burstiness",
+    "peak_concurrency",
+    "session_coverage",
+    "join_fanout_audit",
+    "cramers_v",
+    "corpus_health_report",
+    "conversion_lag_quantiles",
+    "spearman_length_tokens",
+    "journey_entropy",
+    "hill_tail_index",
+    "template_prefix_audit",
+    "heaps_law_curve",
+    "seasonal_anomalies",
+    "cusum_changepoint",
+    "event_trigram_mining",
+    "ab_test_analysis",
+    # --- declared re-verdicts (DECLARED_REVERDICTS in
+    # tests/test_suite_meta.py): r1/r3-green queries rewritten in the
+    # r4/r5 window-rework after their verdicts — their CURRENT
+    # implementations have never been driver-checked.
+    "mann_whitney_test",
+    "quantile_normalize_lengths",
+    "bm25_search",
+    "revenue_concentration",
+    "key_gini_skew",
 )
 
 

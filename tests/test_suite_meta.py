@@ -94,7 +94,18 @@ def test_round_new_disjoint_from_checked_ledger():
     verification slots re-checking a name that already has an official
     verdict. Intentional re-verdicts (e.g. a changed plan or a new
     oracle for an already-checked query) must be declared here."""
-    DECLARED_REVERDICTS: tuple[str, ...] = ()
+    # r8: re-verdicts of r1/r3-checked queries whose implementations
+    # were rewritten in the r4/r5 window-rework after their green rows
+    # (VERDICT r7 item 1). zipf_slope / peak_concurrency /
+    # session_coverage from the same list are still never-checked, so
+    # they ride the normal rotation instead.
+    DECLARED_REVERDICTS: tuple[str, ...] = (
+        "mann_whitney_test",
+        "quantile_normalize_lengths",
+        "bm25_search",
+        "revenue_concentration",
+        "key_gini_skew",
+    )
     mod = _entry_module()
     overlap = sorted(
         (set(mod._ROUND_NEW) & mod._already_checked())
@@ -130,14 +141,24 @@ def test_bench_headline_and_excluded_partition_registry(suite):
     assert not unclassed, unclassed
 
 
+#: Queries that once had a driver verdict but were later deleted or
+#: renamed in the registry. Currently none — every CHECKED.md name
+#: resolves. Any retirement must be recorded here explicitly so the
+#: ledger/registry drift stays exactly zero (VERDICT r7 item 7).
+RETIRED_CHECKED_NAMES: tuple[str, ...] = ()
+
+
 def test_checked_ledger_names_exist(suite):
     """CHECKED.md names must stay resolvable — a renamed query would
-    silently re-enter the rotation as 'never checked'. (Names may
-    legitimately disappear if a query is deleted; flag only when the
-    ledger drifts badly.)"""
+    silently re-enter the rotation as 'never checked'. A name may only
+    be unresolvable if it is explicitly declared retired above."""
     mod = _entry_module()
     checked = mod._already_checked()
-    unknown = sorted(n for n in checked if n not in suite)
-    # allow a small tail of legitimately-retired names, but a big gap
-    # means the ledger and the registry have diverged
-    assert len(unknown) <= 5, unknown
+    unknown = sorted(
+        n for n in checked
+        if n not in suite and n not in RETIRED_CHECKED_NAMES
+    )
+    assert not unknown, unknown
+    # and the retired tuple must not rot into carrying live names
+    stale = sorted(n for n in RETIRED_CHECKED_NAMES if n in suite)
+    assert not stale, stale
