@@ -185,11 +185,15 @@ def audio_frame_stats(pcm) -> tuple[int, int, int, int, int, int]:
     n_silent_frames, peak_amp) where energy is the exact per-frame
     Σ s² and a frame is silent when its energy < ``AUDIO_SILENT_T``.
     All-integer, so an SQL oracle replays it bit-exactly. Vectorized
-    (frombuffer + reduceat) — no per-sample Python."""
+    (frombuffer + reduceat) — no per-sample Python. An empty buffer
+    returns the natural zero tuple (0, 0, 0, 0, 0, 0) rather than
+    tripping an opaque empty-reduction error (ADVICE r7)."""
     import numpy as np
 
     s = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64) - 128
     n = len(s)
+    if n == 0:
+        return (0, 0, 0, 0, 0, 0)
     bounds = np.arange(0, n, AUDIO_FRAME)
     energy = np.add.reduceat(s * s, bounds)
     return (

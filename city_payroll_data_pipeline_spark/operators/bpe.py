@@ -281,7 +281,15 @@ def viterbi_piece_table(
        identical 6-dp inputs — bit-reproducible across engines.
 
     Everything runs on the DISTINCT-WORD frame, never the corpus; the
-    vocab is tiny (pieces of a trained tokenizer) and broadcast."""
+    vocab is tiny (pieces of a trained tokenizer) and broadcast.
+
+    Coverage: the vocab need NOT cover every character. The DP grid is
+    DENSE — one slot per end position 1..len(word), left-joined against
+    the option table — so a position no vocabulary piece ends at holds
+    an explicit NULL sentinel, NULL-scored candidates are filtered out
+    of each position's max, and an unsegmentable word surfaces as
+    (word, NULL, NULL) instead of a silently misaligned score from a
+    compressed option array (ADVICE r7)."""
     grid = words.select(
         "word",
         F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
@@ -304,7 +312,10 @@ def viterbi_piece_table(
         .groupBy("word", "e")
         .agg(F.collect_list("opt").alias("opts"))
     )
-    arr = opts.groupBy("word").agg(
+    # densify: every end position gets a row (opts NULL where no piece
+    # ends), so element_at(a, e) is position e, never a shifted slot.
+    dense = grid.withColumnRenamed("s", "e").join(opts, ["word", "e"], "left")
+    arr = dense.groupBy("word").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("e", "opts"))),
             lambda st: st["opts"],
@@ -327,14 +338,30 @@ def viterbi_piece_table(
                 .alias("negnp"),
             ),
         )
-        return F.concat(acc, F.array(F.array_max(cands)))
+        # Unreachability propagates in-band (a NULL dp struct trips
+        # UnsafeProjection's non-null field writers inside the fold):
+        # unreachable positions hold the sentinel negnp = +2, which no
+        # reachable state can produce (position 0 is 0, every later
+        # reachable position ≤ −1), and a candidate built on an
+        # unreachable prefix lands at +1 — filtered out by negnp < 0.
+        # A position with no options (opts NULL → transform/filter/size
+        # all NULL) or no surviving candidates takes the sentinel too.
+        valid = F.filter(cands, lambda c: c["negnp"] < 0)
+        best = F.coalesce(
+            F.when(F.size(valid) > 0, F.array_max(valid)),
+            F.struct(
+                zero.alias("sc"), F.lit(2).cast("int").alias("negnp")
+            ),
+        )
+        return F.concat(acc, F.array(best))
 
     dp = F.aggregate(F.sequence(F.lit(1), F.size("a")), init, step)
     last = F.element_at(dp, F.size("a") + 1)
+    reached = last["negnp"] < 0  # words are non-empty → ≥ 1 piece
     return arr.select(
         "word",
-        (-last["negnp"]).alias("n_vit"),
-        last["sc"].alias("logprob"),
+        F.when(reached, -last["negnp"]).alias("n_vit"),
+        F.when(reached, last["sc"]).alias("logprob"),
     )
 
 

@@ -447,28 +447,43 @@ def pq_codebook(
     of seed vector vec_id = cw·stride. Tiny frame (m_sub × k_codes
     rows) — always broadcast by callers.
 
-    Raises ``ValueError`` when the corpus cannot seed all ``k_codes``
-    codewords (needs vec_id up to stride·(k_codes-1)): a silently
-    truncated codebook would still encode/score without error but with
-    quietly degraded recall (ADVICE r6). The seed count is one cheap
-    job — the vec_id predicates push down to the scan and the frame is
-    ≤ k_codes rows."""
+    Guards against a corpus that cannot seed all ``k_codes`` codewords
+    (needs vec_id up to stride·(k_codes-1)): a silently truncated
+    codebook would still encode/score without error but with quietly
+    degraded recall (ADVICE r6). The guard is LAZY — plan construction
+    stays pure (ADVICE r7: an eager count made every PQ query builder
+    side-effectful, once per retriever arm) — an in-plan ``assert_true``
+    over a per-subspace window count (partitionBy ``m``, exactly
+    k_codes rows per partition when complete) folded into the ``cw``
+    column; it fires with the first job that READS ``cw`` — which every
+    sanctioned consumer does (pq_encode joins on it, pq_lut keys the
+    distance table by it). Caveats: a bare ``count()`` prunes every
+    column and skips the guard, and a completely EMPTY corpus has no
+    rows to evaluate the assertion on — both yield empty/short results
+    downstream rather than wrong ones."""
     seeds = quantized.filter(
         (F.col("vec_id") % stride == 0)
         & (F.col("vec_id") < stride * k_codes)
     )
-    n_seeds = seeds.select("vec_id").count()
-    if n_seeds != k_codes:
-        raise ValueError(
-            f"pq_codebook: corpus seeds only {n_seeds} of k_codes={k_codes} "
-            f"codewords at stride={stride} (needs vec_id up to "
-            f"{stride * (k_codes - 1)}); lower k_codes or stride"
-        )
-    return seeds.select(
+    exploded = seeds.select(
         (F.col("vec_id") / stride).cast("int").alias("cw"),
         F.posexplode(pq_subvectors(F.col("q"), m_sub, d_sub)).alias(
             "m", "cq"
         ),
+    )
+    n = F.count("*").over(W.partitionBy("m"))
+    ok = F.assert_true(
+        n == k_codes,
+        F.lit(
+            f"pq_codebook: corpus seeds fewer than k_codes={k_codes} "
+            f"codewords at stride={stride} (needs vec_id up to "
+            f"{stride * (k_codes - 1)}); lower k_codes or stride"
+        ),
+    )
+    return exploded.select(
+        (F.col("cw") + F.when(ok.isNull(), F.lit(0))).alias("cw"),
+        "m",
+        "cq",
     )
 
 

@@ -3514,7 +3514,7 @@ def q_media_phash_pairs(spark, sf_dir):
                     b[: h * _IMG_W], dtype=np.uint8
                 ).reshape(h, _IMG_W)
                 blob = mm.encode_ppm(src)
-                ph = mm.dhash_batch(pd.Series([blob]))[0]
+                ph = mm.dhash60(mm.decode_ppm(blob))
                 rows.append((int(doc_id), int(ph)))
             yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 

@@ -447,6 +447,16 @@ def test_audio_frame_stats_matches_naive(pcm):
     assert audio_frame_stats(pcm) == want
 
 
+def test_audio_frame_stats_empty_buffer_is_zero_tuple():
+    """ADVICE r7: an empty buffer returns the natural zero tuple
+    instead of tripping an opaque empty-reduction numpy error."""
+    from city_payroll_data_pipeline_spark.functions.multimodal import (
+        audio_frame_stats,
+    )
+
+    assert audio_frame_stats(b"") == (0, 0, 0, 0, 0, 0)
+
+
 @settings(max_examples=50, deadline=None)
 @given(st.integers(min_value=1, max_value=40), st.integers(min_value=7, max_value=64), st.integers(min_value=0, max_value=2**32 - 1))
 def test_dhash_matches_naive_bit_loop(h, w, seed):

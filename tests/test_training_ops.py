@@ -389,7 +389,9 @@ def test_pq_codebook_rejects_truncated_seeds(spark):
     """A corpus too small to seed every codeword must raise, not
     silently yield a truncated codebook (ADVICE r6: ivfpq_topk's
     defaults need vec_id up to stride·(k_codes-1), which the smallest
-    corpus can't supply — degraded recall with no error)."""
+    corpus can't supply — degraded recall with no error). The guard is
+    LAZY (ADVICE r7): building the plan is side-effect free; the error
+    fires on the first action that executes the codebook."""
     import pytest
 
     from city_payroll_data_pipeline_spark.operators import similarity as sim
@@ -399,9 +401,13 @@ def test_pq_codebook_rejects_truncated_seeds(spark):
         F.array(*[F.lit(0.5)] * 4).alias("embedding"),
     )
     corpus = sim.with_quantized(emb, "vec_id", "embedding")
-    with pytest.raises(ValueError, match="seeds only"):
-        # stride 13, k_codes 64 → needs vec_id 819; corpus has 20 rows
-        sim.pq_codebook(corpus, 2, 2, 64, 13)
+    # stride 13, k_codes 64 → needs vec_id 819; corpus has 20 rows.
+    # Plan construction must NOT raise (and must not run a job)…
+    cb_bad = sim.pq_codebook(corpus, 2, 2, 64, 13)
+    # …the first action that reads cw does (every sanctioned consumer
+    # reads cw; a bare count() prunes all columns and skips the guard).
+    with pytest.raises(Exception, match="pq_codebook: corpus seeds"):
+        cb_bad.collect()
     # and the exact fit passes: stride 1, k_codes 20
     cb = sim.pq_codebook(corpus, 2, 2, 20, 1)
     assert cb.count() == 2 * 20
@@ -767,6 +773,39 @@ def test_viterbi_piece_table_matches_reference_dp(spark):
 
     want = {w: ref(w) for w in words}
     assert {w: (got[w][0], round(got[w][1], 6)) for w in words} == want
+
+
+def test_viterbi_unsegmentable_word_returns_null(spark):
+    """ADVICE r7 (medium): a word containing a character no vocab piece
+    covers must surface as (word, NULL, NULL) — the dense DP grid
+    propagates an explicit sentinel — never as a wrong score read from
+    a compressed, misaligned option array. Covered words in the same
+    frame are unaffected."""
+    from decimal import Decimal
+
+    from city_payroll_data_pipeline_spark.operators.bpe import (
+        viterbi_piece_table,
+    )
+
+    vdf = spark.createDataFrame(
+        [("a", 1, Decimal("-1.5")), ("b", 1, Decimal("-2.0")),
+         ("ab", 2, Decimal("-2.5"))],
+        "piece string, plen int, lp decimal(18,6)",
+    )
+    # 'x' has no covering piece: mid-word, leading, trailing, and the
+    # regression shape from the advice — gaps that previously shifted
+    # every later position's dp slot.
+    wdf = spark.createDataFrame(
+        [("axb",), ("xab",), ("abx",), ("ab",), ("axxxb",)],
+        "word string",
+    )
+    got = {
+        r["word"]: (r["n_vit"], r["logprob"])
+        for r in viterbi_piece_table(wdf, vdf, 2).collect()
+    }
+    assert got["ab"] == (1, Decimal("-2.500000"))
+    for w in ("axb", "xab", "abx", "axxxb"):
+        assert got[w] == (None, None), (w, got[w])
 
 
 def test_bpe_safe_prefix_same_batch_name_collision():
