@@ -417,10 +417,70 @@ EXCLUDED = {
 }
 
 
-def main() -> None:
+def _setup():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # one optional dot only: a greedy [0-9.]+ would capture '0.1.' from
     # a dir like sf0.1.v2 and crash float() before any query runs
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from city_payroll_data_pipeline_spark.session import get_spark
+    from city_payroll_data_pipeline_spark.suite import build_suite
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark, build_suite(), sf_dir, sf
+
+
+def solo(names: list[str], runs: int = 4, append: bool = False) -> None:
+    """The 4-warm-solo re-floor protocol (VERDICT r7 item 6), as a
+    tool instead of a manual ritual: per query, one warmup pass plus
+    ``runs`` timed solo executions in a fresh session; prints one JSON
+    line and (with ``--append``) appends the floors to SCALE.md's
+    re-floor ledger for the named-cause analysis to land beside.
+    Per the noise protocol, a cross-round delta is REAL only when this
+    floor moves or the plan changes — bench-pass numbers never are."""
+    spark, suite, sf_dir, sf = _setup()
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        suite[name].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    run_once("preview_limit")  # session/codegen spin-up
+    results = {}
+    for name in names:
+        run_once(name)  # per-query warmup: file listing + codegen
+        times = [round(run_once(name), 3) for _ in range(runs)]
+        results[name] = {"runs": times, "floor": min(times)}
+    line = {"mode": "solo", "sf": sf, "results": results}
+    print(json.dumps(line))
+    if append:
+        ledger = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "SCALE.md"
+        )
+        with open(ledger, "a") as fh:
+            fh.write(
+                f"\n### Solo re-floor (bench.py --solo, sf{sf}, "
+                f"{runs} warm runs after per-query warmup)\n\n"
+            )
+            for name, r in results.items():
+                fh.write(
+                    f"- `{name}`: runs {'/'.join(str(t) for t in r['runs'])}"
+                    f" s, floor **{r['floor']} s**\n"
+                )
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--solo":
+        args = sys.argv[2:]
+        append = "--append" in args
+        names = [a for a in args if a != "--append"]
+        solo(names, append=append)
+        return
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
 
