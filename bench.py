@@ -385,6 +385,8 @@ HEADLINE = [
     "train_val_test_split",
     "training_mix_report",
     "user_running_value",
+    # round-8 additions
+    "multiscale_repeated_spans",  # NEW r8: multi-scale exact-substring mass
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

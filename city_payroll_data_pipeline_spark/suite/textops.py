@@ -5327,6 +5327,118 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# multiscale_repeated_spans — VERDICT r7 item 5: exact-substring dedup
+# signal past the fixed 16-token span of `repeated_spans`. Production
+# exact-substring dedup (suffix-array style, Lee et al. 2022) removes
+# verbatim repeats of ANY length; the oracle-checkable approximation
+# is a multi-scale sweep: tumbling {8,16,32,64}-token windows, a
+# window is "duplicated" when its text occurs in ≥2 distinct docs,
+# and the per-(source, scale) duplicated-token mass is the fraction
+# of window tokens inside duplicated windows. Reading the column down
+# the scales tells the pipeline owner WHERE the boilerplate lives:
+# high dup mass at 8 that vanishes by 64 is idiom/short template;
+# mass that survives at 64 is wholesale copying.
+#
+# Scale shape (the gopher_repetition_funnel one-explode trick): ONE
+# explode yields all four scales tagged (n, md5(window)) — Σ_n ⌊T/n⌋
+# ≈ 0.24·T rows per doc, CHEAPER than the corpus token count; the
+# shuffle carries 32-hex hashes, never window text; the doc-frequency
+# aggregate and the occurrence join run on the same (n, h) key
+# (exchange reuse), and the final frame is |sources|×4 rows. Tumbling
+# (stride = scale) rather than sliding windows keeps the token-mass
+# denominator exact (each token counted once per scale) and cuts the
+# explode 8-64× vs stride-1.
+# --------------------------------------------------------------------------
+
+_MSPAN_NS = (8, 16, 32, 64)
+
+
+def q_multiscale_repeated_spans(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr(r"regexp_extract_all(trim(text), '\\S+', 0)").alias("t"),
+    ).filter(F.size("t") >= min(_MSPAN_NS))
+    # per scale: tumbling windows i·n+1 .. i·n+n, i ∈ 0..⌊T/n⌋−1; the
+    # CASE guards sequence()'s descending-on-empty footgun when T < n
+    arrs = [
+        F.expr(
+            f"CASE WHEN size(t) >= {n} THEN "
+            f"transform(sequence(0, size(t) div {n} - 1), i -> "
+            f"named_struct('n', {n}, "
+            f"'h', md5(array_join(slice(t, i * {n} + 1, {n}), ' ')))) "
+            f"ELSE array() END"
+        )
+        for n in _MSPAN_NS
+    ]
+    spans = (
+        toks.select(
+            "doc_id", "source", F.explode(F.flatten(F.array(*arrs))).alias("w")
+        )
+        .select("doc_id", "source", "w.n", "w.h")
+        .persist()
+    )
+    dup = (
+        spans.groupBy("n", "h")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("n", "h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        spans.join(dup, ["n", "h"], "left")
+        .groupBy("source", "n")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("dup_windows"),
+        )
+        .select(
+            F.col("n").alias("scale"),
+            "source",
+            "n_windows",
+            "dup_windows",
+            F.round(
+                F.col("dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+        )
+        .orderBy("scale", "source")
+    )
+
+
+MULTISCALE_REPEATED_SPANS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(trim(text), '\S+', 0) AS t
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, source, n,
+         md5(array_to_string(list_slice(t, i * n + 1, i * n + n), ' ')) AS h
+  FROM toks,
+       unnest([{", ".join(str(n) for n in _MSPAN_NS)}]) AS s(n),
+       unnest(range(0, len(t) // n)) AS g(i)
+),
+dup AS (
+  SELECT n, h FROM spans GROUP BY n, h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+occ AS (
+  SELECT s.source, s.n,
+         CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM spans s LEFT JOIN dup d ON s.n = d.n AND s.h = d.h
+)
+SELECT CAST(n AS INTEGER) AS scale, source,
+       COUNT(*) AS n_windows,
+       CAST(SUM(is_dup) AS BIGINT) AS dup_windows,
+       {_sql_round('CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)', 6)}
+         AS dup_token_frac
+FROM occ
+GROUP BY n, source
+ORDER BY scale, source
+"""
+
+
 QUERIES = {
     "doc_perplexity": Query(
         q_doc_perplexity,
@@ -5519,6 +5631,11 @@ QUERIES = {
         q_repeated_spans,
         REPEATED_SPANS_SQL,
         ("text", "dedup", "substring", "boilerplate"),
+    ),
+    "multiscale_repeated_spans": Query(
+        q_multiscale_repeated_spans,
+        MULTISCALE_REPEATED_SPANS_SQL,
+        ("text", "dedup", "substring", "multiscale", "boilerplate"),
     ),
     "contamination_check": Query(
         q_contamination_check,
