@@ -62,8 +62,8 @@ _ROUND_NEW = (
     # --- round-8 NEW queries: brand-new cross-engine surfaces, the
     # least battle-tested — verdict needed first.
     # (uncommented one-by-one as each lands this round:)
-    # "unigram_em_fit",           # SentencePiece-style unigram-LM EM trainer
-    # "unigram_em_encode",        # Viterbi re-encode with the EM-trained table
+    "unigram_em_fit",             # SentencePiece-style unigram-LM EM trainer
+    "unigram_em_encode",          # Viterbi re-encode with the EM-trained table
     "multiscale_repeated_spans",  # {8,16,32,64}-token cross-doc span dedup mass
     # "dsir_importance_weights",  # hashed-ngram DSIR domain-selection weights
     # "crossdoc_line_dedup",      # C4-style exact line dedup across documents

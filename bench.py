@@ -387,6 +387,8 @@ HEADLINE = [
     "user_running_value",
     # round-8 additions
     "multiscale_repeated_spans",  # NEW r8: multi-scale exact-substring mass
+    "unigram_em_fit",             # NEW r8: SentencePiece-style hard-EM trainer
+    "unigram_em_encode",          # NEW r8: corpus fertility under the EM table
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

@@ -290,37 +290,7 @@ def viterbi_piece_table(
     of each position's max, and an unsegmentable word surfaces as
     (word, NULL, NULL) instead of a silently misaligned score from a
     compressed option array (ADVICE r7)."""
-    grid = words.select(
-        "word",
-        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
-    )
-    lens = F.array(*[F.lit(n) for n in range(1, lmax + 1)])
-    cand = (
-        grid.select("word", "s", F.explode(lens).alias("plen"))
-        .withColumn("piece", F.expr("substring(word, s, plen)"))
-        .filter(F.length("piece") == F.col("plen"))
-    )
-    opts = (
-        cand.join(F.broadcast(vocab_lp), ["piece", "plen"])
-        .select(
-            "word",
-            (F.col("s") + F.col("plen") - 1).alias("e"),
-            F.struct(
-                F.col("plen").cast("int").alias("j"), F.col("lp")
-            ).alias("opt"),
-        )
-        .groupBy("word", "e")
-        .agg(F.collect_list("opt").alias("opts"))
-    )
-    # densify: every end position gets a row (opts NULL where no piece
-    # ends), so element_at(a, e) is position e, never a shifted slot.
-    dense = grid.withColumnRenamed("s", "e").join(opts, ["word", "e"], "left")
-    arr = dense.groupBy("word").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("e", "opts"))),
-            lambda st: st["opts"],
-        ).alias("a")
-    )
+    arr = _option_arrays(words, vocab_lp, lmax)
     zero = F.lit("0").cast("decimal(18,6)")
     init = F.array(
         F.struct(zero.alias("sc"), F.lit(0).cast("int").alias("negnp"))
@@ -363,6 +333,248 @@ def viterbi_piece_table(
         F.when(reached, -last["negnp"]).alias("n_vit"),
         F.when(reached, last["sc"]).alias("logprob"),
     )
+
+
+def _option_arrays(
+    words: DataFrame, vocab_lp: DataFrame, lmax: int
+) -> DataFrame:
+    """Dense per-word option grid shared by the Viterbi encoders:
+    (word, a) where a[e] is the array of struct<j,lp> candidate pieces
+    ENDING at position e (NULL where no vocabulary piece ends) — one
+    hash join against the broadcast vocab, one collect_list per word,
+    dense so element_at(a, e) is position e, never a shifted slot."""
+    grid = words.select(
+        "word",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
+    )
+    lens = F.array(*[F.lit(n) for n in range(1, lmax + 1)])
+    cand = (
+        grid.select("word", "s", F.explode(lens).alias("plen"))
+        .withColumn("piece", F.expr("substring(word, s, plen)"))
+        .filter(F.length("piece") == F.col("plen"))
+    )
+    opts = (
+        cand.join(F.broadcast(vocab_lp), ["piece", "plen"])
+        .select(
+            "word",
+            (F.col("s") + F.col("plen") - 1).alias("e"),
+            F.struct(
+                F.col("plen").cast("int").alias("j"), F.col("lp")
+            ).alias("opt"),
+        )
+        .groupBy("word", "e")
+        .agg(F.collect_list("opt").alias("opts"))
+    )
+    dense = grid.withColumnRenamed("s", "e").join(opts, ["word", "e"], "left")
+    return dense.groupBy("word").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("e", "opts"))),
+            lambda st: st["opts"],
+        ).alias("a")
+    )
+
+
+def viterbi_segment(
+    words: DataFrame,
+    vocab_lp: DataFrame,
+    lmax: int,
+) -> DataFrame:
+    """Unigram-LM Viterbi segmentation WITH the segmentation itself —
+    the E-step primitive of the SentencePiece-style EM trainer
+    (`unigram_em_fit`). Returns (word, n_vit, logprob, parts) where
+    ``parts`` is the max-likelihood piece multiset (backward order —
+    callers only count or explode it). Ties break toward the LONGEST
+    final piece at each position ((max score, max j) struct order), a
+    simpler deterministic rule than viterbi_piece_table's
+    fewest-pieces break — both engines replay it bit-identically
+    because scores ride decimal(18,6).
+
+    Same distributed shape as viterbi_piece_table: the option grid is
+    one hash join against the broadcast vocab (`_option_arrays`), the
+    DP is ONE codegen'd fold carrying (reached, score, backpointer)
+    per position, and the reconstruction is a second fold walking the
+    backpointers — no Python row path, no per-step Spark stage, all on
+    the DISTINCT-WORD frame.
+
+    Coverage: an unsegmentable word (vocab missing one of its chars)
+    surfaces as (word, NULL, NULL, NULL) via the dense grid's in-band
+    sentinel (ok=0, j=0 — the j=0 self-loop keeps the reconstruction
+    walk bounded), never a misaligned score (ADVICE r7 discipline)."""
+    arr = _option_arrays(words, vocab_lp, lmax)
+    zero = F.lit("0").cast("decimal(18,6)")
+    one = F.lit(1).cast("int")
+    init = F.array(
+        F.struct(
+            one.alias("ok"), zero.alias("sc"), F.lit(0).cast("int").alias("j")
+        )
+    )
+
+    def step(acc, e):
+        cands = F.transform(
+            F.element_at(F.col("a"), e),
+            lambda x: F.struct(
+                F.element_at(acc, e + 1 - x["j"])["ok"].alias("ok"),
+                (F.element_at(acc, e + 1 - x["j"])["sc"] + x["lp"])
+                .cast("decimal(18,6)")
+                .alias("sc"),
+                x["j"].alias("j"),
+            ),
+        )
+        valid = F.filter(cands, lambda c: c["ok"] == 1)
+        best = F.coalesce(
+            F.when(F.size(valid) > 0, F.array_max(valid)),
+            F.struct(
+                F.lit(0).cast("int").alias("ok"),
+                zero.alias("sc"),
+                F.lit(0).cast("int").alias("j"),
+            ),
+        )
+        return F.concat(acc, F.array(best))
+
+    dp_col = F.aggregate(F.sequence(F.lit(1), F.size("a")), init, step)
+    with_dp = arr.select("word", F.size("a").alias("wlen"), dp_col.alias("dp"))
+    last = F.element_at(F.col("dp"), F.col("wlen") + 1)
+    # backpointer walk: pos starts at wlen; each step consumes the
+    # chosen piece (j >= 1 on any reached chain), so wlen iterations
+    # always suffice; the unreachable sentinel's j=0 self-loops and the
+    # resulting garbage parts are discarded by the `reached` guard.
+    walk_init = F.struct(
+        F.col("wlen").cast("int").alias("pos"),
+        F.array().cast("array<string>").alias("parts"),
+    )
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.col("wlen")),
+        walk_init,
+        lambda st, _: F.when(
+            (st["pos"] > 0)
+            & (F.element_at(F.col("dp"), st["pos"] + 1)["j"] > 0),
+            F.struct(
+                (st["pos"] - F.element_at(F.col("dp"), st["pos"] + 1)["j"])
+                .cast("int")
+                .alias("pos"),
+                F.concat(
+                    st["parts"],
+                    F.array(
+                        F.col("word").substr(
+                            st["pos"]
+                            - F.element_at(F.col("dp"), st["pos"] + 1)["j"]
+                            + 1,
+                            F.element_at(F.col("dp"), st["pos"] + 1)["j"],
+                        )
+                    ),
+                ).alias("parts"),
+            ),
+        ).otherwise(st),
+    )
+    reached = last["ok"] == 1
+    return with_dp.select(
+        "word",
+        F.when(reached, F.size(walk["parts"])).alias("n_vit"),
+        F.when(reached, last["sc"]).alias("logprob"),
+        F.when(reached, walk["parts"]).alias("parts"),
+    )
+
+
+def unigram_em_fit(
+    words_occ: DataFrame,
+    lmax: int = 4,
+    top_m: int = 48,
+    n_iters: int = 2,
+) -> DataFrame:
+    """SentencePiece-style unigram-LM trainer (Kudo 2018, hard-EM
+    variant) — the training counterpart of the three shipped tokenizer
+    inference rules. ``words_occ`` is the corpus word histogram
+    (word, w_occ); returns the final piece table
+    (piece, plen, cnt, lp: decimal(18,6)).
+
+    Algorithm, each step a plain distributed primitive:
+    - SEED: every substring occurrence of length 1..lmax over the
+      distinct-word frame, occurrence-weighted by word frequency; the
+      vocabulary starts as all single chars plus the top ``top_m``
+      multi-char substrings (count desc, piece asc — deterministic).
+    - E-step: Viterbi max-likelihood segmentation of every distinct
+      word under the current piece log-probs (`viterbi_segment` — one
+      codegen'd fold, no Python).
+    - M-step: occurrence-weighted piece usage from the Viterbi
+      segmentations; multi-char pieces the segmenter never used are
+      PRUNED (the hard-EM analogue of SentencePiece's loss-ranked
+      prune schedule), chars are always kept (coverage invariant —
+      every word stays segmentable); counts are add-one smoothed and
+      renormalized to log-probs.
+    Fixed ``n_iters`` E/M rounds (hard EM converges fast; a fixed
+    schedule keeps the oracle an unrolled CTE chain).
+
+    Scale: everything runs on the DISTINCT-WORD frame — the seed
+    explode is Σ len(word)·lmax rows over the vocabulary, the piece
+    table is tiny (chars + ≤top_m) and broadcast into every E-step
+    join, and each iteration's vocab is localCheckpoint'd so the plan
+    does not nest one Viterbi DP per round. No driver round trips at
+    all (contrast train_bpe's batched argmax collects): the model
+    state lives in a model-sized DataFrame end-to-end.
+
+    Precondition: lp values ride decimal(18,6) (exact additions), so
+    the learned table is bit-reproducible across engines — the same
+    contract as viterbi_piece_table."""
+    words = words_occ.select("word")
+    grid = words.select(
+        "word",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
+    )
+    lens = F.array(*[F.lit(n) for n in range(1, lmax + 1)])
+    cand = (
+        grid.select("word", "s", F.explode(lens).alias("plen"))
+        .withColumn("piece", F.expr("substring(word, s, plen)"))
+        .filter(F.length("piece") == F.col("plen"))
+    )
+    seed_cnt = (
+        cand.join(words_occ, "word")
+        .groupBy("piece")
+        .agg(F.sum("w_occ").alias("cnt"))
+    )
+    seed_multi = (
+        seed_cnt.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(top_m)
+    )
+    chars = (
+        words.select(F.explode(F.split("word", "")).alias("piece")).distinct()
+    )
+    counts = seed_cnt.join(chars, "piece", "left_semi").unionByName(seed_multi)
+
+    def _with_lp(counts_df: DataFrame) -> DataFrame:
+        tot = counts_df.agg(F.sum("cnt").alias("total"))
+        return (
+            counts_df.crossJoin(F.broadcast(tot))
+            .select(
+                "piece",
+                F.length("piece").alias("plen"),
+                "cnt",
+                F.round(
+                    F.log(F.col("cnt").cast("double") / F.col("total")), 6
+                )
+                .cast("decimal(18,6)")
+                .alias("lp"),
+            )
+            .localCheckpoint()
+        )
+
+    vocab = _with_lp(counts)
+    for _ in range(n_iters):
+        seg = viterbi_segment(words, vocab, lmax)
+        usage = (
+            seg.join(words_occ, "word")
+            .select(F.explode("parts").alias("piece"), "w_occ")
+            .groupBy("piece")
+            .agg(F.sum("w_occ").alias("used"))
+        )
+        kept_multi = usage.filter(F.length("piece") > 1).select(
+            "piece", (F.col("used") + 1).alias("cnt")
+        )
+        char_counts = chars.join(usage, "piece", "left").select(
+            "piece", (F.coalesce(F.col("used"), F.lit(0)) + 1).alias("cnt")
+        )
+        vocab = _with_lp(char_counts.unionByName(kept_multi))
+    return vocab
 
 
 def greedy_piece_counts(

@@ -4343,6 +4343,280 @@ UNIGRAM_VITERBI_ENCODE_SQL = _unigram_viterbi_sql()
 
 
 # --------------------------------------------------------------------------
+# unigram_em_fit / unigram_em_encode — the SentencePiece-style
+# unigram-LM TRAINER (VERDICT r7 item 4: the one conspicuous absence
+# in the tokenizer family — the engine shipped three inference rules
+# but no training loop). operators/bpe.py::unigram_em_fit runs
+# hard-EM: seed vocabulary from occurrence-weighted substring
+# frequencies, E-step = Viterbi segmentation of the distinct-word
+# frame (viterbi_segment — one codegen'd fold + one backpointer-walk
+# fold), M-step = usage-weighted piece re-estimation with unused
+# multi-char pieces pruned and chars always kept. Model state lives in
+# a model-sized DataFrame end-to-end (no driver round trips at all —
+# contrast train_bpe's batched argmax collects).
+#
+# `unigram_em_fit` reports the learned model head (top pieces by final
+# count); `unigram_em_encode` re-encodes the corpus with the final
+# table and reports per-source fertility — the number a pipeline owner
+# reads to size a production vocab.
+#
+# Oracle: the whole EM unrolls as a CTE chain — seed, then per
+# iteration one recursive-DP CTE (scores + backpointers), one
+# recursive reconstruction CTE walking the backpointers, and the
+# usage/prune/renormalize M-step as plain aggregates. Ties in the DP
+# break (max score, then max backpointer j) — simpler than the
+# fewest-pieces rule of unigram_viterbi_encode and equally
+# deterministic; scores ride DECIMAL(18,6) so both engines replay the
+# argmax bit-identically.
+# --------------------------------------------------------------------------
+
+_EM_LMAX = 4
+_EM_TOP_M = 48
+_EM_ITERS = 2
+_EM_TOP_OUT = 20
+
+
+def _em_words_occ(docs):
+    return (
+        docs.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(trim(text), '\\S+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("w_occ"))
+    )
+
+
+def q_unigram_em_fit(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    vocab = bpe.unigram_em_fit(
+        _em_words_occ(docs),
+        lmax=_EM_LMAX,
+        top_m=_EM_TOP_M,
+        n_iters=_EM_ITERS,
+    )
+    # model head: tiny frame (chars + <= top_m rows) — the global sort
+    # and row_number run on the model, never the corpus
+    top = vocab.orderBy(F.desc("cnt"), "piece").limit(_EM_TOP_OUT)
+    return top.select(
+        F.row_number().over(W.orderBy(F.desc("cnt"), "piece")).alias("rank"),
+        "piece",
+        "plen",
+        "cnt",
+        F.col("lp").cast("double").alias("lp"),
+    ).orderBy("rank")
+
+
+def q_unigram_em_encode(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    words_src = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(r"regexp_extract_all(trim(text), '\\S+', 0)")
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("occ"))
+    )
+    words_occ = words_src.groupBy("word").agg(F.sum("occ").alias("w_occ"))
+    vocab = bpe.unigram_em_fit(
+        words_occ, lmax=_EM_LMAX, top_m=_EM_TOP_M, n_iters=_EM_ITERS
+    )
+    seg = bpe.viterbi_segment(words_occ.select("word"), vocab, _EM_LMAX)
+    return (
+        words_src.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("occ").alias("n_tokens"),
+            F.sum(F.col("occ") * F.col("n_vit")).alias("em_pieces"),
+            F.round(
+                F.sum(F.col("occ") * F.col("n_vit")).cast("double")
+                / F.sum("occ"),
+                6,
+            ).alias("pieces_per_token"),
+            F.round(
+                F.sum(F.col("occ") * F.col("logprob")).cast("double")
+                / F.sum(F.col("occ") * F.col("n_vit")),
+                6,
+            ).alias("avg_piece_logprob"),
+        )
+        .orderBy("source")
+    )
+
+
+def _em_lp_sql(counts: str, tot: str) -> str:
+    lp = _sql_round("ln(CAST(cnt AS DOUBLE) / total)", 6)
+    return (
+        f"SELECT piece, length(piece) AS plen, cnt,\n"
+        f"         CAST({lp} AS DECIMAL(18,6)) AS lp\n"
+        f"  FROM {counts} CROSS JOIN {tot}"
+    )
+
+
+def _em_estep_ctes(k: int, vocab: str) -> str:
+    """One E-step: recursive Viterbi DP (scores + backpointers) under
+    ``vocab``, then recursive backpointer reconstruction to the piece
+    multiset. Tie-break = (max score, max j), matching
+    operators/bpe.py::viterbi_segment's struct max."""
+    cscore_x = "s.scores[s.i + 2 - x['j']] + x['lp']"
+    cscore_y = "s.scores[s.i + 2 - y['j']] + y['lp']"
+    best_x = f"list_aggregate(list_transform(o.opts, x -> {cscore_x}), 'max')"
+    best_y = f"list_aggregate(list_transform(o.opts, y -> {cscore_y}), 'max')"
+    return f"""opts_{k} AS MATERIALIZED (
+  SELECT g.word, g.st + v.plen - 1 AS e,
+         list({{'j': v.plen, 'lp': v.lp}}) AS opts
+  FROM pos_grid g
+  JOIN {vocab} v ON substr(g.word, CAST(g.st AS INT), CAST(v.plen AS INT)) = v.piece
+  GROUP BY g.word, g.st + v.plen - 1
+),
+seg_{k} AS (
+  SELECT word, 0 AS i,
+         [CAST(0 AS DECIMAL(18,6))] AS scores, [CAST(0 AS INT)] AS bps
+  FROM words
+  UNION ALL
+  SELECT s.word, s.i + 1,
+         list_append(s.scores, CAST({best_x} AS DECIMAL(18,6))),
+         list_append(s.bps, CAST(list_aggregate(list_transform(
+             list_filter(o.opts, x -> {cscore_x} = {best_y}),
+             z -> z['j']), 'max') AS INT))
+  FROM seg_{k} s JOIN opts_{k} o ON o.word = s.word AND o.e = s.i + 1
+  WHERE s.i < length(s.word)
+),
+recon_{k} AS (
+  SELECT word, length(word) AS pos, []::VARCHAR[] AS parts, bps
+  FROM seg_{k} WHERE i = length(word)
+  UNION ALL
+  SELECT word, pos - bps[pos + 1],
+         list_append(parts, substr(word,
+             CAST(pos - bps[pos + 1] + 1 AS INT),
+             CAST(bps[pos + 1] AS INT))),
+         bps
+  FROM recon_{k} WHERE pos > 0
+),
+pieces_{k} AS (
+  SELECT word, unnest(parts) AS piece FROM recon_{k} WHERE pos = 0
+)"""
+
+
+def _em_mstep_ctes(k: int) -> str:
+    return f"""usage_{k} AS (
+  SELECT piece, SUM(w_occ) AS used
+  FROM pieces_{k} JOIN occ_w USING (word) GROUP BY piece
+),
+counts_{k} AS (
+  SELECT c.piece, COALESCE(u.used, 0) + 1 AS cnt
+  FROM chars c LEFT JOIN usage_{k} u USING (piece)
+  UNION ALL
+  SELECT piece, used + 1 AS cnt FROM usage_{k} WHERE length(piece) > 1
+),
+tot_{k} AS (SELECT SUM(cnt) AS total FROM counts_{k}),
+vocab_{k} AS MATERIALIZED (
+  {_em_lp_sql(f"counts_{k}", f"tot_{k}")}
+)"""
+
+
+def _unigram_em_ctes() -> tuple[str, str]:
+    """The shared EM chain: seed → (E-step, M-step) × _EM_ITERS.
+    Returns (cte_block, final_vocab_name). Callers prepend a
+    words_src/occ_w-compatible base and append their report."""
+    parts = [
+        f"""occ_w AS (
+  SELECT word, COUNT(*) AS w_occ FROM (
+    SELECT unnest(regexp_extract_all(trim(text), '\\S+', 0)) AS word
+    FROM documents
+  ) GROUP BY word
+),
+words AS (SELECT word FROM occ_w),
+chars AS (
+  SELECT DISTINCT unnest(regexp_extract_all(word, '.', 0)) AS piece
+  FROM words
+),
+pos_grid AS (
+  SELECT word, unnest(range(1, length(word) + 1)) AS st FROM words
+),
+cand AS (
+  SELECT word, st, plen,
+         substr(word, CAST(st AS INT), CAST(plen AS INT)) AS piece
+  FROM pos_grid CROSS JOIN unnest(range(1, {_EM_LMAX + 1})) AS l(plen)
+  WHERE st + plen - 1 <= length(word)
+),
+seed_cnt AS (
+  SELECT piece, SUM(w_occ) AS cnt
+  FROM cand JOIN occ_w USING (word) GROUP BY piece
+),
+seed_multi AS (
+  SELECT piece, cnt FROM seed_cnt WHERE length(piece) > 1
+  ORDER BY cnt DESC, piece LIMIT {_EM_TOP_M}
+),
+counts_0 AS (
+  SELECT piece, cnt FROM seed_cnt WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM seed_multi
+),
+tot_0 AS (SELECT SUM(cnt) AS total FROM counts_0),
+vocab_0 AS MATERIALIZED (
+  {_em_lp_sql("counts_0", "tot_0")}
+)"""
+    ]
+    for k in range(1, _EM_ITERS + 1):
+        parts.append(_em_estep_ctes(k, f"vocab_{k - 1}"))
+        parts.append(_em_mstep_ctes(k))
+    return ",\n".join(parts), f"vocab_{_EM_ITERS}"
+
+
+def _unigram_em_fit_sql() -> str:
+    chain, final_vocab = _unigram_em_ctes()
+    return f"""WITH RECURSIVE {chain}
+SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rank,
+       piece, CAST(plen AS INT) AS plen, CAST(cnt AS BIGINT) AS cnt,
+       CAST(lp AS DOUBLE) AS lp
+FROM {final_vocab}
+ORDER BY cnt DESC, piece
+LIMIT {_EM_TOP_OUT}"""
+
+
+def _unigram_em_encode_sql() -> str:
+    chain, final_vocab = _unigram_em_ctes()
+    enc = _EM_ITERS + 1
+    final_estep = _em_estep_ctes(enc, final_vocab)
+    return f"""WITH RECURSIVE {chain},
+{final_estep},
+vit AS (
+  SELECT r.word, len(r.parts) AS n_vit,
+         s.scores[length(r.word) + 1] AS logprob
+  FROM (SELECT word, parts FROM recon_{enc} WHERE pos = 0) r
+  JOIN (SELECT word, scores FROM seg_{enc} WHERE i = length(word)) s
+    USING (word)
+),
+words_src AS (
+  SELECT source, word, COUNT(*) AS occ FROM (
+    SELECT source, unnest(regexp_extract_all(trim(text), '\\S+', 0)) AS word
+    FROM documents
+  ) GROUP BY source, word
+)
+SELECT ws.source,
+       CAST(SUM(ws.occ) AS BIGINT) AS n_tokens,
+       CAST(SUM(ws.occ * v.n_vit) AS BIGINT) AS em_pieces,
+       {_sql_round('CAST(SUM(ws.occ * v.n_vit) AS DOUBLE) / SUM(ws.occ)', 6)}
+         AS pieces_per_token,
+       {_sql_round(
+           'CAST(SUM(ws.occ * v.logprob) AS DOUBLE)'
+           ' / SUM(ws.occ * v.n_vit)', 6)} AS avg_piece_logprob
+FROM words_src ws
+JOIN vit v USING (word)
+GROUP BY ws.source
+ORDER BY ws.source"""
+
+
+UNIGRAM_EM_FIT_SQL = _unigram_em_fit_sql()
+UNIGRAM_EM_ENCODE_SQL = _unigram_em_encode_sql()
+
+
+# --------------------------------------------------------------------------
 # loo_source_influence — leave-one-source-out influence of each source
 # on the corpus-level quality and length means. For linear statistics
 # the counterfactual "corpus without source s" is exact algebra over
@@ -5518,6 +5792,16 @@ QUERIES = {
         q_unigram_viterbi_encode,
         UNIGRAM_VITERBI_ENCODE_SQL,
         ("tokenizer", "unigram-lm", "viterbi", "encoder-compat"),
+    ),
+    "unigram_em_fit": Query(
+        q_unigram_em_fit,
+        UNIGRAM_EM_FIT_SQL,
+        ("tokenizer", "unigram-lm", "trainer", "em"),
+    ),
+    "unigram_em_encode": Query(
+        q_unigram_em_encode,
+        UNIGRAM_EM_ENCODE_SQL,
+        ("tokenizer", "unigram-lm", "em", "fertility"),
     ),
     "gopher_repetition_funnel": Query(
         q_gopher_repetition_funnel,

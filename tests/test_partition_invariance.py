@@ -72,6 +72,10 @@ REPRESENTATIVES = [
     # round-7 additions
     "unigram_viterbi_encode",   # collect_list-built option arrays + decimal DP
     "media_phash_pairs",        # per-batch mapInPandas hash + banded join
+    # round-8 additions
+    "unigram_em_fit",           # DataFrame-resident EM loop: seed top-m,
+                                # Viterbi E-step folds, prune/renormalize
+    "multiscale_repeated_spans",  # scale-tagged hash explode + dup semi signal
 ]
 
 

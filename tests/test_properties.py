@@ -480,3 +480,123 @@ def test_dhash_matches_naive_bit_loop(h, w, seed):
             if int(small[r, c]) > int(small[r, c + 1]):
                 want |= 1 << (r * DHASH_GRID_W + c)
     assert dhash60(img) == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_unigram_em_fit_matches_python_reference(spark, data):
+    """The distributed hard-EM unigram trainer (operators/bpe.py::
+    unigram_em_fit — seed/E/M entirely in DataFrames) vs an
+    independent pure-Python EM on random word histograms: the final
+    (piece, cnt, lp) table must match exactly, lp included (the
+    Python side mirrors Spark's ROUND-on-double semantics: shortest
+    decimal repr quantized HALF_UP to 6 dp)."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP
+
+    from city_payroll_data_pipeline_spark.operators.bpe import (
+        unigram_em_fit,
+    )
+
+    lmax, top_m, n_iters = 3, 5, 2
+    words = data.draw(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            min_size=1,
+            max_size=6,
+            unique=True,
+        )
+    )
+    occs = {
+        w: data.draw(st.integers(min_value=1, max_value=5), label=f"occ[{w}]")
+        for w in words
+    }
+
+    def q6(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    def lp_table(counts: dict) -> dict:
+        total = sum(counts.values())
+        return {p: q6(math.log(c / total)) for p, c in counts.items()}
+
+    def viterbi(w: str, lps: dict) -> list:
+        # dp[e] = (score, backpointer j); ties (max score, max j)
+        dp = [(Decimal(0), 0)] + [None] * len(w)
+        for e in range(1, len(w) + 1):
+            best = None
+            for j in range(1, min(lmax, e) + 1):
+                piece = w[e - j : e]
+                if piece in lps and dp[e - j] is not None:
+                    cand = (dp[e - j][0] + lps[piece], j)
+                    if best is None or cand > best:
+                        best = cand
+            dp[e] = best
+        parts, pos = [], len(w)
+        while pos > 0:
+            j = dp[pos][1]
+            parts.append(w[pos - j : pos])
+            pos -= j
+        return parts
+
+    # seed: occurrence-weighted substring counts
+    seed = Counter()
+    for w, occ in occs.items():
+        for s in range(len(w)):
+            for l in range(1, min(lmax, len(w) - s) + 1):
+                seed[w[s : s + l]] += occ
+    chars = {p for p in seed if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in seed.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:top_m]
+    counts = {p: seed[p] for p in chars}
+    counts.update(dict(multi))
+    for _ in range(n_iters):
+        lps = lp_table(counts)
+        usage = Counter()
+        for w, occ in occs.items():
+            for p in viterbi(w, lps):
+                usage[p] += occ
+        counts = {c: usage.get(c, 0) + 1 for c in chars}
+        for p, u in usage.items():
+            if len(p) > 1:
+                counts[p] = u + 1
+    want = {(p, c, lp_table(counts)[p]) for p, c in counts.items()}
+
+    wo = spark.createDataFrame(
+        [(w, occs[w]) for w in words], "word string, w_occ long"
+    )
+    got = {
+        (r["piece"], r["cnt"], Decimal(r["lp"]))
+        for r in unigram_em_fit(
+            wo, lmax=lmax, top_m=top_m, n_iters=n_iters
+        ).collect()
+    }
+    assert got == want
+
+
+def test_viterbi_segment_unsegmentable_word_is_null():
+    """viterbi_segment keeps the dense-grid NULL contract: a word with
+    a character no vocabulary piece covers returns all-NULL, never a
+    misaligned segmentation (ADVICE r7 discipline)."""
+    from pyspark.sql import SparkSession
+
+    from city_payroll_data_pipeline_spark.operators.bpe import (
+        viterbi_segment,
+    )
+
+    spark = SparkSession.getActiveSession()
+    vocab = spark.createDataFrame(
+        [("a", 1, Decimal("-1.000000")), ("b", 1, Decimal("-2.000000"))],
+        "piece string, plen int, lp decimal(18,6)",
+    )
+    wdf = spark.createDataFrame([("ab",), ("axb",)], "word string")
+    rows = {r["word"]: r for r in viterbi_segment(wdf, vocab, 2).collect()}
+    assert rows["axb"]["n_vit"] is None
+    assert rows["axb"]["logprob"] is None
+    assert rows["axb"]["parts"] is None
+    assert rows["ab"]["n_vit"] == 2
+    assert sorted(rows["ab"]["parts"]) == ["a", "b"]
