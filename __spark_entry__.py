@@ -65,8 +65,8 @@ _ROUND_NEW = (
     "unigram_em_fit",             # SentencePiece-style unigram-LM EM trainer
     "unigram_em_encode",          # Viterbi re-encode with the EM-trained table
     "multiscale_repeated_spans",  # {8,16,32,64}-token cross-doc span dedup mass
-    # "dsir_importance_weights",  # hashed-ngram DSIR domain-selection weights
-    # "crossdoc_line_dedup",      # C4-style exact line dedup across documents
+    "dsir_importance_weights",    # hashed-ngram DSIR domain-selection weights
+    "crossdoc_line_dedup",        # C4-style exact line dedup across documents
     # --- the FULL remaining never-checked complement (40 names, closes
     # the driver-verification union at 290/290 — VERDICT r7 item 1).
     "length_deciles",

@@ -389,6 +389,8 @@ HEADLINE = [
     "multiscale_repeated_spans",  # NEW r8: multi-scale exact-substring mass
     "unigram_em_fit",             # NEW r8: SentencePiece-style hard-EM trainer
     "unigram_em_encode",          # NEW r8: corpus fertility under the EM table
+    "dsir_importance_weights",    # NEW r8: hashed-ngram DSIR domain selection
+    "crossdoc_line_dedup",        # NEW r8: C4 corpus-frequency line removal
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

@@ -5713,6 +5713,287 @@ ORDER BY scale, source
 """
 
 
+# --------------------------------------------------------------------------
+# dsir_importance_weights — DSIR domain selection (Xie et al., NeurIPS
+# 2023, "Data Selection for Language Models via Importance
+# Resampling"): score every raw document by how much it resembles a
+# target domain, in hashed-n-gram space. Features are word unigrams +
+# bigrams hashed into _DSIR_B buckets (the house 48-bit md5 trick —
+# operators/featurehash.hash_bucket, bit-replayable in DuckDB);
+# bucket distributions are estimated with add-one smoothing from the
+# target slice (lang = 'en') and the complement; a document's log
+# importance weight is Σ_features [ln p_target(b) − ln p_raw(b)].
+# Per-source report: mean log-weight and how many docs DSIR would
+# select (logw > 0) — the sampling step of the paper replaced by its
+# deterministic acceptance signal so the oracle stays exact.
+#
+# Determinism: both ln terms are rounded to 6 dp and ridden as
+# DECIMAL(18,6), so every per-doc sum and the logw > 0 gate are exact
+# in both engines.
+#
+# Scale: the bucket stats are ONE shuffle on a 48-bit-hash key bounded
+# by _DSIR_B; the per-doc scoring joins the feature stream against the
+# BROADCAST _DSIR_B-row delta table and reduces on doc_id — no
+# vocabulary state, no driver round trips; 100 TB cost is one pass +
+# two bounded aggregations (the same shape DSIR runs at production
+# scale, where the hashed feature space is what makes it tractable).
+# --------------------------------------------------------------------------
+
+_DSIR_B = 256
+_DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_importance_weights(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import (
+        shingles as _sh,
+        word_tokens,
+    )
+    from city_payroll_data_pipeline_spark.operators.featurehash import (
+        hash_bucket,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        (F.col("lang") == _DSIR_TARGET_LANG).cast("int").alias("is_t"),
+        word_tokens(F.col("text")).alias("t"),
+    )
+    feats = (
+        toks.select(
+            "doc_id",
+            "source",
+            "is_t",
+            F.explode(F.concat(F.col("t"), _sh(F.col("t"), 2))).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "is_t",
+            hash_bucket(F.col("g"), _DSIR_B).alias("b"),
+        )
+        .persist()
+    )
+    stats = feats.groupBy("b").agg(
+        F.sum("is_t").alias("ct"),
+        F.sum(1 - F.col("is_t")).alias("cr"),
+    )
+    tots = stats.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lp_t = F.round(
+        F.log(
+            (F.col("ct") + 1).cast("double") / (F.col("tt") + _DSIR_B)
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    lp_r = F.round(
+        F.log(
+            (F.col("cr") + 1).cast("double") / (F.col("tr") + _DSIR_B)
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    delta = stats.crossJoin(F.broadcast(tots)).select(
+        "b", (lp_t - lp_r).alias("dlt")
+    )
+    per_doc = (
+        feats.join(F.broadcast(delta), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("dlt").alias("logw"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("logw").cast("double") / F.count("*"), 6
+            ).alias("avg_logweight"),
+            F.sum((F.col("logw") > 0).cast("int")).alias("n_selected"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dsir_sql() -> str:
+    b = _DSIR_B
+    lp_t = _sql_round(f"ln(CAST(ct + 1 AS DOUBLE) / (tt + {b}))", 6)
+    lp_r = _sql_round(f"ln(CAST(cr + 1 AS DOUBLE) / (tr + {b}))", 6)
+    return f"""WITH toksrc AS (
+  SELECT doc_id, source,
+         CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS is_t,
+         regexp_extract_all(lower(text), '[A-Za-z]+', 0) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, is_t, unnest(t) AS g FROM toksrc
+  UNION ALL
+  SELECT doc_id, source, is_t, t[i + 1] || ' ' || t[i + 2] AS g
+  FROM toksrc, unnest(range(0, greatest(len(t) - 1, 0))) AS r(i)
+),
+feats AS (
+  SELECT doc_id, source, is_t,
+         CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % {b} AS b
+  FROM grams
+),
+stats AS (
+  SELECT b, SUM(is_t) AS ct, SUM(1 - is_t) AS cr FROM feats GROUP BY b
+),
+tots AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM stats),
+delta AS (
+  SELECT b, CAST({lp_t} AS DECIMAL(18,6)) - CAST({lp_r} AS DECIMAL(18,6))
+           AS dlt
+  FROM stats CROSS JOIN tots
+),
+per_doc AS (
+  SELECT doc_id, source, SUM(dlt) AS logw
+  FROM feats JOIN delta USING (b) GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+       {_sql_round('CAST(SUM(logw) AS DOUBLE) / COUNT(*)', 6)}
+         AS avg_logweight,
+       CAST(SUM(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected
+FROM per_doc
+GROUP BY source
+ORDER BY source"""
+
+
+DSIR_IMPORTANCE_WEIGHTS_SQL = _dsir_sql()
+
+
+# --------------------------------------------------------------------------
+# crossdoc_line_dedup — C4's OTHER line rule: beyond the per-line
+# token filter (c4_line_filter), C4 removed every line that occurred
+# ≥ 3 times in the whole corpus (Raffel et al. 2020 §2.2 — the rule
+# that strips "home | login | cookie policy" navigation boilerplate).
+# The synthetic testdata has no line structure, so — same trick as
+# c4_line_filter — deterministic boilerplate lines are injected first
+# (doc_id % 3 gets a nav line, doc_id % 5 a newsletter line, % 15
+# both), making corpus line frequencies non-trivial and verifiable.
+# Report per source: line counts, duplicated-line occurrences, docs
+# affected, and the char mass the rule removes.
+#
+# Scale: the corpus-frequency aggregate and the flag join both key on
+# md5(line) — line text never crosses an exchange twice (hash + length
+# ride the shuffle); per-doc and per-source reductions are plain
+# partial-agg groupBys. The frequency table is NOT broadcast (line
+# cardinality ~ corpus size); the join shuffles on the same hash key
+# the aggregate just produced — exchange reuse, one effective extra
+# pass, the exact shape dup_ngram_coverage ships.
+# --------------------------------------------------------------------------
+
+_CLD_FREQ_MIN = 3
+
+
+def q_crossdoc_line_dedup(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    inj1 = F.when(
+        F.col("doc_id") % 3 == 0, F.lit(".home login cookie policy.")
+    ).otherwise(F.lit(""))
+    inj2 = F.when(
+        F.col("doc_id") % 5 == 0, F.lit(".subscribe to our newsletter.")
+    ).otherwise(F.lit(""))
+    text2 = F.concat(
+        F.expr("substr(text, 1, 80)"),
+        inj1,
+        F.expr("substr(text, 81, 80)"),
+        inj2,
+        F.expr("substr(text, 161)"),
+    )
+    lines = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split(text2, r"\.")).alias("l")
+        )
+        .select("doc_id", "source", F.trim("l").alias("line"))
+        .filter(F.col("line") != "")
+        .select(
+            "doc_id",
+            "source",
+            F.md5("line").alias("h"),
+            F.length("line").alias("nc"),
+        )
+        .persist()
+    )
+    freq = lines.groupBy("h").agg(F.count("*").alias("cnt"))
+    flagged = lines.join(freq, "h").select(
+        "doc_id",
+        "source",
+        "nc",
+        (F.col("cnt") >= _CLD_FREQ_MIN).cast("int").alias("is_dup"),
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("is_dup").alias("n_dup"),
+        F.sum("nc").alias("chars"),
+        F.sum(F.col("is_dup") * F.col("nc")).alias("dup_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_dup").alias("dup_lines"),
+            F.sum((F.col("n_dup") > 0).cast("int")).alias("affected_docs"),
+            F.round(
+                F.sum("dup_chars").cast("double")
+                / F.sum("chars").cast("double"),
+                6,
+            ).alias("removed_char_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+CROSSDOC_LINE_DEDUP_SQL = f"""
+WITH docs2 AS (
+  SELECT doc_id, source,
+         substr(text, 1, 80)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '.home login cookie policy.' ELSE '' END
+         || substr(text, 81, 80)
+         || CASE WHEN doc_id % 5 = 0
+                 THEN '.subscribe to our newsletter.' ELSE '' END
+         || substr(text, 161) AS text2
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, source, md5(line) AS h, length(line) AS nc
+  FROM (
+    SELECT doc_id, source, trim(l) AS line
+    FROM (
+      SELECT doc_id, source, unnest(string_split(text2, '.')) AS l
+      FROM docs2
+    )
+  )
+  WHERE line <> ''
+),
+freq AS (SELECT h, COUNT(*) AS cnt FROM lines GROUP BY h),
+flagged AS (
+  SELECT doc_id, source, nc,
+         CASE WHEN cnt >= {_CLD_FREQ_MIN} THEN 1 ELSE 0 END AS is_dup
+  FROM lines JOIN freq USING (h)
+),
+per_doc AS (
+  SELECT doc_id, source,
+         COUNT(*) AS n_lines,
+         SUM(is_dup) AS n_dup,
+         SUM(nc) AS chars,
+         SUM(is_dup * nc) AS dup_chars
+  FROM flagged GROUP BY doc_id, source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(n_dup) AS BIGINT) AS dup_lines,
+       CAST(SUM(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS affected_docs,
+       {_sql_round(
+           'CAST(SUM(dup_chars) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE)', 6
+       )} AS removed_char_frac
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "doc_perplexity": Query(
         q_doc_perplexity,
@@ -5920,6 +6201,16 @@ QUERIES = {
         q_multiscale_repeated_spans,
         MULTISCALE_REPEATED_SPANS_SQL,
         ("text", "dedup", "substring", "multiscale", "boilerplate"),
+    ),
+    "dsir_importance_weights": Query(
+        q_dsir_importance_weights,
+        DSIR_IMPORTANCE_WEIGHTS_SQL,
+        ("mix", "domain-selection", "dsir", "hashed-ngram"),
+    ),
+    "crossdoc_line_dedup": Query(
+        q_crossdoc_line_dedup,
+        CROSSDOC_LINE_DEDUP_SQL,
+        ("text", "dedup", "lines", "c4", "boilerplate"),
     ),
     "contamination_check": Query(
         q_contamination_check,
