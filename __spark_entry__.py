@@ -67,6 +67,9 @@ _ROUND_NEW = (
     "multiscale_repeated_spans",  # {8,16,32,64}-token cross-doc span dedup mass
     "dsir_importance_weights",    # hashed-ngram DSIR domain-selection weights
     "crossdoc_line_dedup",        # C4-style exact line dedup across documents
+    # r8 queries added AFTER the 50-slot rotation filled (they sort
+    # into the never-checked pool automatically and lead the r9
+    # rotation): mmr_diversified_topk, filter_agreement_kappa.
     # --- the FULL remaining never-checked complement (40 names, closes
     # the driver-verification union at 290/290 — VERDICT r7 item 1).
     "length_deciles",

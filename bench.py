@@ -391,6 +391,8 @@ HEADLINE = [
     "unigram_em_encode",          # NEW r8: corpus fertility under the EM table
     "dsir_importance_weights",    # NEW r8: hashed-ngram DSIR domain selection
     "crossdoc_line_dedup",        # NEW r8: C4 corpus-frequency line removal
+    "mmr_diversified_topk",       # NEW r8: MMR diversity re-rank (queued r9)
+    "filter_agreement_kappa",     # NEW r8: Cohen/Fleiss filter agreement
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

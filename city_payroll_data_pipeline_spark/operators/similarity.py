@@ -636,3 +636,144 @@ def ivfpq_topk(
         .agg(F.sum("dotv").alias("adc_dot"))
     )
     return _per_query_topk(scored, "adc_dot", k, round_score=False)
+
+
+def mmr_rerank(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 12,
+) -> DataFrame:
+    """MMR-diversified top-k (Carbonell & Goldstein 1998): from each
+    query's exact top-``pool`` cosine candidates, greedily select
+    ``k`` results maximizing λ·rel(c) − (1−λ)·max_{s∈selected}
+    sim(c, s) with λ = 0.7 — the standard redundancy-pruning re-rank
+    between retrieval and consumption. Returns
+    (query_id, rank, neighbor_id, relevance, mmr_score).
+
+    Determinism contract: relevance and candidate-pair similarities
+    are the house rounded-6dp cosines ridden as DECIMAL(18,6); the MMR
+    objective is kept ×10 (score10 = 7·rel − 3·maxsim, exact decimal —
+    no float compare anywhere), and each greedy step's argmax is a
+    lexicographic struct max (score10 desc, neighbor_id asc) — so any
+    engine replays the selection bit-identically.
+
+    Distributed shape: candidate generation is the brute-force scorer
+    (swap in any ANN retriever at scale — MMR only needs a pool);
+    pair similarities are a pool×pool self-join per query (pool² rows,
+    bounded by construction, never corpus-sized); the greedy loop is
+    ONE codegen'd fold of ``k`` steps over the per-query candidate
+    array — no per-step stage, no driver round trips."""
+    pool_df = brute_force_topk(df, id_col, vec_col, queries, k=pool)
+    corpus = with_quantized(df, id_col, vec_col)
+    cand = (
+        pool_df.select(
+            "query_id",
+            "neighbor_id",
+            F.col("cosine").cast("decimal(18,6)").alias("rel"),
+        )
+        .join(corpus, F.col("neighbor_id") == F.col("vec_id"))
+        .select("query_id", "neighbor_id", "rel", "q", "n2")
+    )
+    sims = (
+        cand.alias("a")
+        .join(
+            cand.alias("b"),
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            (F.col("a.neighbor_id") * 1000000 + F.col("b.neighbor_id")).alias(
+                "pk"
+            ),
+            F.round(
+                cosine_q(
+                    dot_q(F.col("a.q"), F.col("b.q")),
+                    F.col("a.n2"),
+                    F.col("b.n2"),
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("pv"),
+        )
+    )
+    cands_row = cand.groupBy("query_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("neighbor_id").alias("nid"), F.col("rel"))
+            )
+        ).alias("cands")
+    )
+    sims_row = sims.groupBy("query_id").agg(
+        F.collect_list(F.struct("pk", "pv")).alias("sims")
+    )
+    row = cands_row.join(sims_row, "query_id")
+
+    zero6 = F.lit("0").cast("decimal(18,6)")
+    sel_t = "array<struct<nid:bigint,score10:decimal(28,6),rel:decimal(18,6)>>"
+
+    def lookup(cn, sn):
+        return F.element_at(
+            F.filter(F.col("sims"), lambda e: e["pk"] == cn * 1000000 + sn), 1
+        )["pv"]
+
+    def step(sel, _):
+        remaining = F.filter(
+            F.col("cands"),
+            lambda c: ~F.exists(sel, lambda s: s["nid"] == c["nid"]),
+        )
+        scored = F.transform(
+            remaining,
+            lambda c: F.struct(
+                (
+                    c["rel"] * 7
+                    - F.coalesce(
+                        F.array_max(
+                            F.transform(
+                                sel, lambda s: lookup(c["nid"], s["nid"])
+                            )
+                        ),
+                        zero6,
+                    )
+                    * 3
+                )
+                .cast("decimal(28,6)")
+                .alias("score10"),
+                (-c["nid"]).alias("negnid"),
+                c["rel"].alias("rel"),
+            ),
+        )
+        best = F.array_max(scored)
+        return F.when(
+            F.size(remaining) > 0,
+            F.concat(
+                sel,
+                F.array(
+                    F.struct(
+                        (-best["negnid"]).alias("nid"),
+                        best["score10"].alias("score10"),
+                        best["rel"].alias("rel"),
+                    )
+                ),
+            ),
+        ).otherwise(sel)
+
+    init = F.array().cast(sel_t)
+    sel_final = F.aggregate(F.sequence(F.lit(1), F.lit(k)), init, step)
+    return (
+        row.select("query_id", F.posexplode(sel_final).alias("pos", "s"))
+        .select(
+            "query_id",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("s")["nid"].alias("neighbor_id"),
+            F.col("s")["rel"].cast("double").alias("relevance"),
+            F.round(F.col("s")["score10"].cast("double") / 10, 6).alias(
+                "mmr_score"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )

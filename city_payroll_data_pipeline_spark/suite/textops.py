@@ -5994,6 +5994,167 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# filter_agreement_kappa — inter-filter agreement audit. A pipeline
+# running several quality filters (length gate, lexical-diversity
+# gate, repetition gate) needs to know whether they measure the SAME
+# thing (high kappa → redundant, drop the expensive one) or different
+# things (low kappa → keep both); raw percent-agreement is misleading
+# under skewed keep rates, which is exactly what Cohen's κ (1960) and
+# Fleiss' κ (1971) correct for. Three deterministic per-doc "raters"
+# (median-split thresholds so each keeps ≈ half the corpus):
+#   len: n_words ≥ 56        ttr: 50·n_distinct ≥ 23·n_words
+#   rep: 1000·top_cnt ≤ 93·n_words
+# Per source: keep counts, the three pairwise Cohen κs, and the
+# 3-rater Fleiss κ — every κ cleared to exact-integer numerator and
+# denominator with ONE double division (guarded NULL when chance
+# agreement is total, κ undefined).
+#
+# Scale: one (doc, word) aggregate (the same exchange the TTR needs
+# anyway), one per-doc reduce, one per-source reduce. No joins, no
+# windows; κ arithmetic is per-group scalar math.
+# --------------------------------------------------------------------------
+
+
+def q_filter_agreement_kappa(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import word_tokens
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    per_word = (
+        docs.select(
+            "doc_id", "source", F.explode(word_tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = per_word.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    )
+    flags = per_doc.select(
+        "source",
+        (F.col("n_words") >= 56).cast("int").alias("r1"),
+        (50 * F.col("n_distinct") >= 23 * F.col("n_words"))
+        .cast("int")
+        .alias("r2"),
+        (1000 * F.col("top_cnt") <= 93 * F.col("n_words"))
+        .cast("int")
+        .alias("r3"),
+    )
+    k = F.col("r1") + F.col("r2") + F.col("r3")
+    agg = flags.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("r1").alias("a"),
+        F.sum("r2").alias("b"),
+        F.sum("r3").alias("c"),
+        F.sum((F.col("r1") == F.col("r2")).cast("int")).alias("g_ab"),
+        F.sum((F.col("r1") == F.col("r3")).cast("int")).alias("g_ac"),
+        F.sum((F.col("r2") == F.col("r3")).cast("int")).alias("g_bc"),
+        F.sum(k * (k - 1) + (3 - k) * (2 - k)).alias("s"),
+    )
+
+    def cohen(x, y, g):
+        n = F.col("n")
+        pe = F.col(x) * F.col(y) + (n - F.col(x)) * (n - F.col(y))
+        return F.when(
+            n * n != pe,
+            F.round(
+                (n * F.col(g) - pe).cast("double") / (n * n - pe).cast("double"),
+                6,
+            ),
+        )
+
+    n = F.col("n")
+    t1 = F.col("a") + F.col("b") + F.col("c")
+    t0 = 3 * n - t1
+    fle_num = 3 * n * F.col("s") - 2 * (t1 * t1 + t0 * t0)
+    fle_den = 18 * n * n - 2 * (t1 * t1 + t0 * t0)
+    return agg.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("a").alias("keep_len"),
+        F.col("b").alias("keep_ttr"),
+        F.col("c").alias("keep_rep"),
+        cohen("a", "b", "g_ab").alias("kappa_len_ttr"),
+        cohen("a", "c", "g_ac").alias("kappa_len_rep"),
+        cohen("b", "c", "g_bc").alias("kappa_ttr_rep"),
+        F.when(
+            fle_den != 0,
+            F.round(fle_num.cast("double") / fle_den.cast("double"), 6),
+        ).alias("fleiss_kappa"),
+    ).orderBy("source")
+
+
+def _kappa_sql() -> str:
+    def cohen(x, y, g):
+        pe = f"({x} * {y} + (n - {x}) * (n - {y}))"
+        return (
+            f"CASE WHEN n * n <> {pe} THEN "
+            + _sql_round(
+                f"CAST(n * {g} - {pe} AS DOUBLE)"
+                f" / CAST(n * n - {pe} AS DOUBLE)",
+                6,
+            )
+            + " END"
+        )
+
+    fle_num = "3 * n * s - 2 * (t1 * t1 + t0 * t0)"
+    fle_den = "18 * n * n - 2 * (t1 * t1 + t0 * t0)"
+    return f"""
+WITH per_word AS (
+  SELECT doc_id, source, w, COUNT(*) AS c FROM (
+    SELECT doc_id, source,
+           unnest(regexp_extract_all(lower(text), '[A-Za-z]+', 0)) AS w
+    FROM documents
+  ) GROUP BY doc_id, source, w
+),
+per_doc AS (
+  SELECT doc_id, source, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+         MAX(c) AS top_cnt
+  FROM per_word GROUP BY doc_id, source
+),
+flags AS (
+  SELECT source,
+         CASE WHEN n_words >= 56 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN 50 * n_distinct >= 23 * n_words THEN 1 ELSE 0 END AS r2,
+         CASE WHEN 1000 * top_cnt <= 93 * n_words THEN 1 ELSE 0 END AS r3
+  FROM per_doc
+),
+agg AS (
+  SELECT source, COUNT(*) AS n,
+         SUM(r1) AS a, SUM(r2) AS b, SUM(r3) AS c,
+         SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS g_ab,
+         SUM(CASE WHEN r1 = r3 THEN 1 ELSE 0 END) AS g_ac,
+         SUM(CASE WHEN r2 = r3 THEN 1 ELSE 0 END) AS g_bc,
+         SUM((r1 + r2 + r3) * (r1 + r2 + r3 - 1)
+             + (3 - r1 - r2 - r3) * (2 - r1 - r2 - r3)) AS s
+  FROM flags GROUP BY source
+),
+wide AS (
+  SELECT source, n, a, b, c, g_ab, g_ac, g_bc, s,
+         a + b + c AS t1, 3 * n - a - b - c AS t0
+  FROM agg
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(a AS BIGINT) AS keep_len,
+       CAST(b AS BIGINT) AS keep_ttr,
+       CAST(c AS BIGINT) AS keep_rep,
+       {cohen('a', 'b', 'g_ab')} AS kappa_len_ttr,
+       {cohen('a', 'c', 'g_ac')} AS kappa_len_rep,
+       {cohen('b', 'c', 'g_bc')} AS kappa_ttr_rep,
+       CASE WHEN {fle_den} <> 0 THEN
+         {_sql_round(f'CAST({fle_num} AS DOUBLE) / CAST({fle_den} AS DOUBLE)', 6)}
+       END AS fleiss_kappa
+FROM wide
+ORDER BY source
+"""
+
+
+FILTER_AGREEMENT_KAPPA_SQL = _kappa_sql()
+
+
 QUERIES = {
     "doc_perplexity": Query(
         q_doc_perplexity,
@@ -6211,6 +6372,11 @@ QUERIES = {
         q_crossdoc_line_dedup,
         CROSSDOC_LINE_DEDUP_SQL,
         ("text", "dedup", "lines", "c4", "boilerplate"),
+    ),
+    "filter_agreement_kappa": Query(
+        q_filter_agreement_kappa,
+        FILTER_AGREEMENT_KAPPA_SQL,
+        ("text", "quality", "agreement", "kappa"),
     ),
     "contamination_check": Query(
         q_contamination_check,

@@ -1740,7 +1740,126 @@ ORDER BY per.m, per.cw
 """
 
 
+# --------------------------------------------------------------------------
+# mmr_diversified_topk — MMR re-ranking (Carbonell & Goldstein 1998),
+# the redundancy-pruning step between retrieval and consumption that
+# the retriever family (exact/LSH/IVF/SQ8/PQ + RRF fusion) was
+# missing: from each query's exact top-12 pool, greedily pick 5
+# maximizing 0.7·relevance − 0.3·max-sim-to-already-selected. All
+# arithmetic exact decimal (score kept ×10), argmax = lexicographic
+# struct max with the (score desc, neighbor_id asc) tie-break — the
+# greedy loop is ONE codegen'd fold per query (operators/similarity.py
+# ::mmr_rerank); the oracle replays it as a k-step recursive CTE whose
+# per-step argmax is the same struct max over list lambdas.
+#
+# Scale: candidate pools are bounded (pool² pair sims per query, never
+# corpus-sized); at production scale the pool comes from any ANN
+# retriever and MMR's cost is independent of corpus size.
+# --------------------------------------------------------------------------
+
+_MMR_POOL = 12
+
+
+def q_mmr_diversified_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    queries = _query_frame(emb, None)
+    return sim.mmr_rerank(
+        emb, "vec_id", "embedding", queries, k=K, pool=_MMR_POOL
+    )
+
+
+def _mmr_sql() -> str:
+    cos_ab = (
+        "CASE WHEN sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) > 0 "
+        "THEN CAST(" + _dot_sql("a.q", "b.q") + " AS DOUBLE)"
+        " / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) END"
+    )
+    # MMR objective ×10 for a candidate bound to lambda var v, given
+    # the selected-ids list s.ids and the pair-sim list s.sims
+    def score10(v: str) -> str:
+        return (
+            f"{v}.rel * 7 - 3 * coalesce(list_aggregate(list_transform("
+            f"s.ids, sid -> list_filter(s.sims,"
+            f" e -> e.pk = {v}.nid * 1000000 + sid)[1].pv), 'max'), 0)"
+        )
+
+    rem = "list_filter(s.cands, c0 -> NOT list_contains(s.ids, c0.nid))"
+    best = (
+        f"list_max(list_transform({rem}, x -> "
+        f"{{'score10': CAST({score10('x')} AS DECIMAL(28,6)),"
+        f" 'negnid': -x.nid, 'rel': x.rel}}))"
+    )
+    return f"""WITH RECURSIVE qv AS (
+  SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2
+  FROM ({_Q_CORPUS_SQL})
+),
+pairs AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS nid,
+         {_dot_sql('p.q', 'c.q')} AS dot, p.n2 AS n2a, c.n2 AS n2b
+  FROM qv p JOIN qv c ON {_qpred(None, 'p')} AND c.vec_id <> p.vec_id
+),
+ranked AS (
+  SELECT query_id, nid, {_COSINE_SQL} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY {_COSINE_SQL} DESC, nid ASC) AS rank
+  FROM pairs
+),
+pool AS (
+  SELECT query_id, nid,
+         CAST({_sql_round('cosine', 6)} AS DECIMAL(18,6)) AS rel
+  FROM ranked WHERE rank <= {_MMR_POOL}
+),
+psims AS (
+  SELECT a.query_id, a.nid * 1000000 + b.nid AS pk,
+         CAST({{rounded}} AS DECIMAL(18,6)) AS pv
+  FROM (SELECT p.query_id, p.nid, v.q, v.n2
+        FROM pool p JOIN qv v ON p.nid = v.vec_id) a
+  JOIN (SELECT p.query_id, p.nid, v.q, v.n2
+        FROM pool p JOIN qv v ON p.nid = v.vec_id) b
+    ON a.query_id = b.query_id AND a.nid <> b.nid
+),
+crow AS (
+  SELECT query_id,
+         list({{'nid': nid, 'rel': rel}} ORDER BY nid) AS cands
+  FROM pool GROUP BY query_id
+),
+srow AS (
+  SELECT query_id, list({{'pk': pk, 'pv': pv}}) AS sims
+  FROM psims GROUP BY query_id
+),
+base AS (SELECT query_id, cands, sims FROM crow JOIN srow USING (query_id)),
+sel AS (
+  SELECT query_id, 0 AS step,
+         []::BIGINT[] AS ids, []::DECIMAL(28,6)[] AS s10,
+         []::DECIMAL(18,6)[] AS rels, cands, sims
+  FROM base
+  UNION ALL
+  SELECT s.query_id, s.step + 1,
+         list_append(s.ids, -({best}).negnid),
+         list_append(s.s10, ({best}).score10),
+         list_append(s.rels, ({best}).rel),
+         s.cands, s.sims
+  FROM sel s WHERE s.step < {K}
+)
+SELECT query_id, CAST(i AS INT) AS rank, ids[i] AS neighbor_id,
+       CAST(rels[i] AS DOUBLE) AS relevance,
+       {_sql_round('CAST(s10[i] AS DOUBLE) / 10', 6)} AS mmr_score
+FROM sel CROSS JOIN unnest(range(1, {K} + 1)) AS r(i)
+WHERE step = {K}
+ORDER BY query_id, rank""".replace(
+        "{rounded}", _sql_round(cos_ab, 6)
+    )
+
+
+MMR_DIVERSIFIED_TOPK_SQL = _mmr_sql()
+
+
 QUERIES = {
+    "mmr_diversified_topk": Query(
+        q_mmr_diversified_topk,
+        MMR_DIVERSIFIED_TOPK_SQL,
+        ("vector", "ann", "mmr", "rerank", "diversity"),
+    ),
     "pq_ann_topk": Query(
         q_pq_ann_topk, PQ_ANN_TOPK_SQL, ("vector", "ann", "pq", "adc")
     ),

@@ -76,6 +76,7 @@ REPRESENTATIVES = [
     "unigram_em_fit",           # DataFrame-resident EM loop: seed top-m,
                                 # Viterbi E-step folds, prune/renormalize
     "multiscale_repeated_spans",  # scale-tagged hash explode + dup semi signal
+    "mmr_diversified_topk",     # greedy struct-max fold over collected pools
 ]
 
 
