@@ -361,3 +361,68 @@ def enrich_stream(stream_df: DataFrame, dim_df: DataFrame, on: str) -> DataFrame
     from pyspark.sql import functions as F
 
     return stream_df.join(F.broadcast(dim_df), on=on, how="left")
+
+
+def windowed_psi_drift(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    edges: list[float],
+    baseline_shares: list[float],
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Windowed PSI drift monitor — the feed-health gate a training
+    pipeline runs on every incoming slice: per event-time window, bin
+    ``value_col`` against static ``edges`` and compute the population
+    stability index vs ``baseline_shares`` (the batch suite's
+    psi_drift semantics: PSI = Σ_b (p_b − q_b)·ln(p_b/q_b), add-half
+    smoothing so empty bins never divide by zero). Alert thresholds
+    are the industry ones: <0.1 stable, 0.1–0.25 drifting, >0.25 act.
+
+    Works on a STREAM or a BATCH frame with identical results (the
+    batch-twin equality contract every job in this module keeps —
+    asserted in test_streaming.py): the whole computation is ONE
+    stateful aggregation — per-bin counts as conditional sums inside a
+    single groupBy(window), never a chained agg — followed by a
+    stateless PSI projection, so state per window is one row of
+    len(edges)+1 longs regardless of stream volume, and the watermark
+    frees it once the window closes.
+
+    ``baseline_shares``: len(edges)+1 reference shares (sum 1), fit
+    batch-side from the training snapshot and shipped as literals —
+    the broadcast-free way to compare against a static baseline."""
+    n_bins = len(edges) + 1
+    if len(baseline_shares) != n_bins:
+        raise ValueError(
+            f"baseline_shares must have {n_bins} entries (len(edges)+1), "
+            f"got {len(baseline_shares)}"
+        )
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    v = F.col(value_col)
+    bin_idx = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        bin_idx = F.when(v < F.lit(edges[i]), F.lit(i)).otherwise(bin_idx)
+    counts = [
+        F.sum((bin_idx == i).cast("long")).alias(f"c{i}")
+        for i in range(n_bins)
+    ]
+    agg = src.groupBy(F.window(ts_col, window).alias("win")).agg(
+        F.count("*").alias("n"), *counts
+    )
+    # smoothed observed share p_i = (c_i + 0.5) / (n + 0.5·B); the
+    # baseline q_i gets the same floor so PSI(baseline, baseline) = 0
+    half_b = 0.5 * n_bins
+    terms = []
+    for i in range(n_bins):
+        p = (F.col(f"c{i}") + 0.5) / (F.col("n") + half_b)
+        q = F.lit((baseline_shares[i] + 0.5 / n_bins) / (1.0 + half_b / n_bins))
+        terms.append((p - q) * F.log(p / q))
+    psi = sum(terms[1:], terms[0])
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "n",
+        *[F.col(f"c{i}") for i in range(n_bins)],
+        F.round(psi, 6).alias("psi"),
+    )

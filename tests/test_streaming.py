@@ -671,3 +671,76 @@ def test_session_timeout_flush_preserves_ordinal():
     t1 = t0 + dt.timedelta(hours=6)
     list(fn((7,), [pd.DataFrame({"ts": [t1]})], state))
     assert state.value[0] == 2
+
+
+def test_streaming_psi_drift_agrees_with_batch(spark, tmp_path):
+    """Windowed PSI drift monitor: the streamed per-window PSI (one
+    stateful aggregation, conditional per-bin sums) must equal the
+    same function applied to the batch union of the micro-batches —
+    the module's batch-twin equality contract."""
+    import datetime as dt
+
+    from city_payroll_data_pipeline_spark.streaming.jobs import (
+        run_to_memory,
+        windowed_psi_drift,
+    )
+
+    src = tmp_path / "psi_src"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(minute, values):
+        return [
+            (float(v), t0 + dt.timedelta(minutes=minute, seconds=i))
+            for i, v in enumerate(values)
+        ]
+
+    batch1 = rows(0, [1, 2, 3, 10, 11, 2, 1]) + rows(12, [50, 60, 2])
+    batch2 = rows(3, [5, 55, 70, 1]) + rows(14, [80, 90, 95, 99])
+    schema = "value double, ts timestamp"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    edges = [5.0, 25.0, 75.0]
+    baseline = [0.4, 0.3, 0.2, 0.1]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_to_memory(
+        windowed_psi_drift(stream, "value", "ts", edges, baseline),
+        "psi_out",
+        output_mode="complete",
+    )
+    got = {
+        r["window_start"]: (r["n"], r["c0"], r["c1"], r["c2"], r["c3"], r["psi"])
+        for r in spark.table("psi_out").collect()
+    }
+    want_df = windowed_psi_drift(
+        spark.createDataFrame(batch1 + batch2, schema),
+        "value",
+        "ts",
+        edges,
+        baseline,
+    )
+    want = {
+        r["window_start"]: (r["n"], r["c0"], r["c1"], r["c2"], r["c3"], r["psi"])
+        for r in want_df.collect()
+    }
+    assert got == want
+    assert len(want) == 2  # two 10-minute windows
+
+    def bad():
+        windowed_psi_drift(
+            spark.createDataFrame(batch1, schema), "value", "ts",
+            edges, [0.5, 0.5],
+        )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bad()
