@@ -300,6 +300,8 @@ _INTENTIONAL_BNLJ = {
     "lpa_modularity",         # broadcast 1-row 2m total + 1-row Q scalar
     "loo_source_influence",   # broadcast 1-row corpus-totals scalar
     "embedding_mmd_drift",    # broadcast 1-row corpus-count scalar
+    "dsir_importance_weights",  # broadcast 1-row feature-totals scalar
+    "mmr_diversified_topk",   # broadcast query set vs corpus (pool build)
 }
 
 # Arrow mapInPandas boundaries (SURVEY §2.10): per-partition stateful
@@ -357,6 +359,9 @@ _UNPARTITIONED_WINDOW_OK = {
     "zipf_slope": "rank over the K=500 survivors of orderBy().limit()",
     "t_closeness_audit": "cumsum over the balance-band spine (~a dozen rows)",
     "poisson_bootstrap_ci": "rank over the B=20 replica frame",
+    "unigram_em_fit":
+        "rank over the K=20 survivors of orderBy().limit() on the "
+        "model-sized piece table (chars + top_m rows)",
 }
 
 # First windowspecdefinition argument is a sort spec (`col ASC/DESC`)
