@@ -600,3 +600,103 @@ def test_viterbi_segment_unsegmentable_word_is_null():
     assert rows["axb"]["parts"] is None
     assert rows["ab"]["n_vit"] == 2
     assert sorted(rows["ab"]["parts"]) == ["a", "b"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_mmr_rerank_matches_python_greedy(spark, data):
+    """The fold-based MMR selection (operators/similarity.py::
+    mmr_rerank) vs an independent pure-Python greedy on random
+    integer-grid vectors: selected ids, order, and exact ×10 decimal
+    scores must match. The Python side mirrors the engine contract —
+    rounded-6dp cosine relevances/pair-sims as Decimals, argmax ties
+    (max score, min neighbor_id)."""
+    import math
+    from decimal import ROUND_HALF_UP
+
+    from city_payroll_data_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    k, pool = 3, 5
+    n = data.draw(st.integers(min_value=8, max_value=12))
+    dim = 4
+    # first component nonzero: a zero vector has NULL cosine to
+    # everything and falls out of pools engine-side, which this test's
+    # pure-Python pool mirror deliberately does not model
+    vecs = {
+        i: [
+            data.draw(
+                st.integers(min_value=1, max_value=20),
+                label=f"v[{i}][0]",
+            )
+            / 10.0
+        ]
+        + [
+            data.draw(
+                st.integers(min_value=-20, max_value=20),
+                label=f"v[{i}][{d}]",
+            )
+            / 10.0
+            for d in range(1, dim)
+        ]
+        for i in range(n)
+    }
+
+    def q6(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    def cos(a, b):
+        qa = [int(math.floor(x * 10000 + 0.5)) for x in vecs[a]]
+        qb = [int(math.floor(x * 10000 + 0.5)) for x in vecs[b]]
+        dot = sum(x * y for x, y in zip(qa, qb))
+        n2a = sum(x * x for x in qa)
+        n2b = sum(x * x for x in qb)
+        den = math.sqrt(float(n2a) * float(n2b))
+        return q6(dot / den) if den > 0 else None
+
+    def ref_mmr(qid):
+        scored = sorted(
+            ((cos(qid, c), c) for c in vecs if c != qid and cos(qid, c) is not None),
+            key=lambda t: (-t[0], t[1]),
+        )[:pool]
+        cands = [(c, rel) for rel, c in scored]
+        sel, out = [], []
+        for _ in range(k):
+            best = None
+            for c, rel in cands:
+                if any(c == s for s, _, _ in sel):
+                    continue
+                ms = max(
+                    (cos(c, s) for s, _, _ in sel if cos(c, s) is not None),
+                    default=Decimal(0),
+                )
+                sc10 = rel * 7 - ms * 3
+                cand = (sc10, -c, rel)
+                if best is None or cand > best:
+                    best = cand
+            sel.append((-best[1], best[0], best[2]))
+        return [(c, sc10, rel) for c, sc10, rel in sel]
+
+    df = spark.createDataFrame(
+        [(i, vecs[i]) for i in vecs], "vec_id long, embedding array<float>"
+    )
+    queries = df.filter(F.col("vec_id") < 2)
+    got = {}
+    for r in mmr_rerank(df, "vec_id", "embedding", queries, k=k, pool=pool).collect():
+        got.setdefault(r["query_id"], []).append(
+            (
+                r["neighbor_id"],
+                q6(r["mmr_score"]),
+                q6(r["relevance"]),
+            )
+        )
+    # the operator reports round(score10/10, 6) — mirror that exactly
+    # (the internal argmax ran on the unrounded ×10 decimal either way)
+    want = {
+        qid: [(c, q6(float(sc10) / 10), rel) for c, sc10, rel in ref_mmr(qid)]
+        for qid in (0, 1)
+    }
+    assert got == want
