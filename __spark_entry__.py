@@ -69,7 +69,8 @@ _ROUND_NEW = (
     "crossdoc_line_dedup",        # C4-style exact line dedup across documents
     # r8 queries added AFTER the 50-slot rotation filled (they sort
     # into the never-checked pool automatically and lead the r9
-    # rotation): mmr_diversified_topk, filter_agreement_kappa.
+    # rotation): mmr_diversified_topk, filter_agreement_kappa,
+    # max_coverage_select.
     # --- the FULL remaining never-checked complement (40 names, closes
     # the driver-verification union at 290/290 — VERDICT r7 item 1).
     "length_deciles",

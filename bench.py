@@ -393,6 +393,7 @@ HEADLINE = [
     "crossdoc_line_dedup",        # NEW r8: C4 corpus-frequency line removal
     "mmr_diversified_topk",       # NEW r8: MMR diversity re-rank (queued r9)
     "filter_agreement_kappa",     # NEW r8: Cohen/Fleiss filter agreement
+    "max_coverage_select",        # NEW r8: greedy max-coverage coreset pick
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

@@ -91,3 +91,50 @@ def feature_hash_audit(
         )
         .orderBy("bucket")
     )
+
+
+def greedy_max_coverage(feats: DataFrame, k: int) -> list[tuple]:
+    """Greedy maximum-coverage subset selection (Nemhauser 1978 — the
+    (1−1/e)-approximate greedy that data-curation pipelines run to
+    pick a small, feature-diverse document subset): ``feats`` is the
+    DISTINCT (doc_id, bucket) hashed-feature incidence; each round
+    selects the document covering the most not-yet-covered buckets
+    (ties → lowest doc_id) and marks its buckets covered. Returns
+    [(rank, doc_id, gain, covered_total)], stopping early when no
+    document adds coverage.
+
+    Distributed shape — the train_bpe driver-round pattern: each of
+    the ≤ k rounds is ONE distributed aggregation over the feature
+    frame (filtered by the covered-bucket list, a driver-bounded
+    broadcast literal ≤ k·max-doc-features ids); the only collects are
+    the 1-row argmax and the winner's ≤ max-doc-features new buckets —
+    model-sized, never corpus-sized. The greedy loop is inherently
+    sequential (each argmax depends on the covered set), so k driver
+    round trips is the scale-correct shape, exactly like batched-BPE's
+    top-k collects."""
+    feats = feats.persist()
+    covered: list[int] = []
+    out: list[tuple] = []
+    for r in range(1, k + 1):
+        rem = (
+            feats.filter(~F.col("bucket").isin(covered)) if covered else feats
+        )
+        top = (
+            rem.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc, gain = top[0]["doc_id"], int(top[0]["gain"])
+        newb = [
+            row["bucket"]
+            for row in rem.filter(F.col("doc_id") == doc)
+            .select("bucket")
+            .collect()
+        ]
+        covered.extend(newb)
+        out.append((r, doc, gain, len(covered)))
+    return out

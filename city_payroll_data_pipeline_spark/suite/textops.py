@@ -6155,6 +6155,134 @@ ORDER BY source
 FILTER_AGREEMENT_KAPPA_SQL = _kappa_sql()
 
 
+# --------------------------------------------------------------------------
+# max_coverage_select — greedy max-coverage data selection: pick the k
+# documents that jointly cover the most hashed n-gram feature space
+# (the coreset/diverse-subset primitive behind "select a small
+# representative slice of the crawl"; greedy is (1−1/e)-optimal,
+# Nemhauser 1978). Features are the DSIR unigram+bigram buckets at
+# B=4096 (near-collision-free at this vocabulary). Per selection:
+# rank, the doc, its marginal gain, cumulative covered buckets, and
+# cumulative coverage fraction.
+#
+# Scale: each greedy round is ONE aggregation over the (doc, bucket)
+# incidence frame — the covered set rides as a driver-bounded literal
+# (≤ k·max-doc-features ids), the argmax collect is 1 row
+# (operators/featurehash.py::greedy_max_coverage — the train_bpe
+# driver-round pattern). Oracle: single-row recursive CTE over the
+# collected doc→bucket-list table, argmax via struct list_max with the
+# unique (gain desc, doc_id asc) key ordered before the payload field.
+# --------------------------------------------------------------------------
+
+_MAXCOV_K = 8
+_MAXCOV_B = 4096
+
+
+def q_max_coverage_select(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from city_payroll_data_pipeline_spark.functions.text import (
+        shingles as _sh,
+        word_tokens,
+    )
+    from city_payroll_data_pipeline_spark.operators.featurehash import (
+        greedy_max_coverage,
+        hash_bucket,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", word_tokens(F.col("text")).alias("t"))
+    feats = (
+        toks.select(
+            "doc_id",
+            F.explode(F.concat(F.col("t"), _sh(F.col("t"), 2))).alias("g"),
+        )
+        .select("doc_id", hash_bucket(F.col("g"), _MAXCOV_B).alias("bucket"))
+        .distinct()
+    )
+    sel = greedy_max_coverage(feats, _MAXCOV_K)
+    # after the greedy loop: reuses the operator's persisted incidence
+    total = feats.select("bucket").distinct().count()
+    # Spark ROUND-on-double semantics driver-side (shortest repr,
+    # HALF_UP) so the literal matches the oracle's _sql_round exactly
+    rows = [
+        (
+            rank,
+            doc,
+            gain,
+            cov,
+            float(
+                Decimal(repr(cov / total)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+        for rank, doc, gain, cov in sel
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, doc_id long, gain long, covered_buckets long, "
+        "covered_frac double",
+    ).orderBy("rank")
+
+
+def _max_coverage_sql() -> str:
+    gain = (
+        "len(list_filter(d.bl, b -> NOT list_contains(s.covered, b)))"
+    )
+    best = (
+        f"list_max(list_transform("
+        f"list_filter(s.ds, d0 -> NOT list_contains(s.ids, d0.id)), "
+        f"d -> {{'gain': CAST({gain} AS BIGINT), 'negid': -d.id, "
+        f"'nbl': list_filter(d.bl, b2 -> NOT list_contains(s.covered, b2))}}"
+        f"))"
+    )
+    return f"""WITH RECURSIVE b AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) % {_MAXCOV_B} AS bucket
+  FROM (
+    SELECT doc_id, unnest(t) AS g
+    FROM (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[A-Za-z]+', 0) AS t
+          FROM documents)
+    UNION ALL
+    SELECT doc_id, t[i + 1] || ' ' || t[i + 2] AS g
+    FROM (SELECT doc_id,
+                 regexp_extract_all(lower(text), '[A-Za-z]+', 0) AS t
+          FROM documents),
+         unnest(range(0, greatest(len(t) - 1, 0))) AS r(i)
+  )
+),
+docs AS (SELECT doc_id, list(DISTINCT bucket) AS bl FROM b GROUP BY doc_id),
+alldocs AS (
+  SELECT list({{'id': doc_id, 'bl': bl}} ORDER BY doc_id) AS ds FROM docs
+),
+tot AS (SELECT COUNT(DISTINCT bucket) AS nb FROM b),
+sel AS (
+  SELECT 0 AS step, []::BIGINT[] AS ids, []::BIGINT[] AS gains,
+         []::BIGINT[] AS covs, []::BIGINT[] AS covered, ds
+  FROM alldocs
+  UNION ALL
+  SELECT s.step + 1,
+         list_append(s.ids, -({best}).negid),
+         list_append(s.gains, ({best}).gain),
+         list_append(s.covs, CAST(len(s.covered) + ({best}).gain AS BIGINT)),
+         list_concat(s.covered, ({best}).nbl),
+         s.ds
+  FROM sel s
+  WHERE s.step < {_MAXCOV_K} AND ({best}).gain > 0
+)
+SELECT CAST(i AS INT) AS rank, ids[i] AS doc_id, gains[i] AS gain,
+       covs[i] AS covered_buckets,
+       {_sql_round('CAST(covs[i] AS DOUBLE) / nb', 6)} AS covered_frac
+FROM sel CROSS JOIN tot CROSS JOIN unnest(range(1, {_MAXCOV_K} + 1)) AS r(i)
+WHERE step = (SELECT MAX(step) FROM sel) AND i <= step
+ORDER BY rank"""
+
+
+MAX_COVERAGE_SELECT_SQL = _max_coverage_sql()
+
+
 QUERIES = {
     "doc_perplexity": Query(
         q_doc_perplexity,
@@ -6377,6 +6505,11 @@ QUERIES = {
         q_filter_agreement_kappa,
         FILTER_AGREEMENT_KAPPA_SQL,
         ("text", "quality", "agreement", "kappa"),
+    ),
+    "max_coverage_select": Query(
+        q_max_coverage_select,
+        MAX_COVERAGE_SELECT_SQL,
+        ("selection", "coreset", "submodular", "greedy"),
     ),
     "contamination_check": Query(
         q_contamination_check,
