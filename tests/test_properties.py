@@ -700,3 +700,44 @@ def test_mmr_rerank_matches_python_greedy(spark, data):
         for qid in (0, 1)
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.sets(st.integers(min_value=0, max_value=15), min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_greedy_max_coverage_matches_python_greedy(spark, incidence):
+    """The driver-round greedy (operators/featurehash.py::
+    greedy_max_coverage) vs an independent pure-Python greedy on
+    random doc→bucket incidences: selection order, marginal gains,
+    cumulative coverage, and the zero-gain early stop must match."""
+    from city_payroll_data_pipeline_spark.operators.featurehash import (
+        greedy_max_coverage,
+    )
+
+    k = 4
+    covered, want = set(), []
+    for r in range(1, k + 1):
+        best = None
+        for d, bl in incidence.items():
+            if any(d == w[1] for w in want):
+                continue
+            gain = len(bl - covered)
+            cand = (gain, -d)
+            if best is None or cand > best:
+                best = cand
+        if best is None or best[0] == 0:
+            break
+        d = -best[1]
+        covered |= incidence[d]
+        want.append((r, d, best[0], len(covered)))
+
+    rows = [(d, b) for d, bl in incidence.items() for b in bl]
+    feats = spark.createDataFrame(rows, "doc_id long, bucket long")
+    got = greedy_max_coverage(feats, k)
+    assert got == want
