@@ -394,6 +394,7 @@ HEADLINE = [
     "mmr_diversified_topk",       # NEW r8: MMR diversity re-rank (queued r9)
     "filter_agreement_kappa",     # NEW r8: Cohen/Fleiss filter agreement
     "max_coverage_select",        # NEW r8: greedy max-coverage coreset pick
+    "quality_threshold_sweep",    # NEW r8: where-to-cut curve over the logit
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

@@ -1503,9 +1503,11 @@ def q_quality_logit_deciles(spark, sf_dir):
     )
 
 
-QUALITY_LOGIT_DECILES_SQL = rf"""
-WITH scored AS (
-  SELECT doc_id, n_chars,
+# the scored CTE body shared by every oracle over the quality logit —
+# one definition so a weight/regex change stays consistent across the
+# decile pair and the threshold sweep (the Spark-side twin of
+# _quality_logit_scored)
+_QL_SCORED_CTE = rf"""SELECT doc_id, n_chars,
          CAST({_QL_W["bias"]}
               + {_QL_W["tok"]} * len(regexp_extract_all(text, '\S+', 0))
               + {_QL_W["stop"]} * len(regexp_extract_all(lower(text),
@@ -1513,7 +1515,11 @@ WITH scored AS (
               + {_QL_W["punct"]} * len(regexp_extract_all(text, '{PUNCT_CHAR_RE}', 0))
               + {_QL_W["chars"]} * length(text)
            AS BIGINT) AS logit
-  FROM documents
+  FROM documents"""
+
+QUALITY_LOGIT_DECILES_SQL = rf"""
+WITH scored AS (
+  {_QL_SCORED_CTE}
 )
 SELECT decile, COUNT(*) AS n_docs,
        MIN(logit) AS min_logit, MAX(logit) AS max_logit,
@@ -1544,6 +1550,97 @@ def q_quality_logit_deciles_scaled(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+# --------------------------------------------------------------------------
+# quality_threshold_sweep — the "where to cut" curve over the quality
+# logit: for each candidate threshold τ, how many documents and how
+# much character mass survive logit ≥ τ, plus the mean kept logit.
+# quality_logit_deciles shows the score DISTRIBUTION; this is the
+# decision table a curation owner actually thresholds against (the
+# dedup_threshold_sweep pattern applied to quality filtering). Grid
+# spans the observed logit range at every SF.
+#
+# Scale: scoring is map-side; ONE explode fans each doc to |grid| rows
+# (a constant ≤ 6×), one groupBy(threshold) reduce — no windows, no
+# joins; all counts exact integers with one guarded double division
+# per output column.
+# --------------------------------------------------------------------------
+
+_QT_GRID = (0, 150, 300, 450, 600, 750)
+
+
+def q_quality_threshold_sweep(spark, sf_dir):
+    scored = _quality_logit_scored(spark, sf_dir)
+    grid = F.array(*[F.lit(t) for t in _QT_GRID])
+    fan = scored.select(
+        "doc_id", "n_chars", "logit", F.explode(grid).alias("threshold")
+    )
+    kept = F.col("logit") >= F.col("threshold")
+    agg = fan.groupBy("threshold").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("kept_docs"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(kept, F.col("logit")).otherwise(0)).alias("kept_logit"),
+    )
+    return agg.select(
+        "threshold",
+        "n_docs",
+        "kept_docs",
+        "kept_chars",
+        F.round(
+            F.col("kept_docs").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("kept_doc_frac"),
+        F.round(
+            F.col("kept_chars").cast("double")
+            / F.col("total_chars").cast("double"),
+            6,
+        ).alias("kept_char_frac"),
+        F.when(
+            F.col("kept_docs") > 0,
+            F.round(
+                F.col("kept_logit").cast("double")
+                / F.col("kept_docs").cast("double"),
+                6,
+            ),
+        ).alias("avg_kept_logit"),
+    ).orderBy("threshold")
+
+
+QUALITY_THRESHOLD_SWEEP_SQL = f"""
+WITH scored AS (
+  {_QL_SCORED_CTE}
+),
+fan AS (
+  SELECT doc_id, n_chars, logit, t AS threshold
+  FROM scored CROSS JOIN unnest([{", ".join(str(t) for t in _QT_GRID)}]) AS g(t)
+),
+agg AS (
+  SELECT threshold,
+         COUNT(*) AS n_docs,
+         SUM(CASE WHEN logit >= threshold THEN 1 ELSE 0 END) AS kept_docs,
+         SUM(CASE WHEN logit >= threshold THEN n_chars ELSE 0 END) AS kept_chars,
+         SUM(n_chars) AS total_chars,
+         SUM(CASE WHEN logit >= threshold THEN logit ELSE 0 END) AS kept_logit
+  FROM fan GROUP BY threshold
+)
+SELECT CAST(threshold AS INT) AS threshold,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(kept_docs AS BIGINT) AS kept_docs,
+       CAST(kept_chars AS BIGINT) AS kept_chars,
+       {_sql_round('CAST(kept_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)', 6)}
+         AS kept_doc_frac,
+       {_sql_round(
+           'CAST(kept_chars AS DOUBLE) / CAST(total_chars AS DOUBLE)', 6)}
+         AS kept_char_frac,
+       CASE WHEN kept_docs > 0 THEN
+         {_sql_round('CAST(kept_logit AS DOUBLE) / CAST(kept_docs AS DOUBLE)', 6)}
+       END AS avg_kept_logit
+FROM agg
+ORDER BY threshold
+"""
+
 
 # --------------------------------------------------------------------------
 # discriminative_terms — per-source signature terms by odds ratio.
@@ -3278,6 +3375,11 @@ QUERIES = {
         q_quality_logit_deciles_scaled,
         QUALITY_LOGIT_DECILES_SQL,
         ("quality", "model-inference", "deciles", "scale-path"),
+    ),
+    "quality_threshold_sweep": Query(
+        q_quality_threshold_sweep,
+        QUALITY_THRESHOLD_SWEEP_SQL,
+        ("quality", "threshold", "sweep", "curation"),
     ),
     "discriminative_terms": Query(
         q_discriminative_terms,
