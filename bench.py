@@ -395,6 +395,7 @@ HEADLINE = [
     "filter_agreement_kappa",     # NEW r8: Cohen/Fleiss filter agreement
     "max_coverage_select",        # NEW r8: greedy max-coverage coreset pick
     "quality_threshold_sweep",    # NEW r8: where-to-cut curve over the logit
+    "source_dedup_matrix",        # NEW r8: cross-source duplicate provenance
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

@@ -6283,6 +6283,90 @@ ORDER BY rank"""
 MAX_COVERAGE_SELECT_SQL = _max_coverage_sql()
 
 
+# --------------------------------------------------------------------------
+# source_dedup_matrix — cross-source duplicate PROVENANCE: which feeds
+# copy from which. exact_dedup_groups counts duplicates; this
+# attributes them — the matrix a crawl owner reads to decide which
+# source to drop when two feeds mirror each other (keep the earlier,
+# drop the mirror, or dedup-join the pair upstream). Synthetic mirror
+# copies (every 10th doc re-attributed to the next source id, the
+# _dup_corpus pattern with source rotation) give the testdata a
+# non-trivial matrix; natural cross-source duplicates flow through the
+# identical path.
+#
+# Scale: fingerprints reduce per (fp, source) first — the self-join
+# runs on the GROUP frame (duplicate groups only, ≪ corpus), keyed on
+# the fingerprint, with the source< source tie keeping each unordered
+# pair once. Full text never crosses an exchange.
+# --------------------------------------------------------------------------
+
+
+def q_source_dedup_matrix(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import (
+        content_fingerprint,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source", "text"
+    )
+    mirror = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("src"),
+            (F.expr("substring(source, 4)").cast("int") + 1).cast("string"),
+        ).alias("source"),
+        "text",
+    )
+    corpus = docs.unionByName(mirror)
+    per = (
+        corpus.select(
+            content_fingerprint(F.col("text")).alias("fp"), "source"
+        )
+        .groupBy("fp", "source")
+        .agg(F.count("*").alias("c"))
+    )
+    a, b = per.alias("a"), per.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.source") < F.col("b.source")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum(F.col("a.c") + F.col("b.c")).alias("n_docs"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_DEDUP_MATRIX_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         'src' || CAST(CAST(substr(source, 4) AS INT) + 1 AS VARCHAR),
+         text
+  FROM documents WHERE doc_id % 10 = 0
+),
+per AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         source, COUNT(*) AS c
+  FROM corpus GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_groups,
+       CAST(SUM(a.c + b.c) AS BIGINT) AS n_docs
+FROM per a JOIN per b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""
+
+
 QUERIES = {
     "doc_perplexity": Query(
         q_doc_perplexity,
@@ -6510,6 +6594,11 @@ QUERIES = {
         q_max_coverage_select,
         MAX_COVERAGE_SELECT_SQL,
         ("selection", "coreset", "submodular", "greedy"),
+    ),
+    "source_dedup_matrix": Query(
+        q_source_dedup_matrix,
+        SOURCE_DEDUP_MATRIX_SQL,
+        ("dedup", "provenance", "cross-source", "matrix"),
     ),
     "contamination_check": Query(
         q_contamination_check,
