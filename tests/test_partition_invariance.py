@@ -77,6 +77,8 @@ REPRESENTATIVES = [
                                 # Viterbi E-step folds, prune/renormalize
     "multiscale_repeated_spans",  # scale-tagged hash explode + dup semi signal
     "mmr_diversified_topk",     # greedy struct-max fold over collected pools
+    "max_coverage_select",      # driver-round greedy argmax collects
+    "dsir_importance_weights",  # decimal per-doc sums from broadcast deltas
 ]
 
 
