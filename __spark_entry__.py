@@ -70,7 +70,8 @@ _ROUND_NEW = (
     # r8 queries added AFTER the 50-slot rotation filled (they sort
     # into the never-checked pool automatically and lead the r9
     # rotation): mmr_diversified_topk, filter_agreement_kappa,
-    # max_coverage_select, quality_threshold_sweep, source_dedup_matrix.
+    # max_coverage_select, quality_threshold_sweep, source_dedup_matrix,
+    # pq_rerank_topk.
     # --- the FULL remaining never-checked complement (40 names, closes
     # the driver-verification union at 290/290 — VERDICT r7 item 1).
     "length_deciles",

@@ -396,6 +396,7 @@ HEADLINE = [
     "max_coverage_select",        # NEW r8: greedy max-coverage coreset pick
     "quality_threshold_sweep",    # NEW r8: where-to-cut curve over the logit
     "source_dedup_matrix",        # NEW r8: cross-source duplicate provenance
+    "pq_rerank_topk",             # NEW r8: PQ shortlist + exact re-rank
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

@@ -777,3 +777,53 @@ def mmr_rerank(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def rerank_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    shortlist: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exact-cosine re-rank of an ANN shortlist — stage two of the
+    production retrieval pattern (compressed index for RECALL, exact
+    scoring of the surviving sliver for PRECISION; Jégou 2011 §V).
+    ``shortlist`` carries (query_id, neighbor_id) from any retriever
+    in this module; only those pairs are rescored against the original
+    vectors, so the exact-scoring cost is |queries|·shortlist_len
+    regardless of corpus size. Returns the house top-k frame
+    (query_id, rank, neighbor_id, cosine) with the standard
+    (cosine desc, neighbor_id asc) tie-break."""
+    corpus = with_quantized(df, id_col, vec_col)
+    qry = with_quantized(queries, id_col, vec_col)
+    scored = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("q").alias("cq"),
+                F.col("n2").alias("cn2"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                qry.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("q").alias("pq"),
+                    F.col("n2").alias("pn2"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_q(
+                dot_q(F.col("pq"), F.col("cq")), F.col("pn2"), F.col("cn2")
+            ).alias("cosine"),
+        )
+    )
+    return _per_query_topk(scored, "cosine", k)

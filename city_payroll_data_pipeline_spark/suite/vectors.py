@@ -1467,6 +1467,66 @@ FROM ranked WHERE rank <= {K}
 PQ_ANN_TOPK_SQL = _pq_ann_topk_sql()
 
 
+# --------------------------------------------------------------------------
+# pq_rerank_topk — the two-stage production retrieval pattern the PQ
+# family was still missing: the compressed ADC index proposes a
+# shortlist (top-20, cheap over codes), then ONLY those pairs are
+# rescored with exact cosine against the original vectors
+# (operators/similarity.py::rerank_exact). Compressed recall + exact
+# precision: rescoring cost is |queries|·20 regardless of corpus
+# size, which is why every FAISS-style deployment runs this shape.
+# --------------------------------------------------------------------------
+
+_RR_SHORT = 20
+
+
+def q_pq_rerank_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    queries = _query_frame(emb, None)
+    short = sim.pq_topk(
+        emb, "vec_id", "embedding", queries,
+        k=_RR_SHORT, m_sub=PQ_M, k_codes=PQ_KS,
+        codebook_stride=PQ_STRIDE, dim=DIM,
+    )
+    return sim.rerank_exact(emb, "vec_id", "embedding", short, queries, k=K)
+
+
+def _pq_rerank_sql() -> str:
+    base = _pq_ann_topk_sql()
+    # reuse the full PQ chain up to `ranked`, widen the cut to the
+    # shortlist, then exact-rescore only the surviving pairs
+    chain = base.split("\nSELECT query_id, rank, neighbor_id, adc_dot")[0]
+    return f"""{chain},
+short AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rank <= {_RR_SHORT}
+),
+qv2 AS (
+  SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2 FROM ({_Q_CORPUS_SQL})
+),
+ex AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_dot_sql('p.q', 'c.q')} AS dot, p.n2 AS n2a, c.n2 AS n2b
+  FROM short s
+  JOIN qv2 p ON p.vec_id = s.query_id
+  JOIN qv2 c ON c.vec_id = s.neighbor_id
+),
+rescored AS (
+  SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine FROM ex
+),
+rr AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rescored
+)
+SELECT query_id, rank, neighbor_id, {_sql_round('cosine', 6)} AS cosine
+FROM rr WHERE rank <= {K}
+"""
+
+
+PQ_RERANK_TOPK_SQL = _pq_rerank_sql()
+
+
 #: IVF-PQ codewords come from stride-13 seeds so they differ from the
 #: stride-7 IVF centroids; 38 codewords keeps the last seed id
 #: (13·37 = 481) inside every SF's corpus (min 500 vectors).
@@ -1862,6 +1922,11 @@ QUERIES = {
     ),
     "pq_ann_topk": Query(
         q_pq_ann_topk, PQ_ANN_TOPK_SQL, ("vector", "ann", "pq", "adc")
+    ),
+    "pq_rerank_topk": Query(
+        q_pq_rerank_topk,
+        PQ_RERANK_TOPK_SQL,
+        ("vector", "ann", "pq", "rerank", "two-stage"),
     ),
     "pq_code_balance": Query(
         q_pq_code_balance, PQ_CODE_BALANCE_SQL, ("vector", "pq", "audit")
