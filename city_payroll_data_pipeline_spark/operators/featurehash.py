@@ -111,8 +111,13 @@ def greedy_max_coverage(feats: DataFrame, k: int) -> list[tuple]:
     model-sized, never corpus-sized. The greedy loop is inherently
     sequential (each argmax depends on the covered set), so k driver
     round trips is the scale-correct shape, exactly like batched-BPE's
-    top-k collects."""
-    feats = feats.persist()
+    top-k collects.
+
+    Cache lifecycle is CALLER-OWNED: the caller should
+    ``feats.persist()`` before (the frame is scanned k+1 times) and
+    ``unpersist()`` in a finally after its last use — the operator
+    deliberately does not persist, so a forgotten handle can't leak
+    cached incidence partitions into the rest of the session."""
     covered: list[int] = []
     out: list[tuple] = []
     for r in range(1, k + 1):

@@ -686,9 +686,8 @@ def mmr_rerank(
         )
         .select(
             F.col("a.query_id").alias("query_id"),
-            (F.col("a.neighbor_id") * 1000000 + F.col("b.neighbor_id")).alias(
-                "pk"
-            ),
+            F.col("a.neighbor_id").alias("sa"),
+            F.col("b.neighbor_id").alias("sb"),
             F.round(
                 cosine_q(
                     dot_q(F.col("a.q"), F.col("b.q")),
@@ -709,7 +708,7 @@ def mmr_rerank(
         ).alias("cands")
     )
     sims_row = sims.groupBy("query_id").agg(
-        F.collect_list(F.struct("pk", "pv")).alias("sims")
+        F.collect_list(F.struct("sa", "sb", "pv")).alias("sims")
     )
     row = cands_row.join(sims_row, "query_id")
 
@@ -717,8 +716,15 @@ def mmr_rerank(
     sel_t = "array<struct<nid:bigint,score10:decimal(28,6),rel:decimal(18,6)>>"
 
     def lookup(cn, sn):
+        # pair-sim lookup filters on BOTH id fields — a packed
+        # composite key (a·10^6 + b) would silently collide once ids
+        # reach 1e6 (or go negative), mis-pricing the redundancy
+        # penalty at exactly the corpus scales this targets
         return F.element_at(
-            F.filter(F.col("sims"), lambda e: e["pk"] == cn * 1000000 + sn), 1
+            F.filter(
+                F.col("sims"), lambda e: (e["sa"] == cn) & (e["sb"] == sn)
+            ),
+            1,
         )["pv"]
 
     def step(sel, _):

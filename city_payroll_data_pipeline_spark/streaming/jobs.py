@@ -376,9 +376,11 @@ def windowed_psi_drift(
     pipeline runs on every incoming slice: per event-time window, bin
     ``value_col`` against static ``edges`` and compute the population
     stability index vs ``baseline_shares`` (the batch suite's
-    psi_drift semantics: PSI = Σ_b (p_b − q_b)·ln(p_b/q_b), add-half
-    smoothing so empty bins never divide by zero). Alert thresholds
-    are the industry ones: <0.1 stable, 0.1–0.25 drifting, >0.25 act.
+    psi_drift semantics: PSI = Σ_b (p_b − q_b)·ln(p_b/q_b), both
+    sides add-half-count smoothed at the window's n so empty bins
+    never divide by zero AND a drift-free window scores exactly 0 on
+    any baseline). Alert thresholds are the industry ones: <0.1
+    stable, 0.1–0.25 drifting, >0.25 act.
 
     Works on a STREAM or a BATCH frame with identical results (the
     batch-twin equality contract every job in this module keeps —
@@ -411,12 +413,21 @@ def windowed_psi_drift(
         F.count("*").alias("n"), *counts
     )
     # smoothed observed share p_i = (c_i + 0.5) / (n + 0.5·B); the
-    # baseline q_i gets the same floor so PSI(baseline, baseline) = 0
+    # baseline is smoothed as pseudo-counts AT THE WINDOW'S OWN n —
+    # q_i = (n·b_i + 0.5) / (n + 0.5·B) — the same count-based
+    # convention as the batch suite's psi_drift, so when the window's
+    # counts exactly match the baseline shares (c_i = n·b_i) the two
+    # smoothed shares are identical and PSI is exactly 0 for ANY
+    # baseline, skewed or uniform. (A fixed shrink toward uniform
+    # would bias the zero point against the alert thresholds on
+    # skewed baselines: a stable feed on [0.7,0.1,0.1,0.1] would read
+    # PSI≈0.097, touching the 0.1 "drifting" line with zero drift.)
     half_b = 0.5 * n_bins
+    n = F.col("n")
     terms = []
     for i in range(n_bins):
-        p = (F.col(f"c{i}") + 0.5) / (F.col("n") + half_b)
-        q = F.lit((baseline_shares[i] + 0.5 / n_bins) / (1.0 + half_b / n_bins))
+        p = (F.col(f"c{i}") + 0.5) / (n + half_b)
+        q = (n * F.lit(baseline_shares[i]) + 0.5) / (n + half_b)
         terms.append((p - q) * F.log(p / q))
     psi = sum(terms[1:], terms[0])
     return agg.select(

@@ -6200,9 +6200,16 @@ def q_max_coverage_select(spark, sf_dir):
         .select("doc_id", hash_bucket(F.col("g"), _MAXCOV_B).alias("bucket"))
         .distinct()
     )
-    sel = greedy_max_coverage(feats, _MAXCOV_K)
-    # after the greedy loop: reuses the operator's persisted incidence
-    total = feats.select("bucket").distinct().count()
+    # caller-owned persist lifecycle (see greedy_max_coverage's
+    # docstring): the incidence frame is scanned k+1 times by the
+    # greedy rounds plus once for the total — cache it for exactly
+    # that span and release it before returning
+    feats = feats.persist()
+    try:
+        sel = greedy_max_coverage(feats, _MAXCOV_K)
+        total = feats.select("bucket").distinct().count()
+    finally:
+        feats.unpersist()
     # Spark ROUND-on-double semantics driver-side (shortest repr,
     # HALF_UP) so the literal matches the oracle's _sql_round exactly
     rows = [

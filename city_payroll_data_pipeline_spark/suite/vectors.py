@@ -1836,11 +1836,14 @@ def _mmr_sql() -> str:
     )
     # MMR objective ×10 for a candidate bound to lambda var v, given
     # the selected-ids list s.ids and the pair-sim list s.sims
+    # pair-sim lookup filters on BOTH id fields (mirrors
+    # operators/similarity.py::mmr_rerank — a packed a·10^6+b key
+    # would collide at large/negative ids)
     def score10(v: str) -> str:
         return (
             f"{v}.rel * 7 - 3 * coalesce(list_aggregate(list_transform("
             f"s.ids, sid -> list_filter(s.sims,"
-            f" e -> e.pk = {v}.nid * 1000000 + sid)[1].pv), 'max'), 0)"
+            f" e -> e.sa = {v}.nid AND e.sb = sid)[1].pv), 'max'), 0)"
         )
 
     rem = "list_filter(s.cands, c0 -> NOT list_contains(s.ids, c0.nid))"
@@ -1870,7 +1873,7 @@ pool AS (
   FROM ranked WHERE rank <= {_MMR_POOL}
 ),
 psims AS (
-  SELECT a.query_id, a.nid * 1000000 + b.nid AS pk,
+  SELECT a.query_id, a.nid AS sa, b.nid AS sb,
          CAST({{rounded}} AS DECIMAL(18,6)) AS pv
   FROM (SELECT p.query_id, p.nid, v.q, v.n2
         FROM pool p JOIN qv v ON p.nid = v.vec_id) a
@@ -1884,7 +1887,7 @@ crow AS (
   FROM pool GROUP BY query_id
 ),
 srow AS (
-  SELECT query_id, list({{'pk': pk, 'pv': pv}}) AS sims
+  SELECT query_id, list({{'sa': sa, 'sb': sb, 'pv': pv}}) AS sims
   FROM psims GROUP BY query_id
 ),
 base AS (SELECT query_id, cands, sims FROM crow JOIN srow USING (query_id)),
@@ -1899,14 +1902,16 @@ sel AS (
          list_append(s.s10, ({best}).score10),
          list_append(s.rels, ({best}).rel),
          s.cands, s.sims
-  FROM sel s WHERE s.step < {K}
-)
-SELECT query_id, CAST(i AS INT) AS rank, ids[i] AS neighbor_id,
+  FROM sel s WHERE s.step < {K} AND len({rem}) > 0
+),
+last AS (SELECT query_id, MAX(step) AS ms FROM sel GROUP BY query_id)
+SELECT s.query_id, CAST(i AS INT) AS rank, ids[i] AS neighbor_id,
        CAST(rels[i] AS DOUBLE) AS relevance,
        {_sql_round('CAST(s10[i] AS DOUBLE) / 10', 6)} AS mmr_score
-FROM sel CROSS JOIN unnest(range(1, {K} + 1)) AS r(i)
-WHERE step = {K}
-ORDER BY query_id, rank""".replace(
+FROM sel s JOIN last l ON s.query_id = l.query_id AND s.step = l.ms
+CROSS JOIN unnest(range(1, {K} + 1)) AS r(i)
+WHERE i <= s.step
+ORDER BY s.query_id, rank""".replace(
         "{rounded}", _sql_round(cos_ab, 6)
     )
 

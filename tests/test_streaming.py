@@ -744,3 +744,61 @@ def test_streaming_psi_drift_agrees_with_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         bad()
+
+
+def test_streaming_psi_drift_zero_on_stable_skewed_baseline(spark):
+    """Regression (VERDICT r8 item 1): a drift-free window whose bin
+    counts exactly match a SKEWED baseline must score PSI ≈ 0. The
+    old fixed-shrink-toward-uniform baseline smoothing read ≈0.097 on
+    baseline [0.7,0.1,0.1,0.1] — touching the 0.1 "drifting" alert
+    threshold with zero actual drift. Both sides are now smoothed as
+    pseudo-counts at the window's own n, so the zero point is exact
+    for any baseline; the batch-twin equality test cannot catch this
+    (both twins share the formula), hence this dedicated check."""
+    import datetime as dt
+
+    from city_payroll_data_pipeline_spark.streaming.jobs import (
+        windowed_psi_drift,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    edges = [10.0, 20.0, 30.0]
+    baseline = [0.7, 0.1, 0.1, 0.1]
+    # 10 000 events distributed EXACTLY per the baseline: 7000 in
+    # bin0 (<10), 1000 each in bins 1..3.
+    n = 10_000
+    per_bin = [int(n * s) for s in baseline]
+    vals = (
+        [5.0] * per_bin[0]
+        + [15.0] * per_bin[1]
+        + [25.0] * per_bin[2]
+        + [35.0] * per_bin[3]
+    )
+    rows = [
+        (v, t0 + dt.timedelta(milliseconds=i)) for i, v in enumerate(vals)
+    ]
+    out = windowed_psi_drift(
+        spark.createDataFrame(rows, "value double, ts timestamp"),
+        "value",
+        "ts",
+        edges,
+        baseline,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == n
+    assert (r["c0"], r["c1"], r["c2"], r["c3"]) == tuple(per_bin)
+    # exact-match window: smoothed p_i == smoothed q_i bin-by-bin
+    assert abs(r["psi"]) < 1e-9
+    # and a genuinely drifted window still alerts: all mass in bin 3
+    drift_rows = [
+        (35.0, t0 + dt.timedelta(milliseconds=i)) for i in range(1000)
+    ]
+    drifted = windowed_psi_drift(
+        spark.createDataFrame(drift_rows, "value double, ts timestamp"),
+        "value",
+        "ts",
+        edges,
+        baseline,
+    ).collect()[0]
+    assert drifted["psi"] > 0.25
