@@ -397,6 +397,8 @@ HEADLINE = [
     "quality_threshold_sweep",    # NEW r8: where-to-cut curve over the logit
     "source_dedup_matrix",        # NEW r8: cross-source duplicate provenance
     "pq_rerank_topk",             # NEW r8: PQ shortlist + exact re-rank
+    # round-9 additions
+    "pq_trained_recall",          # NEW r9: Lloyd-trained codebook recall cert
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

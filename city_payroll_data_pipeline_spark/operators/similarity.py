@@ -487,6 +487,89 @@ def pq_codebook(
     )
 
 
+def pq_codebook_trained(
+    quantized: DataFrame,
+    m_sub: int,
+    d_sub: int,
+    k_codes: int,
+    stride: int,
+    iters: int = 10,
+    train_stride: int = 1,
+) -> DataFrame:
+    """Lloyd-refined PQ codebook (VERDICT r8 item 4): start from the
+    deterministic stride seeds (pq_codebook) and run ``iters`` exact
+    k-means steps per subspace — assign every training subvector to
+    its nearest codeword (exact integer d², ties → smaller cw), then
+    move each codeword to the FLOOR of its cluster's per-component
+    mean (floor keeps the codebook on the integer grid, so the whole
+    build — and hence encode/LUT/ADC downstream — stays bit-replayable
+    in any engine; the ≤1-grid-unit floor bias is far below the
+    quantizer's own cell size). Empty codewords keep their previous
+    position. No RNG anywhere: same corpus → same codebook.
+
+    Distributed shape — deliberately the FAISS deployment shape, not a
+    per-iteration Spark job chain: codebook training is an OFFLINE
+    step over a BOUNDED sample (``train_stride``; FAISS trains on
+    ≤256·k vectors per subspace regardless of corpus size), so the
+    sample is collected ONCE (sample-sized driver traffic, bounded by
+    construction like greedy_max_coverage's covered set) and the
+    k_codes·m_sub·iters Lloyd arithmetic runs vectorized on the
+    driver; the trained codebook returns as an m_sub·k_codes-row
+    literal that every consumer broadcasts. Per-iteration Spark jobs
+    were measured 10-30× slower here (SCALE.md round-9): 10 sequential
+    barrier-synchronized stages over a 64k-row frame are pure
+    scheduling overhead, while encode/LUT/ADC — the part whose cost
+    scales with the corpus — stays fully distributed and identical.
+    Exactness: d² and sums are int64, the mean is one IEEE double
+    division + floor — bit-identical in numpy, Spark and DuckDB.
+    """
+    import numpy as np
+
+    spark = quantized.sparkSession
+    seed_rows = sorted(
+        (r["m"], r["cw"], list(r["cq"]))
+        for r in pq_codebook(
+            quantized, m_sub, d_sub, k_codes, stride
+        ).collect()
+    )
+    # cb[m, c, :] — int64 throughout
+    cb = np.zeros((m_sub, k_codes, d_sub), dtype=np.int64)
+    for m, cw, cq in seed_rows:
+        cb[m, cw, :] = cq
+    train = np.array(
+        [
+            r["q"]
+            for r in quantized.filter(
+                F.col("vec_id") % train_stride == 0
+            )
+            .orderBy("vec_id")
+            .select("q")
+            .collect()
+        ],
+        dtype=np.int64,
+    ).reshape(-1, m_sub, d_sub)
+    for _ in range(iters):
+        for m in range(m_sub):
+            diff = train[:, m, None, :] - cb[m][None, :, :]
+            d2 = np.einsum("nkd,nkd->nk", diff, diff)  # exact int64
+            codes = d2.argmin(axis=1)  # ties -> smallest cw
+            for c in np.unique(codes):
+                grp = train[codes == c, m, :]
+                # floor of the exact mean: int64 sum is exact and
+                # < 2^53, so the double division + floor is the same
+                # IEEE op chain Spark/DuckDB would run
+                cb[m, c, :] = np.floor(
+                    grp.sum(axis=0, dtype=np.int64).astype(np.float64)
+                    / len(grp)
+                ).astype(np.int64)
+    out = [
+        (m, c, [int(x) for x in cb[m, c, :]])
+        for m in range(m_sub)
+        for c in range(k_codes)
+    ]
+    return spark.createDataFrame(out, "m int, cw int, cq array<bigint>")
+
+
 def pq_encode(
     quantized: DataFrame, codebook: DataFrame, m_sub: int, d_sub: int,
     with_dist: bool = False,
@@ -532,8 +615,14 @@ def pq_topk(
     k_codes: int = 64,
     codebook_stride: int = 7,
     dim: int = 64,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k by inner product.
+
+    ``codebook``: an externally built (m, cw, cq) frame — e.g. the
+    Lloyd-refined ``pq_codebook_trained`` — replaces the internal
+    stride-seeded build; the encode/LUT/ADC plan is identical either
+    way (training only moves the codewords).
 
     Defaults are the r6-tuned frontier point (suite/vectors.py): fine
     2-dim subspaces compensate for untrained seed codebooks —
@@ -549,7 +638,11 @@ def pq_topk(
     """
     d_sub = dim // m_sub
     corpus = with_quantized(df, id_col, vec_col)
-    cb = pq_codebook(corpus, m_sub, d_sub, k_codes, codebook_stride)
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(corpus, m_sub, d_sub, k_codes, codebook_stride)
+    )
     enc = pq_encode(corpus, cb, m_sub, d_sub)
     qry = with_quantized(queries if queries is not None else df, id_col, vec_col)
     lut = (

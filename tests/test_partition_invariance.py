@@ -79,6 +79,9 @@ REPRESENTATIVES = [
     "mmr_diversified_topk",     # greedy struct-max fold over collected pools
     "max_coverage_select",      # driver-round greedy argmax collects
     "dsir_importance_weights",  # decimal per-doc sums from broadcast deltas
+    # round-9 additions
+    "pq_trained_recall",        # driver-side Lloyd over an orderBy-sorted
+                                # collected sample + ADC eval arms
 ]
 
 
