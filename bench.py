@@ -399,6 +399,7 @@ HEADLINE = [
     "pq_rerank_topk",             # NEW r8: PQ shortlist + exact re-rank
     # round-9 additions
     "pq_trained_recall",          # NEW r9: Lloyd-trained codebook recall cert
+    "corpus_line_scrub",          # NEW r9: C4 line-rule scrubbed-corpus re-emit
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

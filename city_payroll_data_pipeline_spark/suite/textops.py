@@ -5883,21 +5883,41 @@ DSIR_IMPORTANCE_WEIGHTS_SQL = _dsir_sql()
 _CLD_FREQ_MIN = 3
 
 
-def q_crossdoc_line_dedup(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents", spread=True)
+def _cld_text2():
+    """Deterministic boilerplate injection shared by the line-dedup
+    pair (crossdoc_line_dedup report + corpus_line_scrub re-emit)."""
     inj1 = F.when(
         F.col("doc_id") % 3 == 0, F.lit(".home login cookie policy.")
     ).otherwise(F.lit(""))
     inj2 = F.when(
         F.col("doc_id") % 5 == 0, F.lit(".subscribe to our newsletter.")
     ).otherwise(F.lit(""))
-    text2 = F.concat(
+    return F.concat(
         F.expr("substr(text, 1, 80)"),
         inj1,
         F.expr("substr(text, 81, 80)"),
         inj2,
         F.expr("substr(text, 161)"),
     )
+
+
+#: SQL twin of _cld_text2 (one definition per engine, two consumers)
+_CLD_DOCS2_SQL = """
+  SELECT doc_id, source,
+         substr(text, 1, 80)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '.home login cookie policy.' ELSE '' END
+         || substr(text, 81, 80)
+         || CASE WHEN doc_id % 5 = 0
+                 THEN '.subscribe to our newsletter.' ELSE '' END
+         || substr(text, 161) AS text2
+  FROM documents
+"""
+
+
+def q_crossdoc_line_dedup(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    text2 = _cld_text2()
     lines = (
         docs.select(
             "doc_id", "source", F.explode(F.split(text2, r"\.")).alias("l")
@@ -5943,17 +5963,7 @@ def q_crossdoc_line_dedup(spark, sf_dir):
 
 
 CROSSDOC_LINE_DEDUP_SQL = f"""
-WITH docs2 AS (
-  SELECT doc_id, source,
-         substr(text, 1, 80)
-         || CASE WHEN doc_id % 3 = 0
-                 THEN '.home login cookie policy.' ELSE '' END
-         || substr(text, 81, 80)
-         || CASE WHEN doc_id % 5 = 0
-                 THEN '.subscribe to our newsletter.' ELSE '' END
-         || substr(text, 161) AS text2
-  FROM documents
-),
+WITH docs2 AS ({_CLD_DOCS2_SQL}),
 lines AS (
   SELECT doc_id, source, md5(line) AS h, length(line) AS nc
   FROM (
@@ -5991,6 +6001,90 @@ SELECT source,
 FROM per_doc
 GROUP BY source
 ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus_line_scrub — the RE-EMIT half of the C4 line rule (VERDICT
+# r8 item 6): crossdoc_line_dedup measures the removed-char mass but
+# never materializes the scrubbed text; production C4 removes the
+# flagged lines and re-emits documents. Same injected corpus, same
+# ≥ 3 corpus-frequency rule, but the output is per-document: how many
+# lines survived, the new char mass, and a fingerprint of the
+# scrubbed text (kept lines re-joined in original order) — the frame
+# a downstream tokenizer run would actually consume. Docs whose every
+# line is boilerplate drop out entirely (C4 drops empty docs).
+#
+# Scale: identical cost envelope to crossdoc_line_dedup plus nothing —
+# the corpus-frequency aggregate still rides only md5(line); the line
+# TEXT crosses exactly one exchange (the flag join), which any
+# re-emitting scrub must pay since the output IS the text; the rebuild
+# is one per-doc groupBy (sort_array over that doc's own kept lines,
+# bounded by document size).
+# --------------------------------------------------------------------------
+
+
+def q_corpus_line_scrub(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    lines = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split(_cld_text2(), r"\.")).alias("pos", "l"),
+        )
+        .select("doc_id", "source", "pos", F.trim("l").alias("line"))
+        .filter(F.col("line") != "")
+    )
+    freq = lines.groupBy(F.md5("line").alias("h")).agg(
+        F.count("*").alias("cnt")
+    )
+    kept = lines.join(freq, F.md5(F.col("line")) == F.col("h")).filter(
+        F.col("cnt") < _CLD_FREQ_MIN
+    )
+    return (
+        kept.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("kept_lines"),
+            F.sum(F.length("line")).alias("new_n_chars"),
+            F.md5(
+                F.concat_ws(
+                    ".",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "line"))
+                        ),
+                        lambda s: s["line"],
+                    ),
+                )
+            ).alias("scrubbed_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_LINE_SCRUB_SQL = f"""
+WITH docs2 AS ({_CLD_DOCS2_SQL}),
+lines AS (
+  SELECT doc_id, source, pos, line FROM (
+    SELECT doc_id, source, i AS pos, trim(parts[i + 1]) AS line
+    FROM (SELECT doc_id, source, string_split(text2, '.') AS parts
+          FROM docs2)
+    CROSS JOIN unnest(range(0, greatest(len(parts), 0))) AS r(i))
+  WHERE line <> ''
+),
+freq AS (SELECT md5(line) AS h, COUNT(*) AS cnt FROM lines GROUP BY 1),
+kept AS (
+  SELECT l.doc_id, l.source, l.pos, l.line
+  FROM lines l JOIN freq f ON md5(l.line) = f.h
+  WHERE f.cnt < {_CLD_FREQ_MIN}
+)
+SELECT doc_id, source,
+       COUNT(*) AS kept_lines,
+       CAST(SUM(length(line)) AS BIGINT) AS new_n_chars,
+       md5(string_agg(line, '.' ORDER BY pos)) AS scrubbed_hash
+FROM kept
+GROUP BY doc_id, source
+ORDER BY doc_id
 """
 
 
@@ -6591,6 +6685,11 @@ QUERIES = {
         q_crossdoc_line_dedup,
         CROSSDOC_LINE_DEDUP_SQL,
         ("text", "dedup", "lines", "c4", "boilerplate"),
+    ),
+    "corpus_line_scrub": Query(
+        q_corpus_line_scrub,
+        CORPUS_LINE_SCRUB_SQL,
+        ("text", "dedup", "lines", "c4", "scrub", "re-emit"),
     ),
     "filter_agreement_kappa": Query(
         q_filter_agreement_kappa,
