@@ -169,6 +169,56 @@ def streaming_dedup(
     )
 
 
+def streaming_dedup_groups(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Windowed duplicate-group ledger — the batch-twin-able half of
+    stream dedup, mirroring the batch ``exact_duplicate_groups``
+    semantics per event-time window: for each (window, fingerprint)
+    with more than one copy, the copy count, the canonical keeper
+    (MIN doc_id), and the earliest event time. ``streaming_dedup``
+    (above) is the append-mode keep-FIRST-ARRIVAL filter — correct for
+    the data path but inherently arrival-order-dependent, so it can
+    never satisfy the module's batch-twin equality contract; this job
+    is the ledger an ingest pipeline writes alongside it (which groups
+    collapsed, what the keeper was, how much was dropped), and every
+    output column is an arrival-order-FREE aggregate, so a stream and
+    the batch union of its micro-batches agree exactly (asserted in
+    test_streaming.py).
+
+    Works on a STREAM or a BATCH frame identically: ONE stateful
+    aggregation — groupBy(window, fingerprint) with count/min — so
+    state is one short row per open (window, fingerprint) and the
+    watermark frees it when the window closes; the >1-copy filter is
+    stateless on the aggregate."""
+    from city_payroll_data_pipeline_spark.functions.text import (
+        content_fingerprint,
+    )
+
+    src = docs.withWatermark(ts_col, watermark) if docs.isStreaming else docs
+    return (
+        src.withColumn("fingerprint", content_fingerprint(F.col("text")))
+        .groupBy(F.window(ts_col, window).alias("win"), "fingerprint")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("keep_id"),
+            F.min(ts_col).alias("first_ts"),
+        )
+        .filter(F.col("group_size") > 1)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "fingerprint",
+            "keep_id",
+            "group_size",
+            "first_ts",
+        )
+    )
+
+
 def stream_merge_to_table(
     stream_df: DataFrame,
     root: str,

@@ -802,3 +802,70 @@ def test_streaming_psi_drift_zero_on_stable_skewed_baseline(spark):
         baseline,
     ).collect()[0]
     assert drifted["psi"] > 0.25
+
+
+def test_streaming_dedup_groups_agrees_with_batch(spark, tmp_path):
+    """Windowed dedup LEDGER (VERDICT r8 item 7): the streamed
+    per-(window, fingerprint) group stats must equal the same function
+    applied to the batch union of the micro-batches — possible because
+    every output column is an arrival-order-free aggregate (count /
+    min), unlike streaming_dedup's keep-first-arrival filter."""
+    import datetime as dt
+
+    from city_payroll_data_pipeline_spark.streaming.jobs import (
+        run_to_memory,
+        streaming_dedup_groups,
+    )
+
+    src = tmp_path / "dg_src"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "doc_id long, text string, ingest_ts timestamp"
+
+    def rows(minute, items):
+        return [
+            (i, t, t0 + dt.timedelta(minutes=minute, seconds=s))
+            for s, (i, t) in enumerate(items)
+        ]
+
+    # window 1 (minutes 0-9): "alpha beta" x3 (normalized-equal),
+    # "gamma" unique; window 2 (minutes 10-19): "gamma" x2 — same
+    # fingerprint, DIFFERENT window, so it must form its own group
+    batch1 = rows(0, [(7, "alpha beta"), (2, "gamma"), (9, "Alpha  beta")])
+    batch2 = rows(1, [(4, "alpha beta")]) + rows(
+        12, [(11, "gamma"), (10, "gamma")]
+    )
+    for b in (batch1, batch2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_to_memory(
+        streaming_dedup_groups(stream), "dedup_groups_out",
+        output_mode="complete",
+    )
+
+    def key(frame):
+        return {
+            (r["window_start"], r["fingerprint"]): (
+                r["keep_id"], r["group_size"], r["first_ts"],
+            )
+            for r in frame
+        }
+
+    got = key(spark.table("dedup_groups_out").collect())
+    want = key(
+        streaming_dedup_groups(
+            spark.createDataFrame(batch1 + batch2, schema)
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 2  # alpha-beta group in w1, gamma group in w2
+    keeps = sorted(v[0] for v in got.values())
+    assert keeps == [4, 10]  # min doc_id, arrival-order-free
+    sizes = sorted(v[1] for v in got.values())
+    assert sizes == [2, 3]
