@@ -400,6 +400,7 @@ HEADLINE = [
     # round-9 additions
     "pq_trained_recall",          # NEW r9: Lloyd-trained codebook recall cert
     "corpus_line_scrub",          # NEW r9: C4 line-rule scrubbed-corpus re-emit
+    "ivfpq_residual_recall",      # NEW r9: IVFADC residual-coding certificate
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

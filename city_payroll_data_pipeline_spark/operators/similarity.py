@@ -576,33 +576,59 @@ def pq_encode(
 ) -> DataFrame:
     """Corpus codes (vec_id, m, cw): nearest codeword per subspace by
     exact integer squared L2 (ties → smaller cw). One broadcast join
-    against the tiny codebook + one bounded window (k_codes rows per
-    (vec, m) group) — the corpus shuffles once on vec_id, never
+    against the tiny codebook + one map-side-combinable aggregation —
+    the corpus shuffles once on (vec_id, m) group keys, never
     self-joins. ``with_dist`` keeps the winning d2 (exact bigint
-    quantization error) for distortion audits."""
+    quantization error) for distortion audits.
+
+    The corpus×k_codes hot frame is laid out for whole-stage codegen
+    (round-9 rework, A/B-profiled in SCALE.md): both squared norms are
+    precomputed ONCE per row on the two small frames, the cross dot
+    expands into d_sub scalar multiplies (d_sub is a plan-time
+    constant — an interpreted higher-order aggregate here was the
+    family's dominant cost), and the (d2, cw) argmin rides ONE
+    primitive packed long through min() — no per-row structs, no
+    window sort. Ordering is exactly the old (d2 asc, cw asc) window:
+    within a (vec, m) group the subvector norm is constant, so
+    min over (n2c − 2·cross) ties ⇔ min over d2 ties, broken by cw in
+    the low bits. Packing bounds: |n2c − 2·cross| ≤ 3·d_sub·(2·QUANT)²
+    < 2³⁸ for any d_sub ≤ 64 (offset 2⁴⁰), cw < 2²⁰ codewords."""
+    offset = 1 << 40
+    cw_base = 1 << 20
     sub = quantized.select(
         "vec_id",
         F.posexplode(pq_subvectors(F.col("q"), m_sub, d_sub)).alias(
             "m", "sub"
         ),
+    ).withColumn("_n2s", dot_q(F.col("sub"), F.col("sub")))
+    cbn = codebook.withColumn("_n2c", dot_q(F.col("cq"), F.col("cq")))
+    cross = F.element_at(F.col("sub"), 1) * F.element_at(F.col("cq"), 1)
+    for i in range(1, d_sub):
+        cross = cross + F.element_at(F.col("sub"), i + 1) * F.element_at(
+            F.col("cq"), i + 1
+        )
+    packed = (F.col("_n2c") - 2 * cross + F.lit(offset)) * F.lit(
+        cw_base
+    ) + F.col("cw")
+    best = (
+        sub.join(F.broadcast(cbn), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(packed).alias("_p"),
+            # _n2s is constant within the group (one subvector ×
+            # k_codes candidates), so first() is deterministic
+            F.first("_n2s").alias("_n2s"),
+        )
     )
-    scored = sub.join(F.broadcast(codebook), "m").select(
-        "vec_id",
-        "m",
-        "cw",
-        (
-            dot_q(F.col("sub"), F.col("sub"))
-            - 2 * dot_q(F.col("sub"), F.col("cq"))
-            + dot_q(F.col("cq"), F.col("cq"))
-        ).alias("_d2"),
-    )
-    w = W.partitionBy("vec_id", "m").orderBy(F.asc("_d2"), F.asc("cw"))
-    cols = ["vec_id", "m", "cw"] + (["_d2"] if with_dist else [])
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(*cols)
-    )
+    cw = (F.col("_p") % cw_base).cast("int").alias("cw")
+    if not with_dist:
+        return best.select("vec_id", "m", cw)
+    # exact bigint division (packed values exceed 2^53 — a double
+    # round-trip here would corrupt low bits)
+    d2 = (
+        F.expr(f"_p div {cw_base}") - offset + F.col("_n2s")
+    ).alias("_d2")
+    return best.select("vec_id", "m", cw, d2)
 
 
 def pq_topk(
@@ -727,6 +753,97 @@ def ivfpq_topk(
         .join(F.broadcast(lut), ["query_id", "m", "cw"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("dotv").alias("adc_dot"))
+    )
+    return _per_query_topk(scored, "adc_dot", k, round_score=False)
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    centroid_stride: int = 7,
+    m_sub: int = 32,
+    k_codes: int = 64,
+    codebook_stride: int = 5,
+    dim: int = 64,
+    train_iters: int = 10,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the textbook IVFADC (Jégou
+    2011 §IV.B): codes quantize the residual ``x − c(x)`` relative to
+    the vector's coarse centroid rather than the raw vector, so the
+    codebook spends its bits on the (much smaller) within-cell spread.
+    Scoring is exact by linearity: dot(q, c + code) = dot(q, c) +
+    dot(q, code) — the per-(query, probed-cell) coarse term rides the
+    probe list, the fine term is the standard broadcast ADC LUT; both
+    are exact integers. The residual codebook is Lloyd-trained
+    (pq_codebook_trained, bounded-sample driver build) — residuals
+    have no natural stride-seed structure, so training matters more
+    here than for raw PQ (measured at sf0.01: raw-seed 0.58 →
+    residual-trained 0.68 recall@5 against a 0.76 probe ceiling).
+
+    Plan shape is ivfpq_topk's plus one broadcast join (the centroid
+    subtraction at index-build time): cell assignment, residual
+    computation and PQ encode are each one broadcast join over the
+    corpus; the query path touches only the probed cells' code rows.
+    """
+    d_sub = dim // m_sub
+    corpus = with_quantized(df, id_col, vec_col)
+    cents = ivf_seed_centroids(corpus, n_lists, centroid_stride)
+    corpus_cells = ivf_assign(corpus, cents, 1).select("vec_id", "list_id")
+    res = (
+        corpus.join(corpus_cells, "vec_id")
+        .join(
+            F.broadcast(cents.select("list_id", F.col("cq").alias("cvec"))),
+            "list_id",
+        )
+        .select(
+            "vec_id",
+            F.zip_with("q", "cvec", lambda x, c: x - c).alias("q"),
+            "list_id",
+        )
+    )
+    cb = pq_codebook_trained(
+        res.select("vec_id", "q"),
+        m_sub,
+        d_sub,
+        k_codes,
+        codebook_stride,
+        iters=train_iters,
+    )
+    enc = pq_encode(res.select("vec_id", "q"), cb, m_sub, d_sub).join(
+        res.select("vec_id", "list_id"), "vec_id"
+    )
+    qry = with_quantized(queries if queries is not None else df, id_col, vec_col)
+    probed = ivf_assign(qry, cents, n_probe)
+    qc = probed.join(F.broadcast(cents), "list_id").select(
+        F.col("vec_id").alias("query_id"),
+        "list_id",
+        dot_q(F.col("q"), F.col("cq")).alias("qc_dot"),
+    )
+    lut = (
+        qry.select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(pq_subvectors(F.col("q"), m_sub, d_sub)).alias(
+                "m", "sub"
+            ),
+        )
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id", "m", "cw", dot_q(F.col("sub"), F.col("cq")).alias("dotv")
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(qc), "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(lut), ["query_id", "m", "cw"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        # qc_dot is constant within the group (a vector lives in ONE
+        # cell); min() is the deterministic way to ride it through
+        .agg((F.min("qc_dot") + F.sum("dotv")).alias("adc_dot"))
     )
     return _per_query_topk(scored, "adc_dot", k, round_score=False)
 

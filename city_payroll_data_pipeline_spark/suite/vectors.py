@@ -1580,52 +1580,66 @@ def q_pq_trained_recall(spark, sf_dir):
     return parts[0].unionByName(parts[1]).orderBy("retriever")
 
 
-def _pq_trained_topk_sql(query_ids=None) -> str:
-    """Unrolled SQL replay of pq_codebook_trained + ADC top-k: every
-    Lloyd step is integer-exact (bigint d², floor-mean centroids), so
-    the chain is bit-identical to the Spark build."""
-    st = PQ_TRAIN_INIT_STRIDE
-    ts = PQ_TRAIN_SAMPLE_STRIDE
-    train_src = (
-        "subs" if ts == 1 else f"(SELECT * FROM subs WHERE vec_id % {ts} = 0)"
+def _d2_sql(sub: str, cq: str) -> str:
+    return (
+        f"{_dot_sql(sub, sub)} - 2 * {_dot_sql(sub, cq)}"
+        f" + {_dot_sql(cq, cq)}"
     )
 
-    def d2(sub: str, cq: str) -> str:
-        return (
-            f"{_dot_sql(sub, sub)} - 2 * {_dot_sql(sub, cq)}"
-            f" + {_dot_sql(cq, cq)}"
-        )
 
+def _lloyd_unroll_sql(
+    subs_src: str, init_stride: int, k_codes: int, iters: int,
+    prefix: str = "cb",
+) -> tuple[list[str], str]:
+    """Unrolled SQL replay of pq_codebook_trained over an existing
+    subvector CTE ``subs_src`` (columns vec_id, m, sub): every Lloyd
+    step is integer-exact (bigint d², floor-mean centroids), so the
+    chain is bit-identical to the Spark/numpy build. Returns the CTE
+    parts and the final codebook CTE name. Shared by the flat-PQ and
+    residual-IVFPQ trained oracles."""
+    st = init_stride
     parts = [
-        f"subs AS MATERIALIZED ({_PQ_SUBS_SQL})",
-        f"cb0 AS MATERIALIZED (SELECT CAST(vec_id / {st} AS INT) AS cw,"
-        f" m, sub AS cq FROM subs"
-        f" WHERE vec_id % {st} = 0 AND vec_id < {st * PQ_KS})",
+        f"{prefix}0 AS MATERIALIZED (SELECT CAST(vec_id / {st} AS INT)"
+        f" AS cw, m, sub AS cq FROM {subs_src}"
+        f" WHERE vec_id % {st} = 0 AND vec_id < {st * k_codes})",
     ]
-    for i in range(1, PQ_TRAIN_ITERS + 1):
+    for i in range(1, iters + 1):
         p = i - 1
         parts.append(
-            f"asg{i} AS MATERIALIZED (SELECT m, cw, sub FROM ("
+            f"asg_{prefix}{i} AS MATERIALIZED (SELECT m, cw, sub FROM ("
             f"SELECT t.m, c.cw, t.sub, ROW_NUMBER() OVER ("
             f"PARTITION BY t.vec_id, t.m"
-            f" ORDER BY {d2('t.sub', 'c.cq')} ASC, c.cw ASC) AS rn"
-            f" FROM {train_src} t JOIN cb{p} c ON t.m = c.m) WHERE rn = 1)"
+            f" ORDER BY {_d2_sql('t.sub', 'c.cq')} ASC, c.cw ASC) AS rn"
+            f" FROM {subs_src} t JOIN {prefix}{p} c ON t.m = c.m)"
+            f" WHERE rn = 1)"
         )
         parts.append(
-            f"upd{i} AS MATERIALIZED (SELECT m, cw,"
+            f"upd_{prefix}{i} AS MATERIALIZED (SELECT m, cw,"
             f" list(v ORDER BY pos) AS ncq FROM ("
             f"SELECT m, cw, pos,"
             f" CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v"
             f" FROM (SELECT m, cw, generate_subscripts(sub, 1) AS pos,"
-            f" unnest(sub) AS x FROM asg{i})"
+            f" unnest(sub) AS x FROM asg_{prefix}{i})"
             f" GROUP BY m, cw, pos) GROUP BY m, cw)"
         )
         parts.append(
-            f"cb{i} AS MATERIALIZED (SELECT p.m, p.cw,"
-            f" COALESCE(u.ncq, p.cq) AS cq FROM cb{p} p"
-            f" LEFT JOIN upd{i} u ON u.m = p.m AND u.cw = p.cw)"
+            f"{prefix}{i} AS MATERIALIZED (SELECT p.m, p.cw,"
+            f" COALESCE(u.ncq, p.cq) AS cq FROM {prefix}{p} p"
+            f" LEFT JOIN upd_{prefix}{i} u ON u.m = p.m AND u.cw = p.cw)"
         )
-    last = f"cb{PQ_TRAIN_ITERS}"
+    return parts, f"{prefix}{iters}"
+
+
+def _pq_trained_topk_sql(query_ids=None) -> str:
+    """Flat trained-PQ ADC top-k: _lloyd_unroll_sql over the corpus
+    subvectors (PQ_TRAIN_SAMPLE_STRIDE=1 trains on all of them), then
+    the standard encode/LUT/ADC chain against the final codebook."""
+    d2 = _d2_sql
+    parts = [f"subs AS MATERIALIZED ({_PQ_SUBS_SQL})"]
+    lloyd, last = _lloyd_unroll_sql(
+        "subs", PQ_TRAIN_INIT_STRIDE, PQ_KS, PQ_TRAIN_ITERS
+    )
+    parts += lloyd
     with_block = ",\n".join(parts)
     return f"""
 WITH {with_block},
@@ -1685,6 +1699,194 @@ ORDER BY retriever
 
 
 PQ_TRAINED_RECALL_SQL = _pq_trained_recall_sql()
+
+
+# --------------------------------------------------------------------------
+# ivfpq_residual_recall — textbook IVFADC (Jégou 2011 §IV.B): the
+# incumbent ivfpq_ann_topk quantizes RAW vectors; real IVF-PQ
+# quantizes the residual x − c(x) so the codebook's bits cover only
+# the within-cell spread, and scores by linearity dot(q, c) +
+# dot(q, code). The certificate decomposes recall loss in one frame:
+#   ivf_exact_probe — exact scoring within the probed cells (the
+#     cell-PRUNE ceiling: 0.76 @ sf0.01; anything above needs more
+#     probes, not better codes);
+#   ivfpq_raw      — the incumbent raw-vector codes (0.58);
+#   ivfpq_residual — residual codes, Lloyd-trained codebook (0.68 —
+#     89% of the ceiling at the flat-PQ family's 32×64 code budget).
+# Exactly the table an index tuner reads to decide where the next
+# bit/probe goes.
+# --------------------------------------------------------------------------
+
+_IVFRES_KS = 64      # residual codewords (flat-PQ family's budget)
+_IVFRES_STRIDE = 5   # residual seed stride (5·63 = 315 < 500)
+_IVFRES_ITERS = 10   # Lloyd steps — residuals have no natural seed
+                     # structure, so training matters more than raw PQ
+
+
+def q_ivfpq_residual_recall(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    queries = _query_frame(emb, None)
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    total = K * N_QUERIES
+    arms = (
+        (
+            "ivf_exact_probe",
+            lambda: sim.ivf_topk(
+                emb, "vec_id", "embedding", queries,
+                k=K, n_lists=N_LISTS, n_probe=N_PROBE,
+                centroid_stride=CENTROID_STRIDE,
+            ),
+        ),
+        (
+            "ivfpq_raw",
+            lambda: q_ivfpq_ann_topk(spark, sf_dir),
+        ),
+        (
+            "ivfpq_residual",
+            lambda: sim.ivfpq_residual_topk(
+                emb, "vec_id", "embedding", queries,
+                k=K, n_lists=N_LISTS, n_probe=N_PROBE,
+                centroid_stride=CENTROID_STRIDE,
+                m_sub=PQ_M, k_codes=_IVFRES_KS,
+                codebook_stride=_IVFRES_STRIDE, dim=DIM,
+                train_iters=_IVFRES_ITERS,
+            ),
+        ),
+    )
+    parts = []
+    for name, fn in arms:
+        ap = fn().select("query_id", "neighbor_id")
+        parts.append(
+            ap.join(exact, ["query_id", "neighbor_id"]).agg(
+                F.lit(name).alias("retriever"),
+                F.count("*").alias("matched"),
+                F.lit(total).cast("long").alias("total"),
+                (F.count("*") / F.lit(total)).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("retriever")
+
+
+def _ivfpq_residual_topk_sql(query_ids=None) -> str:
+    """Unrolled replay of ivfpq_residual_topk: coarse cells →
+    residuals → Lloyd-trained residual codebook (_lloyd_unroll_sql) →
+    residual encode → ADC with the per-(query, cell) coarse dot term
+    added by linearity."""
+    cells = f"""
+qv AS MATERIALIZED (
+  SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2
+  FROM ({_Q_CORPUS_SQL})
+),
+cents AS MATERIALIZED (
+  SELECT CAST(vec_id // {CENTROID_STRIDE} AS INT) AS list_id,
+         q AS cq, n2 AS cn2
+  FROM qv
+  WHERE vec_id % {CENTROID_STRIDE} = 0
+    AND vec_id < {CENTROID_STRIDE * N_LISTS}
+),
+cell_scored AS (
+  SELECT v.vec_id, v.q, v.n2, c.list_id,
+         CASE WHEN sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) > 0
+              THEN CAST({_dot_sql('v.q', 'c.cq')} AS DOUBLE)
+                   / sqrt(CAST(v.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE))
+         END AS csim
+  FROM qv v CROSS JOIN cents c
+),
+ranked_cells AS (
+  SELECT vec_id, q, list_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, list_id ASC) AS r
+  FROM cell_scored
+),
+res AS MATERIALIZED (
+  SELECT a.vec_id,
+         list_transform(list_zip(a.q, c.cq), p -> p[1] - p[2]) AS q,
+         a.list_id
+  FROM (SELECT vec_id, q, list_id FROM ranked_cells WHERE r = 1) a
+  JOIN cents c USING (list_id)
+),
+rsubs AS MATERIALIZED (
+  SELECT vec_id, m,
+         list_slice(q, m * {_PQ_DSUB} + 1, (m + 1) * {_PQ_DSUB}) AS sub
+  FROM res CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m)
+),
+qsubs AS (
+  SELECT vec_id, m,
+         list_slice(q, m * {_PQ_DSUB} + 1, (m + 1) * {_PQ_DSUB}) AS sub
+  FROM qv CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m)
+  WHERE {_qpred(query_ids)}
+)"""
+    lloyd, last = _lloyd_unroll_sql(
+        "rsubs", _IVFRES_STRIDE, _IVFRES_KS, _IVFRES_ITERS, prefix="rcb"
+    )
+    with_block = cells + ",\n" + ",\n".join(lloyd)
+    return f"""
+WITH {with_block},
+enc AS MATERIALIZED (SELECT vec_id, m, cw FROM (
+  SELECT s.vec_id, s.m, c.cw,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY {_d2_sql('s.sub', 'c.cq')} ASC,
+                            c.cw ASC) AS rn
+  FROM rsubs s JOIN {last} c ON s.m = c.m) WHERE rn = 1),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.cw, {_dot_sql('s.sub', 'c.cq')} AS dotv
+  FROM qsubs s JOIN {last} c ON s.m = c.m
+),
+qc AS (
+  SELECT p.vec_id AS query_id, p.list_id,
+         {_dot_sql('p.q', 'c.cq')} AS qc_dot
+  FROM (SELECT vec_id, q, list_id FROM ranked_cells
+        WHERE r <= {N_PROBE} AND {_qpred(query_ids)}) p
+  JOIN cents c USING (list_id)
+),
+scored AS (
+  SELECT qc.query_id, e.vec_id AS neighbor_id,
+         CAST(MIN(qc.qc_dot) + SUM(l.dotv) AS BIGINT) AS adc_dot
+  FROM enc e
+  JOIN res rc ON rc.vec_id = e.vec_id
+  JOIN qc ON qc.list_id = rc.list_id AND qc.query_id <> e.vec_id
+  JOIN lut l ON l.query_id = qc.query_id AND l.m = e.m AND l.cw = e.cw
+  GROUP BY qc.query_id, e.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dot,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY adc_dot DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, adc_dot
+FROM ranked WHERE rank <= {K}
+"""
+
+
+def _ivfpq_residual_recall_sql(query_ids=None) -> str:
+    total = K * (N_QUERIES if query_ids is None else len(query_ids))
+    arms = []
+    for name, sql in (
+        ("ivf_exact_probe", _ivf_ann_topk_sql(query_ids)),
+        ("ivfpq_raw", _ivfpq_sql(query_ids)),
+        ("ivfpq_residual", _ivfpq_residual_topk_sql(query_ids)),
+    ):
+        arms.append(f"""
+SELECT '{name}' AS retriever,
+       COUNT(*) AS matched,
+       CAST({total} AS BIGINT) AS total,
+       CAST(COUNT(*) AS DOUBLE) / {total} AS recall_at_k
+FROM ({sql}) ap
+JOIN exact ON ap.query_id = exact.query_id
+          AND ap.neighbor_id = exact.neighbor_id""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM ({_cosine_topk_sql(query_ids)})
+)
+{body}
+ORDER BY retriever
+"""
 
 
 #: IVF-PQ codewords come from stride-13 seeds so they differ from the
@@ -1793,6 +1995,10 @@ FROM ranked WHERE rank <= {K}
 
 
 IVFPQ_ANN_TOPK_SQL = _ivfpq_sql()
+
+# assigned here (not at the builder definition): the residual-recall
+# oracle embeds _ivfpq_sql for its incumbent arm
+IVFPQ_RESIDUAL_RECALL_SQL = _ivfpq_residual_recall_sql()
 
 
 def q_pq_code_balance(spark, sf_dir):
@@ -2097,6 +2303,11 @@ QUERIES = {
         q_pq_trained_recall,
         PQ_TRAINED_RECALL_SQL,
         ("vector", "pq", "kmeans", "training", "recall"),
+    ),
+    "ivfpq_residual_recall": Query(
+        q_ivfpq_residual_recall,
+        IVFPQ_RESIDUAL_RECALL_SQL,
+        ("vector", "ivf", "pq", "residual", "ivfadc", "recall"),
     ),
     "pq_code_balance": Query(
         q_pq_code_balance, PQ_CODE_BALANCE_SQL, ("vector", "pq", "audit")

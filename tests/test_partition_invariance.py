@@ -82,6 +82,7 @@ REPRESENTATIVES = [
     # round-9 additions
     "pq_trained_recall",        # driver-side Lloyd over an orderBy-sorted
                                 # collected sample + ADC eval arms
+    "ivfpq_residual_recall",    # residual Lloyd build + coarse-dot ADC
 ]
 
 

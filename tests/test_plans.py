@@ -222,6 +222,10 @@ _INTENTIONAL_BNLJ = {
     "ivf_probe_curve",        # broadcast centroids + tiny grid/census joins
     "pq_recall_report",       # inherits ivfpq's broadcast-centroid shape
     "pq_recall_report_sampled",  # same shapes over the sampled query subset
+    "pq_trained_recall",      # inherits cosine_topk's broadcast query set
+                              # (exact arm) — codebooks ride equi-joins
+    "ivfpq_residual_recall",  # broadcast centroids (ivf_assign) + LUT +
+                              # exact arm's broadcast query set
     "lsh_ann_topk",           # broadcast plane/query set
     "price_band_range_join",  # broadcast band table
     "idle_rich_customers",    # broadcast 1-row avg-balance scalar
