@@ -653,6 +653,11 @@ ORDER BY query_id, rank
 """
 
 
+#: block-pair fan-out for the within-cell pair join — parallelism is
+#: n_cells·B·(B+1)/2 keys and the left side replicates ≤ (B+1)/2×
+_SD_BLOCKS = 8
+
+
 def q_semantic_dedup_pairs(spark, sf_dir):
     """Semantic near-dup pairs at scale: cell-bucket the corpus, then
     compare ONLY within a cell. The all-pairs variant
@@ -672,9 +677,16 @@ def q_semantic_dedup_pairs(spark, sf_dir):
 
     Same synthesized copies (vec_id+100000 for vec_id%50==0) and the
     same exact quantized-cosine >= 0.999 as the brute-force twin, so
-    the test can also check recall against it."""
-    from pyspark.sql import Window as W
+    the test can also check recall against it.
 
+    Within-cell pairing is BLOCK-PARALLEL (round-9 rework): members
+    hash into ``_SD_BLOCKS`` blocks by vec_id, the left side
+    replicates to every block-pair it leads, and the join key becomes
+    (cell, block-pair) — n_cells·B·(B+1)/2 keys instead of n_cells,
+    so one hot cell can no longer serialize the pair stage (at 100 TB
+    cell-size skew is the norm, and the old plan's parallelism was
+    capped at the cell count — 8 serial tasks locally; identical
+    output, solo floor 7.40 → 2.6 s)."""
     emb = table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", "embedding"
     )
@@ -685,22 +697,50 @@ def q_semantic_dedup_pairs(spark, sf_dir):
     qv = sim.with_quantized(corpus, "vec_id", "embedding")
     # the ivf_topk assignment machinery, shared (operators/similarity)
     cents = sim.ivf_seed_centroids(qv, N_LISTS, CENTROID_STRIDE)
-    assigned = sim.ivf_assign(qv, cents, 1).select(
-        "vec_id", "q", "n2", "list_id"
+    # localCheckpoint: the self-join below would otherwise re-run the
+    # assignment window (corpus × n_cells cosines) once per side —
+    # materializing the assignment before a pair join is the standard
+    # index-build step (at 100 TB this is the persisted cell table,
+    # built once and reused by every downstream consumer)
+    assigned = (
+        sim.ivf_assign(qv, cents, 1)
+        .select("vec_id", "q", "n2", "list_id")
+        .localCheckpoint()
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    blk = (F.col("vec_id") % _SD_BLOCKS).cast("int")
+    # left side leads every unordered block pair {b, j} with b ≤ j:
+    # replicate to (block, j≥block); right side joins on its own block
+    left = assigned.withColumn("_b", blk).withColumn(
+        "_j",
+        F.explode(
+            F.sequence(F.col("_b"), F.lit(_SD_BLOCKS - 1).cast("int"))
+        ),
+    )
+    right = assigned.withColumn("_j", blk)
+    a, b = left.alias("a"), right.alias("b")
     pairs = a.join(
         b,
         (F.col("a.list_id") == F.col("b.list_id"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
+        & (F.col("a._j") == F.col("b._j"))
+        # cross-block pairs appear exactly once (the lower block
+        # leads); within-block needs the id tie-break
+        & (
+            (F.col("a._b") < F.col("b._j"))
+            | (F.col("a.vec_id") < F.col("b.vec_id"))
+        ),
     )
+    # the pair dot stays the zip_with/aggregate fold: at DIM=64 a
+    # flat element_at expansion exceeds the codegen expression budget
+    # and falls back to per-term interpreted eval — A/B'd 9.6 s vs
+    # 1.3 s on this join (SCALE.md round-9); expansion only wins for
+    # tiny widths like pq_encode's d_sub=2
     cos = sim.cosine_q(
         sim.dot_q(F.col("a.q"), F.col("b.q")), F.col("a.n2"), F.col("b.n2")
     )
     return (
         pairs.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
             cos.alias("_cos"),
         )
         .filter(F.col("_cos") >= 0.999)
