@@ -401,6 +401,7 @@ HEADLINE = [
     "pq_trained_recall",          # NEW r9: Lloyd-trained codebook recall cert
     "corpus_line_scrub",          # NEW r9: C4 line-rule scrubbed-corpus re-emit
     "ivfpq_residual_recall",      # NEW r9: IVFADC residual-coding certificate
+    "media_vad_segments",         # NEW r9: voiced-frame gaps-and-islands merge
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

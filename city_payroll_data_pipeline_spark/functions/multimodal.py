@@ -206,6 +206,25 @@ def audio_frame_stats(pcm) -> tuple[int, int, int, int, int, int]:
     )
 
 
+def audio_frame_energies(pcm) -> list[tuple[int, int]]:
+    """Per-frame exact integer energies of an 8-bit unsigned PCM
+    buffer — the row-wise twin of :func:`audio_frame_stats` for
+    consumers that need the frame SEQUENCE (VAD segmentation, onset
+    detection) rather than the per-blob reduction: returns
+    [(frame_idx, Σ s² over the frame), …] with the same centring,
+    framing and integer math, so the same SQL oracle replays it.
+    Vectorized (frombuffer + reduceat); empty buffer → []."""
+    import numpy as np
+
+    s = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64) - 128
+    n = len(s)
+    if n == 0:
+        return []
+    bounds = np.arange(0, n, AUDIO_FRAME)
+    energy = np.add.reduceat(s * s, bounds)
+    return [(int(i), int(e)) for i, e in enumerate(energy)]
+
+
 DHASH_GRID_W = 6   # horizontal diffs per row
 DHASH_GRID_H = 10  # rows → 60 bits total, fits a signed bigint
 DHASH_BITS = DHASH_GRID_W * DHASH_GRID_H

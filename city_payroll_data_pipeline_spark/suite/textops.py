@@ -3662,6 +3662,110 @@ ORDER BY a.media_id
 
 
 # --------------------------------------------------------------------------
+# media_vad_segments — the SEGMENTATION pass after the energy/VAD
+# front end: merge consecutive voiced frames (energy ≥ AUDIO_SILENT_T)
+# into segments, the classic gaps-and-islands, and report per segment
+# (start/end frame, length, exact energy mass). This is what an
+# audio-training pipeline actually ships downstream — utterance-like
+# spans to cut and transcribe, not frame soup.
+#
+# Scale split (the multimodal-family contract): byte decoding happens
+# once per blob inside mapInPandas (blobs never leave their
+# partition); everything after — the voiced filter, the island id
+# (frame − row_number, both per-media windows), the per-segment
+# reduce — is plain distributed SQL on (media_id, frame, energy)
+# rows, exactly the analytics/decode split a real featurizer keeps.
+# --------------------------------------------------------------------------
+
+
+def q_media_vad_segments(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    from city_payroll_data_pipeline_spark.functions import multimodal as mm
+    from city_payroll_data_pipeline_spark.session import ship_package
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    ship_package(docs.sparkSession)
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for frame, energy in mm.audio_frame_energies(
+                    text.encode("utf-8")
+                ):
+                    rows.append((int(doc_id), frame, energy))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame", "energy"]
+            )
+
+    frames = (
+        docs.filter(F.col("doc_id") % 3 == 1)  # audio-kind convention
+        .select("doc_id", "text")
+        .mapInPandas(op, "media_id bigint, frame bigint, energy bigint")
+    )
+    voiced = frames.filter(F.col("energy") >= mm.AUDIO_SILENT_T)
+    w = W.partitionBy("media_id").orderBy("frame")
+    seg = voiced.withColumn(
+        "island", F.col("frame") - F.row_number().over(w)
+    )
+    per_seg = seg.groupBy("media_id", "island").agg(
+        F.min("frame").alias("start_frame"),
+        F.max("frame").alias("end_frame"),
+        F.count("*").alias("n_frames"),
+        F.sum("energy").alias("seg_energy"),
+    )
+    w2 = W.partitionBy("media_id").orderBy("start_frame")
+    return (
+        per_seg.withColumn("seg_idx", F.row_number().over(w2))
+        .select(
+            "media_id", "seg_idx", "start_frame", "end_frame",
+            "n_frames", "seg_energy",
+        )
+        .orderBy("media_id", "seg_idx")
+    )
+
+
+MEDIA_VAD_SEGMENTS_SQL = """
+WITH au AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  FROM documents
+  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) >= 1
+),
+samp AS (
+  SELECT media_id, (ord(substr(text, CAST(i AS INT), 1)) - 128) AS s,
+         (i - 1) // 256 AS frame
+  FROM au, unnest(range(1, n + 1)) t(i)
+),
+fr AS (
+  SELECT media_id, frame, SUM(s * s) AS energy
+  FROM samp GROUP BY media_id, frame
+),
+voiced AS (
+  SELECT media_id, frame, energy,
+         frame - ROW_NUMBER() OVER (PARTITION BY media_id
+                                    ORDER BY frame) AS island
+  FROM fr WHERE energy >= 100000
+),
+per_seg AS (
+  SELECT media_id, island,
+         MIN(frame) AS start_frame,
+         MAX(frame) AS end_frame,
+         COUNT(*) AS n_frames,
+         CAST(SUM(energy) AS BIGINT) AS seg_energy
+  FROM voiced GROUP BY media_id, island
+)
+SELECT media_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY media_id
+                               ORDER BY start_frame) AS INT) AS seg_idx,
+       start_frame, end_frame, n_frames, seg_energy
+FROM per_seg
+ORDER BY media_id, seg_idx
+"""
+
+
+# --------------------------------------------------------------------------
 # Context-window chunking — split each document into fixed-size
 # overlapping token chunks (size 64, stride 48 → 16-token overlap),
 # the standard pre-training windowing op. Scale shape: pure narrow
@@ -6781,6 +6885,11 @@ QUERIES = {
         q_media_phash_pairs,
         MEDIA_PHASH_PAIRS_SQL,
         ("multimodal", "dedup", "phash", "codec", "pandas_udf"),
+    ),
+    "media_vad_segments": Query(
+        q_media_vad_segments,
+        MEDIA_VAD_SEGMENTS_SQL,
+        ("media", "audio", "vad", "segmentation", "islands"),
     ),
     "media_audio_energy": Query(
         q_media_audio_energy,

@@ -741,3 +741,81 @@ def test_greedy_max_coverage_matches_python_greedy(spark, incidence):
     feats = spark.createDataFrame(rows, "doc_id long, bucket long")
     got = greedy_max_coverage(feats, k)
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_pq_codebook_trained_matches_python_reference(spark, data):
+    """The bounded-sample Lloyd trainer (operators/similarity.py::
+    pq_codebook_trained — numpy on the collected sample) vs an
+    independent pure-Python Lloyd on random small integer vector
+    sets: identical codebooks. Exercises exactly the semantics the
+    DuckDB oracle also replays — int d² argmin with ties → smaller
+    cw, floor-of-exact-mean centroid updates, empty codewords frozen —
+    so a numpy-specific drift (argmin tie order, dtype overflow,
+    float mean) can't hide between the two engine replays."""
+    from city_payroll_data_pipeline_spark.operators.similarity import (
+        pq_codebook_trained,
+    )
+
+    m_sub, d_sub, k_codes, stride = 2, 2, 3, 2
+    dim = m_sub * d_sub
+    n = data.draw(st.integers(min_value=stride * k_codes, max_value=14))
+    vecs = [
+        [
+            data.draw(
+                st.integers(min_value=-50, max_value=50),
+                label=f"v[{i}][{j}]",
+            )
+            for j in range(dim)
+        ]
+        for i in range(n)
+    ]
+    iters = data.draw(st.integers(min_value=1, max_value=3))
+
+    # pure-Python reference, no numpy
+    cb = {}
+    for m in range(m_sub):
+        for c in range(k_codes):
+            seed = vecs[c * stride]
+            cb[(m, c)] = seed[m * d_sub : (m + 1) * d_sub]
+    for _ in range(iters):
+        assign = {}
+        for i, v in enumerate(vecs):
+            for m in range(m_sub):
+                sub = v[m * d_sub : (m + 1) * d_sub]
+                best = min(
+                    range(k_codes),
+                    key=lambda c: (
+                        sum(
+                            (a - b) ** 2
+                            for a, b in zip(sub, cb[(m, c)])
+                        ),
+                        c,
+                    ),
+                )
+                assign.setdefault((m, best), []).append(sub)
+        for key, subs in assign.items():
+            cb[key] = [
+                int(
+                    __import__("math").floor(
+                        float(sum(col)) / len(subs)
+                    )
+                )
+                for col in zip(*subs)
+            ]
+
+    # Spark/numpy operator — feed the quantized frame directly
+    # (embedding = q/QUANT keeps quantize() a bit-exact round trip
+    # only for grid values; bypass it by building q ourselves)
+    qdf = spark.createDataFrame(
+        [(i, v, sum(x * x for x in v)) for i, v in enumerate(vecs)],
+        "vec_id long, q array<bigint>, n2 long",
+    )
+    got = {
+        (r["m"], r["cw"]): list(r["cq"])
+        for r in pq_codebook_trained(
+            qdf, m_sub, d_sub, k_codes, stride, iters=iters
+        ).collect()
+    }
+    assert got == cb
