@@ -402,6 +402,7 @@ HEADLINE = [
     "corpus_line_scrub",          # NEW r9: C4 line-rule scrubbed-corpus re-emit
     "ivfpq_residual_recall",      # NEW r9: IVFADC residual-coding certificate
     "media_vad_segments",         # NEW r9: voiced-frame gaps-and-islands merge
+    "hard_negative_mining",       # NEW r9: contrastive positive + hard-neg band
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

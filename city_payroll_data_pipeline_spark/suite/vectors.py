@@ -239,6 +239,69 @@ FROM ranked WHERE rank <= {K}
 
 COSINE_TOPK_SQL = _cosine_topk_sql()
 
+
+# --------------------------------------------------------------------------
+# hard_negative_mining — contrastive-training data prep: for each
+# anchor, ONE positive (the exact nearest neighbor) and a band of
+# HARD negatives (ranks 11–15: similar enough to be informative, far
+# enough to be near-certainly wrong) — the standard mining recipe for
+# embedding-model training (DPR/SimCSE-style). Random negatives are a
+# shuffle, not a query; the hard band is what needs the index.
+#
+# Scale: one broadcast-query pass over the corpus (brute_force_topk's
+# shape — swap in any ANN retriever for the candidate generation at
+# 100 TB; the band rule is a filter on rank either way). Output is
+# (queries × band)-sized.
+# --------------------------------------------------------------------------
+
+_HN_LO, _HN_HI = 11, 15
+
+
+def q_hard_negative_mining(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    queries = _query_frame(emb, None)
+    topk = sim.brute_force_topk(
+        emb, "vec_id", "embedding", queries, k=_HN_HI
+    )
+    role = F.when(F.col("rank") == 1, F.lit("positive")).when(
+        F.col("rank") >= _HN_LO, F.lit("hard_negative")
+    )
+    return (
+        topk.withColumn("role", role)
+        .filter(F.col("role").isNotNull())
+        .select("query_id", "role", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+HARD_NEGATIVE_MINING_SQL = f"""
+WITH qv AS (
+  SELECT vec_id, q, {_dot_sql('q', 'q')} AS n2
+  FROM ({_Q_CORPUS_SQL})
+),
+pairs AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_dot_sql('p.q', 'c.q')} AS dot, p.n2 AS n2a, c.n2 AS n2b
+  FROM qv p JOIN qv c ON {_qpred(None, 'p')} AND c.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine FROM pairs
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id,
+       CASE WHEN rank = 1 THEN 'positive' ELSE 'hard_negative' END AS role,
+       rank, neighbor_id, {_sql_round('cosine', 6)} AS cosine
+FROM ranked
+WHERE rank = 1 OR (rank >= {_HN_LO} AND rank <= {_HN_HI})
+ORDER BY query_id, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # Near-duplicate pairs (exact copies synthesized at vec_id+100000)
 # --------------------------------------------------------------------------
@@ -2420,6 +2483,11 @@ QUERIES = {
         ("vector", "dedup", "clustering")
     ),
     "cosine_topk": Query(q_cosine_topk, COSINE_TOPK_SQL, ("vector", "ann", "exact")),
+    "hard_negative_mining": Query(
+        q_hard_negative_mining,
+        HARD_NEGATIVE_MINING_SQL,
+        ("vector", "contrastive", "mining", "training-data"),
+    ),
     "cosine_neardup_pairs": Query(
         q_cosine_neardup_pairs, COSINE_NEARDUP_PAIRS_SQL, ("vector", "dedup")
     ),

@@ -217,6 +217,7 @@ _INTENTIONAL_BNLJ = {
     "join_key_skew",          # broadcast 1-row key-stats agg
     "cosine_neardup_pairs",   # broadcast pair candidates
     "cosine_topk",            # broadcast query set vs corpus
+    "hard_negative_mining",   # same broadcast query-set shape
     "ivf_ann_topk",           # broadcast centroids/queries
     "ivfpq_ann_topk",         # broadcast centroids (ivf_assign) + LUT
     "ivf_probe_curve",        # broadcast centroids + tiny grid/census joins
