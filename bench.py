@@ -51,6 +51,7 @@ HEADLINE = [
     "price_band_range_join",
     "events_asof_last_order",
     "event_sessions",
+    "session_overlap_pairs",
     "event_funnel",
     "cohort_retention",
     # training-data ops
@@ -120,6 +121,7 @@ HEADLINE = [
     # time series
     "gap_fill_interpolate",
     "ewma_user_value",
+    "holt_linear_forecast",
     # mergeable sketches
     "approx_rolling_users",
     # snapshot ops
@@ -133,6 +135,7 @@ HEADLINE = [
     "rrf_fused_topk",
     # graph / sampling / drift / layout analytics
     "trade_pagerank",
+    "hits_scores",
     "pps_weighted_sample",
     "ks_source_drift",
     "blocked_fuzzy_match",
@@ -147,6 +150,7 @@ HEADLINE = [
     "bpe_encode_tokens",
     "wordpiece_greedy_encode",
     "dedup_rate_report",
+    "stylometry_burrows_delta",
     "key_gini_skew",
     "k_anonymity_audit",
     "dp_noisy_counts",
@@ -167,6 +171,7 @@ HEADLINE = [
     "bigram_novelty",
     # sharded row ids + random projection
     "stable_doc_ids",
+    "shuffle_run_lengths",
     "jl_projection_error",
     # lossless prefix-filtered set-similarity join
     "prefix_jaccard_pairs",

@@ -3563,6 +3563,127 @@ ORDER BY epoch, position
 
 
 # --------------------------------------------------------------------------
+# shuffle_run_lengths — does the epoch shuffle actually DECORRELATE
+# sources? Training quality degrades when a "shuffled" order still
+# feeds the model long single-source runs (curriculum leakage from a
+# bad loader); this audits the exact order epoch_shuffle_plan emits.
+#
+# Gaps-and-islands over the per-epoch shuffle rank: a run is a
+# maximal stretch of consecutive same-source docs. Per (epoch,
+# source): doc count, run count, longest run, mean run length, and
+# the mixing ratio observed_runs / E[runs] — for a uniform random
+# permutation E[runs_s] = n_s·(N − n_s + 1)/N, so a healthy shuffle
+# reads ≈ 1.0 and a source-clumped order reads ≪ 1. Both divisions
+# are single exact-integer-operand double divisions (numerators and
+# denominators are BIGINTs on both engines).
+#
+# Scale: shares epoch_shuffle_plan's contract — the md5 sort key is
+# reconstructible stateless; the global per-epoch rank becomes the
+# sharded stable_row_ids machinery at 100 TB, and the islands step is
+# a lag + running sum over the same partitioned window.
+# --------------------------------------------------------------------------
+
+
+def q_shuffle_run_lengths(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    epochs = docs.sparkSession.range(_EPOCHS).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    keyed = docs.join(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        "source",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint").alias("k"),
+    )
+    w = W.partitionBy("epoch").orderBy("k", "doc_id")
+    flagged = keyed.withColumn(
+        "new_run",
+        F.when(
+            F.lag("source").over(w).isNull()
+            | (F.lag("source").over(w) != F.col("source")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    runs = flagged.groupBy("epoch", "source", "run_id").agg(
+        F.count("*").alias("run_len")
+    )
+    per_src = runs.groupBy("epoch", "source").agg(
+        F.sum("run_len").cast("long").alias("n_docs"),
+        F.count("*").alias("n_runs"),
+        F.max("run_len").cast("long").alias("max_run"),
+    )
+    n_all = docs.agg(F.count("*").alias("n_all"))
+    return (
+        per_src.crossJoin(F.broadcast(n_all))
+        .select(
+            "epoch",
+            "source",
+            "n_docs",
+            "n_runs",
+            "max_run",
+            (F.col("n_docs") / F.col("n_runs")).alias("mean_run"),
+            (
+                (F.col("n_runs") * F.col("n_all"))
+                / (F.col("n_docs") * (F.col("n_all") - F.col("n_docs") + 1))
+            ).alias("mix_ratio"),
+        )
+        .orderBy("epoch", "source")
+    )
+
+
+SHUFFLE_RUN_LENGTHS_SQL = f"""
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id, d.source,
+         CAST('0x' || substr(md5(e.epoch || ':' || d.doc_id), 1, 12)
+              AS BIGINT) AS k
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, {_EPOCHS})) AS epoch) e
+),
+flagged AS (
+  SELECT epoch, source, k, doc_id,
+         CASE WHEN lag(source) OVER w IS NULL
+                OR lag(source) OVER w <> source THEN 1 ELSE 0 END AS new_run
+  FROM keyed
+  WINDOW w AS (PARTITION BY epoch ORDER BY k, doc_id)
+),
+runs AS (
+  SELECT epoch, source, run_id, COUNT(*) AS run_len
+  FROM (
+    SELECT epoch, source,
+           CAST(SUM(new_run) OVER (PARTITION BY epoch ORDER BY k, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS run_id
+    FROM flagged
+  )
+  GROUP BY epoch, source, run_id
+),
+per_src AS (
+  SELECT epoch, source,
+         CAST(SUM(run_len) AS BIGINT) AS n_docs,
+         COUNT(*) AS n_runs,
+         CAST(MAX(run_len) AS BIGINT) AS max_run
+  FROM runs GROUP BY epoch, source
+),
+tot AS (SELECT COUNT(*) AS n_all FROM documents)
+SELECT epoch, source, n_docs, n_runs, max_run,
+       CAST(n_docs AS DOUBLE) / n_runs AS mean_run,
+       CAST(n_runs * n_all AS DOUBLE)
+         / (n_docs * (n_all - n_docs + 1)) AS mix_ratio
+FROM per_src, tot
+ORDER BY epoch, source
+"""
+
+
+# --------------------------------------------------------------------------
 # matryoshka_recall — prefix-truncated embedding retrieval eval.
 #
 # Matryoshka-style representations promise that the FIRST k dims of
@@ -5407,6 +5528,11 @@ QUERIES = {
         q_epoch_shuffle_plan,
         EPOCH_SHUFFLE_PLAN_SQL,
         ("training-loader", "shuffle", "deterministic"),
+    ),
+    "shuffle_run_lengths": Query(
+        q_shuffle_run_lengths,
+        SHUFFLE_RUN_LENGTHS_SQL,
+        ("training-loader", "shuffle", "islands", "audit"),
     ),
     "matryoshka_recall": Query(
         q_matryoshka_recall,

@@ -22,7 +22,11 @@ from city_payroll_data_pipeline_spark.functions.text import (
     PUNCT_CHAR_RE,
     lang_marker_pattern,
 )
-from city_payroll_data_pipeline_spark.operators.graph import SCALE, pagerank_scaled
+from city_payroll_data_pipeline_spark.operators.graph import (
+    SCALE,
+    hits_scaled,
+    pagerank_scaled,
+)
 from city_payroll_data_pipeline_spark.suite import Query, table
 from city_payroll_data_pipeline_spark.suite.parity import _sql_dec_sum, _sql_round
 
@@ -219,6 +223,106 @@ ORDER BY rank_scaled DESC, nation
 
 
 NATION_PPR_SQL = _ppr_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# hits_scores — hub/authority decomposition of the trade graph (HITS,
+# Kleinberg 1999): authorities are nations whose SUPPLIERS everyone
+# buys from, hubs are nations whose CUSTOMERS buy broadly — a
+# direction-aware complement to PageRank's single score. Corpus
+# analogy: mirror-network analysis, where hub sources aggregate many
+# feeds and authority sources originate the content others copy.
+#
+# Exact integer machinery shared with trade_pagerank: scores are
+# SCALE-fixed-point BIGINTs, each half-step sum-normalizes via one
+# DECIMAL(38,0) cross-multiplied truncating div, and the oracle
+# unrolls all iterations as MATERIALIZED CTEs (operators/graph.py
+# ``hits_scaled`` docstring has the overflow bound).
+# --------------------------------------------------------------------------
+
+_HITS_ITERS = 6
+
+
+def q_hits_scores(spark, sf_dir):
+    edges, nation = _trade_edges(spark, sf_dir)
+    scores = hits_scaled(edges, iters=_HITS_ITERS)
+    return (
+        scores.join(F.broadcast(nation), scores.node == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("hub_scaled"),
+            F.col("auth_scaled"),
+            (F.col("hub_scaled") / F.lit(SCALE)).alias("hub"),
+            (F.col("auth_scaled") / F.lit(SCALE)).alias("auth"),
+        )
+        .orderBy(F.desc("auth_scaled"), "nation")
+    )
+
+
+def _hits_oracle_sql(iters: int = _HITS_ITERS) -> str:
+    """Unrolled integer HITS mirroring hits_scaled() term by term:
+    HUGEINT raw sums (Spark: DECIMAL(38,0)), sum-normalization via
+    (raw * SCALE) // total — '//' and Spark 'div' agree on positives."""
+    head = f"""
+WITH edges AS MATERIALIZED (
+  SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY c_nationkey, s_nationkey
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS MATERIALIZED (
+  SELECT node,
+         CAST({SCALE} // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS hub_scaled
+  FROM nodes
+)"""
+    steps = []
+    for k in range(1, iters + 1):
+        prev = f"h{k - 1}"
+        steps.append(f""",
+a{k}_raw AS MATERIALIZED (
+  SELECT n.node, COALESCE(t.raw, CAST(0 AS HUGEINT)) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(CAST(h.hub_scaled AS HUGEINT) * e.w) AS HUGEINT) AS raw
+    FROM edges e JOIN {prev} h ON e.src = h.node GROUP BY e.dst
+  ) t ON n.node = t.node
+),
+a{k} AS MATERIALIZED (
+  SELECT node,
+         CAST(raw * {SCALE} // (SELECT SUM(raw) FROM a{k}_raw) AS BIGINT)
+           AS auth_scaled
+  FROM a{k}_raw
+),
+h{k}_raw AS MATERIALIZED (
+  SELECT n.node, COALESCE(t.raw, CAST(0 AS HUGEINT)) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, CAST(SUM(CAST(a.auth_scaled AS HUGEINT) * e.w) AS HUGEINT) AS raw
+    FROM edges e JOIN a{k} a ON e.dst = a.node GROUP BY e.src
+  ) t ON n.node = t.node
+),
+h{k} AS MATERIALIZED (
+  SELECT node,
+         CAST(raw * {SCALE} // (SELECT SUM(raw) FROM h{k}_raw) AS BIGINT)
+           AS hub_scaled
+  FROM h{k}_raw
+)""")
+    tail = f"""
+SELECT n_name AS nation,
+       h.hub_scaled,
+       a.auth_scaled,
+       CAST(h.hub_scaled AS DOUBLE) / {SCALE} AS hub,
+       CAST(a.auth_scaled AS DOUBLE) / {SCALE} AS auth
+FROM h{iters} h
+JOIN a{iters} a ON h.node = a.node
+JOIN nation ON h.node = n_nationkey
+ORDER BY a.auth_scaled DESC, nation
+"""
+    return head + "".join(steps) + tail
+
+
+HITS_SCORES_SQL = _hits_oracle_sql()
 
 
 # --------------------------------------------------------------------------
@@ -3306,6 +3410,9 @@ QUERIES = {
     ),
     "trade_pagerank": Query(
         q_trade_pagerank, TRADE_PAGERANK_SQL, ("graph", "pagerank", "iterative")
+    ),
+    "hits_scores": Query(
+        q_hits_scores, HITS_SCORES_SQL, ("graph", "hits", "iterative")
     ),
     "pps_weighted_sample": Query(
         q_pps_weighted_sample,

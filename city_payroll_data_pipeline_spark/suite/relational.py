@@ -1270,6 +1270,120 @@ ORDER BY user_id, session_id
 """
 
 # --------------------------------------------------------------------------
+# session_overlap_pairs — which sessions ran CONCURRENTLY across
+# users: the interval-overlap ϴ-join, decomposed into the bucketed
+# equi-join + containing-bucket dedup shape (operators/intervals.py
+# has the scale analysis — the naive predicate join is quadratic and
+# plans as a nested loop; this shuffles on a bucket KEY instead).
+# Corpus analogy: co-occurring crawl/ingest windows, media segments
+# overlapping in time, conflicting pipeline maintenance windows.
+# --------------------------------------------------------------------------
+
+_OVERLAP_BUCKET_S = 3600
+# ≥2 events: singleton "sessions" are zero-length points that would
+# dominate the pair count with degenerate 0-second overlaps; ≥5 would
+# leave ZERO qualifying sessions at sf0.01 — the driver's correctness
+# SF — making the hash check vacuous (measured: 0/784/9147 sessions
+# at thresholds 5/2/1).
+_OVERLAP_MIN_EVENTS = 2
+
+
+def q_session_overlap_pairs(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators.intervals import (
+        bucketed_overlap_join,
+    )
+    from city_payroll_data_pipeline_spark.operators.sessions import (
+        assign_sessions,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    secs = F.unix_timestamp(F.col("ts"))
+    sess = (
+        assign_sessions(ev, gap_seconds=3600)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(secs).alias("s_start"),
+            F.max(secs).alias("s_end"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("n_events") >= _OVERLAP_MIN_EVENTS)
+        # both join sides re-derive from this frame; checkpoint so the
+        # sessionization window runs once
+        .localCheckpoint(eager=True)
+    )
+    a = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("session_a"),
+        F.col("s_start").alias("a_start"),
+        F.col("s_end").alias("a_end"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("session_b"),
+        F.col("s_start").alias("b_start"),
+        F.col("s_end").alias("b_end"),
+    )
+    pairs = bucketed_overlap_join(
+        a,
+        b,
+        "a_start",
+        "a_end",
+        "b_start",
+        "b_end",
+        pred=F.col("user_a") < F.col("user_b"),
+        bucket_width=_OVERLAP_BUCKET_S,
+    )
+    return (
+        pairs.select(
+            "user_a", "session_a", "user_b", "session_b", "overlap_s"
+        )
+        .orderBy(
+            F.desc("overlap_s"), "user_a", "session_a", "user_b", "session_b"
+        )
+        .limit(20)
+    )
+
+
+SESSION_OVERLAP_PAIRS_SQL = f"""
+WITH secs AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, event_id,
+         CASE WHEN lag(s) OVER w IS NULL
+                OR s - lag(s) OVER w > 3600 THEN 1 ELSE 0 END AS new_session
+  FROM secs
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+numbered AS (
+  SELECT user_id, s,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS session_id
+  FROM flagged
+),
+sess AS MATERIALIZED (
+  SELECT user_id, session_id,
+         MIN(s) AS s_start, MAX(s) AS s_end
+  FROM numbered
+  GROUP BY user_id, session_id
+  HAVING COUNT(*) >= {_OVERLAP_MIN_EVENTS}
+)
+SELECT a.user_id AS user_a, a.session_id AS session_a,
+       b.user_id AS user_b, b.session_id AS session_b,
+       LEAST(a.s_end, b.s_end) - GREATEST(a.s_start, b.s_start) AS overlap_s
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id
+ AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+ORDER BY overlap_s DESC, user_a, session_a, user_b, session_b
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Semi-structured (JSON) extraction — events.props is a JSON blob
 # --------------------------------------------------------------------------
 
@@ -1492,6 +1606,126 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
+"""
+
+# --------------------------------------------------------------------------
+# holt_linear_forecast — Holt's double exponential smoothing (level +
+# trend) over the monthly revenue series, h = 1..3 months ahead. The
+# capacity-planning op of the time-series family: ewma_user_value is
+# the level-only single smoother; this adds the trend recursion
+# (α = 3/10, β = 2/10 as exact rationals):
+#
+#   l_t = (3·y_t + 7·(l_{t-1} + b_{t-1})) div 10
+#   b_t = (2·(l_t − l_{t-1}) + 8·b_{t-1}) div 10      (l_1 = y_1, b_1 = 0)
+#   ŷ_{T+h} = l_T + h·b_T
+#
+# Everything is integer micro-dollars (the exact DECIMAL(18,6) month
+# sum × 10^6), and Spark `div` / DuckDB `//` both truncate toward
+# zero INCLUDING negatives (verified), so a declining-trend b < 0 is
+# replayed bit-exactly. The recursion itself is ONE codegen'd
+# `aggregate` fold over the sorted month array (DuckDB: list_reduce
+# seeded by the first element — the same l_1 = y_1, b_1 = 0 init).
+#
+# Scale: the corpus-sized work is the one month groupBy (map-side
+# combinable); the fold runs over a months-long array (~10^2 entries
+# for decades of data) — model-sized, like the BPE merge replay.
+# Overflow bound: 3y+7(l+b) < 10·max-month-micros, safe to ~10^17
+# micro-dollars/month; switch the scale constant to cents beyond.
+# --------------------------------------------------------------------------
+
+_HOLT_FOLD = """
+aggregate(
+  slice(transform(ser, s -> named_struct('l', s.y, 'b', CAST(0 AS BIGINT))),
+        2, size(ser) - 1),
+  named_struct('l', element_at(ser, 1).y, 'b', CAST(0 AS BIGINT)),
+  (acc, x) -> named_struct(
+    'l', (3 * x.l + 7 * (acc.l + acc.b)) div 10,
+    'b', (2 * (((3 * x.l + 7 * (acc.l + acc.b)) div 10) - acc.l)
+          + 8 * acc.b) div 10))
+"""
+
+
+def q_holt_linear_forecast(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("m")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+            " AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+        ).alias("y")
+    )
+    packed = monthly.agg(
+        F.array_sort(F.collect_list(F.struct("m", "y"))).alias("ser"),
+        F.count("*").alias("n_months"),
+    )
+    st = packed.select(
+        "n_months", F.expr(_HOLT_FOLD).alias("st")
+    ).select(
+        "n_months",
+        F.col("st.l").alias("level_micro"),
+        F.col("st.b").alias("trend_micro"),
+        *[
+            (F.col("st.l") + h * F.col("st.b")).alias(f"fc{h}_micro")
+            for h in (1, 2, 3)
+        ],
+    )
+    out = st.select(
+        "n_months",
+        "level_micro",
+        "trend_micro",
+        "fc1_micro",
+        "fc2_micro",
+        "fc3_micro",
+        (F.col("level_micro") / F.lit(1000000.0)).alias("level"),
+        (F.col("trend_micro") / F.lit(1000000.0)).alias("trend"),
+        (F.col("fc1_micro") / F.lit(1000000.0)).alias("forecast_1"),
+        (F.col("fc2_micro") / F.lit(1000000.0)).alias("forecast_2"),
+        (F.col("fc3_micro") / F.lit(1000000.0)).alias("forecast_3"),
+    )
+    return out
+
+
+# The oracle replays the fold as a RECURSIVE CTE over the month
+# index (the max_coverage_select precedent), NOT list_reduce: DuckDB
+# 1.0's list_reduce updates the accumulator struct FIELD BY FIELD, so
+# a later field's expression reading acc.<earlier-field> silently
+# sees the already-updated value — measured here as a wrong trend on
+# the first step. The step join makes each iteration read only the
+# previous row, which has classic fold semantics by construction.
+HOLT_LINEAR_FORECAST_SQL = """
+WITH RECURSIVE monthly AS (
+  SELECT date_trunc('month', l_shipdate) AS m,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+),
+idx AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY m) AS i FROM monthly
+),
+n AS (SELECT COUNT(*) AS c FROM idx),
+rec AS (
+  SELECT CAST(1 AS BIGINT) AS i,
+         (SELECT y FROM idx WHERE i = 1) AS l,
+         CAST(0 AS BIGINT) AS b
+  UNION ALL
+  SELECT r.i + 1,
+         (3 * x.y + 7 * (r.l + r.b)) // 10,
+         (2 * (((3 * x.y + 7 * (r.l + r.b)) // 10) - r.l) + 8 * r.b) // 10
+  FROM rec r JOIN idx x ON x.i = r.i + 1
+)
+SELECT (SELECT c FROM n) AS n_months,
+       l AS level_micro,
+       b AS trend_micro,
+       l + 1 * b AS fc1_micro,
+       l + 2 * b AS fc2_micro,
+       l + 3 * b AS fc3_micro,
+       CAST(l AS DOUBLE) / 1000000.0 AS level,
+       CAST(b AS DOUBLE) / 1000000.0 AS trend,
+       CAST(l + 1 * b AS DOUBLE) / 1000000.0 AS forecast_1,
+       CAST(l + 2 * b AS DOUBLE) / 1000000.0 AS forecast_2,
+       CAST(l + 3 * b AS DOUBLE) / 1000000.0 AS forecast_3
+FROM rec WHERE i = (SELECT c FROM n)
 """
 
 # --------------------------------------------------------------------------
@@ -3872,6 +4106,11 @@ QUERIES = {
     "event_sessions": Query(
         q_event_sessions, EVENT_SESSIONS_SQL, ("window", "sessionize")
     ),
+    "session_overlap_pairs": Query(
+        q_session_overlap_pairs,
+        SESSION_OVERLAP_PAIRS_SQL,
+        ("interval-join", "bucketed", "sessionize"),
+    ),
     "customer_order_windows": Query(
         q_customer_order_windows,
         CUSTOMER_ORDER_WINDOWS_SQL,
@@ -3906,6 +4145,11 @@ QUERIES = {
     "json_event_props": Query(q_json_event_props, JSON_EVENT_PROPS_SQL, ("json",)),
     "revenue_forecast": Query(
         q_revenue_forecast, REVENUE_FORECAST_SQL, ("agg", "tpch_q6", "pushdown")
+    ),
+    "holt_linear_forecast": Query(
+        q_holt_linear_forecast,
+        HOLT_LINEAR_FORECAST_SQL,
+        ("time-series", "forecast", "fold", "integer-exact"),
     ),
     "priority_order_check": Query(
         q_priority_order_check,

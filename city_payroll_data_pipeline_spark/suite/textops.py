@@ -6572,6 +6572,183 @@ ORDER BY source_a, source_b
 """
 
 
+# --------------------------------------------------------------------------
+# stylometry_burrows_delta — authorship-attribution distance between
+# sources (Burrows 2002 "Delta"), the stylometric complement to the
+# content-based provenance queries (source_dedup_matrix finds shared
+# DOCUMENTS; Delta finds shared WRITING STYLE — a mirror that
+# paraphrases, or two feeds with one upstream author, converge in
+# function-word profile long before they share fingerprints).
+#
+# Delta(a, b) = mean over the top-M corpus words of the scaled
+# deviation |z_a(w) − z_b(w)|. The classic z uses the std-dev; this
+# implementation uses the MEAN-ABSOLUTE-DEVIATION scaling (Argamon
+# 2008's linear/L1 reading of Delta) so the whole statistic stays in
+# exact integer arithmetic — a square root would force inexact floats
+# across an aggregation, which the suite's determinism rule forbids.
+#
+#   F(s,w)  = (count(s,w) · 10^12) div total_tokens(s)     [BIGINT]
+#   D(w)    = Σ_s |S·F(s,w) − Σ_s F(s,w)|                  [= S²·MAD]
+#   term    = (S² · |F(a,w) − F(b,w)| · 10^6) div D(w)     [= |Δz|·10^6]
+#   delta   = Σ_w term / (m_used · 10^6)   (single exact division)
+#
+# Words with D(w) = 0 (identical scaled frequency everywhere) carry no
+# signal and are excluded; m_used counts the survivors so the mean is
+# over the words actually scored — the same set on both engines.
+#
+# Scale shape: the ONLY corpus-sized stage is the word explode into a
+# (source, term) count (map-side combinable, one shuffle — the same
+# budget as source_vocab_overlap). Everything after is bounded by
+# |sources|·M: the top-M list rides TakeOrderedAndProject (no global
+# window), the S×M grid is two broadcast joins, and the pair frame is
+# S²·M rows. The 1-row S / m_used scalars stay in-plan via broadcast
+# cross joins (zero driver round trips).
+# --------------------------------------------------------------------------
+
+_DELTA_TOP_WORDS = 30
+_DELTA_FREQ_SCALE = 10**12
+_DELTA_Z_SCALE = 10**6
+
+
+def q_stylometry_burrows_delta(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    cnt = (
+        docs.select(
+            "source", F.explode(word_tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+        # reused three ways (per-source totals, global top-M, grid
+        # lookup); checkpoint so the corpus explode runs ONCE
+        .localCheckpoint(eager=True)
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    topw = (
+        cnt.groupBy("term")
+        .agg(F.sum("c").alias("g"))
+        .orderBy(F.desc("g"), F.asc("term"))
+        .limit(_DELTA_TOP_WORDS)
+        .select("term")
+    )
+    grid = (
+        tot.crossJoin(F.broadcast(topw))
+        .join(cnt, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            F.expr(
+                f"CAST(CAST(coalesce(c, 0) AS DECIMAL(38,0))"
+                f" * {_DELTA_FREQ_SCALE} div t AS BIGINT)"
+            ).alias("f"),
+        )
+        .localCheckpoint(eager=True)  # S×M rows; read by stats + self-join
+    )
+    ns = tot.agg(F.count("*").alias("s"))
+    sw = grid.groupBy("term").agg(F.sum("f").alias("sw"))
+    dev = (
+        grid.join(sw, "term")
+        .crossJoin(F.broadcast(ns))
+        .groupBy("term")
+        .agg(
+            F.sum(
+                F.expr("abs(CAST(s AS DECIMAL(38,0)) * f - sw)")
+            ).alias("d")
+        )
+        .filter(F.col("d") > 0)
+        .localCheckpoint(eager=True)  # read by m_used + the pair frame
+    )
+    used = dev.agg(F.count("*").alias("m_used"))
+    a, b = grid.alias("a"), grid.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .join(dev.alias("dv"), F.col("a.term") == F.col("dv.term"))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.expr(
+                f"CAST(CAST(s AS DECIMAL(38,0)) * s"
+                f" * abs(a.f - b.f) * {_DELTA_Z_SCALE} div d AS BIGINT)"
+            ).alias("term_scaled"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum("term_scaled").cast("long").alias("delta_scaled"))
+        .crossJoin(F.broadcast(used))
+        .select(
+            "source_a",
+            "source_b",
+            "delta_scaled",
+            "m_used",
+            (
+                F.col("delta_scaled")
+                / (F.col("m_used") * F.lit(float(_DELTA_Z_SCALE)))
+            ).alias("delta"),
+        )
+        .orderBy("delta_scaled", "source_a", "source_b")
+    )
+
+
+STYLOMETRY_BURROWS_DELTA_SQL = f"""
+WITH cnt AS MATERIALIZED (
+  SELECT source, term, COUNT(*) AS c
+  FROM (
+    SELECT source,
+           unnest(regexp_extract_all(lower(text), '[A-Za-z]+', 0)) AS term
+    FROM documents
+  )
+  GROUP BY source, term
+),
+tot AS MATERIALIZED (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY source
+),
+topw AS MATERIALIZED (
+  SELECT term FROM cnt GROUP BY term
+  ORDER BY SUM(c) DESC, term ASC LIMIT {_DELTA_TOP_WORDS}
+),
+grid AS MATERIALIZED (
+  SELECT t.source, w.term,
+         CAST(CAST(COALESCE(c.c, 0) AS HUGEINT)
+              * {_DELTA_FREQ_SCALE} // t.t AS BIGINT) AS f
+  FROM tot t
+  CROSS JOIN topw w
+  LEFT JOIN cnt c ON c.source = t.source AND c.term = w.term
+),
+ns AS (SELECT COUNT(*) AS s FROM tot),
+sw AS MATERIALIZED (
+  SELECT term, CAST(SUM(f) AS BIGINT) AS sw FROM grid GROUP BY term
+),
+dev AS MATERIALIZED (
+  SELECT g.term,
+         SUM(ABS(CAST((SELECT s FROM ns) AS HUGEINT) * g.f - w.sw)) AS d
+  FROM grid g JOIN sw w ON g.term = w.term
+  GROUP BY g.term
+  HAVING SUM(ABS(CAST((SELECT s FROM ns) AS HUGEINT) * g.f - w.sw)) > 0
+),
+used AS (SELECT COUNT(*) AS m_used FROM dev)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(CAST((CAST((SELECT s FROM ns) AS HUGEINT)
+                      * (SELECT s FROM ns) * ABS(a.f - b.f)
+                      * {_DELTA_Z_SCALE}) // d.d AS BIGINT)) AS BIGINT)
+         AS delta_scaled,
+       (SELECT m_used FROM used) AS m_used,
+       CAST(SUM(CAST((CAST((SELECT s FROM ns) AS HUGEINT)
+                      * (SELECT s FROM ns) * ABS(a.f - b.f)
+                      * {_DELTA_Z_SCALE}) // d.d AS BIGINT)) AS DOUBLE)
+         / ((SELECT m_used FROM used) * 1000000.0) AS delta
+FROM grid a
+JOIN grid b ON a.term = b.term AND a.source < b.source
+JOIN dev d ON d.term = a.term
+GROUP BY a.source, b.source
+ORDER BY delta_scaled, source_a, source_b
+"""
+
+
 QUERIES = {
     "doc_perplexity": Query(
         q_doc_perplexity,
@@ -6906,5 +7083,10 @@ QUERIES = {
         q_span_corruption_plan,
         SPAN_CORRUPTION_PLAN_SQL,
         ("text", "pretraining", "denoising", "budget"),
+    ),
+    "stylometry_burrows_delta": Query(
+        q_stylometry_burrows_delta,
+        STYLOMETRY_BURROWS_DELTA_SQL,
+        ("text", "stylometry", "provenance", "integer-exact"),
     ),
 }

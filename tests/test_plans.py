@@ -215,6 +215,9 @@ _INTENTIONAL_BNLJ = {
     "kneser_ney_bigram",      # broadcast 1-row bigram-type total
     "budget_rebalance_sample",  # broadcast 1-row min + rate table
     "join_key_skew",          # broadcast 1-row key-stats agg
+    "hits_scores",            # broadcast 1-row sum-normalization totals
+    "stylometry_burrows_delta",  # broadcast top-M words + 1-row S/m_used
+    "shuffle_run_lengths",    # broadcast 1-row corpus-count scalar
     "cosine_neardup_pairs",   # broadcast pair candidates
     "cosine_topk",            # broadcast query set vs corpus
     "hard_negative_mining",   # same broadcast query-set shape

@@ -819,3 +819,151 @@ def test_pq_codebook_trained_matches_python_reference(spark, data):
         ).collect()
     }
     assert got == cb
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_hits_scaled_matches_python_reference(spark, raw_edges):
+    """The integer-scaled HITS operator (operators/graph.py::
+    hits_scaled) vs an independent pure-Python replay on random small
+    weighted digraphs: hub and authority fixed-point vectors must
+    match exactly after every sum-normalized half-step (truncating
+    div, ties and zero-mass nodes included). The DuckDB oracle unrolls
+    the same formula, so this guards against a Spark-plan drift (join
+    nullability, decimal promotion) the oracle would share."""
+    from city_payroll_data_pipeline_spark.operators.graph import (
+        SCALE,
+        hits_scaled,
+    )
+
+    # collapse duplicate (src, dst) pairs the way an edge aggregation
+    # would, and drop self-loop-free requirements (HITS allows loops)
+    w = {}
+    for s, d, wt in raw_edges:
+        w[(s, d)] = w.get((s, d), 0) + wt
+    nodes = sorted({s for s, _ in w} | {d for _, d in w})
+    n = len(nodes)
+    iters = 4
+
+    hub = {v: SCALE // n for v in nodes}
+    auth = {}
+    for _ in range(iters):
+        raw = {v: 0 for v in nodes}
+        for (s, d), wt in w.items():
+            raw[d] += hub[s] * wt
+        total = sum(raw.values())
+        auth = {v: raw[v] * SCALE // total for v in nodes}
+        raw = {v: 0 for v in nodes}
+        for (s, d), wt in w.items():
+            raw[s] += auth[d] * wt
+        total = sum(raw.values())
+        hub = {v: raw[v] * SCALE // total for v in nodes}
+
+    edges = spark.createDataFrame(
+        [(s, d, wt) for (s, d), wt in w.items()],
+        "src long, dst long, weight long",
+    )
+    got = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits_scaled(edges, iters=iters).collect()
+    }
+    assert got == {v: (hub[v], auth[v]) for v in nodes}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # group key
+            st.integers(min_value=0, max_value=500),    # start
+            st.integers(min_value=0, max_value=400),    # length
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bucketed_overlap_join_matches_brute_force(spark, raw):
+    """operators/intervals.py::bucketed_overlap_join vs the O(n²)
+    predicate join on random closed intervals — including zero-length
+    intervals and endpoints exactly on bucket boundaries, the cases
+    where the containing-bucket dedup could double- or zero-count a
+    pair. Every qualifying pair must appear EXACTLY once with the
+    exact overlap length."""
+    from pyspark.sql import functions as F
+
+    from city_payroll_data_pipeline_spark.operators.intervals import (
+        bucketed_overlap_join,
+    )
+
+    W = 100
+    iv = [(g, i, s, s + ln) for i, (g, s, ln) in enumerate(raw)]
+    want = {}
+    for ga, ia, sa, ea in iv:
+        for gb, ib, sb, eb in iv:
+            if ga < gb and sa <= eb and sb <= ea:
+                want[(ia, ib)] = min(ea, eb) - max(sa, sb)
+
+    a = spark.createDataFrame(
+        [(g, i, s, e) for g, i, s, e in iv],
+        "ga long, ia long, a_start long, a_end long",
+    )
+    b = spark.createDataFrame(
+        [(g, i, s, e) for g, i, s, e in iv],
+        "gb long, ib long, b_start long, b_end long",
+    )
+    rows = bucketed_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end",
+        pred=F.col("ga") < F.col("gb"), bucket_width=W,
+    ).collect()
+    got_list = [((r["ia"], r["ib"]), r["overlap_s"]) for r in rows]
+    # exactly-once: a dict comprehension would silently mask a
+    # double-counted multi-bucket pair
+    assert len(got_list) == len({k for k, _ in got_list})
+    assert dict(got_list) == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-10**15, max_value=10**15),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_holt_fold_matches_python_reference(spark, ys):
+    """The Holt level/trend fold (suite/relational.py::_HOLT_FOLD) vs
+    a pure-Python replay with explicit truncate-toward-zero division —
+    negative values and declining trends included, since trunc-vs-
+    floor on negatives is exactly where Spark `div` and a naive
+    Python // would diverge (DuckDB's recursive-CTE oracle shares the
+    trunc convention; the docstring records the verification)."""
+    from pyspark.sql import functions as F
+
+    from city_payroll_data_pipeline_spark.suite.relational import _HOLT_FOLD
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    l, b = ys[0], 0
+    for y in ys[1:]:
+        nl = tdiv(3 * y + 7 * (l + b), 10)
+        nb = tdiv(2 * (nl - l) + 8 * b, 10)
+        l, b = nl, nb
+
+    df = spark.createDataFrame(
+        [([(i, y) for i, y in enumerate(ys)],)],
+        "ser array<struct<m: long, y: long>>",
+    )
+    row = df.select(F.expr(_HOLT_FOLD).alias("st")).collect()[0]["st"]
+    assert (row["l"], row["b"]) == (l, b)
