@@ -487,3 +487,75 @@ def windowed_psi_drift(
         *[F.col(f"c{i}") for i in range(n_bins)],
         F.round(psi, 6).alias("psi"),
     )
+
+
+def windowed_source_mix(
+    df: DataFrame,
+    source_col: str,
+    ts_col: str,
+    sources: list[str],
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Windowed corpus-mix monitor — the other half of the streaming
+    feed-health pair (windowed_psi_drift watches a VALUE distribution;
+    this watches the SOURCE composition): per event-time window, one
+    count per expected source plus an ``other`` bucket for feeds not
+    in the contract, the max share (dominance), and the Shannon
+    entropy of the mix in nats with its normalized form
+    entropy/ln(S+1). A healthy multi-feed ingest sits near its usual
+    entropy; one feed flooding the corpus (or dying) collapses it —
+    the alert a mix-weight pipeline (training_mix_report,
+    temperature_mixture) needs BEFORE the batch recompute.
+
+    Same batch-twin equality contract as every job in this module
+    (identical results on a stream and on the batch union of its
+    micro-batches): the whole computation is ONE stateful aggregation
+    — per-source counts as conditional sums inside a single
+    groupBy(window), the expected-source list shipped as literals —
+    followed by a stateless projection. State per window is one row
+    of len(sources)+2 longs regardless of stream volume; the
+    watermark frees it once the window closes.
+
+    Determinism: shares are exact-operand long/long divisions; the
+    entropy sum is a fixed-order row-level expression (never an
+    aggregation over doubles), so batch and stream agree bitwise.
+    """
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    s = F.col(source_col)
+    counts = [
+        F.sum((s == F.lit(name)).cast("long")).alias(f"c{i}")
+        for i, name in enumerate(sources)
+    ]
+    agg = src.groupBy(F.window(ts_col, window).alias("win")).agg(
+        F.count("*").alias("n"), *counts
+    )
+    n_named = len(sources)
+    other = F.col("n") - sum(
+        (F.col(f"c{i}") for i in range(1, n_named)), F.col("c0")
+    )
+    cols = [F.col(f"c{i}") for i in range(n_named)] + [other]
+    n = F.col("n").cast("double")
+    terms = [
+        F.when(c > 0, -(c / n) * F.log(c / n)).otherwise(F.lit(0.0))
+        for c in cols
+    ]
+    entropy = sum(terms[1:], terms[0])
+    max_share = F.greatest(*cols) / n
+    import math
+
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "n",
+        *[
+            F.col(f"c{i}").alias(f"n_{name}")
+            for i, name in enumerate(sources)
+        ],
+        other.alias("n_other"),
+        F.round(max_share, 6).alias("max_share"),
+        F.round(entropy, 6).alias("entropy"),
+        F.round(entropy / F.lit(math.log(n_named + 1)), 6).alias(
+            "entropy_norm"
+        ),
+    )

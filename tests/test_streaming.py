@@ -869,3 +869,75 @@ def test_streaming_dedup_groups_agrees_with_batch(spark, tmp_path):
     assert keeps == [4, 10]  # min doc_id, arrival-order-free
     sizes = sorted(v[1] for v in got.values())
     assert sizes == [2, 3]
+
+
+def test_streaming_source_mix_agrees_with_batch(spark, tmp_path):
+    """Windowed source-mix monitor: the streamed per-window counts /
+    dominance / entropy (one stateful aggregation, conditional
+    per-source sums) must equal the same function applied to the
+    batch union of the micro-batches — the module's batch-twin
+    equality contract. Includes an out-of-contract source that must
+    land in n_other, and a single-source window whose entropy must be
+    exactly 0."""
+    import datetime as dt
+    import math
+
+    from city_payroll_data_pipeline_spark.streaming.jobs import (
+        run_to_memory,
+        windowed_source_mix,
+    )
+
+    src = tmp_path / "mix_src"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(minute, names):
+        return [
+            (nm, t0 + dt.timedelta(minutes=minute, seconds=i))
+            for i, nm in enumerate(names)
+        ]
+
+    # window 1: mixed feeds + one rogue source; window 2: src0 only
+    batch1 = rows(0, ["src0", "src1", "src1", "rogue", "src2"]) + rows(
+        12, ["src0", "src0"]
+    )
+    batch2 = rows(3, ["src2", "src0", "rogue"]) + rows(14, ["src0"])
+    schema = "source string, ts timestamp"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    sources = ["src0", "src1", "src2"]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_to_memory(
+        windowed_source_mix(stream, "source", "ts", sources),
+        "mix_out",
+        output_mode="complete",
+    )
+    key = lambda r: r["window_start"]
+    val = lambda r: (
+        r["n"], r["n_src0"], r["n_src1"], r["n_src2"], r["n_other"],
+        r["max_share"], r["entropy"], r["entropy_norm"],
+    )
+    got = {key(r): val(r) for r in spark.table("mix_out").collect()}
+    want_df = windowed_source_mix(
+        spark.createDataFrame(batch1 + batch2, schema), "source", "ts", sources
+    )
+    want = {key(r): val(r) for r in want_df.collect()}
+    assert got == want
+    assert len(want) == 2
+    w2 = want[dt.datetime(2024, 1, 1, 0, 10, 0)]
+    # single-source window: 3 × src0 → dominance 1, entropy exactly 0
+    assert w2[:5] == (3, 3, 0, 0, 0)
+    assert w2[5:] == (1.0, 0.0, 0.0)
+    w1 = want[dt.datetime(2024, 1, 1, 0, 0, 0)]
+    # mixed window: 8 events = 2/2/2/2 across src0/src1/src2/rogue
+    assert w1[:5] == (8, 2, 2, 2, 2)
+    assert w1[5] == 0.25
+    assert w1[6] == round(math.log(4), 6)
