@@ -133,6 +133,7 @@ HEADLINE = [
     # embedding eval
     "nearest_centroid_eval",
     "rrf_fused_topk",
+    "fps_coreset",
     # graph / sampling / drift / layout analytics
     "trade_pagerank",
     "hits_scores",

@@ -176,3 +176,66 @@ def kmeans(
         return assignments, centers, n_iter
     finally:
         corpus.unpersist(blocking=False)
+
+
+def fps_select(
+    corpus: DataFrame, k: int, id_col: str = "vec_id", q_col: str = "q"
+) -> list[tuple[int, int, int | None]]:
+    """Farthest-point sampling (k-center greedy, Gonzalez 1985) over a
+    quantized integer-grid embedding column — the coreset/pruning
+    baseline for embedding-space data selection (pick the k most
+    mutually distant exemplars; the k-th selection distance IS the
+    2-approximation bound on the optimal k-center radius).
+
+    Returns ``[(step, id, sel_d2), ...]`` — at each step the point
+    whose minimum squared L2 distance (exact BIGINT on the quantized
+    grid) to the already-selected set is LARGEST, ties to the smaller
+    id; step 1 seeds deterministically at the smallest id (no RNG),
+    ``sel_d2`` is NULL for the seed.
+
+    Scale shape — the greedy_max_coverage precedent: FPS is inherently
+    sequential (each argmax conditions on the selected set), so the
+    operator runs k driver rounds of ONE distributed argmax each; the
+    per-round driver traffic is a single row (id + dmin + the selected
+    vector, model-sized), and the selected vector returns as a literal
+    in the next round's dmin update — the corpus never moves. The dmin
+    frame is eagerly localCheckpoint'd per round so each argmax reads
+    a materialized narrow frame instead of re-running the chain.
+    """
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(q_col), F.col("_sel_q"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc + d,
+    )
+    seed = (
+        corpus.orderBy(id_col)
+        .limit(1)
+        .select(id_col, q_col)
+        .collect()[0]
+    )
+    out: list[tuple[int, int, int | None]] = [(1, seed[id_col], None)]
+    sel_q = list(seed[q_col])
+    cur = corpus.select(
+        id_col,
+        q_col,
+        F.lit(None).cast("bigint").alias("dmin"),
+    ).filter(F.col(id_col) != seed[id_col])
+    for step in range(2, k + 1):
+        lit_q = F.array(*[F.lit(int(v)) for v in sel_q])
+        cur = cur.withColumn("_sel_q", lit_q).select(
+            id_col,
+            q_col,
+            F.least(
+                F.coalesce(F.col("dmin"), F.lit(2**62)), dist
+            ).alias("dmin"),
+        )
+        cur = cur.localCheckpoint(eager=True)
+        pick = (
+            cur.orderBy(F.desc("dmin"), id_col).limit(1).collect()[0]
+        )
+        out.append((step, pick[id_col], pick["dmin"]))
+        sel_q = list(pick[q_col])
+        cur = cur.filter(F.col(id_col) != pick[id_col])
+    return out

@@ -2388,7 +2388,112 @@ ORDER BY s.query_id, rank""".replace(
 MMR_DIVERSIFIED_TOPK_SQL = _mmr_sql()
 
 
+# --------------------------------------------------------------------------
+# fps_coreset — farthest-point sampling (k-center greedy, Gonzalez
+# 1985): the embedding-space CORESET selector, completing the
+# data-selection family (max_coverage_select picks by feature
+# coverage; DSIR by importance weight; this picks the k most mutually
+# distant exemplars — the standard seed set for pruning, labeling
+# budgets, and cluster init). The k-th selection distance is the
+# classic 2-approximation certificate on the optimal k-center radius,
+# so the decreasing sel_dist column doubles as a "how many exemplars
+# do I need" curve.
+#
+# Exact integer squared L2 on the quantized grid end-to-end; the
+# greedy is k driver rounds of ONE distributed argmax each
+# (operators/clustering.py::fps_select — the greedy_max_coverage
+# precedent for inherently sequential selection), and the oracle
+# unrolls the same k steps as MATERIALIZED CTEs, scalar-subquery
+# selected vector per step.
+# --------------------------------------------------------------------------
+
+_FPS_K = 8
+
+
+def q_fps_coreset(spark, sf_dir):
+    import math
+
+    from city_payroll_data_pipeline_spark.operators.clustering import (
+        fps_select,
+    )
+
+    emb = table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", sim.quantize(F.col("embedding")).alias("q")
+    )
+    sel = fps_select(emb, _FPS_K)
+    rows = [
+        (
+            step,
+            vid,
+            d2,
+            (math.sqrt(d2) / sim.QUANT) if d2 is not None else None,
+        )
+        for step, vid, d2 in sel
+    ]
+    return spark.createDataFrame(
+        rows, "step int, vec_id bigint, sel_d2 bigint, sel_dist double"
+    ).orderBy("step")
+
+
+def _fps_sql(k: int = _FPS_K) -> str:
+    """Unrolled FPS mirroring fps_select round for round: per step a
+    dmin-update table (LEAST with the exact d² to the just-selected
+    vector) and a (dmin DESC, vec_id ASC) LIMIT 1 pick."""
+
+    def d2(cand: str, sel_vid: str) -> str:
+        return (
+            f"(SELECT CAST(list_sum(list_transform(list_zip({cand}.q, s.q),"
+            f" p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+            f" FROM qc s WHERE s.vec_id = {sel_vid})"
+        )
+
+    head = f"""
+WITH qc AS MATERIALIZED ({_Q_CORPUS_SQL}),
+seed AS (SELECT MIN(vec_id) AS v FROM qc),
+d1 AS MATERIALIZED (
+  SELECT c.vec_id, c.q, {d2('c', '(SELECT v FROM seed)')} AS dmin
+  FROM qc c WHERE c.vec_id <> (SELECT v FROM seed)
+)"""
+    steps = []
+    for t in range(2, k + 1):
+        steps.append(f""",
+pick{t} AS MATERIALIZED (
+  SELECT vec_id, dmin FROM d{t - 1}
+  ORDER BY dmin DESC, vec_id LIMIT 1
+)""")
+        if t < k:
+            steps.append(f""",
+d{t} AS MATERIALIZED (
+  SELECT c.vec_id, c.q,
+         LEAST(c.dmin, {d2('c', f'(SELECT vec_id FROM pick{t})')}) AS dmin
+  FROM d{t - 1} c WHERE c.vec_id <> (SELECT vec_id FROM pick{t})
+)""")
+    picks = "\nUNION ALL\n".join(
+        f"SELECT {t} AS step, vec_id, dmin AS sel_d2,"
+        f" sqrt(CAST(dmin AS DOUBLE)) / 10000 AS sel_dist FROM pick{t}"
+        for t in range(2, k + 1)
+    )
+    tail = f"""
+SELECT CAST(step AS INT) AS step, vec_id, sel_d2, sel_dist FROM (
+  SELECT 1 AS step, (SELECT v FROM seed) AS vec_id,
+         CAST(NULL AS BIGINT) AS sel_d2, CAST(NULL AS DOUBLE) AS sel_dist
+  UNION ALL
+  {picks}
+)
+ORDER BY step
+"""
+    return head + "".join(steps) + tail
+
+
+FPS_CORESET_SQL = _fps_sql()
+
+
 QUERIES = {
+    "fps_coreset": Query(
+        q_fps_coreset,
+        FPS_CORESET_SQL,
+        ("coreset", "k-center", "embedding", "greedy"),
+    ),
     "mmr_diversified_topk": Query(
         q_mmr_diversified_topk,
         MMR_DIVERSIFIED_TOPK_SQL,

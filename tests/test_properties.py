@@ -967,3 +967,50 @@ def test_holt_fold_matches_python_reference(spark, ys):
     )
     row = df.select(F.expr(_HOLT_FOLD).alias("st")).collect()[0]["st"]
     assert (row["l"], row["b"]) == (l, b)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-100, max_value=100),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=2,
+        max_size=14,
+        unique=True,
+    )
+)
+def test_fps_select_matches_python_greedy(spark, pts):
+    """operators/clustering.py::fps_select vs an independent
+    pure-Python farthest-point greedy on random 2-d integer point
+    sets: selection order, selection distances, seed rule, and the
+    (dmin DESC, id ASC) tie-break must match exactly."""
+    from city_payroll_data_pipeline_spark.operators.clustering import (
+        fps_select,
+    )
+
+    k = min(5, len(pts))
+    ids = list(range(len(pts)))
+    want = [(1, 0, None)]  # seed = smallest id
+    selected = [0]
+    dmin = {
+        i: (pts[i][0] - pts[0][0]) ** 2 + (pts[i][1] - pts[0][1]) ** 2
+        for i in ids
+        if i != 0
+    }
+    for step in range(2, k + 1):
+        best = max(dmin.items(), key=lambda kv: (kv[1], -kv[0]))
+        want.append((step, best[0], best[1]))
+        sx, sy = pts[best[0]]
+        del dmin[best[0]]
+        for i in list(dmin):
+            d = (pts[i][0] - sx) ** 2 + (pts[i][1] - sy) ** 2
+            if d < dmin[i]:
+                dmin[i] = d
+
+    df = spark.createDataFrame(
+        [(i, [x, y]) for i, (x, y) in enumerate(pts)],
+        "vec_id long, q array<bigint>",
+    )
+    assert fps_select(df, k) == want
