@@ -49,6 +49,7 @@ HEADLINE = [
     "hourly_event_stats",
     "shipping_priority_topk",
     "price_band_range_join",
+    "watermark_lateness_audit",
     "events_asof_last_order",
     "event_sessions",
     "session_overlap_pairs",

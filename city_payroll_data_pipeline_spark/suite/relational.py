@@ -1384,6 +1384,100 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# watermark_lateness_audit — how out-of-order does each feed ARRIVE,
+# i.e. what watermark do the streaming jobs actually need? An event is
+# LATE by (max event-time seen so far in arrival order) − (its own
+# event time); the per-type maximum is the tightest watermark that
+# loses nothing, and late_share/mean say how much a smaller one would
+# drop. This is the batch measurement that configures
+# streaming/jobs.py's `watermark` parameters — set by measurement
+# instead of folklore.
+#
+# Arrival model: the testdata files are stored in perfect event-time
+# order (every feed would read lateness 0 — a vacuous audit), so the
+# audit replays the arrival pattern real ingest produces: a K-shard
+# round-robin merge (shard = user_id % K, each shard internally
+# time-ordered — exactly how per-shard files interleave at the
+# consumer). Disorder is then the genuine cross-shard event-time skew
+# at equal sequence positions.
+#
+# Scale: one shuffle on (event_type, shard) for the sequence numbers,
+# one on event_type for the arrival-order running max, then the
+# aggregate rides the same partitioning. Lateness stays in whole
+# integer seconds; the two ratio columns are single exact-operand
+# divisions.
+# --------------------------------------------------------------------------
+
+_LATE_SHARDS = 4
+
+
+def q_watermark_lateness_audit(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    secs = F.unix_timestamp(F.col("ts"))
+    shard = (F.col("user_id") % _LATE_SHARDS).alias("shard")
+    seq = F.row_number().over(
+        W.partitionBy("event_type", "shard").orderBy("ts", "event_id")
+    )
+    staged = ev.select("event_type", "ts", "event_id", shard).withColumn(
+        "seq", seq
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("seq", "shard")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    late = (F.max(secs).over(w) - secs).alias("late_s")
+    per = staged.select("event_type", late)
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("late_s") > 0).cast("long")).alias("n_late"),
+            F.max("late_s").alias("max_late_s"),
+            F.sum("late_s").cast("long").alias("sum_late_s"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_late",
+            (F.col("n_late") / F.col("n_events")).alias("late_share"),
+            "max_late_s",
+            (F.col("sum_late_s") / F.col("n_events")).alias("mean_late_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WATERMARK_LATENESS_AUDIT_SQL = f"""
+WITH staged AS (
+  SELECT event_type, ts,
+         user_id % {_LATE_SHARDS} AS shard,
+         ROW_NUMBER() OVER (PARTITION BY event_type, user_id % {_LATE_SHARDS}
+                            ORDER BY ts, event_id) AS seq
+  FROM events
+),
+per AS (
+  SELECT event_type,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY event_type ORDER BY seq, shard
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - CAST(floor(epoch(ts)) AS BIGINT) AS late_s
+  FROM staged
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS late_share,
+       MAX(late_s) AS max_late_s,
+       CAST(SUM(late_s) AS DOUBLE) / COUNT(*) AS mean_late_s
+FROM per
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Semi-structured (JSON) extraction — events.props is a JSON blob
 # --------------------------------------------------------------------------
 
@@ -4110,6 +4204,11 @@ QUERIES = {
         q_session_overlap_pairs,
         SESSION_OVERLAP_PAIRS_SQL,
         ("interval-join", "bucketed", "sessionize"),
+    ),
+    "watermark_lateness_audit": Query(
+        q_watermark_lateness_audit,
+        WATERMARK_LATENESS_AUDIT_SQL,
+        ("streaming-ops", "watermark", "window", "audit"),
     ),
     "customer_order_windows": Query(
         q_customer_order_windows,
