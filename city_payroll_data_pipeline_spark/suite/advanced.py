@@ -3518,14 +3518,23 @@ _EPOCHS = 2
 _SHUFFLE_HEAD = 100  # manifest rows per epoch in the suite output
 
 
-def q_epoch_shuffle_plan(spark, sf_dir):
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+def _epoch_shuffle_keyed(docs):
+    """The (epoch, …, k) shuffle-key frame shared by
+    q_epoch_shuffle_plan (the loader manifest) and
+    q_shuffle_run_lengths (its decorrelation audit) — ONE definition
+    of the md5(epoch:doc) sort key so a key tweak (separator,
+    substring width, hash) can never make the audit replay a
+    different permutation than the loader emits (the _trade_edges
+    precedent for shared derivations). Extra columns on ``docs``
+    (e.g. source) pass through."""
+    extra = [c for c in docs.columns if c != "doc_id"]
     epochs = docs.sparkSession.range(_EPOCHS).select(
         F.col("id").cast("int").alias("epoch")
     )
-    keyed = docs.join(F.broadcast(epochs)).select(
+    return docs.join(F.broadcast(epochs)).select(
         "epoch",
         "doc_id",
+        *extra,
         F.conv(
             F.substring(
                 F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))), 1, 12
@@ -3534,6 +3543,21 @@ def q_epoch_shuffle_plan(spark, sf_dir):
             10,
         ).cast("bigint").alias("k"),
     )
+
+
+def _shuffle_keyed_sql(extra: str = "") -> str:
+    """Oracle twin of _epoch_shuffle_keyed, shared the same way."""
+    return f"""
+  SELECT e.epoch, d.doc_id{extra},
+         CAST('0x' || substr(md5(e.epoch || ':' || d.doc_id), 1, 12)
+              AS BIGINT) AS k
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, {_EPOCHS})) AS epoch) e"""
+
+
+def q_epoch_shuffle_plan(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    keyed = _epoch_shuffle_keyed(docs)
     w = W.partitionBy("epoch").orderBy("k", "doc_id")
     return (
         keyed.withColumn("position", F.row_number().over(w))
@@ -3544,12 +3568,7 @@ def q_epoch_shuffle_plan(spark, sf_dir):
 
 
 EPOCH_SHUFFLE_PLAN_SQL = f"""
-WITH keyed AS (
-  SELECT e.epoch, d.doc_id,
-         CAST('0x' || substr(md5(e.epoch || ':' || d.doc_id), 1, 12)
-              AS BIGINT) AS k
-  FROM documents d
-  CROSS JOIN (SELECT unnest(range(0, {_EPOCHS})) AS epoch) e
+WITH keyed AS ({_shuffle_keyed_sql()}
 )
 SELECT epoch, position, doc_id FROM (
   SELECT epoch, doc_id,
@@ -3586,21 +3605,7 @@ ORDER BY epoch, position
 
 def q_shuffle_run_lengths(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
-    epochs = docs.sparkSession.range(_EPOCHS).select(
-        F.col("id").cast("int").alias("epoch")
-    )
-    keyed = docs.join(F.broadcast(epochs)).select(
-        "epoch",
-        "doc_id",
-        "source",
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))), 1, 12
-            ),
-            16,
-            10,
-        ).cast("bigint").alias("k"),
-    )
+    keyed = _epoch_shuffle_keyed(docs)
     w = W.partitionBy("epoch").orderBy("k", "doc_id")
     flagged = keyed.withColumn(
         "new_run",
@@ -3641,12 +3646,7 @@ def q_shuffle_run_lengths(spark, sf_dir):
 
 
 SHUFFLE_RUN_LENGTHS_SQL = f"""
-WITH keyed AS (
-  SELECT e.epoch, d.doc_id, d.source,
-         CAST('0x' || substr(md5(e.epoch || ':' || d.doc_id), 1, 12)
-              AS BIGINT) AS k
-  FROM documents d
-  CROSS JOIN (SELECT unnest(range(0, {_EPOCHS})) AS epoch) e
+WITH keyed AS ({_shuffle_keyed_sql(", d.source")}
 ),
 flagged AS (
   SELECT epoch, source, k, doc_id,

@@ -2470,7 +2470,9 @@ d{t} AS MATERIALIZED (
 )""")
     picks = "\nUNION ALL\n".join(
         f"SELECT {t} AS step, vec_id, dmin AS sel_d2,"
-        f" sqrt(CAST(dmin AS DOUBLE)) / 10000 AS sel_dist FROM pick{t}"
+        # sim.QUANT, not a hardcoded 10_000: a grid change in
+        # similarity.py must not desynchronize the oracle
+        f" sqrt(CAST(dmin AS DOUBLE)) / {sim.QUANT} AS sel_dist FROM pick{t}"
         for t in range(2, k + 1)
     )
     tail = f"""
