@@ -83,6 +83,11 @@ REPRESENTATIVES = [
     "pq_trained_recall",        # driver-side Lloyd over an orderBy-sorted
                                 # collected sample + ADC eval arms
     "ivfpq_residual_recall",    # residual Lloyd build + coarse-dot ADC
+    "hits_scores",              # iterative joins + in-plan normalize totals
+    "stylometry_burrows_delta",  # corpus count shuffle + TakeOrdered top-M
+    "session_overlap_pairs",    # bucket-explode self-join + map-side dedup
+    "fps_coreset",              # driver-round argmax greedy (TakeOrdered)
+    "holt_linear_forecast",     # array_sort'd collect_list + codegen fold
 ]
 
 
