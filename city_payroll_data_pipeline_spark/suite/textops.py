@@ -6594,7 +6594,10 @@ ORDER BY source_a, source_b
 #
 # Words with D(w) = 0 (identical scaled frequency everywhere) carry no
 # signal and are excluded; m_used counts the survivors so the mean is
-# over the words actually scored — the same set on both engines.
+# over the words actually scored — the same set on both engines. If NO
+# word carries signal (all sources stylistically identical — possible
+# only on degenerate corpora), Delta is undefined and both engines
+# emit zero pair rows (the dev join drops everything; property-tested).
 #
 # Scale shape: the ONLY corpus-sized stage is the word explode into a
 # (source, term) count (map-side combinable, one shuffle — the same

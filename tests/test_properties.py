@@ -1014,3 +1014,79 @@ def test_fps_select_matches_python_greedy(spark, pts):
         "vec_id long, q array<bigint>",
     )
     assert fps_select(df, k) == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_stylometry_delta_matches_python_reference(spark, data):
+    """The MAD-scaled Burrows' Delta pipeline (suite/textops.py::
+    q_stylometry_burrows_delta) vs an independent pure-Python replay
+    on tiny random corpora — integer scaled frequencies, the exact
+    D(w)=Σ|S·F−ΣF| deviation, zero-signal word exclusion, and the
+    truncating per-word term division must all match. The DuckDB
+    oracle replays the same SQL formula, so this guards against a
+    shared-formula blind spot (both engines wrong together)."""
+    from city_payroll_data_pipeline_spark.suite import textops as T
+
+    n_sources = data.draw(st.integers(min_value=2, max_value=4))
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    corpora = {
+        f"s{i}": data.draw(
+            st.lists(st.sampled_from(words), min_size=1, max_size=30)
+        )
+        for i in range(n_sources)
+    }
+
+    FS, ZS, M = T._DELTA_FREQ_SCALE, T._DELTA_Z_SCALE, T._DELTA_TOP_WORDS
+    cnt = {}
+    for s, toks in corpora.items():
+        for w in toks:
+            cnt[(s, w)] = cnt.get((s, w), 0) + 1
+    tot = {s: len(t) for s, t in corpora.items()}
+    gl = {}
+    for (s, w), c in cnt.items():
+        gl[w] = gl.get(w, 0) + c
+    topw = [w for w, _ in sorted(gl.items(), key=lambda kv: (-kv[1], kv[0]))][:M]
+    S = n_sources
+    F_ = {
+        (s, w): cnt.get((s, w), 0) * FS // tot[s]
+        for s in corpora
+        for w in topw
+    }
+    sw = {w: sum(F_[(s, w)] for s in corpora) for w in topw}
+    dev = {
+        w: sum(abs(S * F_[(s, w)] - sw[w]) for s in corpora) for w in topw
+    }
+    used = [w for w in topw if dev[w] > 0]
+    want = {}
+    if used:  # zero signal words (all sources identical) → NO pair
+        # rows: Delta is undefined with an empty word basis, and both
+        # engines drop the pairs at the dev join (hypothesis-found
+        # degenerate case, asserted below)
+        srcs = sorted(corpora)
+        for i, a in enumerate(srcs):
+            for b in srcs[i + 1 :]:
+                ds = sum(
+                    S * S * abs(F_[(a, w)] - F_[(b, w)]) * ZS // dev[w]
+                    for w in used
+                )
+                want[(a, b)] = (ds, len(used))
+
+    rows = [(s, " ".join(toks)) for s, toks in corpora.items()]
+    docs = spark.createDataFrame(rows, "source string, text string")
+
+    import city_payroll_data_pipeline_spark.suite as suite_mod
+
+    orig_table = suite_mod.table
+    try:
+        suite_mod.table = lambda sp, sf, name, spread=False: docs
+        T.table = suite_mod.table
+        out = T.q_stylometry_burrows_delta(spark, "ignored").collect()
+    finally:
+        suite_mod.table = orig_table
+        T.table = orig_table
+    got = {
+        (r["source_a"], r["source_b"]): (r["delta_scaled"], r["m_used"])
+        for r in out
+    }
+    assert got == want
