@@ -111,6 +111,7 @@ HEADLINE = [
     # chunking / packing
     "doc_chunks",
     "pack_sequences",
+    "context_fill_sweep",
     # sharded export + tokenizer training
     "range_sharded_export",
     "bpe_merges",

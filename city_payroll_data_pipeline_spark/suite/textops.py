@@ -3875,6 +3875,100 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# context_fill_sweep — the context-length capacity table: for each
+# candidate context window, per source, how much of the corpus
+# survives doc-level truncation (docs are never split mid-document in
+# this policy — long docs are truncated at ctx), how many packed
+# sequences the kept mass fills under the concat-stream model
+# pack_sequences uses, and the resulting fill ratio. The table a
+# pretraining run reads to pick its sequence length: small ctx wastes
+# long documents (tokens_dropped), large ctx wastes compute on
+# padding-free but fragment-heavy packs — this quantifies both sides
+# of that trade per source.
+#
+# Scale: the token count is map-side; the |grid| explode is a
+# constant factor (5); ONE groupBy on (ctx, source). fill_ratio and
+# truncated share are single exact-operand divisions of BIGINTs.
+# --------------------------------------------------------------------------
+
+_CTX_GRID = (256, 512, 1024, 2048, 4096)
+
+
+def q_context_fill_sweep(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    sized = docs.select(
+        "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    grid = docs.sparkSession.createDataFrame(
+        [(c,) for c in _CTX_GRID], "ctx int"
+    )
+    per = sized.crossJoin(F.broadcast(grid)).groupBy("ctx", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_tokens") > F.col("ctx")).cast("long")).alias(
+            "n_truncated"
+        ),
+        F.sum(F.least(F.col("n_tokens"), F.col("ctx").cast("long")))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.sum(
+            F.greatest(
+                F.col("n_tokens") - F.col("ctx"), F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("tokens_dropped"),
+    )
+    return (
+        per.select(
+            "ctx",
+            "source",
+            "n_docs",
+            "n_truncated",
+            "tokens_kept",
+            "tokens_dropped",
+            F.expr("(tokens_kept + ctx - 1) div ctx").alias("n_packs"),
+            (
+                F.col("tokens_kept")
+                / (
+                    F.expr("(tokens_kept + ctx - 1) div ctx")
+                    * F.col("ctx")
+                )
+            ).alias("fill_ratio"),
+            (F.col("n_truncated") / F.col("n_docs")).alias("truncated_share"),
+        )
+        .orderBy("ctx", "source")
+    )
+
+
+CONTEXT_FILL_SWEEP_SQL = rf"""
+WITH sized AS (
+  SELECT source, len(regexp_extract_all(text, '\S+', 0)) AS n_tokens
+  FROM documents
+),
+per AS (
+  SELECT g.ctx, s.source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN s.n_tokens > g.ctx THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_truncated,
+         CAST(SUM(LEAST(s.n_tokens, g.ctx)) AS BIGINT) AS tokens_kept,
+         CAST(SUM(GREATEST(s.n_tokens - g.ctx, 0)) AS BIGINT)
+           AS tokens_dropped
+  FROM sized s
+  CROSS JOIN (SELECT unnest([{', '.join(str(c) for c in _CTX_GRID)}]) AS ctx) g
+  GROUP BY g.ctx, s.source
+)
+SELECT CAST(ctx AS INT) AS ctx, source, n_docs, n_truncated,
+       tokens_kept, tokens_dropped,
+       (tokens_kept + ctx - 1) // ctx AS n_packs,
+       CAST(tokens_kept AS DOUBLE)
+         / (((tokens_kept + ctx - 1) // ctx) * ctx) AS fill_ratio,
+       CAST(n_truncated AS DOUBLE) / n_docs AS truncated_share
+FROM per
+ORDER BY ctx, source
+"""
+
+
 PACK_SEQUENCES_SQL = rf"""
 WITH sized AS (
   SELECT source, doc_id,
@@ -7081,6 +7175,11 @@ QUERIES = {
     ),
     "pack_sequences": Query(
         q_pack_sequences, PACK_SEQUENCES_SQL, ("text", "packing", "window")
+    ),
+    "context_fill_sweep": Query(
+        q_context_fill_sweep,
+        CONTEXT_FILL_SWEEP_SQL,
+        ("text", "packing", "capacity", "sweep"),
     ),
     "span_corruption_plan": Query(
         q_span_corruption_plan,

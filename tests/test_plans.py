@@ -218,6 +218,7 @@ _INTENTIONAL_BNLJ = {
     "hits_scores",            # broadcast 1-row sum-normalization totals
     "stylometry_burrows_delta",  # broadcast top-M words + 1-row S/m_used
     "shuffle_run_lengths",    # broadcast 1-row corpus-count scalar
+    "context_fill_sweep",     # broadcast |grid|=5 context-size table
     "cosine_neardup_pairs",   # broadcast pair candidates
     "cosine_topk",            # broadcast query set vs corpus
     "hard_negative_mining",   # same broadcast query-set shape
