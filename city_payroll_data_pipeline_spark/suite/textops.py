@@ -3900,9 +3900,7 @@ def q_context_fill_sweep(spark, sf_dir):
     sized = docs.select(
         "source", token_count(F.col("text")).alias("n_tokens")
     )
-    grid = docs.sparkSession.createDataFrame(
-        [(c,) for c in _CTX_GRID], "ctx int"
-    )
+    grid = spark.createDataFrame([(c,) for c in _CTX_GRID], "ctx int")
     per = sized.crossJoin(F.broadcast(grid)).groupBy("ctx", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum((F.col("n_tokens") > F.col("ctx")).cast("long")).alias(
@@ -3920,21 +3918,20 @@ def q_context_fill_sweep(spark, sf_dir):
         .alias("tokens_dropped"),
     )
     return (
-        per.select(
+        per.withColumn(
+            "n_packs", F.expr("(tokens_kept + ctx - 1) div ctx")
+        )
+        .select(
             "ctx",
             "source",
             "n_docs",
             "n_truncated",
             "tokens_kept",
             "tokens_dropped",
-            F.expr("(tokens_kept + ctx - 1) div ctx").alias("n_packs"),
-            (
-                F.col("tokens_kept")
-                / (
-                    F.expr("(tokens_kept + ctx - 1) div ctx")
-                    * F.col("ctx")
-                )
-            ).alias("fill_ratio"),
+            "n_packs",
+            (F.col("tokens_kept") / (F.col("n_packs") * F.col("ctx"))).alias(
+                "fill_ratio"
+            ),
             (F.col("n_truncated") / F.col("n_docs")).alias("truncated_share"),
         )
         .orderBy("ctx", "source")
@@ -3959,12 +3956,10 @@ per AS (
   GROUP BY g.ctx, s.source
 )
 SELECT CAST(ctx AS INT) AS ctx, source, n_docs, n_truncated,
-       tokens_kept, tokens_dropped,
-       (tokens_kept + ctx - 1) // ctx AS n_packs,
-       CAST(tokens_kept AS DOUBLE)
-         / (((tokens_kept + ctx - 1) // ctx) * ctx) AS fill_ratio,
+       tokens_kept, tokens_dropped, n_packs,
+       CAST(tokens_kept AS DOUBLE) / (n_packs * ctx) AS fill_ratio,
        CAST(n_truncated AS DOUBLE) / n_docs AS truncated_share
-FROM per
+FROM (SELECT *, (tokens_kept + ctx - 1) // ctx AS n_packs FROM per)
 ORDER BY ctx, source
 """
 

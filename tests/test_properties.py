@@ -1029,7 +1029,10 @@ def test_stylometry_delta_matches_python_reference(spark, data):
     from city_payroll_data_pipeline_spark.suite import textops as T
 
     n_sources = data.draw(st.integers(min_value=2, max_value=4))
-    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    # vocabulary LARGER than the top-M cut (M shrunk to 3 below) so
+    # the truncation and the (count DESC, term ASC) tie-break actually
+    # decide word inclusion — with vocab <= M the limit never fires
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "theta"]
     corpora = {
         f"s{i}": data.draw(
             st.lists(st.sampled_from(words), min_size=1, max_size=30)
@@ -1037,7 +1040,7 @@ def test_stylometry_delta_matches_python_reference(spark, data):
         for i in range(n_sources)
     }
 
-    FS, ZS, M = T._DELTA_FREQ_SCALE, T._DELTA_Z_SCALE, T._DELTA_TOP_WORDS
+    FS, ZS, M = T._DELTA_FREQ_SCALE, T._DELTA_Z_SCALE, 3
     cnt = {}
     for s, toks in corpora.items():
         for w in toks:
@@ -1078,13 +1081,16 @@ def test_stylometry_delta_matches_python_reference(spark, data):
     import city_payroll_data_pipeline_spark.suite as suite_mod
 
     orig_table = suite_mod.table
+    orig_m = T._DELTA_TOP_WORDS
     try:
         suite_mod.table = lambda sp, sf, name, spread=False: docs
         T.table = suite_mod.table
+        T._DELTA_TOP_WORDS = M
         out = T.q_stylometry_burrows_delta(spark, "ignored").collect()
     finally:
         suite_mod.table = orig_table
         T.table = orig_table
+        T._DELTA_TOP_WORDS = orig_m
     got = {
         (r["source_a"], r["source_b"]): (r["delta_scaled"], r["m_used"])
         for r in out
