@@ -37,7 +37,10 @@ def test_bench_emits_one_json_line():
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_SMOKE)
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
-        capture_output=True, text=True, env=env, timeout=600, check=True,
+        # 297 headline queries ≈ 370 s solo at sf0.001; the old 600 s
+        # bound had no headroom when the parent pytest's own Spark JVM
+        # is co-resident (measured flake at round 9's suite size)
+        capture_output=True, text=True, env=env, timeout=1200, check=True,
     ).stdout.strip().splitlines()
     line = out[-1]
     assert len(line) < 1800, f"summary line too long for driver tail: {len(line)}"
