@@ -324,6 +324,7 @@ HEADLINE = [
     "hll_distinct_audit",
     "sprt_conversion_gate",
     "countmin_heavy_tokens",
+    "join_size_estimate",
     "mi_feature_screen",
     "median_of_means",
     "bloom_fpr_audit",

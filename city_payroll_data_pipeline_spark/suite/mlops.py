@@ -729,6 +729,122 @@ ORDER BY exact_cnt DESC, tok
 
 
 # --------------------------------------------------------------------------
+# join_size_estimate — Count-Min INNER-PRODUCT join-cardinality
+# estimation (Cormode & Muthukrishnan 2005 §4.2), the third member of
+# the CM family (point query = countmin_heavy_tokens; this = the
+# a·b estimator an optimizer consults before picking a join strategy
+# for two already-sketched inputs):
+#
+#   |A ⋈_k B| = Σ_k cA(k)·cB(k)        (exact, one reduce per side)
+#   est       = min_i Σ_cell A_i[cell]·B_i[cell]   (d row sketches)
+#
+# The estimator is one-sided (est ≥ exact for every row i — hash
+# collisions only ADD mass), and the driver hash match re-derives
+# that certificate on both engines along with the exact overestimate
+# ratio the 512-cell width buys at this key cardinality.
+#
+# Determinism: identical md5 row-salted cells as countmin (keys cast
+# to string through the same _cm_cell), every count and product an
+# exact BIGINT; the one double is the final ratio division. (Products
+# fit BIGINT to ~3e9 rows per side at w=512; beyond that route the
+# two SUMs through DECIMAL(38,0) — same discipline as mi_feature_
+# screen's documented bound.)
+#
+# Scale: each side collapses to a (d·w)-row mergeable sketch in one
+# map-side partial aggregation — the join-size answer then costs a
+# (d·w)⋈(d·w) broadcast join, NEVER a key-level join of the inputs;
+# that is the entire point of the estimator at 100 TB (the exact arm
+# here is the certificate, not the production path).
+# --------------------------------------------------------------------------
+
+
+def _jse_cells(df, key_col: str):
+    k = F.col(key_col).cast("string")
+    hits = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), _cm_cell(k, i).alias("cell"))
+            for i in range(_CM_D)
+        ]
+    )
+    return (
+        df.select(F.explode(hits).alias("h"))
+        .groupBy(F.col("h.i").alias("i"), F.col("h.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_join_size_estimate(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    events = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k")
+    )
+    ca = orders.groupBy("k").agg(F.count("*").alias("ca"))
+    cb = events.groupBy("k").agg(F.count("*").alias("cb"))
+    exact = ca.join(cb, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("exact_size")
+    )
+    a_cells = _jse_cells(orders, "k").withColumnRenamed("cnt", "a")
+    b_cells = _jse_cells(events, "k").withColumnRenamed("cnt", "b")
+    per_row = (
+        a_cells.join(b_cells, ["i", "cell"])
+        .groupBy("i")
+        .agg(F.sum(F.col("a") * F.col("b")).cast("long").alias("ip"))
+    )
+    est = per_row.agg(F.min("ip").alias("cm_estimate"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_size",
+        "cm_estimate",
+        (F.col("cm_estimate") / F.col("exact_size")).alias(
+            "overestimate_ratio"
+        ),
+    )
+
+
+def _join_size_estimate_sql() -> str:
+    def cell(key_expr: str, i: int) -> str:
+        return (
+            f"CAST('0x' || substr(md5('{i}:' || {key_expr}), 1, 12) "
+            f"AS BIGINT) % {_CM_W}"
+        )
+
+    def cells(src: str, alias: str) -> str:
+        rows = " UNION ALL ".join(
+            f"SELECT {i} AS i, {cell('k', i)} AS cell FROM {src}"
+            for i in range(_CM_D)
+        )
+        return (
+            f"SELECT i, cell, COUNT(*) AS {alias} FROM ({rows})"
+            f" GROUP BY i, cell"
+        )
+
+    return f"""
+WITH a AS MATERIALIZED (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+b AS MATERIALIZED (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+exact AS (
+  SELECT CAST(SUM(x.ca * y.cb) AS BIGINT) AS exact_size
+  FROM (SELECT k, COUNT(*) AS ca FROM a GROUP BY k) x
+  JOIN (SELECT k, COUNT(*) AS cb FROM b GROUP BY k) y ON x.k = y.k
+),
+acells AS MATERIALIZED ({cells('a', 'a')}),
+bcells AS MATERIALIZED ({cells('b', 'b')}),
+per_row AS (
+  SELECT x.i, CAST(SUM(x.a * y.b) AS BIGINT) AS ip
+  FROM acells x JOIN bcells y ON x.i = y.i AND x.cell = y.cell
+  GROUP BY x.i
+),
+est AS (SELECT MIN(ip) AS cm_estimate FROM per_row)
+SELECT exact_size, cm_estimate,
+       CAST(cm_estimate AS DOUBLE) / exact_size AS overestimate_ratio
+FROM exact, est
+"""
+
+
+JOIN_SIZE_ESTIMATE_SQL = _join_size_estimate_sql()
+
+
+# --------------------------------------------------------------------------
 # mi_feature_screen — mutual-information feature ranking against a
 # binary target.
 #
@@ -2137,6 +2253,11 @@ QUERIES: dict[str, Query] = {
         q_countmin_heavy_tokens,
         _countmin_sql(),
         ("sketch", "count-min", "frequency", "certification"),
+    ),
+    "join_size_estimate": Query(
+        q_join_size_estimate,
+        JOIN_SIZE_ESTIMATE_SQL,
+        ("sketch", "count-min", "join-cardinality", "optimizer"),
     ),
     "mi_feature_screen": Query(
         q_mi_feature_screen,
