@@ -88,6 +88,7 @@ REPRESENTATIVES = [
     "session_overlap_pairs",    # bucket-explode self-join + map-side dedup
     "fps_coreset",              # driver-round argmax greedy (TakeOrdered)
     "holt_linear_forecast",     # array_sort'd collect_list + codegen fold
+    "join_size_estimate",       # mergeable CM sketches + inner product
 ]
 
 
