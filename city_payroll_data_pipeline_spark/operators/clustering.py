@@ -209,12 +209,15 @@ def fps_select(
         F.lit(0).cast("bigint"),
         lambda acc, d: acc + d,
     )
-    seed = (
+    seed_rows = (
         corpus.orderBy(id_col)
         .limit(1)
         .select(id_col, q_col)
-        .collect()[0]
+        .collect()
     )
+    if not seed_rows:
+        raise ValueError("fps_select: corpus is empty")
+    seed = seed_rows[0]
     out: list[tuple[int, int, int | None]] = [(1, seed[id_col], None)]
     sel_q = list(seed[q_col])
     cur = corpus.select(
@@ -227,14 +230,21 @@ def fps_select(
         cur = cur.withColumn("_sel_q", lit_q).select(
             id_col,
             q_col,
-            F.least(
-                F.coalesce(F.col("dmin"), F.lit(2**62)), dist
+            # coalesce AFTER least: the seed round (dmin NULL) stores
+            # the exact first distance — no 2^62 sentinel that would
+            # silently clamp a genuinely huge d² (ADVICE r9)
+            F.coalesce(
+                F.least(F.col("dmin"), dist), dist
             ).alias("dmin"),
         )
         cur = cur.localCheckpoint(eager=True)
-        pick = (
-            cur.orderBy(F.desc("dmin"), id_col).limit(1).collect()[0]
-        )
+        picks = cur.orderBy(F.desc("dmin"), id_col).limit(1).collect()
+        if not picks:
+            raise ValueError(
+                f"fps_select: corpus exhausted after {step - 1} of "
+                f"{k} requested selections"
+            )
+        pick = picks[0]
         out.append((step, pick[id_col], pick["dmin"]))
         sel_q = list(pick[q_col])
         cur = cur.filter(F.col(id_col) != pick[id_col])

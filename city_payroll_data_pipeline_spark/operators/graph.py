@@ -80,6 +80,8 @@ def pagerank_scaled(
         .distinct()
     )
     n_nodes = nodes.count()  # scalar; required by the formula itself
+    if n_nodes == 0:
+        raise ValueError("pagerank_scaled: edge list is empty (no nodes)")
 
     # per-source total outgoing weight, computed once outside the loop
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
@@ -210,6 +212,8 @@ def hits_scaled(edges: DataFrame, iters: int = 6) -> DataFrame:
     total a cheap re-read instead of a plan re-evaluation. Zero driver
     round trips — the total stays in-plan via a broadcast cross join.
     """
+    if iters < 1:
+        raise ValueError(f"hits_scaled: iters must be >= 1, got {iters}")
     edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -217,6 +221,8 @@ def hits_scaled(edges: DataFrame, iters: int = 6) -> DataFrame:
         .distinct()
     )
     n_nodes = nodes.count()  # scalar; sets the uniform init, as in PageRank
+    if n_nodes == 0:
+        raise ValueError("hits_scaled: edge list is empty (no nodes)")
     nodes = nodes.localCheckpoint(eager=True)
 
     hubs = nodes.withColumn("hub_scaled", F.lit(SCALE // n_nodes).cast("long"))

@@ -1401,14 +1401,27 @@ LIMIT 20
 # consumer). Disorder is then the genuine cross-shard event-time skew
 # at equal sequence positions.
 #
-# Scale: one shuffle on (event_type, shard) for the sequence numbers,
-# one on event_type for the arrival-order running max, then the
-# aggregate rides the same partitioning. Lateness stays in whole
-# integer seconds; the two ratio columns are single exact-operand
-# divisions.
+# Scale: one shuffle on (event_type, shard) for the sequence numbers.
+# The arrival-order running max is NOT a per-type global window —
+# event_type is low-cardinality, so `W.partitionBy("event_type")`
+# would funnel every event of a type through ONE reducer (the exact
+# pathology operators/rowids.py exists to avoid). Instead it uses the
+# same prefix-carry shape as `stable_row_ids`: arrival order is
+# (seq, shard) lexicographic and the chunk id derives from seq alone,
+# so chunks are contiguous prefixes of arrival order. The running max
+# is computed per (event_type, chunk) in parallel, each chunk's max is
+# prefix-maxed over the TINY per-type chunk frame (rows = corpus /
+# (_LATE_CHUNK · shards-per-seq), model-sized), and the carry rides
+# back on a broadcast join: greatest(within-chunk running max, carry
+# from all earlier chunks) is bit-identical to the global running max.
+# Largest sort = one chunk (≤ _LATE_CHUNK · _LATE_SHARDS rows), not
+# one event type. _LATE_CHUNK is sized small here so sf0.01 exercises
+# multiple chunks per type; at 100 TB you'd raise it (~1e6) so the
+# carry frame stays thousands of rows.
 # --------------------------------------------------------------------------
 
 _LATE_SHARDS = 4
+_LATE_CHUNK = 128  # arrival-sequence positions per prefix-carry chunk
 
 
 def q_watermark_lateness_audit(spark, sf_dir):
@@ -1418,16 +1431,42 @@ def q_watermark_lateness_audit(spark, sf_dir):
     seq = F.row_number().over(
         W.partitionBy("event_type", "shard").orderBy("ts", "event_id")
     )
-    staged = ev.select("event_type", "ts", "event_id", shard).withColumn(
-        "seq", seq
+    staged = (
+        ev.select("event_type", "ts", "event_id", shard)
+        .withColumn("seq", seq)
+        .withColumn("secs", secs)
+        .withColumn(
+            "chunk", ((F.col("seq") - 1) / _LATE_CHUNK).cast("long")
+        )
     )
-    w = (
-        W.partitionBy("event_type")
+    # Within-chunk running max: parallel across (type, chunk) — the
+    # largest sort is one chunk, never one event type.
+    w_in = (
+        W.partitionBy("event_type", "chunk")
         .orderBy("seq", "shard")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    late = (F.max(secs).over(w) - secs).alias("late_s")
-    per = staged.select("event_type", late)
+    within = staged.withColumn("run_in", F.max("secs").over(w_in))
+    # Prefix-carry over the tiny per-type chunk frame (one row per
+    # chunk): max event time of all STRICTLY earlier chunks.
+    w_carry = (
+        W.partitionBy("event_type")
+        .orderBy("chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = (
+        staged.groupBy("event_type", "chunk")
+        .agg(F.max("secs").alias("cmax"))
+        .select(
+            "event_type", "chunk", F.max("cmax").over(w_carry).alias("carry")
+        )
+    )
+    run = F.greatest(
+        F.col("run_in"), F.coalesce(F.col("carry"), F.col("run_in"))
+    )
+    per = within.join(F.broadcast(carry), ["event_type", "chunk"]).select(
+        "event_type", (run - F.col("secs")).alias("late_s")
+    )
     return (
         per.groupBy("event_type")
         .agg(
