@@ -412,6 +412,9 @@ HEADLINE = [
     "ivfpq_residual_recall",      # NEW r9: IVFADC residual-coding certificate
     "media_vad_segments",         # NEW r9: voiced-frame gaps-and-islands merge
     "hard_negative_mining",       # NEW r9: contrastive positive + hard-neg band
+    # round-10 additions
+    "quality_probe_train",        # NEW r10: closed-form ridge quality gate
+    "packing_bfd_compare",        # NEW r10: best-fit-decreasing packing arm
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion
@@ -477,6 +480,12 @@ def solo(names: list[str], runs: int = 4, append: bool = False) -> None:
         return time.perf_counter() - t0
 
     run_once("preview_limit")  # session/codegen spin-up
+    # Protocol caveat (round-10 finding, SCALE.md "Round-10 re-floor"):
+    # floors are stable WITHIN a session but can spread ±25% ACROSS
+    # sessions on an unchanged plan and seed-identical data (a global
+    # pre-warm pass was tried and did not remove the spread — it was
+    # reverted). Treat a cross-round floor delta as real only when it
+    # exceeds that session spread or the plan changed.
     results = {}
     for name in names:
         run_once(name)  # per-query warmup: file listing + codegen

@@ -3964,6 +3964,181 @@ ORDER BY ctx, source
 """
 
 
+# --------------------------------------------------------------------------
+# packing_bfd_compare — the second packing policy the capacity table
+# was missing. `pack_sequences`/`context_fill_sweep` model the
+# concat-stream packer: ~perfect fill, but documents are split across
+# pack boundaries (bad when training wants intact documents).
+# Best-fit-decreasing (BFD) keeps every document whole: sort docs by
+# token count descending, place each into the open pack with the
+# smallest remaining capacity that still fits, else open a new pack
+# (the classic 11/9·OPT + 6/9 bin-packing guarantee, Johnson 1973).
+# Per (ctx, source) grid cell this reports both policies' pack counts
+# and fill ratios — the decision table's missing column: how much
+# fill a run gives up to keep documents intact at each context length.
+#
+# Exactness/engine parity: the BFD fold is a pure integer fold whose
+# state is the list of pack remainders; BOTH engines rebuild the
+# state with the same first-occurrence-of-min replacement (index
+# transform over 1..len(state)), so the fold is step-for-step
+# identical. Docs over ctx are truncated to ctx first (the
+# context_fill_sweep convention), counted in n_truncated.
+#
+# Scale: the fold is per-(ctx, source) and inherently sequential —
+# exactly like real packers, which run shard-local: at 100 TB you
+# never BFD-pack a whole source globally, you pack each input shard
+# independently (bin packing is embarrassingly shardable with
+# asymptotically identical fill), so the per-group state stays
+# shard-sized. Here the group is the natural demonstration unit; the
+# collect_list per group is bounded by docs-per-source. Token count
+# is map-side; ONE (ctx, source) aggregation carries the fold.
+# --------------------------------------------------------------------------
+
+
+def q_packing_bfd_compare(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    grid = spark.createDataFrame([(c,) for c in _CTX_GRID], "ctx int")
+    sized = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("raw")
+    ).crossJoin(F.broadcast(grid))
+    items = sized.select(
+        "ctx",
+        "source",
+        "doc_id",
+        F.least(F.col("raw"), F.col("ctx").cast("long")).alias("n"),
+        (F.col("raw") > F.col("ctx")).cast("long").alias("trunc"),
+    )
+    # descending-size order with doc_id ties: sort_array on
+    # struct(-n, doc_id) ascending == (n DESC, doc_id ASC)
+    per = items.groupBy("ctx", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("trunc").alias("n_truncated"),
+        F.sum("n").alias("tokens_kept"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("n")).alias("neg"), "doc_id"))
+            ),
+            lambda s: -s["neg"],
+        ).alias("sizes"),
+    )
+
+    def place(state, sz):
+        # best fit: smallest remainder that still holds sz; replace its
+        # FIRST occurrence (array_position), else open a new pack
+        cand = F.filter(state, lambda r: r >= sz)
+        m = F.array_min(cand)
+        pos = F.array_position(state, m)
+        replaced = F.transform(
+            F.sequence(F.lit(1).cast("int"), F.size(state)),
+            lambda i: F.when(i == pos.cast("int"), m - sz).otherwise(
+                F.element_at(state, i)
+            ),
+        )
+        return F.when(F.size(cand) > 0, replaced).otherwise(
+            F.concat(state, F.array(F.col("ctx").cast("long") - sz))
+        )
+
+    folded = per.withColumn(
+        "n_packs_bfd",
+        F.size(
+            F.aggregate(
+                F.col("sizes"),
+                F.expr("CAST(array() AS array<bigint>)"),
+                place,
+            )
+        ).cast("long"),
+    )
+    return (
+        folded.withColumn(
+            "n_packs_stream", F.expr("(tokens_kept + ctx - 1) div ctx")
+        )
+        .select(
+            "ctx",
+            "source",
+            "n_docs",
+            "n_truncated",
+            "tokens_kept",
+            "n_packs_stream",
+            "n_packs_bfd",
+            # n_packs_stream is 0 when the group's kept mass is 0
+            # (every doc empty) — fill is undefined there, not ∞/error
+            F.when(
+                F.col("n_packs_stream") > 0,
+                F.col("tokens_kept")
+                / (F.col("n_packs_stream") * F.col("ctx")),
+            ).alias("fill_stream"),
+            (
+                F.col("tokens_kept") / (F.col("n_packs_bfd") * F.col("ctx"))
+            ).alias("fill_bfd"),
+        )
+        .orderBy("ctx", "source")
+    )
+
+
+PACKING_BFD_COMPARE_SQL = rf"""
+WITH RECURSIVE sized AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\S+', 0)) AS raw
+  FROM documents
+),
+items AS (
+  SELECT g.ctx, s.source, s.doc_id,
+         LEAST(s.raw, g.ctx) AS n,
+         CASE WHEN s.raw > g.ctx THEN 1 ELSE 0 END AS trunc,
+         ROW_NUMBER() OVER (PARTITION BY g.ctx, s.source
+                            ORDER BY LEAST(s.raw, g.ctx) DESC, s.doc_id)
+           AS rk
+  FROM sized s
+  CROSS JOIN (SELECT unnest([{', '.join(str(c) for c in _CTX_GRID)}]) AS ctx) g
+),
+counts AS (
+  SELECT ctx, source, COUNT(*) AS n_docs,
+         CAST(SUM(trunc) AS BIGINT) AS n_truncated,
+         CAST(SUM(n) AS BIGINT) AS tokens_kept
+  FROM items GROUP BY ctx, source
+),
+fold(ctx, source, rk, state) AS (
+  SELECT ctx, source, 0, CAST([] AS BIGINT[]) FROM counts
+  UNION ALL
+  SELECT ctx, source, rk,
+         CASE WHEN m IS NOT NULL THEN
+           list_transform(generate_series(1, len(state)),
+                          i -> CASE WHEN i = pos THEN m - n
+                                    ELSE state[i] END)
+         ELSE list_append(state, CAST(ctx AS BIGINT) - n) END
+  FROM (
+    SELECT f.ctx, f.source, f.rk + 1 AS rk, f.state AS state, i.n,
+           list_min(list_filter(f.state, r -> r >= i.n)) AS m,
+           list_position(f.state,
+                         list_min(list_filter(f.state, r -> r >= i.n)))
+             AS pos
+    FROM fold f
+    JOIN items i
+      ON i.ctx = f.ctx AND i.source = f.source AND i.rk = f.rk + 1
+  )
+),
+final AS (
+  SELECT f.ctx, f.source, len(f.state) AS n_packs_bfd
+  FROM fold f
+  JOIN counts c ON c.ctx = f.ctx AND c.source = f.source
+  WHERE f.rk = c.n_docs
+)
+SELECT CAST(c.ctx AS INT) AS ctx, c.source AS source, c.n_docs, c.n_truncated,
+       c.tokens_kept,
+       (c.tokens_kept + c.ctx - 1) // c.ctx AS n_packs_stream,
+       CAST(fi.n_packs_bfd AS BIGINT) AS n_packs_bfd,
+       CASE WHEN c.tokens_kept > 0 THEN
+         CAST(c.tokens_kept AS DOUBLE)
+           / (((c.tokens_kept + c.ctx - 1) // c.ctx) * c.ctx)
+       END AS fill_stream,
+       CAST(c.tokens_kept AS DOUBLE)
+         / (fi.n_packs_bfd * c.ctx) AS fill_bfd
+FROM counts c
+JOIN final fi ON fi.ctx = c.ctx AND fi.source = c.source
+ORDER BY 1, 2
+"""
+
+
 PACK_SEQUENCES_SQL = rf"""
 WITH sized AS (
   SELECT source, doc_id,
@@ -6443,6 +6618,303 @@ FILTER_AGREEMENT_KAPPA_SQL = _kappa_sql()
 
 
 # --------------------------------------------------------------------------
+# quality_probe_train — the TRAINED quality gate the heuristic funnel
+# was missing: C4/Gopher-class pipelines deploy hand rules first, then
+# a trained classifier as the final keep/drop decision. This trains a
+# ridge-regression linear probe (closed form, normal equations) on the
+# integer quality features the `filter_agreement_kappa` raters already
+# compute — x = (1, capped length, TTR·100, capped repetition·1000) —
+# with labels y = the deterministic composite rule (majority of the
+# three raters), on the doc_id % 3 == 0 training split; then scores
+# the WHOLE corpus with the learned weights and reports, per source,
+# kept mass under the probe vs the rule plus their Cohen κ agreement.
+#
+# Exactness: everything is integer. XᵀX and Xᵀy are exact integer
+# sums; A = XᵀX + λ·diag(0,1,1,1) with λ = n_train (ridge never
+# penalizes the intercept; any n ≥ 1 makes A positive definite, so
+# det(A) > 0 — proof: vᵀAv = Σ(x·v)² + λ(v₁²+v₂²+v₃²) = 0 forces
+# v₁=v₂=v₃=0 and then n·v₀² = 0). Cramer's rule turns the solve into
+# five 4×4 determinants — 24-term signed permanents generated from ONE
+# permutation list shared by the Spark plan and the DuckDB oracle, so
+# both engines evaluate the same polynomial term for term. The keep
+# decision ŷ ≥ ½ clears the denominator: 2·Σ detⱼ·xⱼ ≥ det, an exact
+# integer comparison (det > 0 by PD). No floats anywhere until the κ.
+#
+# Scale: one (doc, word) aggregate (the exchange the TTR needs
+# anyway), one per-doc reduce; the training sums are ONE partial
+# aggregation to a single row of d(d+1)/2 + d + 1 = 15 scalars; the
+# solve stays IN-PLAN as column arithmetic on that 1-row frame (the
+# hits_scaled normalization precedent — zero driver round trips) and
+# rides back over a broadcast cross join. Magnitude bound: DECIMAL /
+# HUGEINT hold |det| ≤ 24·(F²·n)⁴ with F = 100, so the integer-exact
+# path is safe to n_train ≈ 3·10⁴; at 100 TB keep the split rate such
+# that the training sample stays bounded (the PQ bounded-training
+# precedent) — probe weights are corpus statistics that converge long
+# before that.
+# --------------------------------------------------------------------------
+
+_PROBE_TRAIN_MOD = 3  # train on doc_id % 3 == 0; score the whole corpus
+
+#: all 24 permutations of 0..3 with parity — the one source of truth
+#: for BOTH engines' determinant expansions
+_PROBE_PERMS4: list[tuple[int, tuple[int, ...]]] = []
+for _p in __import__("itertools").permutations(range(4)):
+    _sgn = 1
+    for _i in range(4):
+        for _j in range(_i + 1, 4):
+            if _p[_i] > _p[_j]:
+                _sgn = -_sgn
+    _PROBE_PERMS4.append((_sgn, _p))
+
+
+def _probe_cell(i: int, j: int, repl: int | None) -> str:
+    """Column name for cell (i, j) of the Cramer matrix: the symmetric
+    ridge matrix A, with column `repl` (if any) replaced by b."""
+    if repl is not None and j == repl:
+        return f"b{i}"
+    lo, hi = (i, j) if i <= j else (j, i)
+    return f"a{lo}{hi}"
+
+
+def _probe_det_col(repl: int | None):
+    """det as a Spark Column over the 1-row a../b.. frame."""
+    total = None
+    for sgn, p in _PROBE_PERMS4:
+        term = F.lit(sgn).cast("decimal(38,0)")
+        for i in range(4):
+            term = term * F.col(_probe_cell(i, p[i], repl))
+        total = term if total is None else total + term
+    return total
+
+
+def _probe_det_sql(repl: int | None) -> str:
+    """The SAME expansion as DuckDB SQL text (HUGEINT arithmetic)."""
+    terms = []
+    for sgn, p in _PROBE_PERMS4:
+        cells = " * ".join(_probe_cell(i, p[i], repl) for i in range(4))
+        terms.append(f"({sgn} * {cells})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_quality_probe_train(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import word_tokens
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    per_word = (
+        docs.select(
+            "doc_id", "source", F.explode(word_tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = per_word.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    )
+    # integer features on a 0..100 grid (the magnitude bound above) +
+    # the composite label; eagerly materialized so the train branch
+    # and the scoring branch share one explode pass
+    feats = per_doc.select(
+        "doc_id",
+        "source",
+        F.least(F.col("n_words"), F.lit(100).cast("long")).alias("f1"),
+        F.expr("100 * n_distinct div n_words").alias("f2"),
+        F.least(
+            F.expr("1000 * top_cnt div n_words"), F.lit(100).cast("long")
+        ).alias("f3"),
+        (
+            (F.col("n_words") >= 56).cast("int")
+            + (50 * F.col("n_distinct") >= 23 * F.col("n_words")).cast("int")
+            + (1000 * F.col("top_cnt") <= 93 * F.col("n_words")).cast("int")
+            >= 2
+        )
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint(eager=True)
+
+    scored = _probe_fit_score(feats).select("source", "kp", "y")
+    agg = scored.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("kp").alias("a"),
+        F.sum("y").alias("b"),
+        F.sum((F.col("kp") == F.col("y")).cast("long")).alias("g"),
+    )
+    n = F.col("n")
+    pe = F.col("a") * F.col("b") + (n - F.col("a")) * (n - F.col("b"))
+    return agg.select(
+        "source",
+        n.alias("n_docs"),
+        F.col("a").alias("keep_probe"),
+        F.col("b").alias("keep_rule"),
+        F.col("g").alias("n_agree"),
+        F.when(
+            n * n != pe,
+            F.round(
+                (n * F.col("g") - pe).cast("double")
+                / (n * n - pe).cast("double"),
+                6,
+            ),
+        ).alias("kappa_probe_rule"),
+    ).orderBy("source")
+
+
+def _probe_fit_score(feats):
+    """Ridge fit on the doc_id % _PROBE_TRAIN_MOD == 0 split + whole-
+    frame scoring, all in-plan. `feats` needs (doc_id, f1, f2, f3, y)
+    with integer features on the 0..100 grid; returns feats plus the
+    probe decision `kp`. Factored out so the property tests can drive
+    the exact solve with adversarial frames (collinear features,
+    all-one/all-zero labels)."""
+    sums = feats.filter(F.col("doc_id") % _PROBE_TRAIN_MOD == 0).agg(
+        F.count("*").alias("s00"),
+        F.sum("f1").alias("s01"),
+        F.sum("f2").alias("s02"),
+        F.sum("f3").alias("s03"),
+        F.sum(F.col("f1") * F.col("f1")).alias("s11"),
+        F.sum(F.col("f1") * F.col("f2")).alias("s12"),
+        F.sum(F.col("f1") * F.col("f3")).alias("s13"),
+        F.sum(F.col("f2") * F.col("f2")).alias("s22"),
+        F.sum(F.col("f2") * F.col("f3")).alias("s23"),
+        F.sum(F.col("f3") * F.col("f3")).alias("s33"),
+        F.sum("y").alias("t0"),
+        F.sum(F.col("f1") * F.col("y")).alias("t1"),
+        F.sum(F.col("f2") * F.col("y")).alias("t2"),
+        F.sum(F.col("f3") * F.col("y")).alias("t3"),
+    )
+
+    def dec(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    mat = sums.select(
+        dec("s00").alias("a00"),
+        dec("s01").alias("a01"),
+        dec("s02").alias("a02"),
+        dec("s03").alias("a03"),
+        (dec("s11") + dec("s00")).alias("a11"),  # + λ = n_train
+        dec("s12").alias("a12"),
+        dec("s13").alias("a13"),
+        (dec("s22") + dec("s00")).alias("a22"),
+        dec("s23").alias("a23"),
+        (dec("s33") + dec("s00")).alias("a33"),
+        dec("t0").alias("b0"),
+        dec("t1").alias("b1"),
+        dec("t2").alias("b2"),
+        dec("t3").alias("b3"),
+    )
+    solve = mat.select(
+        _probe_det_col(None).alias("det"),
+        _probe_det_col(0).alias("det0"),
+        _probe_det_col(1).alias("det1"),
+        _probe_det_col(2).alias("det2"),
+        _probe_det_col(3).alias("det3"),
+    )
+
+    # keep ⟺ ŷ = (Σ detⱼxⱼ)/det ≥ ½ ⟺ 2·Σ detⱼxⱼ ≥ det (det > 0, PD)
+    score2 = 2 * (
+        F.col("det0")
+        + F.col("det1") * F.col("f1").cast("decimal(38,0)")
+        + F.col("det2") * F.col("f2").cast("decimal(38,0)")
+        + F.col("det3") * F.col("f3").cast("decimal(38,0)")
+    )
+    return feats.crossJoin(F.broadcast(solve)).withColumn(
+        "kp", (score2 >= F.col("det")).cast("long")
+    ).drop("det", "det0", "det1", "det2", "det3")
+
+
+def _quality_probe_train_sql() -> str:
+    kappa = (
+        "CASE WHEN n * n <> (a * b + (n - a) * (n - b)) THEN "
+        + _sql_round(
+            "CAST(n * g - (a * b + (n - a) * (n - b)) AS DOUBLE)"
+            " / CAST(n * n - (a * b + (n - a) * (n - b)) AS DOUBLE)",
+            6,
+        )
+        + " END"
+    )
+    return f"""
+WITH per_word AS (
+  SELECT doc_id, source, w, COUNT(*) AS c FROM (
+    SELECT doc_id, source,
+           unnest(regexp_extract_all(lower(text), '[A-Za-z]+', 0)) AS w
+    FROM documents
+  ) GROUP BY doc_id, source, w
+),
+per_doc AS (
+  SELECT doc_id, source, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+         MAX(c) AS top_cnt
+  FROM per_word GROUP BY doc_id, source
+),
+feats AS (
+  SELECT doc_id, source,
+         LEAST(n_words, 100) AS f1,
+         (100 * n_distinct) // n_words AS f2,
+         LEAST((1000 * top_cnt) // n_words, 100) AS f3,
+         CASE WHEN (CASE WHEN n_words >= 56 THEN 1 ELSE 0 END
+                    + CASE WHEN 50 * n_distinct >= 23 * n_words THEN 1 ELSE 0 END
+                    + CASE WHEN 1000 * top_cnt <= 93 * n_words THEN 1 ELSE 0 END
+                   ) >= 2 THEN 1 ELSE 0 END AS y
+  FROM per_doc
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS s00,
+         CAST(SUM(f1) AS HUGEINT) AS s01,
+         CAST(SUM(f2) AS HUGEINT) AS s02,
+         CAST(SUM(f3) AS HUGEINT) AS s03,
+         CAST(SUM(f1 * f1) AS HUGEINT) AS s11,
+         CAST(SUM(f1 * f2) AS HUGEINT) AS s12,
+         CAST(SUM(f1 * f3) AS HUGEINT) AS s13,
+         CAST(SUM(f2 * f2) AS HUGEINT) AS s22,
+         CAST(SUM(f2 * f3) AS HUGEINT) AS s23,
+         CAST(SUM(f3 * f3) AS HUGEINT) AS s33,
+         CAST(SUM(y) AS HUGEINT) AS b0,
+         CAST(SUM(f1 * y) AS HUGEINT) AS b1,
+         CAST(SUM(f2 * y) AS HUGEINT) AS b2,
+         CAST(SUM(f3 * y) AS HUGEINT) AS b3
+  FROM feats WHERE doc_id % {_PROBE_TRAIN_MOD} = 0
+),
+mat AS (
+  SELECT s00 AS a00, s01 AS a01, s02 AS a02, s03 AS a03,
+         s11 + s00 AS a11, s12 AS a12, s13 AS a13,
+         s22 + s00 AS a22, s23 AS a23, s33 + s00 AS a33,
+         b0, b1, b2, b3
+  FROM sums
+),
+solve AS (
+  SELECT {_probe_det_sql(None)} AS det,
+         {_probe_det_sql(0)} AS det0,
+         {_probe_det_sql(1)} AS det1,
+         {_probe_det_sql(2)} AS det2,
+         {_probe_det_sql(3)} AS det3
+  FROM mat
+),
+scored AS (
+  SELECT f.source, f.y,
+         CASE WHEN 2 * (s.det0 + s.det1 * f.f1 + s.det2 * f.f2
+                        + s.det3 * f.f3) >= s.det
+              THEN 1 ELSE 0 END AS kp
+  FROM feats f CROSS JOIN solve s
+),
+agg AS (
+  SELECT source, COUNT(*) AS n, SUM(kp) AS a, SUM(y) AS b,
+         SUM(CASE WHEN kp = y THEN 1 ELSE 0 END) AS g
+  FROM scored GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(a AS BIGINT) AS keep_probe,
+       CAST(b AS BIGINT) AS keep_rule,
+       CAST(g AS BIGINT) AS n_agree,
+       {kappa} AS kappa_probe_rule
+FROM agg
+ORDER BY source
+"""
+
+
+QUALITY_PROBE_TRAIN_SQL = _quality_probe_train_sql()
+
+
+# --------------------------------------------------------------------------
 # max_coverage_select — greedy max-coverage data selection: pick the k
 # documents that jointly cover the most hashed n-gram feature space
 # (the coreset/diverse-subset primitive behind "select a small
@@ -7068,6 +7540,16 @@ QUERIES = {
         q_filter_agreement_kappa,
         FILTER_AGREEMENT_KAPPA_SQL,
         ("text", "quality", "agreement", "kappa"),
+    ),
+    "quality_probe_train": Query(
+        q_quality_probe_train,
+        QUALITY_PROBE_TRAIN_SQL,
+        ("text", "quality", "probe", "ridge", "trained-gate"),
+    ),
+    "packing_bfd_compare": Query(
+        q_packing_bfd_compare,
+        PACKING_BFD_COMPARE_SQL,
+        ("text", "packing", "bin-packing", "bfd", "capacity"),
     ),
     "max_coverage_select": Query(
         q_max_coverage_select,

@@ -89,6 +89,9 @@ REPRESENTATIVES = [
     "fps_coreset",              # driver-round argmax greedy (TakeOrdered)
     "holt_linear_forecast",     # array_sort'd collect_list + codegen fold
     "join_size_estimate",       # mergeable CM sketches + inner product
+    # round-10 additions
+    "quality_probe_train",      # integer XᵀX sums + in-plan Cramer solve
+    "packing_bfd_compare",      # sort_array'd collect_list + BFD array fold
 ]
 
 

@@ -219,6 +219,8 @@ _INTENTIONAL_BNLJ = {
     "stylometry_burrows_delta",  # broadcast top-M words + 1-row S/m_used
     "shuffle_run_lengths",    # broadcast 1-row corpus-count scalar
     "context_fill_sweep",     # broadcast |grid|=5 context-size table
+    "packing_bfd_compare",    # broadcast |grid|=5 context-size table
+    "quality_probe_train",    # broadcast 1-row Cramer-solve weights
     "join_size_estimate",     # broadcast 1-row sketch-estimate scalar
     "cosine_neardup_pairs",   # broadcast pair candidates
     "cosine_topk",            # broadcast query set vs corpus

@@ -1096,3 +1096,126 @@ def test_stylometry_delta_matches_python_reference(spark, data):
         for r in out
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_quality_probe_solve_matches_fraction_ridge(spark, data):
+    """suite/textops.py::_probe_fit_score vs an exact Fraction-based
+    ridge solve (A = XᵀX + n·diag(0,1,1,1), w = A⁻¹b, keep ⟺ ŷ ≥ ½)
+    on adversarial frames: collinear features (f2 == f1 sometimes, so
+    the ridge term is what keeps A invertible) and skewed labels
+    (all-0 / all-1 runs are likely under the biased label strategy)."""
+    from fractions import Fraction
+
+    from city_payroll_data_pipeline_spark.suite.textops import (
+        _PROBE_TRAIN_MOD,
+        _probe_fit_score,
+    )
+
+    n_rows = data.draw(st.integers(min_value=3, max_value=24))
+    collinear = data.draw(st.booleans())
+    rows = []
+    for i in range(n_rows):
+        f1 = data.draw(st.integers(min_value=0, max_value=100))
+        f2 = f1 if collinear else data.draw(
+            st.integers(min_value=0, max_value=100)
+        )
+        f3 = data.draw(st.integers(min_value=0, max_value=100))
+        # biased toward skew: ~half the examples draw constant labels
+        y = data.draw(st.sampled_from([0, 0, 0, 1, 1, 1]))
+        rows.append((i, "s", f1, f2, f3, y))
+    # the solve needs a non-empty training split
+    if not any(r[0] % _PROBE_TRAIN_MOD == 0 for r in rows):
+        rows[0] = (0, *rows[0][1:])
+
+    # exact rational reference
+    train = [r for r in rows if r[0] % _PROBE_TRAIN_MOD == 0]
+    n = len(train)
+    A = [[Fraction(0)] * 4 for _ in range(4)]
+    b = [Fraction(0)] * 4
+    for _, _, f1, f2, f3, y in train:
+        x = (1, f1, f2, f3)
+        for i in range(4):
+            for j in range(4):
+                A[i][j] += x[i] * x[j]
+            b[i] += x[i] * y
+    for i in range(1, 4):
+        A[i][i] += n  # λ = n_train, intercept unpenalized
+    # Gaussian elimination over Fractions (A is PD, no pivoting needed)
+    M = [row[:] + [b[i]] for i, row in enumerate(A)]
+    for c in range(4):
+        piv = M[c][c]
+        assert piv != 0  # PD by construction
+        M[c] = [v / piv for v in M[c]]
+        for r2 in range(4):
+            if r2 != c and M[r2][c] != 0:
+                f = M[r2][c]
+                M[r2] = [v - f * w for v, w in zip(M[r2], M[c])]
+    w = [M[i][4] for i in range(4)]
+    want = {
+        r[0]: int(
+            w[0] + w[1] * r[2] + w[2] * r[3] + w[3] * r[4]
+            >= Fraction(1, 2)
+        )
+        for r in rows
+    }
+
+    feats = spark.createDataFrame(
+        rows,
+        "doc_id long, source string, f1 long, f2 long, f3 long, y long",
+    )
+    got = {
+        r["doc_id"]: r["kp"] for r in _probe_fit_score(feats).collect()
+    }
+    assert got == want
+
+
+def _python_bfd(sizes: list[int], ctx: int) -> int:
+    """Reference best-fit-decreasing pack count: first occurrence of
+    the smallest remainder that fits, else open a new pack."""
+    state: list[int] = []
+    for sz in sizes:  # caller passes sizes already sorted
+        fits = [r for r in state if r >= sz]
+        if fits:
+            m = min(fits)
+            state[state.index(m)] = m - sz
+        else:
+            state.append(ctx - sz)
+    return len(state)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=4096), min_size=1, max_size=30),
+    st.sampled_from([256, 512, 1024, 2048, 4096]),
+)
+def test_packing_bfd_fold_matches_python(spark, raw_sizes, ctx):
+    """The packing_bfd_compare fold vs a pure-Python BFD on random
+    size lists: identical pack counts for every ctx, including ties
+    in remainders (first-occurrence replacement) and zero-size docs."""
+    from city_payroll_data_pipeline_spark.suite.textops import (
+        q_packing_bfd_compare,
+    )
+
+    # build a documents-shaped frame whose token counts equal raw_sizes
+    # (token_count counts \S+ runs, so "w " * n has n tokens)
+    docs = spark.createDataFrame(
+        [
+            (i, "w " * sz, "en", "src", len("w " * sz))
+            for i, sz in enumerate(raw_sizes)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r["ctx"]: r["n_packs_bfd"]
+            for r in q_packing_bfd_compare(spark, d).collect()
+        }
+    sizes = sorted(
+        (min(sz, ctx) for sz in raw_sizes), reverse=True
+    )
+    assert out[ctx] == _python_bfd(sizes, ctx)
