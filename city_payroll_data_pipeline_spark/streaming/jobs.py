@@ -559,3 +559,110 @@ def windowed_source_mix(
             "entropy_norm"
         ),
     )
+
+
+def windowed_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    probes: list[str],
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+    min_share: float = 0.1,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Windowed heavy-hitter alert — the third member of the streaming
+    feed-health trio (windowed_psi_drift watches a VALUE distribution,
+    windowed_source_mix the SOURCE composition; this watches for any
+    single key suddenly FLOODING the feed). It is the streaming twin
+    of the batch suite's ``countmin_heavy_tokens``
+    (suite/mlops.py): a d×w Count-Min sketch (Cormode & Muthukrishnan
+    2005) per event-time window, probed at the ``probes`` watch list
+    (the contract keys an operator cares about — top domains, known
+    crawl hosts — shipped as literals exactly like
+    windowed_source_mix's source list), with the classic φ-heavy
+    rule: alert when the sketch estimate exceeds ``min_share``·n.
+
+    CM probe identity that keeps state sketch-SIZED without storing
+    the sketch: est(k) = min_i cnt[i][cell_i(k)], and since probe
+    cells are compile-time constants, cnt[i][cell_i(k)] is just the
+    conditional sum Σ rows (cell_i(row) == cell_i(k)). So the whole
+    job is ONE stateful aggregation — |probes|·d conditional sums +
+    n inside a single groupBy(window) — followed by a stateless
+    least()/threshold projection. State per window is one row of
+    |probes|·d + 1 longs regardless of stream volume or key
+    cardinality; the watermark frees it once the window closes.
+    Estimates keep CM's one-sided guarantee (est ≥ exact count of the
+    probe in that window — collisions only ADD), asserted in the twin
+    test.
+
+    Same batch-twin equality contract as every job in this module:
+    all state is arrival-order-free conditional counts, so the
+    streamed result equals the same function on the batch union of
+    the micro-batches bit for bit (counts are exact longs; the share
+    threshold is one deterministic row-level double compare).
+
+    Hash family: md5(i: ∥ key) → first 12 hex chars → mod w — the
+    same row-salted cell derivation as the batch sketch family
+    (suite/mlops.py::_cm_cell), so a batch backfill and the streaming
+    alert agree on cells.
+    """
+    import hashlib
+
+    from city_payroll_data_pipeline_spark.functions.text import hex_to_long
+
+    if not probes:
+        raise ValueError("windowed_heavy_hitters: probes must be non-empty")
+
+    def cell(tok: F.Column, i: int) -> F.Column:
+        return F.pmod(
+            hex_to_long(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), tok)), 1, 12)
+            ),
+            F.lit(w),
+        )
+
+    # probe cells precomputed driver-side with the identical formula —
+    # md5 of the same bytes, first 12 hex chars, mod w
+    probe_cells = [
+        [
+            int(hashlib.md5(f"{i}:{p}".encode()).hexdigest()[:12], 16) % w
+            for i in range(d)
+        ]
+        for p in probes
+    ]
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    k = F.col(key_col)
+    row_cells = [cell(k, i) for i in range(d)]
+    sums = [
+        F.sum((row_cells[i] == F.lit(probe_cells[j][i])).cast("long")).alias(
+            f"c{j}_{i}"
+        )
+        for j in range(len(probes))
+        for i in range(d)
+    ]
+    agg = src.groupBy(F.window(ts_col, window).alias("win")).agg(
+        F.count("*").alias("n"), *sums
+    )
+    ests = [
+        F.least(*[F.col(f"c{j}_{i}") for i in range(d)])
+        for j in range(len(probes))
+    ]
+    out = [F.col("win.start").alias("window_start"),
+           F.col("win.end").alias("window_end"), F.col("n")]
+    for j in range(len(probes)):
+        out.append(ests[j].alias(f"est_{j}"))
+        out.append(
+            (ests[j].cast("double") > F.lit(min_share) * F.col("n"))
+            .cast("int")
+            .alias(f"heavy_{j}")
+        )
+    n_heavy_expr = None
+    for j in range(len(probes)):
+        t = (ests[j].cast("double") > F.lit(min_share) * F.col("n")).cast(
+            "int"
+        )
+        n_heavy_expr = t if n_heavy_expr is None else n_heavy_expr + t
+    out.append(n_heavy_expr.alias("n_heavy"))
+    return agg.select(*out)

@@ -941,3 +941,99 @@ def test_streaming_source_mix_agrees_with_batch(spark, tmp_path):
     assert w1[:5] == (8, 2, 2, 2, 2)
     assert w1[5] == 0.25
     assert w1[6] == round(math.log(4), 6)
+
+
+def test_streaming_heavy_hitters_agrees_with_batch(spark, tmp_path):
+    """Windowed heavy-hitter alert (thirteenth job): the streamed
+    per-window CM probe estimates and flags must equal the same
+    function applied to the batch union of the micro-batches (one
+    stateful aggregation of arrival-order-free conditional counts),
+    AND every estimate must keep the CM one-sided guarantee
+    est >= exact count of the probe in that window."""
+    import datetime as dt
+    from collections import Counter
+
+    from city_payroll_data_pipeline_spark.streaming.jobs import (
+        run_to_memory,
+        windowed_heavy_hitters,
+    )
+
+    src = tmp_path / "hh_src"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "tok string, ts timestamp"
+
+    def rows(minute, names):
+        return [
+            (nm, t0 + dt.timedelta(minutes=minute, seconds=i))
+            for i, nm in enumerate(names)
+        ]
+
+    # window 1: "spam" floods (6/10 > 0.25); window 2: balanced feed
+    # where no probe crosses the threshold; "offlist" keys exercise
+    # collision-only contribution to the probes' cells
+    batch1 = rows(0, ["spam"] * 6 + ["ham", "eggs", "offlist1", "offlist2"])
+    batch2 = rows(12, ["ham", "eggs", "spam", "offlist1"] * 2)
+    for b in (batch1, batch2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    probes = ["spam", "ham", "eggs"]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_to_memory(
+        windowed_heavy_hitters(
+            stream, "tok", "ts", probes, min_share=0.25
+        ),
+        "hh_out",
+        output_mode="complete",
+    )
+
+    def key(frame):
+        return {
+            r["window_start"]: tuple(
+                (r[f"est_{j}"], r[f"heavy_{j}"]) for j in range(len(probes))
+            )
+            + (r["n"], r["n_heavy"])
+            for r in frame
+        }
+
+    got = key(spark.table("hh_out").collect())
+    want = key(
+        windowed_heavy_hitters(
+            spark.createDataFrame(batch1 + batch2, schema),
+            "tok",
+            "ts",
+            probes,
+            min_share=0.25,
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 2
+
+    # one-sided guarantee vs exact per-window counts
+    win1 = t0
+    win2 = t0 + dt.timedelta(minutes=10)
+    exact = {
+        win1: Counter(nm for nm, _ in batch1),
+        win2: Counter(nm for nm, _ in batch2),
+    }
+    for ws, vals in got.items():
+        for j, p in enumerate(probes):
+            est, _ = vals[j]
+            assert est >= exact[ws][p], (ws, p, est, exact[ws][p])
+
+    # the flood window flags spam (6/10 > 0.25) and ONLY spam unless
+    # a collision pushes another probe's estimate over the line —
+    # assert via the recomputed rule on the returned estimates, so
+    # the test stays exact under any hash layout
+    for ws, vals in got.items():
+        n = vals[len(probes)]
+        for j in range(len(probes)):
+            est, heavy = vals[j]
+            assert heavy == int(est > 0.25 * n)
+    spam_est, spam_heavy = got[win1][0]
+    assert spam_est >= 6 and spam_heavy == 1
