@@ -415,6 +415,8 @@ HEADLINE = [
     # round-10 additions
     "quality_probe_train",        # NEW r10: closed-form ridge quality gate
     "packing_bfd_compare",        # NEW r10: best-fit-decreasing packing arm
+    "neardup_split_leakage",      # NEW r10: near-dup train/test contamination
+    "kmv_source_overlap",         # NEW r10: KMV set-overlap sketch + certificate
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

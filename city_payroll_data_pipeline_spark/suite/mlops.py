@@ -845,6 +845,212 @@ JOIN_SIZE_ESTIMATE_SQL = _join_size_estimate_sql()
 
 
 # --------------------------------------------------------------------------
+# kmv_source_overlap — KMV (k-minimum-values) distinct-overlap
+# estimation between source vocabularies (Bar-Yossef 2002; Beyer
+# 2007), the SET-OPERATION member completing the sketch family
+# (HLL = cardinality, Bloom = membership, CM = frequency/join size;
+# this = union/intersection/Jaccard between already-sketched sets):
+#
+#   keep each source's k smallest 48-bit term hashes;
+#   union estimate  Û = (k−1)·2⁴⁸ / h₍ₖ₎ of the merged sketch
+#                      (exact |union| when the merge holds < k values);
+#   Jaccard estimate = |k-min of union ∩ A ∩ B| / min(k, |union|).
+#
+# The exact per-pair vocabulary intersection/union rides beside the
+# estimates as the certificate — the driver hash match re-derives
+# both arms. Unlike HLL, a KMV sketch supports INTERSECTION natively,
+# which is why dataset-overlap tooling (did these two crawls collect
+# the same sites?) ships KMV/theta sketches rather than HLL.
+#
+# Determinism: hashes are the shared md5→48-bit integer primitive;
+# per-source min-k is an exact ROW_NUMBER ≤ k (map-side WindowGroup-
+# Limit — only ~k rows per source per input partition are shuffled);
+# all set logic runs on ≤ 2k-element sorted integer arrays; the two
+# doubles are single exact-operand divisions rounded immediately.
+#
+# Scale: a KMV sketch is MERGEABLE (min-k of a union = min-k of the
+# concatenated min-k's), so at 100 TB each shard emits its k-row
+# sketch and the per-source merge is a k-row reduce; the pairwise
+# comparison frame is |sources|²·k — model-sized. The exact arm's
+# vocabulary self-join is the certificate, not the production path
+# (the join_size_estimate asymmetry).
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE = 1 << 48  # md5 12-hex-char hash space
+
+
+def q_kmv_source_overlap(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import (
+        hex_to_long,
+        word_tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    terms = docs.select(
+        "source", F.explode(word_tokens(F.col("text"))).alias("w")
+    ).distinct()
+    # KMV lives in hash space: distinct hashes per source (two terms
+    # colliding in 48 bits collapse — that IS the sketch's domain)
+    hashed = terms.select(
+        "source",
+        hex_to_long(F.substring(F.md5(F.col("w")), 1, 12)).alias("h"),
+    ).distinct()
+    mink = (
+        hashed.withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("source").orderBy("h")),
+        )
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
+    a = mink.select(F.col("source").alias("source_a"), F.col("hs").alias("ha"))
+    b = mink.select(F.col("source").alias("source_b"), F.col("hs").alias("hb"))
+    pair = a.join(b, F.col("source_a") < F.col("source_b"))
+    union_arr = F.array_sort(F.array_union(F.col("ha"), F.col("hb")))
+    usz = F.size(union_arr)
+    kk = F.least(F.lit(_KMV_K), usz)
+    hk = F.element_at(union_arr, kk)
+    inter_kmv = F.size(
+        F.filter(
+            F.slice(union_arr, 1, _KMV_K),
+            lambda x: F.array_contains(F.col("ha"), x)
+            & F.array_contains(F.col("hb"), x),
+        )
+    )
+    est = pair.select(
+        "source_a",
+        "source_b",
+        kk.alias("kmv_k"),
+        F.round(
+            F.when(
+                usz >= _KMV_K,
+                F.lit((_KMV_K - 1) * _KMV_SPACE) / hk.cast("double"),
+            ).otherwise(usz.cast("double")),
+            4,
+        ).alias("kmv_union_est"),
+        F.round(inter_kmv / kk.cast("double"), 6).alias("kmv_jaccard"),
+    )
+    # exact certificate arm: true vocabulary overlap per source pair
+    ta = terms.select(F.col("source").alias("source_a"), "w")
+    tb = terms.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        ta.join(tb, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = terms.groupBy("source").agg(F.count("*").alias("nv"))
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("nv").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("nv").alias("nb"))
+    exact = (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "na",
+            "nb",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )
+    return exact.join(est, ["source_a", "source_b"]).orderBy(
+        "source_a", "source_b"
+    )
+
+
+KMV_SOURCE_OVERLAP_SQL = f"""
+WITH terms AS (
+  SELECT DISTINCT source, w FROM (
+    SELECT source,
+           unnest(regexp_extract_all(lower(text), '[A-Za-z]+', 0)) AS w
+    FROM documents
+  )
+),
+hashed AS (
+  SELECT DISTINCT source,
+         CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS h
+  FROM terms
+),
+mink AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+    FROM hashed
+  ) WHERE rk <= {_KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM mink),
+u AS (
+  SELECT p.source_a, p.source_b, m.h,
+         MAX(CASE WHEN m.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN m.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+  FROM (SELECT a.source AS source_a, b.source AS source_b
+        FROM srcs a JOIN srcs b ON a.source < b.source) p
+  JOIN mink m ON m.source IN (p.source_a, p.source_b)
+  GROUP BY p.source_a, p.source_b, m.h
+),
+ur AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+                               ORDER BY h) AS rk,
+         COUNT(*) OVER (PARTITION BY source_a, source_b) AS usz
+  FROM u
+),
+kmv AS (
+  SELECT source_a, source_b,
+         LEAST({_KMV_K}, MAX(usz)) AS kmv_k,
+         MAX(CASE WHEN rk = LEAST({_KMV_K}, usz) THEN h END) AS hk,
+         CAST(SUM(CASE WHEN rk <= {_KMV_K} AND in_a = 1 AND in_b = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS inter_kmv,
+         MAX(usz) AS usz
+  FROM ur GROUP BY source_a, source_b
+),
+est AS (
+  SELECT source_a, source_b, CAST(kmv_k AS INT) AS kmv_k,
+         {_sql_round(
+             f"CASE WHEN usz >= {_KMV_K} THEN "
+             f"CAST({(_KMV_K - 1) * _KMV_SPACE} AS DOUBLE) / CAST(hk AS DOUBLE) "
+             f"ELSE CAST(usz AS DOUBLE) END", 4)} AS kmv_union_est,
+         {_sql_round("CAST(inter_kmv AS DOUBLE) / kmv_k", 6)} AS kmv_jaccard
+  FROM kmv
+),
+sizes AS (SELECT source, COUNT(*) AS nv FROM terms GROUP BY source),
+inter AS (
+  SELECT ta.source AS source_a, tb.source AS source_b,
+         COUNT(*) AS n_inter
+  FROM terms ta JOIN terms tb ON ta.w = tb.w AND ta.source < tb.source
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.source_a, i.source_b,
+         CAST(sa.nv AS BIGINT) AS na, CAST(sb.nv AS BIGINT) AS nb,
+         CAST(i.n_inter AS BIGINT) AS n_inter,
+         CAST(sa.nv + sb.nv - i.n_inter AS BIGINT) AS n_union,
+         {_sql_round(
+             "CAST(i.n_inter AS DOUBLE) / (sa.nv + sb.nv - i.n_inter)", 6)}
+           AS jaccard_exact
+  FROM inter i
+  JOIN sizes sa ON sa.source = i.source_a
+  JOIN sizes sb ON sb.source = i.source_b
+)
+SELECT e.source_a AS source_a, e.source_b AS source_b,
+       e.na, e.nb, e.n_inter, e.n_union, e.jaccard_exact,
+       s.kmv_k, s.kmv_union_est, s.kmv_jaccard
+FROM exact e
+JOIN est s ON s.source_a = e.source_a AND s.source_b = e.source_b
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # mi_feature_screen — mutual-information feature ranking against a
 # binary target.
 #
@@ -2258,6 +2464,11 @@ QUERIES: dict[str, Query] = {
         q_join_size_estimate,
         JOIN_SIZE_ESTIMATE_SQL,
         ("sketch", "count-min", "join-cardinality", "optimizer"),
+    ),
+    "kmv_source_overlap": Query(
+        q_kmv_source_overlap,
+        KMV_SOURCE_OVERLAP_SQL,
+        ("sketch", "kmv", "set-overlap", "jaccard", "mergeable"),
     ),
     "mi_feature_screen": Query(
         q_mi_feature_screen,

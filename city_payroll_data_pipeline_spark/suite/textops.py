@@ -3154,6 +3154,92 @@ def q_split_leakage_check(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# neardup_split_leakage — the NEAR-dup half of the contamination
+# audit. split_leakage_check catches exact copies crossing the
+# train/test wall; the leaks that actually inflate evals in practice
+# are near-duplicates (truncations, boilerplate variants, re-crawls)
+# — Lee et al. 2021 measure exactly this class. This audit joins the
+# minhash-LSH verified pair set to the hash-bucket split assignment
+# of both endpoints and reports, per unordered split pair, how many
+# verified near-dup pairs land there — every (train, test) or
+# (train, val) row is a leak the split procedure must fix (split by
+# CLUSTER, not by id). `leaked` flags cross-split rows; pair_share
+# gives each cell's mass of all verified pairs.
+#
+# Scale: the pair frame is the minhash pipeline's (already bucketed,
+# candidate-bounded); split assignment is a map-side hash on ids; the
+# two joins are id-equi against a pairs frame that is tiny relative
+# to the corpus (near-dup pairs, not rows). The 1-row total rides a
+# broadcast cross join (the shuffle_run_lengths precedent).
+# --------------------------------------------------------------------------
+
+
+def q_neardup_split_leakage(spark, sf_dir):
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.5
+    ).select("doc_a", "doc_b")
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    assign = corpus.select("doc_id", split.alias("split"))
+    a = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    agg = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    total = agg.agg(F.sum("n_pairs").alias("total"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            F.round(F.col("n_pairs") / F.col("total"), 6).alias("pair_share"),
+            (F.col("split_a") != F.col("split_b")).cast("int").alias("leaked"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+NEARDUP_SPLIT_LEAKAGE_SQL = rf"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_DEDUP_PAIRS_SQL.strip()})
+),
+corpus3 AS ({_NEAR_CORPUS_SQL}),
+assign AS (
+  SELECT doc_id,
+         CASE WHEN {_HASH_BUCKET_SQL} < 80 THEN 'train'
+              WHEN {_HASH_BUCKET_SQL} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM corpus3
+),
+agg AS (
+  SELECT LEAST(a.split, b.split) AS split_a,
+         GREATEST(a.split, b.split) AS split_b,
+         COUNT(*) AS n_pairs
+  FROM pairs p
+  JOIN assign a ON a.doc_id = p.doc_a
+  JOIN assign b ON b.doc_id = p.doc_b
+  GROUP BY 1, 2
+)
+SELECT split_a, split_b, n_pairs,
+       {_sql_round('CAST(n_pairs AS DOUBLE) / (SELECT SUM(n_pairs) FROM agg)', 6)}
+         AS pair_share,
+       CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS leaked
+FROM agg
+ORDER BY split_a, split_b
+"""
+
+
 SPLIT_LEAKAGE_CHECK_SQL = rf"""
 WITH corpus AS ({_DUP_CORPUS_SQL}),
 per AS (
@@ -7611,6 +7697,11 @@ QUERIES = {
         q_split_leakage_check,
         SPLIT_LEAKAGE_CHECK_SQL,
         ("split", "contamination", "dedup-aware"),
+    ),
+    "neardup_split_leakage": Query(
+        q_neardup_split_leakage,
+        NEARDUP_SPLIT_LEAKAGE_SQL,
+        ("split", "contamination", "near-dup", "minhash"),
     ),
     "fuzzy_name_pairs": Query(
         q_fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL, ("fuzzy", "levenshtein")

@@ -92,6 +92,7 @@ REPRESENTATIVES = [
     # round-10 additions
     "quality_probe_train",      # integer XᵀX sums + in-plan Cramer solve
     "packing_bfd_compare",      # sort_array'd collect_list + BFD array fold
+    "kmv_source_overlap",       # min-k WindowGroupLimit + sorted sketch arrays
 ]
 
 

@@ -221,6 +221,9 @@ _INTENTIONAL_BNLJ = {
     "context_fill_sweep",     # broadcast |grid|=5 context-size table
     "packing_bfd_compare",    # broadcast |grid|=5 context-size table
     "quality_probe_train",    # broadcast 1-row Cramer-solve weights
+    "neardup_split_leakage",  # broadcast 1-row pair-total scalar
+    "kmv_source_overlap",     # source_a < source_b pairing of two
+                              # |sources|-row sketch frames
     "join_size_estimate",     # broadcast 1-row sketch-estimate scalar
     "cosine_neardup_pairs",   # broadcast pair candidates
     "cosine_topk",            # broadcast query set vs corpus
