@@ -417,6 +417,7 @@ HEADLINE = [
     "packing_bfd_compare",        # NEW r10: best-fit-decreasing packing arm
     "neardup_split_leakage",      # NEW r10: near-dup train/test contamination
     "kmv_source_overlap",         # NEW r10: KMV set-overlap sketch + certificate
+    "cluster_safe_split",         # NEW r10: cluster-keyed split, zero-leak cert
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

@@ -3240,6 +3240,111 @@ ORDER BY split_a, split_b
 """
 
 
+# --------------------------------------------------------------------------
+# cluster_safe_split — the REMEDY the two leakage audits point at:
+# assign train/val/test by near-dup CLUSTER, not by document id.
+# Every doc inherits its connected component (singletons cluster as
+# themselves), the hash bucket is taken on the cluster id, so a
+# near-dup pair can never straddle the wall — the query recomputes
+# the leaked-pair count as its own certificate column (zero by
+# construction, and the oracle re-derives that zero independently).
+# Per split: cluster count, doc count, and the certificate.
+#
+# Scale: clustering cost is the dedup pipeline's (already bucketed);
+# the split assignment is one map-side hash on the cluster id after
+# a left join of the corpus against the component frame (pairs-sized,
+# tiny relative to the corpus). The 1-row certificate rides a
+# broadcast cross join.
+# --------------------------------------------------------------------------
+
+
+def q_cluster_safe_split(spark, sf_dir):
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.5
+    ).select("doc_a", "doc_b")
+    comp = dedup.connected_components(pairs)
+    assign = corpus.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+    )
+    bucket = _hash_bucket(F.col("cluster"))
+    splits = assign.select(
+        "doc_id",
+        "cluster",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    a = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    leaks = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.sum((F.col("sa") != F.col("sb")).cast("long")).alias(
+                "n_leaked_pairs"
+            )
+        )
+    )
+    return (
+        splits.groupBy("split")
+        .agg(
+            F.countDistinct("cluster").alias("n_clusters"),
+            F.count("*").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select("split", "n_clusters", "n_docs", "n_leaked_pairs")
+        .orderBy("split")
+    )
+
+
+CLUSTER_SAFE_SPLIT_SQL = rf"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_DEDUP_PAIRS_SQL.strip()})
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, r) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.doc
+),
+comp AS (
+  SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc
+),
+corpus4 AS ({_NEAR_CORPUS_SQL}),
+splits AS (
+  SELECT c.doc_id, cluster,
+         CASE WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 12)
+                        AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 12)
+                        AS BIGINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT c2.doc_id, COALESCE(comp.component, c2.doc_id) AS cluster
+        FROM corpus4 c2 LEFT JOIN comp ON comp.doc_id = c2.doc_id) c
+),
+leaks AS (
+  SELECT CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaked_pairs
+  FROM pairs p
+  JOIN splits a ON a.doc_id = p.doc_a
+  JOIN splits b ON b.doc_id = p.doc_b
+)
+SELECT split,
+       CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       COUNT(*) AS n_docs,
+       (SELECT n_leaked_pairs FROM leaks) AS n_leaked_pairs
+FROM splits
+GROUP BY split
+ORDER BY split
+"""
+
+
 SPLIT_LEAKAGE_CHECK_SQL = rf"""
 WITH corpus AS ({_DUP_CORPUS_SQL}),
 per AS (
@@ -7702,6 +7807,11 @@ QUERIES = {
         q_neardup_split_leakage,
         NEARDUP_SPLIT_LEAKAGE_SQL,
         ("split", "contamination", "near-dup", "minhash"),
+    ),
+    "cluster_safe_split": Query(
+        q_cluster_safe_split,
+        CLUSTER_SAFE_SPLIT_SQL,
+        ("split", "dedup-aware", "cluster", "remedy"),
     ),
     "fuzzy_name_pairs": Query(
         q_fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL, ("fuzzy", "levenshtein")

@@ -222,6 +222,7 @@ _INTENTIONAL_BNLJ = {
     "packing_bfd_compare",    # broadcast |grid|=5 context-size table
     "quality_probe_train",    # broadcast 1-row Cramer-solve weights
     "neardup_split_leakage",  # broadcast 1-row pair-total scalar
+    "cluster_safe_split",     # broadcast 1-row leak-certificate scalar
     "kmv_source_overlap",     # source_a < source_b pairing of two
                               # |sources|-row sketch frames
     "join_size_estimate",     # broadcast 1-row sketch-estimate scalar

@@ -1219,3 +1219,85 @@ def test_packing_bfd_fold_matches_python(spark, raw_sizes, ctx):
         (min(sz, ctx) for sz in raw_sizes), reverse=True
     )
     assert out[ctx] == _python_bfd(sizes, ctx)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_kmv_overlap_matches_python_reference(spark, data):
+    """suite/mlops.py::q_kmv_source_overlap vs a pure-Python KMV replay
+    (hashlib md5 → 48-bit ints → min-k → (k−1)·2⁴⁸/h_k union estimate
+    and k-min-of-union Jaccard) plus exact vocabulary overlap, on
+    random small corpora — including identical sources (Jaccard 1),
+    disjoint vocabularies, and sub-k unions (the exact-count branch)."""
+    import hashlib
+    import tempfile
+
+    from city_payroll_data_pipeline_spark.suite.mlops import (
+        _KMV_K,
+        _KMV_SPACE,
+        q_kmv_source_overlap,
+    )
+
+    # pure-alphabetic vocab: word_tokens extracts [A-Za-z]+ runs, so a
+    # digit-bearing word like "w0" would collapse to "w"
+    vocab = [
+        "w" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(40)
+    ]
+    n_sources = data.draw(st.integers(min_value=2, max_value=4))
+    docs, vocab_by_src = [], {}
+    for s in range(n_sources):
+        words = data.draw(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=30)
+        )
+        vocab_by_src[f"s{s}"] = set(words)
+        docs.append((s, " ".join(words), "en", f"s{s}", len(" ".join(words))))
+
+    def h48(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:12], 16)
+
+    want = {}
+    names = sorted(vocab_by_src)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            va, vb = vocab_by_src[a], vocab_by_src[b]
+            ha = sorted({h48(w) for w in va})[:_KMV_K]
+            hb = sorted({h48(w) for w in vb})[:_KMV_K]
+            union = sorted(set(ha) | set(hb))
+            usz = len(union)
+            kk = min(_KMV_K, usz)
+            hk = union[kk - 1]
+            topk = union[:_KMV_K]
+            inter_kmv = sum(1 for x in topk if x in set(ha) and x in set(hb))
+            est = (
+                (_KMV_K - 1) * _KMV_SPACE / hk if usz >= _KMV_K else float(usz)
+            )
+            n_inter = len(va & vb)
+            if n_inter == 0:
+                continue  # inner-join drop, matches the query
+            want[(a, b)] = (
+                len(va),
+                len(vb),
+                n_inter,
+                len(va | vb),
+                round(n_inter / len(va | vb), 6),
+                kk,
+                round(est, 4),
+                round(inter_kmv / kk, 6),
+            )
+
+    frame = spark.createDataFrame(
+        [(i, t, l, s, n) for i, (i2, t, l, s, n) in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        frame.write.parquet(f"{d}/documents.parquet")
+        got = {
+            (r["source_a"], r["source_b"]): (
+                r["na"], r["nb"], r["n_inter"], r["n_union"],
+                round(r["jaccard_exact"], 6), r["kmv_k"],
+                round(r["kmv_union_est"], 4), round(r["kmv_jaccard"], 6),
+            )
+            for r in q_kmv_source_overlap(spark, d).collect()
+        }
+    assert got == want
