@@ -418,6 +418,7 @@ HEADLINE = [
     "neardup_split_leakage",      # NEW r10: near-dup train/test contamination
     "kmv_source_overlap",         # NEW r10: KMV set-overlap sketch + certificate
     "cluster_safe_split",         # NEW r10: cluster-keyed split, zero-leak cert
+    "token_budget_waterfill",     # NEW r10: uniform water-fill data recipe
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

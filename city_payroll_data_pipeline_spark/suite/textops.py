@@ -4330,6 +4330,141 @@ ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# token_budget_waterfill — the data-recipe allocation table: given a
+# fixed training token budget (here half the corpus), how many tokens
+# to draw from each source under a UNIFORM target mixture, capped by
+# each source's actual inventory — classic water-filling: sources too
+# small to supply an equal share are consumed whole and their
+# shortfall is redistributed across the remaining sources. Processing
+# sources in ascending inventory order makes the one-pass greedy
+# exact: when source s is reached, rate = remaining_budget div
+# remaining_sources is its final equal share, because every earlier
+# (smaller) source has already capped. Output per source: inventory,
+# allocation, capped flag, utilization, budget share. Floor division
+# leaves a deterministic residual < |sources| tokens unallocated
+# (documented; a real loader rounds it into the last shard).
+#
+# Exactness: pure integer fold (the Holt/BFD precedent) — state is
+# (remaining budget, remaining source count, allocations); both
+# engines replay the identical sorted order (inventory, source) and
+# the identical floor divisions; the two ratio columns are single
+# exact-operand divisions.
+#
+# Scale: the corpus-sized work is ONE map-side token count + ONE
+# per-source reduce; the fold runs over the |sources|-row frame
+# collected into a sorted array (model-sized by construction — the
+# mixture table never grows with the corpus, only with the source
+# catalog).
+# --------------------------------------------------------------------------
+
+
+def q_token_budget_waterfill(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    inv = (
+        docs.select("source", token_count(F.col("text")).alias("t"))
+        .groupBy("source")
+        .agg(F.sum("t").alias("inv"))
+    )
+    one = inv.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("inv").alias("inv"), "source"))
+        ).alias("xs"),
+        (F.sum("inv") / 2).cast("long").alias("budget"),
+    )
+
+    def step(state, x):
+        rate = F.floor(
+            state["brem"] / state["srem"]
+        ).cast("long")
+        a = F.least(x["inv"], rate)
+        return F.struct(
+            (state["brem"] - a).alias("brem"),
+            (state["srem"] - 1).alias("srem"),
+            F.concat(
+                state["allocs"],
+                F.array(
+                    F.struct(
+                        x["source"].alias("source"),
+                        x["inv"].alias("inv"),
+                        a.alias("alloc"),
+                    )
+                ),
+            ).alias("allocs"),
+        )
+
+    folded = one.select(
+        "budget",
+        F.aggregate(
+            F.col("xs"),
+            F.struct(
+                F.col("budget").alias("brem"),
+                F.size("xs").cast("long").alias("srem"),
+                F.expr(
+                    "CAST(array() AS"
+                    " array<struct<source:string,inv:bigint,alloc:bigint>>)"
+                ).alias("allocs"),
+            ),
+            step,
+            lambda s: s["allocs"],
+        ).alias("allocs"),
+    )
+    out = folded.select("budget", F.explode("allocs").alias("a"))
+    return out.select(
+        F.col("a.source").alias("source"),
+        F.col("a.inv").alias("inv_tokens"),
+        F.col("a.alloc").alias("alloc_tokens"),
+        (F.col("a.alloc") == F.col("a.inv")).cast("int").alias("capped"),
+        F.round(F.col("a.alloc") / F.col("a.inv").cast("double"), 6).alias(
+            "utilization"
+        ),
+        F.round(F.col("a.alloc") / F.col("budget").cast("double"), 6).alias(
+            "budget_share"
+        ),
+    ).orderBy("source")
+
+
+TOKEN_BUDGET_WATERFILL_SQL = rf"""
+WITH RECURSIVE sized AS (
+  SELECT source, len(regexp_extract_all(text, '\S+', 0)) AS t
+  FROM documents
+),
+inv AS (
+  SELECT source, CAST(SUM(t) AS BIGINT) AS inv FROM sized GROUP BY source
+),
+ordered AS (
+  SELECT source, inv,
+         ROW_NUMBER() OVER (ORDER BY inv, source) AS rk,
+         COUNT(*) OVER () AS n_src,
+         CAST(SUM(inv) OVER () AS BIGINT) AS total
+  FROM inv
+),
+fold(rk, brem, srem, source, inv, alloc) AS (
+  SELECT 0, CAST(FLOOR(total / 2.0) AS BIGINT), n_src,
+         CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT total, n_src FROM ordered)
+  UNION ALL
+  SELECT o.rk, f.brem - LEAST(o.inv, f.brem // f.srem), f.srem - 1,
+         o.source, o.inv, LEAST(o.inv, f.brem // f.srem)
+  FROM fold f JOIN ordered o ON o.rk = f.rk + 1
+),
+budget AS (
+  SELECT CAST(FLOOR(total / 2.0) AS BIGINT) AS b
+  FROM (SELECT DISTINCT total FROM ordered)
+)
+SELECT f.source AS source,
+       f.inv AS inv_tokens,
+       f.alloc AS alloc_tokens,
+       CASE WHEN f.alloc = f.inv THEN 1 ELSE 0 END AS capped,
+       {_sql_round('CAST(f.alloc AS DOUBLE) / f.inv', 6)} AS utilization,
+       {_sql_round('CAST(f.alloc AS DOUBLE) / (SELECT b FROM budget)', 6)}
+         AS budget_share
+FROM fold f
+WHERE f.rk >= 1
+ORDER BY source
+"""
+
+
 PACK_SEQUENCES_SQL = rf"""
 WITH sized AS (
   SELECT source, doc_id,
@@ -7812,6 +7947,11 @@ QUERIES = {
         q_cluster_safe_split,
         CLUSTER_SAFE_SPLIT_SQL,
         ("split", "dedup-aware", "cluster", "remedy"),
+    ),
+    "token_budget_waterfill": Query(
+        q_token_budget_waterfill,
+        TOKEN_BUDGET_WATERFILL_SQL,
+        ("packing", "mixture", "water-filling", "data-recipe"),
     ),
     "fuzzy_name_pairs": Query(
         q_fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL, ("fuzzy", "levenshtein")
