@@ -419,6 +419,9 @@ HEADLINE = [
     "kmv_source_overlap",         # NEW r10: KMV set-overlap sketch + certificate
     "cluster_safe_split",         # NEW r10: cluster-keyed split, zero-leak cert
     "token_budget_waterfill",     # NEW r10: uniform water-fill data recipe
+    "shapley_vocab_attribution",  # NEW r10: exact Shapley vocab-coverage credit
+    "wasserstein_length_drift",   # NEW r10: exact 1-D earth-mover drift
+    "bradley_terry_sources",      # NEW r10: BT preference-strength MM fit
 ]
 
 # Registry queries intentionally NOT timed, each with its exclusion

@@ -461,6 +461,146 @@ LIMIT 1
 """
 
 # --------------------------------------------------------------------------
+# wasserstein_length_drift — exact 1-D Wasserstein-1 (earth-mover)
+# distance between each source's doc-length distribution and the
+# whole-corpus distribution. Completes the drift family: PSI bins and
+# loses within-bin shifts, KS takes only the WORST CDF gap, MMD needs
+# a kernel — W1 integrates the full CDF gap in the value's own units
+# ("this crawl's length profile moved by an average of N chars"),
+# which is the number a mix owner can act on.
+#
+# For 1-D distributions W1 has the closed form ∫|F_s(x) − F_c(x)|dx,
+# exact over integer-valued data as Σ_x |cum_s·n_c − cum_c·n_s|·Δx
+# over the corpus-distinct values with ONE division at the end —
+# same integer cross-product trick as ks_source_drift, extended from
+# max to integral.
+#
+# Scale: all windows run over the per-VALUE histogram frame, whose
+# size is bounded by the value domain (max doc length), independent
+# of corpus size — the ks_source_drift precedent. The per-source
+# cumsum partitions by source over that histogram grid (|values| ×
+# |sources| rows, model-sized); the corpus-sized work is two
+# map-side-combinable groupBys. Terms ride DECIMAL(38,0) so no
+# order-dependent float sum crosses an aggregation.
+# --------------------------------------------------------------------------
+
+
+def _w1_vs_corpus_num(vals):
+    """The exact 1-D W1 kernel over a (source, x) value frame: per
+    source, (n_s, n_c, w1_num) with w1 = w1_num / (n_s·n_c). Factored
+    out so the property test can feed synthetic samples and compare
+    against a Fraction-exact pure-Python W1
+    (tests/test_properties.py)."""
+    from pyspark.sql import Window as W
+
+    ch = vals.groupBy("x").agg(F.count("*").alias("c_cnt"))
+    wg = W.orderBy("x")
+    corpus = ch.select(
+        "x",
+        F.sum("c_cnt")
+        .over(wg.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_c"),
+        (F.lead("x").over(wg) - F.col("x")).alias("dx"),
+    )
+    srcs = vals.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = vals.agg(F.count("*").alias("n_c"))
+    sh = vals.groupBy("source", "x").agg(F.count("*").alias("s_cnt"))
+    grid = (
+        corpus.crossJoin(F.broadcast(srcs))
+        .join(sh, ["source", "x"], "left")
+        .withColumn("s_cnt", F.coalesce(F.col("s_cnt"), F.lit(0)))
+    )
+    ws = W.partitionBy("source").orderBy("x").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    terms = grid.withColumn("cum_s", F.sum("s_cnt").over(ws)).crossJoin(
+        F.broadcast(tot)
+    )
+    # dx is NULL only at the max value, where cum_s·n_c = cum_c·n_s
+    # exactly (both CDFs are 1), so coalescing to 0 adds an exact
+    # zero term — and keeps every source in the groupBy even for a
+    # degenerate single-valued corpus (W1 = 0, not zero rows).
+    return (
+        terms.withColumn(
+            "term",
+            (
+                F.abs(
+                    F.col("cum_s") * F.col("n_c") - F.col("cum_c") * F.col("n_s")
+                )
+                * F.coalesce(F.col("dx"), F.lit(0))
+            ).cast("decimal(38,0)"),
+        )
+        .groupBy("source", "n_s", "n_c")
+        .agg(F.sum("term").alias("w1_num"))
+    )
+
+
+def q_wasserstein_length_drift(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    num = _w1_vs_corpus_num(docs.select("source", F.col("n_chars").alias("x")))
+    return num.select(
+        "source",
+        F.col("n_s").alias("n_docs"),
+        F.round(
+            F.col("w1_num").cast("double")
+            / (F.col("n_s").cast("double") * F.col("n_c")),
+            6,
+        ).alias("w1_chars"),
+    ).orderBy("source")
+
+
+WASSERSTEIN_LENGTH_DRIFT_SQL = f"""
+WITH ch AS (
+  SELECT n_chars AS x, CAST(COUNT(*) AS BIGINT) AS c_cnt
+  FROM documents GROUP BY n_chars
+),
+corpus AS (
+  SELECT x,
+         CAST(SUM(c_cnt) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_c,
+         LEAD(x) OVER (ORDER BY x) - x AS dx
+  FROM ch
+),
+srcs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_c FROM documents),
+sh AS (
+  SELECT source, n_chars AS x, CAST(COUNT(*) AS BIGINT) AS s_cnt
+  FROM documents GROUP BY source, n_chars
+),
+grid AS (
+  SELECT s.source, s.n_s, c.x, c.cum_c, c.dx, COALESCE(sh.s_cnt, 0) AS s_cnt
+  FROM corpus c CROSS JOIN srcs s
+  LEFT JOIN sh ON sh.source = s.source AND sh.x = c.x
+),
+terms AS (
+  SELECT source, n_s, x, dx, cum_c,
+         CAST(SUM(s_cnt) OVER (PARTITION BY source ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_s
+  FROM grid
+),
+num AS (
+  -- dx NULL only at the max value, where the CDF gap is exactly 0:
+  -- COALESCE keeps the row (and the source) with a zero term
+  SELECT source, n_s,
+         SUM(CAST(ABS(cum_s * (SELECT n_c FROM tot) - cum_c * n_s)
+                  * COALESCE(dx, 0) AS DECIMAL(38,0))) AS w1_num
+  FROM terms
+  GROUP BY source, n_s
+)
+SELECT source, n_s AS n_docs,
+       {_sql_round(
+           'CAST(w1_num AS DOUBLE)'
+           ' / (CAST(n_s AS DOUBLE) * (SELECT n_c FROM tot))', 6
+       )} AS w1_chars
+FROM num
+ORDER BY source
+"""
+
+# --------------------------------------------------------------------------
 # blocked_fuzzy_match — entity-resolution candidate generation:
 # customers × suppliers with an edit-distance filter, joined only
 # within nation blocks.
@@ -3421,6 +3561,11 @@ QUERIES = {
     ),
     "ks_source_drift": Query(
         q_ks_source_drift, KS_SOURCE_DRIFT_SQL, ("drift", "ks-test", "stats")
+    ),
+    "wasserstein_length_drift": Query(
+        q_wasserstein_length_drift,
+        WASSERSTEIN_LENGTH_DRIFT_SQL,
+        ("drift", "wasserstein", "earth-mover", "stats"),
     ),
     "blocked_fuzzy_match": Query(
         q_blocked_fuzzy_match,

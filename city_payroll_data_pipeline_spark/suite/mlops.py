@@ -2434,6 +2434,193 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# bradley_terry_sources — Bradley–Terry preference-strength fit over
+# the sources, via Hunter (2004)'s MM algorithm. This is THE
+# aggregation primitive of preference data: RLHF reward-model prep,
+# Chatbot-Arena-style leaderboards, and rater-consistency audits all
+# reduce to "given pairwise win counts, recover latent strengths π
+# with P(i beats j) = π_i/(π_i+π_j)". Win rates alone are biased by
+# who-played-whom; BT corrects for opponent strength.
+#
+# Matches here are synthesized deterministically (the stand-in for
+# human preference pairs — the FIT is the operator): docs pair by
+# consecutive stable row id in md5 order (operators/rowids.py, so no
+# global-sort window at scale), cross-source pairs keep, and the
+# longer doc wins (doc_id breaks ties). The MM update
+# π_i ← W_i / Σ_j n_ij/(π_i+π_j) runs 6 unrolled iterations in
+# SCALE-fixed-point BIGINTs (the HITS/pagerank machinery): per-term
+# truncating div, sum-normalization to |players|·SCALE via a
+# cross-multiplied truncating div on a broadcast 1-row total.
+#
+# Invariants: after iteration 1, P_i = 0 ⟺ W_i = 0 (the MLE limit
+# for a never-winner), and a pair with n_ij ≥ 1 always has
+# P_i + P_j > 0 (its match had a winner), so no division guard is
+# needed — documented rather than coded. Overflow: terms peak at
+# n_ij·SCALE² — swap BIGINT for DECIMAL(38,0) when per-pair match
+# counts approach 10^6 (they are |sources|²-aggregated first, so the
+# iteration never touches corpus-sized data).
+#
+# Scale: pairing is the stable_row_ids two-phase shape (largest sort
+# 1/n_shards); the wins matrix aggregates everything to |sources|²
+# rows before any iteration; each MM step is two broadcast joins +
+# one groupBy over that tiny frame.
+# --------------------------------------------------------------------------
+
+_BT_ITERS = 6
+_BT_SCALE = 1_000_000
+
+
+def q_bradley_terry_sources(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators.preference import (
+        bt_mm_scaled,
+    )
+    from city_payroll_data_pipeline_spark.operators.rowids import stable_row_ids
+
+    S = _BT_SCALE
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        # numeric 48-bit md5 prefix (the epoch_shuffle_plan key shape)
+        # so the rowids shard-boundary percentiles get a numeric key
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+        )
+        .cast("bigint")
+        .alias("hkey"),
+    )
+    ids = stable_row_ids(
+        base, "hkey", tiebreakers=("doc_id",), n_shards=8, id_col="rid"
+    )
+    sides = ids.withColumn("pair", F.expr("(rid - 1) div 2")).withColumn(
+        "side", F.expr("(rid - 1) % 2")
+    )
+    doc_struct = F.struct("source", "n_chars", "doc_id")
+    matches = (
+        sides.groupBy("pair")
+        .agg(
+            F.max(F.when(F.col("side") == 0, doc_struct)).alias("a"),
+            F.max(F.when(F.col("side") == 1, doc_struct)).alias("b"),
+        )
+        .where(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a.source") != F.col("b.source"))
+        )
+        .select(
+            F.when(F.col("a.n_chars") > F.col("b.n_chars"), F.col("a.source"))
+            .when(F.col("b.n_chars") > F.col("a.n_chars"), F.col("b.source"))
+            .when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.source"))
+            .otherwise(F.col("b.source"))
+            .alias("winner"),
+            F.when(F.col("a.n_chars") > F.col("b.n_chars"), F.col("b.source"))
+            .when(F.col("b.n_chars") > F.col("a.n_chars"), F.col("a.source"))
+            .when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.source"))
+            .otherwise(F.col("a.source"))
+            .alias("loser"),
+        )
+    )
+    wins = matches.groupBy(
+        F.col("winner").alias("i"), F.col("loser").alias("j")
+    ).agg(F.count("*").alias("w"))
+    fitted = bt_mm_scaled(wins, iters=_BT_ITERS, scale=S)
+    return fitted.select(
+        F.col("i").alias("source"),
+        F.col("w_i").alias("wins"),
+        "matches",
+        F.col("p").alias("bt_micro"),
+        F.round(F.col("p") / F.lit(float(S)), 6).alias("bt_strength"),
+    ).orderBy("source")
+
+
+def _bradley_terry_sql(iters: int = _BT_ITERS) -> str:
+    """Unrolled MM iterations mirroring q_bradley_terry_sources term
+    by term: '//' and Spark 'div' agree on positives; the pairing
+    ROW_NUMBER here is the oracle's formulation of the stable-row-id
+    order (bit-identical by the rowids contract)."""
+    S = _BT_SCALE
+    head = f"""
+WITH ids AS MATERIALIZED (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                         AS BIGINT),
+                    doc_id) AS rid
+  FROM documents
+),
+m AS MATERIALIZED (
+  SELECT CASE WHEN a.n_chars > b.n_chars THEN a.source
+              WHEN b.n_chars > a.n_chars THEN b.source
+              WHEN a.doc_id < b.doc_id THEN a.source
+              ELSE b.source END AS winner,
+         CASE WHEN a.n_chars > b.n_chars THEN b.source
+              WHEN b.n_chars > a.n_chars THEN a.source
+              WHEN a.doc_id < b.doc_id THEN b.source
+              ELSE a.source END AS loser
+  FROM ids a JOIN ids b ON b.rid = a.rid + 1 AND a.rid % 2 = 1
+  WHERE a.source <> b.source
+),
+wins AS MATERIALIZED (
+  SELECT winner AS i, loser AS j, CAST(COUNT(*) AS BIGINT) AS w
+  FROM m GROUP BY winner, loser
+),
+n_pairs AS MATERIALIZED (
+  SELECT i, j, CAST(SUM(w) AS BIGINT) AS n_ij FROM (
+    SELECT i, j, w FROM wins
+    UNION ALL
+    SELECT j AS i, i AS j, w FROM wins
+  ) GROUP BY i, j
+),
+w_all AS MATERIALIZED (
+  SELECT p.i, COALESCE(t.w_i, 0) AS w_i
+  FROM (SELECT DISTINCT i FROM n_pairs) p
+  LEFT JOIN (SELECT i, CAST(SUM(w) AS BIGINT) AS w_i FROM wins GROUP BY i) t
+    ON p.i = t.i
+),
+p0 AS MATERIALIZED (
+  SELECT i, CAST({S} AS BIGINT) AS p FROM (SELECT DISTINCT i FROM n_pairs)
+)"""
+    steps = []
+    for k in range(1, iters + 1):
+        prev = f"p{k - 1}"
+        steps.append(f""",
+d{k} AS MATERIALIZED (
+  SELECT n.i, CAST(SUM((n.n_ij * {S} * {S}) // (pi.p + pj.p)) AS BIGINT) AS d
+  FROM n_pairs n
+  JOIN {prev} pi ON n.i = pi.i
+  JOIN {prev} pj ON n.j = pj.i
+  GROUP BY n.i
+),
+r{k} AS MATERIALIZED (
+  SELECT d.i, (w.w_i * {S} * {S}) // d.d AS praw
+  FROM d{k} d JOIN w_all w ON d.i = w.i
+),
+p{k} AS MATERIALIZED (
+  SELECT i,
+         CAST(praw * (SELECT COUNT(*) FROM r{k}) * {S}
+              // (SELECT SUM(praw) FROM r{k}) AS BIGINT) AS p
+  FROM r{k}
+)""")
+    tail = f"""
+SELECT p.i AS source,
+       w.w_i AS wins,
+       nm.matches,
+       p.p AS bt_micro,
+       {_sql_round(f'CAST(p.p AS DOUBLE) / {S}', 6)} AS bt_strength
+FROM p{iters} p
+JOIN w_all w ON p.i = w.i
+JOIN (SELECT i, CAST(SUM(n_ij) AS BIGINT) AS matches
+      FROM n_pairs GROUP BY i) nm ON p.i = nm.i
+ORDER BY source
+"""
+    return head + "".join(steps) + tail
+
+
+BRADLEY_TERRY_SOURCES_SQL = _bradley_terry_sql()
+
+
 QUERIES: dict[str, Query] = {
     "embedding_auc_separability": Query(
         q_embedding_auc_separability,
@@ -2509,6 +2696,11 @@ QUERIES: dict[str, Query] = {
         q_offpolicy_eval_ips,
         _OFFPOLICY_SQL,
         ("ml-eval", "off-policy", "ips", "counterfactual"),
+    ),
+    "bradley_terry_sources": Query(
+        q_bradley_terry_sources,
+        BRADLEY_TERRY_SOURCES_SQL,
+        ("preference", "bradley-terry", "rlhf", "iterative"),
     ),
     "quantile_treatment_effects": Query(
         q_quantile_treatment_effects,

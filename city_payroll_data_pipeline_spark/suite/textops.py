@@ -5425,6 +5425,120 @@ LOO_SOURCE_INFLUENCE_SQL = _loo_influence_sql()
 
 
 # --------------------------------------------------------------------------
+# shapley_vocab_attribution — exact Shapley data valuation of each
+# source's contribution to distinct-vocabulary coverage. Game-theoretic
+# attribution is the principled upgrade over leave-one-out
+# (loo_source_influence): LOO credits a source only for what NO other
+# source has, so two mirrors of the same crawl both score ~0 even
+# though dropping both loses their whole vocabulary. Shapley splits
+# the credit instead.
+#
+# The 2^|sources| subset enumeration that makes Shapley notoriously
+# expensive COLLAPSES for a set-union coverage game: v(S) =
+# |vocab(S)| is the coverage function, and each term's marginal is 1
+# exactly when it first appears — by symmetry each of its k owning
+# sources gets 1/k. So φ_i = Σ_{t owned by i} 1/k_t, computed exactly
+# in one pass with no subset enumeration (the same closed form
+# Ghorbani & Zou's Data-Shapley literature cites for coverage
+# utilities).
+#
+# Exactness: per-term contribution is the integer floor(10^6 div k)
+# summed in micro-units — no order-dependent float sum crosses an
+# aggregation; the two share ratios are single exact-operand
+# divisions at display time. Σ_i φ_i = |vocab(N)| up to the bounded
+# floor residual (< |vocab| micro-units), which is why shares are
+# reported against the realized micro total, not the vocab size.
+#
+# Scale: ONE term-keyed shuffle (collect_set with map-side partial
+# aggregation compresses duplicate (term, source) hits before the
+# exchange); owner sets are |sources|-bounded; everything after is
+# per-source. Never materializes the (term, source, term') pair
+# frame a naive subset evaluation would need.
+# --------------------------------------------------------------------------
+
+_SHAPLEY_MICRO = 1_000_000
+
+
+def _shapley_coverage_micro(hits):
+    """The closed-form coverage-Shapley kernel over a (source, term)
+    hit frame (duplicates allowed): per source, vocab_size,
+    exclusive_terms, and shapley_micro = Σ_t floor(10^6 div k_t) over
+    owned terms. Factored out so the property test can feed synthetic
+    ownership maps and compare against a permutation-enumerated exact
+    Shapley (tests/test_properties.py)."""
+    owners = hits.groupBy("term").agg(F.collect_set("source").alias("srcs"))
+    per = owners.select(
+        F.explode("srcs").alias("source"), F.size("srcs").alias("k")
+    )
+    return per.groupBy("source").agg(
+        F.count("*").alias("vocab_size"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).alias("exclusive_terms"),
+        F.sum(F.expr(f"{_SHAPLEY_MICRO} div k")).alias("shapley_micro"),
+    )
+
+
+def q_shapley_vocab_attribution(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.functions.text import tokens_array
+
+    docs = table(spark, sf_dir, "documents", spread=True)
+    agg = _shapley_coverage_micro(
+        docs.select(
+            "source", F.explode(tokens_array(F.col("text"))).alias("term")
+        )
+    )
+    tot = agg.agg(F.sum("shapley_micro").alias("micro_all"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "vocab_size",
+            "exclusive_terms",
+            "shapley_micro",
+            F.round(
+                F.col("shapley_micro") / F.col("micro_all").cast("double"), 6
+            ).alias("shapley_share"),
+            F.round(
+                F.col("shapley_micro")
+                / (F.lit(_SHAPLEY_MICRO) * F.col("vocab_size")).cast("double"),
+                6,
+            ).alias("exclusivity"),
+        )
+        .orderBy("source")
+    )
+
+
+SHAPLEY_VOCAB_ATTRIBUTION_SQL = rf"""
+WITH vocab AS (
+  SELECT DISTINCT source, UNNEST(regexp_extract_all(text, '\S+', 0)) AS term
+  FROM documents
+),
+owners AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS k FROM vocab GROUP BY term
+),
+agg AS (
+  SELECT v.source,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         CAST(SUM(CASE WHEN o.k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exclusive_terms,
+         CAST(SUM({_SHAPLEY_MICRO} // o.k) AS BIGINT) AS shapley_micro
+  FROM vocab v JOIN owners o ON v.term = o.term
+  GROUP BY v.source
+)
+SELECT source, vocab_size, exclusive_terms, shapley_micro,
+       {_sql_round(
+           'CAST(shapley_micro AS DOUBLE)'
+           ' / (SELECT SUM(shapley_micro) FROM agg)', 6
+       )} AS shapley_share,
+       {_sql_round(
+           f'CAST(shapley_micro AS DOUBLE) / ({_SHAPLEY_MICRO}.0 * vocab_size)',
+           6,
+       )} AS exclusivity
+FROM agg
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # dedup_method_agreement — cross-method audit of the two near-dup pair
 # pipelines. LSH-minhash (probabilistic candidates, exact verify) and
 # rare-shingle blocking (deterministic candidates, exact verify) hunt
@@ -7708,6 +7822,11 @@ QUERIES = {
         q_loo_source_influence,
         LOO_SOURCE_INFLUENCE_SQL,
         ("mix", "influence", "leave-one-out"),
+    ),
+    "shapley_vocab_attribution": Query(
+        q_shapley_vocab_attribution,
+        SHAPLEY_VOCAB_ATTRIBUTION_SQL,
+        ("mix", "attribution", "shapley", "data-valuation"),
     ),
     "wordpiece_greedy_encode": Query(
         q_wordpiece_greedy_encode,

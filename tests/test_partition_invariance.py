@@ -93,6 +93,9 @@ REPRESENTATIVES = [
     "quality_probe_train",      # integer XᵀX sums + in-plan Cramer solve
     "packing_bfd_compare",      # sort_array'd collect_list + BFD array fold
     "kmv_source_overlap",       # min-k WindowGroupLimit + sorted sketch arrays
+    "shapley_vocab_attribution",  # collect_set owner sets + micro-unit sums
+    "wasserstein_length_drift",   # histogram cumsums + decimal term sums
+    "bradley_terry_sources",    # sharded pairing + checkpointed integer MM
 ]
 
 

@@ -225,6 +225,10 @@ _INTENTIONAL_BNLJ = {
     "cluster_safe_split",     # broadcast 1-row leak-certificate scalar
     "kmv_source_overlap",     # source_a < source_b pairing of two
                               # |sources|-row sketch frames
+    "shapley_vocab_attribution",  # broadcast 1-row micro-total scalar
+    "wasserstein_length_drift",   # broadcast |sources| grid + 1-row n_c
+    "bradley_terry_sources",  # broadcast 1-row normalization totals
+                              # (pre-checkpoint MM iterations)
     "join_size_estimate",     # broadcast 1-row sketch-estimate scalar
     "cosine_neardup_pairs",   # broadcast pair candidates
     "cosine_topk",            # broadcast query set vs corpus
@@ -378,6 +382,10 @@ _UNPARTITIONED_WINDOW_OK = {
     "unigram_em_fit":
         "rank over the K=20 survivors of orderBy().limit() on the "
         "model-sized piece table (chars + top_m rows)",
+    "wasserstein_length_drift":
+        "cumsum + lead over distinct values (≪ rows; ks_source_drift "
+        "pattern extended from max to integral)",
+    "bradley_terry_sources": "n_shards-row offset prefix sum (rowids)",
 }
 
 # First windowspecdefinition argument is a sort spec (`col ASC/DESC`)

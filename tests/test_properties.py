@@ -1301,3 +1301,182 @@ def test_kmv_overlap_matches_python_reference(spark, data):
             for r in q_kmv_source_overlap(spark, d).collect()
         }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_shapley_coverage_matches_permutation_enumeration(spark, data):
+    """suite/textops.py::_shapley_coverage_micro vs the DEFINITION of
+    the Shapley value — Fraction-exact enumeration of all |sources|!
+    permutations of the coverage game v(S) = |vocab(S)|. Validates
+    both the closed form (each term pays 1/|owners| to every owner)
+    and the floored micro-unit arithmetic the query ships, including
+    duplicate (source, term) hits that collect_set must dedup."""
+    from fractions import Fraction
+    from itertools import permutations
+
+    from city_payroll_data_pipeline_spark.suite.textops import (
+        _SHAPLEY_MICRO,
+        _shapley_coverage_micro,
+    )
+
+    n_src = data.draw(st.integers(min_value=2, max_value=5))
+    sources = [f"s{i}" for i in range(n_src)]
+    n_terms = data.draw(st.integers(min_value=1, max_value=8))
+    owner_sets = [
+        data.draw(
+            st.sets(st.sampled_from(sources), min_size=1),
+            label=f"owners_t{j}",
+        )
+        for j in range(n_terms)
+    ]
+
+    perms = list(permutations(sources))
+    phi = {s: Fraction(0) for s in sources}
+    for perm in perms:
+        seen: set = set()
+        for s in perm:
+            marg = sum(
+                1 for os_ in owner_sets if s in os_ and not (os_ & seen)
+            )
+            phi[s] += Fraction(marg)
+            seen.add(s)
+    phi = {s: v / len(perms) for s, v in phi.items()}
+
+    rows = [
+        (s, f"t{j}") for j, os_ in enumerate(owner_sets) for s in sorted(os_)
+    ]
+    df = spark.createDataFrame(rows + rows[:2], "source string, term string")
+    got = {
+        r["source"]: (r["vocab_size"], r["exclusive_terms"], r["shapley_micro"])
+        for r in _shapley_coverage_micro(df).collect()
+    }
+    for s in sources:
+        owned = [os_ for os_ in owner_sets if s in os_]
+        if not owned:
+            assert s not in got
+            continue
+        closed = sum(Fraction(1, len(os_)) for os_ in owned)
+        assert phi[s] == closed  # enumeration == closed form, exact
+        want_micro = sum(_SHAPLEY_MICRO // len(os_) for os_ in owned)
+        assert got[s] == (
+            len(owned),
+            sum(1 for os_ in owned if len(os_) == 1),
+            want_micro,
+        )
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_w1_kernel_matches_python_fraction(spark, data):
+    """suite/analytics.py::_w1_vs_corpus_num vs a Fraction-exact
+    pure-Python 1-D Wasserstein-1 between each source's empirical CDF
+    and the pooled corpus CDF — the integer cross-product numerator
+    must equal the exact rational times n_s·n_c."""
+    import bisect
+    from fractions import Fraction
+
+    from city_payroll_data_pipeline_spark.suite.analytics import (
+        _w1_vs_corpus_num,
+    )
+
+    n_src = data.draw(st.integers(min_value=1, max_value=4))
+    samples = {
+        f"s{i}": data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=50),
+                min_size=1,
+                max_size=12,
+            ),
+            label=f"samples_s{i}",
+        )
+        for i in range(n_src)
+    }
+    rows = [(s, v) for s, vs in samples.items() for v in vs]
+    pooled = sorted(v for _, v in rows)
+    n_c = len(pooled)
+    xs = sorted(set(pooled))
+
+    def w1_exact(vals):
+        svals = sorted(vals)
+        tot = Fraction(0)
+        for a, b in zip(xs, xs[1:]):
+            f_s = Fraction(bisect.bisect_right(svals, a), len(vals))
+            f_c = Fraction(bisect.bisect_right(pooled, a), n_c)
+            tot += abs(f_s - f_c) * (b - a)
+        return tot
+
+    df = spark.createDataFrame(rows, "source string, x long")
+    got = {
+        r["source"]: (r["n_s"], r["n_c"], int(r["w1_num"]))
+        for r in _w1_vs_corpus_num(df).collect()
+    }
+    assert set(got) == set(samples)
+    for s, vs in samples.items():
+        n_s, n_c_got, num = got[s]
+        assert (n_s, n_c_got) == (len(vs), n_c)
+        assert Fraction(num, n_s * n_c) == w1_exact(vs)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_bt_mm_matches_python_replay(spark, data):
+    """operators/preference.py::bt_mm_scaled vs an independent
+    pure-Python replay of the integer-scaled MM iteration — random
+    small tournaments including never-winners (W_i = 0, whose
+    strength must hit exactly 0 and stay there) and asymmetric
+    matchups."""
+    from hypothesis import assume
+
+    from city_payroll_data_pipeline_spark.operators.preference import (
+        bt_mm_scaled,
+    )
+
+    n = data.draw(st.integers(min_value=2, max_value=4))
+    players = [f"p{i}" for i in range(n)]
+    wins = {}
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            w = data.draw(
+                st.integers(min_value=0, max_value=5), label=f"w_{i}_{j}"
+            )
+            if w:
+                wins[(players[i], players[j])] = w
+    assume(wins)
+
+    S = 1_000_000
+    n_ij: dict = {}
+    for (i, j), w in wins.items():
+        n_ij[(i, j)] = n_ij.get((i, j), 0) + w
+        n_ij[(j, i)] = n_ij.get((j, i), 0) + w
+    plist = sorted({i for i, _ in n_ij})
+    w_tot = {p: 0 for p in plist}
+    for (i, j), w in wins.items():
+        w_tot[i] += w
+    p_cur = {p: S for p in plist}
+    for _ in range(6):
+        d = {p: 0 for p in plist}
+        for (i, j), nij in n_ij.items():
+            d[i] += (nij * S * S) // (p_cur[i] + p_cur[j])
+        praw = {p: (w_tot[p] * S * S) // d[p] for p in plist}
+        tp = sum(praw.values())
+        p_cur = {p: (praw[p] * len(plist) * S) // tp for p in plist}
+
+    df = spark.createDataFrame(
+        [(i, j, w) for (i, j), w in wins.items()], "i string, j string, w long"
+    )
+    got = {
+        r["i"]: (r["w_i"], r["matches"], r["p"])
+        for r in bt_mm_scaled(df, iters=6, scale=S).collect()
+    }
+    want = {
+        p: (
+            w_tot[p],
+            sum(nij for (a, _), nij in n_ij.items() if a == p),
+            p_cur[p],
+        )
+        for p in plist
+    }
+    assert got == want
