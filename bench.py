@@ -124,6 +124,7 @@ HEADLINE = [
     "gap_fill_interpolate",
     "ewma_user_value",
     "holt_linear_forecast",
+    "holt_winters_seasonal",
     # mergeable sketches
     "approx_rolling_users",
     # snapshot ops
@@ -154,6 +155,7 @@ HEADLINE = [
     "wordpiece_greedy_encode",
     "dedup_rate_report",
     "stylometry_burrows_delta",
+    "loop_degeneration_report",
     "key_gini_skew",
     "k_anonymity_audit",
     "dp_noisy_counts",
@@ -284,6 +286,7 @@ HEADLINE = [
     # distribution-shape moments + certified iterative k-means
     "length_moments_profile",
     "kmeans_clusters",
+    "kmeans_silhouette",
     # segment set-overlap + survival analysis
     "audience_overlap_matrix",
     "conversion_survival_curve",

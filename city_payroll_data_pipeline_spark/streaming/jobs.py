@@ -666,3 +666,99 @@ def windowed_heavy_hitters(
         n_heavy_expr = t if n_heavy_expr is None else n_heavy_expr + t
     out.append(n_heavy_expr.alias("n_heavy"))
     return agg.select(*out)
+
+
+def streaming_quality_gate(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    ts_col: str,
+    weights: tuple[float, float, float, float],
+    threshold: float = 0.5,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Fourteenth job: the DEPLOY half of the trained quality gate —
+    ``quality_probe_train`` (suite/textops.py) fits the ridge probe in
+    batch; this applies the shipped model to the live document feed
+    and reports per (window, source) funnel health: docs seen, docs
+    kept, kept share, kept char mass. The monitoring question it
+    answers is the one every ingestion owner asks after deploying a
+    filter: "what fraction of each feed is the gate now dropping,
+    and did that jump this window?"
+
+    ``weights`` = (w0, w1, w2, w3) — intercept + coefficients over
+    the SAME integer feature grid the batch probe trains on (capped
+    length f1, type-token ratio f2, top-token repetition f3, all
+    0..100), computed here per-row as a map-side array fold instead
+    of the batch side's explode + groupBy — identical values, zero
+    pre-aggregation shuffle. A production pipeline exports
+    w_j = det_j/det from the batch solve as plain doubles; the
+    keep rule is w0 + w1·f1 + w2·f2 + w3·f3 >= threshold.
+
+    Zero-word documents are dropped up front (stateless filter) —
+    the batch probe's feature frame has no such rows either (its
+    per-word groupBy never emits them), so the two halves share one
+    domain.
+
+    Batch-twin contract (module-wide): every output column is an
+    arrival-order-free conditional sum over per-row deterministic
+    ops (the score is a fixed left-associated double expression), so
+    the streamed result equals the same function on the batch union
+    of the micro-batches bit for bit. State per (window, source) is
+    four longs; the watermark frees closed windows.
+    """
+    from city_payroll_data_pipeline_spark.functions.text import word_tokens
+
+    w0, w1, w2, w3 = weights
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    t = F.col(text_col)
+    featured = (
+        src.withColumn("_ws", word_tokens(t))
+        .withColumn("_nw", F.size("_ws").cast("long"))
+        .filter(F.col("_nw") > 0)
+        .withColumn("_nd", F.size(F.array_distinct("_ws")).cast("long"))
+        .withColumn(
+            "_tc",
+            F.expr(
+                "CAST(array_max(transform(array_distinct(_ws),"
+                " w -> size(filter(_ws, x -> x = w)))) AS BIGINT)"
+            ),
+        )
+        .withColumn("_f1", F.least(F.col("_nw"), F.lit(100).cast("long")))
+        .withColumn("_f2", F.expr("100 * _nd div _nw"))
+        .withColumn(
+            "_f3",
+            F.least(F.expr("1000 * _tc div _nw"), F.lit(100).cast("long")),
+        )
+        .withColumn(
+            "_keep",
+            (
+                F.lit(float(w0))
+                + F.lit(float(w1)) * F.col("_f1").cast("double")
+                + F.lit(float(w2)) * F.col("_f2").cast("double")
+                + F.lit(float(w3)) * F.col("_f3").cast("double")
+                >= F.lit(float(threshold))
+            ).cast("long"),
+        )
+    )
+    agg = featured.groupBy(
+        F.window(ts_col, window).alias("win"), F.col(source_col)
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_keep").alias("n_keep"),
+        F.sum(F.when(F.col("_keep") == 1, F.length(t)).otherwise(0)).alias(
+            "kept_chars"
+        ),
+    )
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        F.col(source_col),
+        "n_docs",
+        "n_keep",
+        (
+            F.col("n_keep").cast("double") / F.col("n_docs").cast("double")
+        ).alias("kept_share"),
+        "kept_chars",
+    )

@@ -1862,6 +1862,187 @@ FROM rec WHERE i = (SELECT c FROM n)
 """
 
 # --------------------------------------------------------------------------
+# holt_winters_seasonal — additive Holt-Winters (level + trend +
+# 12-month seasonal) over the monthly revenue series, completing the
+# forecasting ladder: ewma_user_value (level) → holt_linear_forecast
+# (level+trend) → this (level+trend+season). A capacity planner that
+# ignores seasonality over-orders in the trough and starves the peak;
+# the seasonal state is exactly what the two simpler smoothers cannot
+# represent.
+#
+# Recursion (α = 3/10, β = 2/10, γ = 1/10 as exact rationals; m = 12):
+#
+#   l_t = (3·(y_t − s_{t−m}) + 7·(l_{t−1} + b_{t−1})) div 10
+#   b_t = (2·(l_t − l_{t−1}) + 8·b_{t−1}) div 10
+#   s_t = (1·(y_t − l_t) + 9·s_{t−m}) div 10
+#   ŷ_{T+h} = l_T + h·b_T + s_{T+h−m}            (h = 1..3 ≤ m)
+#
+# Init is the two-season moment estimate, documented so the replay is
+# unambiguous: L = mean(y_{m+1..2m}), B = (Σ₂ − Σ₁) div m², s_i =
+# y_{m+i} − L for i = 1..m (second season vs its own mean), recursion
+# over t = 2m+1..T — no observation feeds both init and recursion.
+# Requires T ≥ 2m + 1 (the testdata series spans 83 months at every
+# SF). The rolling seasonal state rides IN the fold accumulator as an
+# m-element BIGINT array whose head is always s_{t−m}: each step
+# consumes the head and appends s_t (concat(slice(s,2,m−1),[s_t])),
+# so no step indexes by absolute time.
+#
+# Exactness: integer micro-dollars throughout; Spark `div` and DuckDB
+# `//` both truncate toward zero including negatives (the Holt
+# verification covers y−s < 0 and b < 0); the oracle replays the fold
+# as a RECURSIVE CTE carrying the seasonal LIST in the recursion (the
+# list head/rotate ops are bit-exact on both engines) — NOT
+# list_reduce, per the Holt field-by-field-accumulator finding.
+#
+# Scale: identical envelope to holt_linear_forecast — the corpus-sized
+# work is ONE map-side-combinable month groupBy; the fold runs over a
+# months-long array (model-sized). Overflow: terms peak near
+# 10·max-month-micros — safe to ~10^17 micro-dollars/month, switch the
+# scale constant to cents beyond (same bound as Holt).
+# --------------------------------------------------------------------------
+
+_HW_M = 12  # season length (months)
+
+_HW_FOLD = f"""
+aggregate(
+  slice(ser, {2 * _HW_M + 1}, size(ser) - {2 * _HW_M}),
+  named_struct('l', l0, 'b', b0, 's', s0),
+  (acc, x) -> named_struct(
+    'l', (3 * (x.y - element_at(acc.s, 1)) + 7 * (acc.l + acc.b)) div 10,
+    'b', (2 * (((3 * (x.y - element_at(acc.s, 1)) + 7 * (acc.l + acc.b))
+                div 10) - acc.l) + 8 * acc.b) div 10,
+    's', concat(slice(acc.s, 2, {_HW_M - 1}), array(
+           (1 * (x.y - ((3 * (x.y - element_at(acc.s, 1))
+                         + 7 * (acc.l + acc.b)) div 10))
+            + 9 * element_at(acc.s, 1)) div 10))))
+"""
+
+
+def _hw_state(packed):
+    """(ser, n_months) → (n_months, st) — the two-season moment init
+    plus the rotating-seasonal fold, factored out so the property test
+    replays the EXACT production expressions (not a paraphrase)."""
+    m = _HW_M
+    pre = packed.select(
+        "n_months",
+        "ser",
+        F.expr(
+            f"aggregate(slice(ser, {m + 1}, {m}), CAST(0 AS BIGINT),"
+            f" (a, x) -> a + x.y) div {m}"
+        ).alias("l0"),
+        F.expr(
+            f"(aggregate(slice(ser, {m + 1}, {m}), CAST(0 AS BIGINT),"
+            f" (a, x) -> a + x.y)"
+            f" - aggregate(slice(ser, 1, {m}), CAST(0 AS BIGINT),"
+            f" (a, x) -> a + x.y)) div {m * m}"
+        ).alias("b0"),
+    ).withColumn(
+        "s0", F.expr(f"transform(slice(ser, {m + 1}, {m}), v -> v.y - l0)")
+    )
+    return pre.select("n_months", F.expr(_HW_FOLD).alias("st"))
+
+
+def q_holt_winters_seasonal(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("m")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+            " AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+        ).alias("y")
+    )
+    packed = monthly.agg(
+        F.array_sort(F.collect_list(F.struct("m", "y"))).alias("ser"),
+        F.count("*").alias("n_months"),
+    )
+    st = _hw_state(packed).select(
+        "n_months",
+        F.col("st.l").alias("level_micro"),
+        F.col("st.b").alias("trend_micro"),
+        (
+            F.array_max("st.s") - F.array_min("st.s")
+        ).alias("seasonal_range_micro"),
+        *[
+            (
+                F.col("st.l")
+                + h * F.col("st.b")
+                + F.element_at(F.col("st.s"), h)
+            ).alias(f"fc{h}_micro")
+            for h in (1, 2, 3)
+        ],
+    )
+    return st.select(
+        "n_months",
+        "level_micro",
+        "trend_micro",
+        "seasonal_range_micro",
+        "fc1_micro",
+        "fc2_micro",
+        "fc3_micro",
+        (F.col("level_micro") / F.lit(1000000.0)).alias("level"),
+        (F.col("trend_micro") / F.lit(1000000.0)).alias("trend"),
+        (F.col("fc1_micro") / F.lit(1000000.0)).alias("forecast_1"),
+        (F.col("fc2_micro") / F.lit(1000000.0)).alias("forecast_2"),
+        (F.col("fc3_micro") / F.lit(1000000.0)).alias("forecast_3"),
+    )
+
+
+HOLT_WINTERS_SEASONAL_SQL = f"""
+WITH RECURSIVE monthly AS (
+  SELECT date_trunc('month', l_shipdate) AS m,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+),
+idx AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY m) AS i FROM monthly
+),
+n AS (SELECT COUNT(*) AS c FROM idx),
+sums AS (
+  SELECT
+    CAST((SELECT SUM(y) FROM idx WHERE i BETWEEN 1 AND {_HW_M})
+         AS BIGINT) AS sum1,
+    CAST((SELECT SUM(y) FROM idx
+          WHERE i BETWEEN {_HW_M + 1} AND {2 * _HW_M}) AS BIGINT) AS sum2
+),
+init AS (
+  SELECT sum2 // {_HW_M} AS l0,
+         (sum2 - sum1) // {_HW_M * _HW_M} AS b0,
+         (SELECT list(y - (SELECT sum2 // {_HW_M} FROM sums) ORDER BY i)
+          FROM idx WHERE i BETWEEN {_HW_M + 1} AND {2 * _HW_M}) AS s0
+  FROM sums
+),
+rec AS (
+  SELECT CAST({2 * _HW_M} AS BIGINT) AS i, l0 AS l, b0 AS b, s0 AS s
+  FROM init
+  UNION ALL
+  SELECT r.i + 1,
+         (3 * (x.y - r.s[1]) + 7 * (r.l + r.b)) // 10,
+         (2 * (((3 * (x.y - r.s[1]) + 7 * (r.l + r.b)) // 10) - r.l)
+          + 8 * r.b) // 10,
+         list_concat(r.s[2:{_HW_M}],
+                     [(1 * (x.y - ((3 * (x.y - r.s[1])
+                                    + 7 * (r.l + r.b)) // 10))
+                       + 9 * r.s[1]) // 10])
+  FROM rec r JOIN idx x ON x.i = r.i + 1
+)
+SELECT (SELECT c FROM n) AS n_months,
+       l AS level_micro,
+       b AS trend_micro,
+       list_max(s) - list_min(s) AS seasonal_range_micro,
+       l + 1 * b + s[1] AS fc1_micro,
+       l + 2 * b + s[2] AS fc2_micro,
+       l + 3 * b + s[3] AS fc3_micro,
+       CAST(l AS DOUBLE) / 1000000.0 AS level,
+       CAST(b AS DOUBLE) / 1000000.0 AS trend,
+       CAST(l + 1 * b + s[1] AS DOUBLE) / 1000000.0 AS forecast_1,
+       CAST(l + 2 * b + s[2] AS DOUBLE) / 1000000.0 AS forecast_2,
+       CAST(l + 3 * b + s[3] AS DOUBLE) / 1000000.0 AS forecast_3
+FROM rec WHERE i = (SELECT c FROM n)
+"""
+
+# --------------------------------------------------------------------------
 # TPC-H Q4 shape — priority checking: orders with at least one
 # qualifying line (EXISTS → left-semi; the lineitem side never
 # multiplies order rows), counted per priority.
@@ -4288,6 +4469,11 @@ QUERIES = {
         q_holt_linear_forecast,
         HOLT_LINEAR_FORECAST_SQL,
         ("time-series", "forecast", "fold", "integer-exact"),
+    ),
+    "holt_winters_seasonal": Query(
+        q_holt_winters_seasonal,
+        HOLT_WINTERS_SEASONAL_SQL,
+        ("time-series", "forecast", "seasonal", "fold", "integer-exact"),
     ),
     "priority_order_check": Query(
         q_priority_order_check,

@@ -7753,6 +7753,153 @@ ORDER BY delta_scaled, source_a, source_b
 """
 
 
+# --------------------------------------------------------------------------
+# loop_degeneration_report — the repetition-loop detector every
+# LLM-generated-data intake runs (Holtzman 2019's neural-degeneration
+# failure: greedy/low-temperature decoding collapses into "the the
+# the …"): per document, the LONGEST run of consecutive identical
+# tokens, aggregated per source with thresholded shares (run ≥ 2 /
+# ≥ 3), the length-normalized worst run, and the doc id to go look at.
+# The quality raters' repetition feature counts repeated TYPES
+# anywhere in the doc; this measures the consecutive-run shape that
+# specifically fingerprints decoder loops — a corpus can score
+# identically on type-repetition yet differ entirely here.
+#
+# Determinism: the per-doc max run is a pure integer/string fold; the
+# run-share division is one double op on identical integers.
+#
+# Scale: the run scan is a per-doc array fold computed MAP-SIDE
+# (zero corpus exchange — no token explode, no per-doc window); the
+# only shuffles are the |sources|-row stats reduce and the
+# worst-doc argmin over the broadcast-filtered per-source maxima.
+# The oracle unnests and uses a gaps-and-islands window instead —
+# same values, different (single-node-appropriate) shape.
+# --------------------------------------------------------------------------
+
+_MAX_RUN_FOLD = """
+aggregate(
+  toks,
+  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+  (acc, t) -> named_struct(
+    'prev', t,
+    'run', CASE WHEN t = acc.prev THEN acc.run + 1 ELSE 1 END,
+    'best', greatest(acc.best,
+                     CASE WHEN t = acc.prev THEN acc.run + 1 ELSE 1 END)),
+  acc -> acc.best)
+"""
+
+
+def q_loop_degeneration_report(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents", spread=True)
+    perdoc = docs.select(
+        "doc_id",
+        "source",
+        tokens_array(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n"),
+        F.expr(_MAX_RUN_FOLD).alias("best"),
+    )
+    stats = perdoc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.max("best").alias("max_run"),
+        F.sum((F.col("best") >= 2).cast("long")).alias("docs_run2"),
+        F.sum((F.col("best") >= 3).cast("long")).alias("docs_run3"),
+        F.max(
+            F.when(
+                F.col("n") > 0,
+                F.col("best").cast("double") / F.col("n").cast("double"),
+            )
+        ).alias("worst_run_share_raw"),
+    )
+    worst = (
+        perdoc.join(
+            F.broadcast(stats.select("source", "max_run")),
+            on="source",
+        )
+        .filter(F.col("best") == F.col("max_run"))
+        .groupBy("source")
+        .agg(F.min("doc_id").alias("worst_doc_id"))
+    )
+    return (
+        stats.join(worst, "source")
+        .select(
+            "source",
+            "n_docs",
+            "max_run",
+            "docs_run2",
+            "docs_run3",
+            F.round(
+                F.col("docs_run2").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("run2_share"),
+            F.round(F.col("worst_run_share_raw"), 6).alias("worst_run_share"),
+            "worst_doc_id",
+        )
+        .orderBy("source")
+    )
+
+
+LOOP_DEGENERATION_REPORT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(trim(text), '\S+', 0) AS t
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, source, unnest(t) AS tok,
+         generate_subscripts(t, 1) AS i
+  FROM toks
+),
+islands AS (
+  SELECT doc_id, source, tok,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS g
+  FROM flat
+),
+runs AS (
+  SELECT doc_id, source, COUNT(*) AS c
+  FROM islands GROUP BY doc_id, source, tok, g
+),
+perdoc AS (
+  SELECT k.doc_id, k.source, len(k.t) AS n,
+         COALESCE(MAX(r.c), 0) AS best
+  FROM toks k LEFT JOIN runs r ON r.doc_id = k.doc_id
+  GROUP BY k.doc_id, k.source, len(k.t)
+),
+stats AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(MAX(best) AS INT) AS max_run,
+         CAST(SUM(CASE WHEN best >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_run2,
+         CAST(SUM(CASE WHEN best >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_run3,
+         MAX(CASE WHEN n > 0
+                  THEN CAST(best AS DOUBLE) / CAST(n AS DOUBLE) END)
+           AS worst_run_share_raw
+  FROM perdoc GROUP BY source
+),
+worst AS (
+  SELECT p.source, MIN(p.doc_id) AS worst_doc_id
+  FROM perdoc p JOIN stats s
+    ON s.source = p.source AND p.best = s.max_run
+  GROUP BY p.source
+)
+SELECT s.source AS source,
+       s.n_docs AS n_docs,
+       s.max_run AS max_run,
+       s.docs_run2 AS docs_run2,
+       s.docs_run3 AS docs_run3,
+       {_sql_round('CAST(s.docs_run2 AS DOUBLE) / s.n_docs', 6)}
+         AS run2_share,
+       {_sql_round('s.worst_run_share_raw', 6)} AS worst_run_share,
+       w.worst_doc_id AS worst_doc_id
+FROM stats s JOIN worst w ON w.source = s.source
+ORDER BY s.source
+"""
+
+
 QUERIES = {
     "doc_perplexity": Query(
         q_doc_perplexity,
@@ -8127,5 +8274,10 @@ QUERIES = {
         q_stylometry_burrows_delta,
         STYLOMETRY_BURROWS_DELTA_SQL,
         ("text", "stylometry", "provenance", "integer-exact"),
+    ),
+    "loop_degeneration_report": Query(
+        q_loop_degeneration_report,
+        LOOP_DEGENERATION_REPORT_SQL,
+        ("text", "quality", "degeneration", "fold", "map-side"),
     ),
 }

@@ -922,17 +922,21 @@ def kmeans_cached(spark, sf_dir):
     return _KMEANS_CACHE[key]
 
 
-def _kmeans_sql() -> str:
-    """Unrolled SQL replay of operators/clustering.py::kmeans — see
-    the block comment above KMEANS_K for why this is bit-exact."""
+def _kmeans_dist_sql(e: str, c: str) -> str:
+    # left-associated fold == Spark's F.aggregate(zip_with(...))
+    return (
+        f"list_reduce(list_transform(range(1, len({e}) + 1), "
+        f"i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i])), "
+        f"(a, b) -> a + b)"
+    )
 
-    def dist(e: str, c: str) -> str:
-        # left-associated fold == Spark's F.aggregate(zip_with(...))
-        return (
-            f"list_reduce(list_transform(range(1, len({e}) + 1), "
-            f"i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i])), "
-            f"(a, b) -> a + b)"
-        )
+
+def _kmeans_body_parts() -> list[str]:
+    """The unrolled k-means fit (init + Lloyd steps + final_asg),
+    shared by the clusters report and the silhouette oracle — see the
+    block comment above KMEANS_K for why the replay is bit-exact."""
+
+    dist = _kmeans_dist_sql
 
     parts = [
         # MATERIALIZED: ~40 of the unrolled steps scan emb; without it
@@ -1004,6 +1008,13 @@ def _kmeans_sql() -> str:
         f"PARTITION BY m.vec_id ORDER BY {dist('m.e', 'c.c')} ASC,"
         f" c.idx ASC) AS rn FROM emb m, lc{last} c) WHERE rn = 1)"
     )
+    return parts
+
+
+def _kmeans_sql() -> str:
+    dist = _kmeans_dist_sql
+    last = _KMEANS_MAX_ITER
+    parts = _kmeans_body_parts()
     parts.append(
         f"dsq AS MATERIALIZED (SELECT a.cluster, {dist('m.e', 'c.c')} AS d2"
         f" FROM final_asg a JOIN emb m USING (vec_id)"
@@ -1018,6 +1029,110 @@ def _kmeans_sql() -> str:
             4,
         )
         + " AS mean_sq_dist FROM dsq GROUP BY cluster ORDER BY cluster"
+    )
+    return f"{body}\n{final}"
+
+
+# --------------------------------------------------------------------------
+# kmeans_silhouette — centroid-based (simplified) silhouette per
+# cluster, the quality certificate the clusters report lacks:
+# mean_sq_dist says how TIGHT a cluster is but nothing about how
+# SEPARATED it is from its neighbors; silhouette scores both at once
+# (s ≈ 1 well-placed, s ≈ 0 on a boundary, s < 0 likely
+# mis-assigned). The centroid form — a_i = d²(i, own centroid),
+# b_i = min over other centroids, s_i = (b_i − a_i)/max(a_i, b_i) —
+# is the one that scales: O(n·k) against the k centroids instead of
+# the classic O(n²) all-pairs mean (it is exactly what Spark MLlib's
+# ClusteringEvaluator computes for squaredEuclidean, and the natural
+# consumer is the same cluster-balanced sampling pass as
+# kmeans_clusters). worst_silhouette per cluster flags the single
+# most-misplaced member — the first candidate when auditing k.
+#
+# Determinism: distances reuse the bit-exact left-associated fold of
+# the kmeans replay; a/b/s are pure double ops on identical doubles;
+# the per-cluster mean decimal-sums the s values (the mean_sq_dist
+# precedent).
+#
+# Scale: one broadcast of k literal centroids; the only shuffle is
+# the final per-cluster reduce — the corpus is touched once, no
+# point-point pairs ever form.
+# --------------------------------------------------------------------------
+
+
+def q_kmeans_silhouette(spark, sf_dir):
+    from city_payroll_data_pipeline_spark.operators import clustering as cl
+
+    emb = table(spark, sf_dir, "embeddings", spread=True)
+    assignments, centers, _ = kmeans_cached(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    dists = F.array(*[cl._sq_dist(v, c) for c in centers])
+    scored = (
+        assignments.join(emb.select("vec_id", "embedding"), "vec_id")
+        .withColumn("dists", dists)
+        .withColumn("a2", F.element_at("dists", F.col("cluster") + 1))
+        .withColumn(
+            "b2",
+            F.expr(
+                "array_min(transform(filter(transform(dists,"
+                " (x, i) -> named_struct('d', x, 'i', i)),"
+                " s -> s.i <> cluster), s -> s.d))"
+            ),
+        )
+        .withColumn(
+            "s",
+            F.when(
+                F.greatest("a2", "b2") > 0,
+                (F.col("b2") - F.col("a2")) / F.greatest("a2", "b2"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return (
+        scored.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(38,12)")).cast("double")
+                / F.count("*").cast("double"),
+                4,
+            ).alias("mean_silhouette"),
+            F.round(F.min("s"), 4).alias("worst_silhouette"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_silhouette_sql() -> str:
+    dist = _kmeans_dist_sql
+    last = _KMEANS_MAX_ITER
+    parts = _kmeans_body_parts()
+    parts.append(
+        f"alld AS MATERIALIZED (SELECT a.vec_id, a.cluster, c.idx,"
+        f" {dist('m.e', 'c.c')} AS d2"
+        f" FROM final_asg a JOIN emb m USING (vec_id), lc{last} c)"
+    )
+    parts.append(
+        "ab AS MATERIALIZED (SELECT vec_id, cluster,"
+        " MAX(CASE WHEN idx = cluster THEN d2 END) AS a2,"
+        " MIN(CASE WHEN idx <> cluster THEN d2 END) AS b2"
+        " FROM alld GROUP BY vec_id, cluster)"
+    )
+    parts.append(
+        "sil AS (SELECT cluster,"
+        " CASE WHEN greatest(a2, b2) > 0"
+        " THEN (b2 - a2) / greatest(a2, b2)"
+        " ELSE 0.0 END AS s FROM ab)"
+    )
+    body = ",\n".join(parts)
+    final = (
+        "SELECT cluster, COUNT(*) AS n_members, "
+        + _sql_round(
+            "CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE)",
+            4,
+        )
+        + " AS mean_silhouette, "
+        + _sql_round("MIN(s)", 4)
+        + " AS worst_silhouette FROM sil GROUP BY cluster ORDER BY cluster"
     )
     return f"{body}\n{final}"
 
@@ -2580,6 +2695,11 @@ QUERIES = {
         q_kmeans_clusters,
         _kmeans_sql(),  # full unrolled Lloyd replay — see _kmeans_sql
         ("vector", "clustering", "iterative"),
+    ),
+    "kmeans_silhouette": Query(
+        q_kmeans_silhouette,
+        _kmeans_silhouette_sql(),  # same unrolled fit, silhouette final
+        ("vector", "clustering", "quality", "silhouette"),
     ),
     "ann_retrieve_docs": Query(
         q_ann_retrieve_docs, ANN_RETRIEVE_DOCS_SQL, ("vector", "retrieval")

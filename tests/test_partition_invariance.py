@@ -96,6 +96,8 @@ REPRESENTATIVES = [
     "shapley_vocab_attribution",  # collect_set owner sets + micro-unit sums
     "wasserstein_length_drift",   # histogram cumsums + decimal term sums
     "bradley_terry_sources",    # sharded pairing + checkpointed integer MM
+    "holt_winters_seasonal",    # two-season init + rotating-seasonal fold
+    "loop_degeneration_report",  # map-side run fold + broadcast argmin join
 ]
 
 

@@ -969,6 +969,79 @@ def test_holt_fold_matches_python_reference(spark, ys):
     assert (row["l"], row["b"]) == (l, b)
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-10**12, max_value=10**12),
+        min_size=24,
+        max_size=40,
+    )
+)
+def test_holt_winters_state_matches_python_reference(spark, ys):
+    """The Holt-Winters init + rotating-seasonal fold
+    (suite/relational.py::_hw_state) vs a pure-Python replay with
+    explicit truncate-toward-zero division: level, trend, AND the full
+    final 12-element seasonal array must match, including series of
+    exactly 2m (zero fold steps — pure init path), negative values,
+    and negative init sums (trunc-vs-floor divergence territory)."""
+    from pyspark.sql import functions as F
+
+    from city_payroll_data_pipeline_spark.suite.relational import (
+        _HW_M,
+        _hw_state,
+    )
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    m = _HW_M
+    sum1, sum2 = sum(ys[:m]), sum(ys[m : 2 * m])
+    l, b = tdiv(sum2, m), tdiv(sum2 - sum1, m * m)
+    s = [y - l for y in ys[m : 2 * m]]
+    for y in ys[2 * m :]:
+        sm = s[0]
+        nl = tdiv(3 * (y - sm) + 7 * (l + b), 10)
+        nb = tdiv(2 * (nl - l) + 8 * b, 10)
+        s = s[1:] + [tdiv(1 * (y - nl) + 9 * sm, 10)]
+        l, b = nl, nb
+
+    df = spark.createDataFrame(
+        [([(i, y) for i, y in enumerate(ys)], len(ys))],
+        "ser array<struct<m: long, y: long>>, n_months long",
+    )
+    row = _hw_state(df).collect()[0]["st"]
+    assert (row["l"], row["b"], list(row["s"])) == (l, b, s)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_max_run_fold_matches_python_reference(spark, toks):
+    """The consecutive-run fold (suite/textops.py::_MAX_RUN_FOLD) vs
+    a pure-Python scan on a 3-symbol alphabet (small alphabet forces
+    long runs and run-boundary resets); empty docs must yield 0."""
+    from pyspark.sql import functions as F
+
+    from city_payroll_data_pipeline_spark.suite.textops import _MAX_RUN_FOLD
+
+    best = run = 0
+    prev = None
+    for t in toks:
+        run = run + 1 if t == prev else 1
+        best = max(best, run)
+        prev = t
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = df.select(F.expr(_MAX_RUN_FOLD).alias("best")).collect()[0]["best"]
+    assert got == best
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(

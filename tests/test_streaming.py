@@ -1037,3 +1037,125 @@ def test_streaming_heavy_hitters_agrees_with_batch(spark, tmp_path):
             assert heavy == int(est > 0.25 * n)
     spam_est, spam_heavy = got[win1][0]
     assert spam_est >= 6 and spam_heavy == 1
+
+
+def test_streaming_quality_gate_agrees_with_batch(spark, tmp_path):
+    """Trained-quality-gate deployment (fourteenth job): the streamed
+    per-(window, source) funnel counts must equal the same function on
+    the batch union of the micro-batches, AND every count must match a
+    pure-Python replay of the feature grid + left-associated double
+    score — so the map-side per-row feature fold provably reproduces
+    the batch probe's explode+groupBy features."""
+    import datetime as dt
+    import re
+    from collections import defaultdict
+
+    from city_payroll_data_pipeline_spark.streaming.jobs import (
+        run_to_memory,
+        streaming_quality_gate,
+    )
+
+    src = tmp_path / "qg_src"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "text string, source string, ts timestamp"
+    # chosen so the windows mix keeps and drops (rich/ten keep,
+    # loopy/short/spam drop) with no score on the threshold
+    weights = (-0.1, 0.05, 0.001, -0.001)
+    threshold = 0.25
+
+    # window 1: a loopy doc, a rich doc, a short doc, an empty doc
+    # (dropped); window 2: re-mixed per source so shares differ
+    batch1 = [
+        ("the the the the the the", "feedA", t0),
+        ("alpha beta gamma delta epsilon zeta eta theta", "feedA",
+         t0 + dt.timedelta(seconds=10)),
+        ("ok", "feedB", t0 + dt.timedelta(seconds=20)),
+        ("   ", "feedB", t0 + dt.timedelta(seconds=30)),
+    ]
+    batch2 = [
+        ("one two three four five six seven eight nine ten", "feedB",
+         t0 + dt.timedelta(minutes=12)),
+        ("spam spam spam spam spam spam spam spam", "feedA",
+         t0 + dt.timedelta(minutes=12, seconds=5)),
+    ]
+    for b in (batch1, batch2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_to_memory(
+        streaming_quality_gate(
+            stream, "text", "source", "ts", weights, threshold=threshold
+        ),
+        "qg_out",
+        output_mode="complete",
+    )
+
+    def key(frame):
+        return {
+            (r["window_start"], r["source"]): (
+                r["n_docs"],
+                r["n_keep"],
+                r["kept_share"],
+                r["kept_chars"],
+            )
+            for r in frame
+        }
+
+    got = key(spark.table("qg_out").collect())
+    want = key(
+        streaming_quality_gate(
+            spark.createDataFrame(batch1 + batch2, schema),
+            "text",
+            "source",
+            "ts",
+            weights,
+            threshold=threshold,
+        ).collect()
+    )
+    assert got == want
+
+    # pure-Python replay: the exact integer feature grid + the same
+    # left-associated double score
+    def tdiv(a, b):
+        return a // b  # all operands non-negative here
+
+    replay = defaultdict(lambda: [0, 0, 0])
+    for text, source, ts in batch1 + batch2:
+        ws = re.findall(r"[a-z]+", text.lower())
+        if not ws:
+            continue
+        nw, nd = len(ws), len(set(ws))
+        tc = max(ws.count(w) for w in set(ws))
+        f1 = min(nw, 100)
+        f2 = tdiv(100 * nd, nw)
+        f3 = min(tdiv(1000 * tc, nw), 100)
+        w0, w1, w2, w3 = weights
+        keep = (
+            w0 + w1 * float(f1) + w2 * float(f2) + w3 * float(f3)
+        ) >= threshold
+        win = t0 if ts < t0 + dt.timedelta(minutes=10) else t0 + dt.timedelta(
+            minutes=10
+        )
+        cell = replay[(win, source)]
+        cell[0] += 1
+        cell[1] += int(keep)
+        cell[2] += len(text) if keep else 0
+    assert len(got) == len(replay)
+    for k, (n_docs, n_keep, share, chars) in got.items():
+        rn, rk, rc = replay[k]
+        assert (n_docs, n_keep, chars) == (rn, rk, rc), k
+        assert share == rk / rn, k
+
+    # the empty doc was dropped, not counted; both keep AND drop
+    # outcomes occur, so the gate is exercised on both sides
+    assert got[(t0, "feedB")][0] == 1
+    keeps = [v[1] for v in got.values()]
+    assert any(k > 0 for k in keeps) and sum(
+        v[0] - v[1] for v in got.values()
+    ) > 0
