@@ -156,6 +156,7 @@ HEADLINE = [
     "dedup_rate_report",
     "stylometry_burrows_delta",
     "loop_degeneration_report",
+    "zorder_skipping_gain",
     "key_gini_skew",
     "k_anonymity_audit",
     "dp_noisy_counts",

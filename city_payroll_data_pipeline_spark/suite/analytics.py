@@ -3523,6 +3523,223 @@ ORDER BY bin
 """
 
 
+# --------------------------------------------------------------------------
+# zorder_skipping_gain — the data-LAYOUT decision table: how many
+# row groups does a 2-D band predicate (custkey range AND price
+# range) have to read under (a) insertion order, (b) a linear sort
+# on custkey, (c) Morton/Z-order interleaving of both dims — i.e.
+# the exact question `OPTIMIZE ZORDER BY` answers in a lakehouse
+# (Delta/Iceberg file skipping off min-max column stats; Morton
+# curve per Morton 1966). Linear sort skips perfectly on ITS key and
+# not at all on the other; Z-order splits the difference on both —
+# this query quantifies that trade with exact counts.
+#
+# Layout simulation: each layout range-partitions its sort key into
+# 64 groups (exactly what repartitionByRange + sortWithinPartitions
+# produces at write time), so the group id is a MAP-SIDE expression
+# of the key — no global sort, no row_number, no ntile anywhere.
+# Dims are min-max quantized to the 16-bit grid in-plan (1-row
+# bounds frame via broadcast cross join — the certificate pattern);
+# the Morton code is 32 literal-shift terms generated from one
+# Python loop for BOTH engines. Skip decision per group = min-max
+# interval overlap with the probe band, the same test a reader runs
+# against footer stats. n_match (band rows, layout-invariant) rides
+# along as the self-check that all three arms saw the same band.
+#
+# Determinism: everything is integer arithmetic off exact bounds;
+# the price enters as half-up-rounded cents (the _QUANT pattern —
+# one identical double op per row).
+#
+# Scale: ONE scan fans out ×3 map-side (explode of a 3-literal
+# array), one (layout, group) reduce (map-side combinable, ≤ 3·64
+# groups), one |layouts|-row final reduce. At 100 TB the same query
+# runs on the file-footer stats table instead of raw rows and the
+# scan term disappears entirely — the decision logic is unchanged.
+# --------------------------------------------------------------------------
+
+_ZORD_BITS = 16
+_ZORD_GROUPS = 64  # 2^6 range partitions per layout
+_ZORD_LO, _ZORD_HI = 16384, 49151  # middle-half band on each dim
+
+
+def _morton_expr(xcol: str, ycol: str, div_op: str) -> str:
+    """Bit-interleave two 16-bit ints: sum of literal-shift terms,
+    identical text modulo the integer-division spelling (`div` on
+    Spark, `//` on DuckDB); operands are non-negative by
+    construction so the division convention cannot diverge."""
+    terms = []
+    for i in range(_ZORD_BITS):
+        terms.append(f"(({xcol} {div_op} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(
+            f"(({ycol} {div_op} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        )
+    return " + ".join(terms)
+
+
+def q_zorder_skipping_gain(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    pc = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    bounds = orders.agg(
+        F.expr("MIN(o_custkey)").alias("minx"),
+        F.expr("greatest(MAX(o_custkey) - MIN(o_custkey), 1)").alias("rx"),
+        F.expr(f"MIN({pc})").alias("miny"),
+        F.expr(
+            f"greatest(MAX({pc}) - MIN({pc}), 1)"
+        ).alias("ry"),
+        F.expr("MIN(o_orderkey)").alias("mino"),
+        F.expr(
+            "greatest(MAX(o_orderkey) - MIN(o_orderkey) + 1, 1)"
+        ).alias("ro"),
+    )
+    g = _ZORD_GROUPS
+    quant = (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            "(o_custkey - minx) * 65535 div rx AS x16",
+            f"({pc} - miny) * 65535 div ry AS y16",
+            f"(o_orderkey - mino) * {g} div ro AS g_ins",
+        )
+        .selectExpr(
+            "x16",
+            "y16",
+            "g_ins",
+            f"x16 div {65536 // g} AS g_lin",
+            f"({_morton_expr('x16', 'y16', 'div')}) div {4**_ZORD_BITS // g}"
+            " AS g_z",
+        )
+    )
+    lo, hi = _ZORD_LO, _ZORD_HI
+    fanned = quant.select(
+        "x16",
+        "y16",
+        F.explode(
+            F.expr(
+                "array(named_struct('layout', 'insertion', 'grp', g_ins),"
+                " named_struct('layout', 'linear', 'grp', g_lin),"
+                " named_struct('layout', 'zorder', 'grp', g_z))"
+            )
+        ).alias("a"),
+    ).select("x16", "y16", F.col("a.layout").alias("layout"), F.col("a.grp"))
+    per_group = fanned.groupBy("layout", "grp").agg(
+        F.count("*").alias("n"),
+        F.min("x16").alias("mnx"),
+        F.max("x16").alias("mxx"),
+        F.min("y16").alias("mny"),
+        F.max("y16").alias("mxy"),
+        F.sum(
+            (
+                F.col("x16").between(lo, hi) & F.col("y16").between(lo, hi)
+            ).cast("long")
+        ).alias("n_match"),
+    )
+    read = ~(
+        (F.col("mxx") < lo)
+        | (F.col("mnx") > hi)
+        | (F.col("mxy") < lo)
+        | (F.col("mny") > hi)
+    )
+    return (
+        per_group.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum(read.cast("long")).alias("groups_read"),
+            F.sum(F.when(read, F.col("n")).otherwise(0)).alias("rows_read"),
+            F.sum("n").alias("n_rows"),
+            F.sum("n_match").alias("n_match"),
+        )
+        .select(
+            "layout",
+            "n_groups",
+            "groups_read",
+            F.round(
+                F.lit(1.0)
+                - F.col("groups_read").cast("double")
+                / F.col("n_groups").cast("double"),
+                6,
+            ).alias("skip_fraction"),
+            "rows_read",
+            F.round(
+                F.col("rows_read").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("row_read_share"),
+            "n_match",
+        )
+        .orderBy("layout")
+    )
+
+
+def _zorder_skipping_gain_sql() -> str:
+    pc = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    g = _ZORD_GROUPS
+    lo, hi = _ZORD_LO, _ZORD_HI
+    return f"""
+WITH bounds AS (
+  SELECT MIN(o_custkey) AS minx,
+         greatest(MAX(o_custkey) - MIN(o_custkey), 1) AS rx,
+         MIN({pc}) AS miny,
+         greatest(MAX({pc}) - MIN({pc}), 1) AS ry,
+         MIN(o_orderkey) AS mino,
+         greatest(MAX(o_orderkey) - MIN(o_orderkey) + 1, 1) AS ro
+  FROM orders
+),
+quant AS (
+  SELECT (o_custkey - minx) * 65535 // rx AS x16,
+         ({pc} - miny) * 65535 // ry AS y16,
+         (o_orderkey - mino) * {g} // ro AS g_ins
+  FROM orders, bounds
+),
+keyed AS (
+  SELECT x16, y16, g_ins,
+         x16 // {65536 // g} AS g_lin,
+         ({_morton_expr('x16', 'y16', '//')}) // {4**_ZORD_BITS // g} AS g_z
+  FROM quant
+),
+fanned AS (
+  SELECT x16, y16, 'insertion' AS layout, g_ins AS grp FROM keyed
+  UNION ALL
+  SELECT x16, y16, 'linear', g_lin FROM keyed
+  UNION ALL
+  SELECT x16, y16, 'zorder', g_z FROM keyed
+),
+per_group AS (
+  SELECT layout, grp, COUNT(*) AS n,
+         MIN(x16) AS mnx, MAX(x16) AS mxx,
+         MIN(y16) AS mny, MAX(y16) AS mxy,
+         SUM(CASE WHEN x16 BETWEEN {lo} AND {hi}
+                   AND y16 BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END)
+           AS n_match
+  FROM fanned GROUP BY layout, grp
+),
+flagged AS (
+  SELECT *, CASE WHEN mxx < {lo} OR mnx > {hi}
+                   OR mxy < {lo} OR mny > {hi}
+            THEN 0 ELSE 1 END AS rd
+  FROM per_group
+)
+SELECT layout,
+       COUNT(*) AS n_groups,
+       CAST(SUM(rd) AS BIGINT) AS groups_read,
+       {_sql_round(
+           '1.0 - CAST(SUM(rd) AS DOUBLE) / COUNT(*)', 6
+       )} AS skip_fraction,
+       CAST(SUM(CASE WHEN rd = 1 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_read,
+       {_sql_round(
+           'CAST(SUM(CASE WHEN rd = 1 THEN n ELSE 0 END) AS DOUBLE)'
+           ' / SUM(n)', 6
+       )} AS row_read_share,
+       CAST(SUM(n_match) AS BIGINT) AS n_match
+FROM flagged
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+ZORDER_SKIPPING_GAIN_SQL = _zorder_skipping_gain_sql()
+
+
 from city_payroll_data_pipeline_spark.suite.vectors import (  # noqa: E402
     SAMPLED_QUERY_IDS as _SAMPLED_QUERY_IDS,
 )
@@ -3645,6 +3862,11 @@ QUERIES = {
     ),
     "dedup_rate_report": Query(
         q_dedup_rate_report, DEDUP_RATE_REPORT_SQL, ("dedup", "report")
+    ),
+    "zorder_skipping_gain": Query(
+        q_zorder_skipping_gain,
+        ZORDER_SKIPPING_GAIN_SQL,
+        ("layout", "zorder", "skipping", "optimizer", "integer-exact"),
     ),
     "key_gini_skew": Query(
         q_key_gini_skew, KEY_GINI_SKEW_SQL, ("skew", "diagnostics", "gini")

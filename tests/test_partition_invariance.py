@@ -98,6 +98,7 @@ REPRESENTATIVES = [
     "bradley_terry_sources",    # sharded pairing + checkpointed integer MM
     "holt_winters_seasonal",    # two-season init + rotating-seasonal fold
     "loop_degeneration_report",  # map-side run fold + broadcast argmin join
+    "zorder_skipping_gain",     # broadcast bounds + map-side layout keys
 ]
 
 

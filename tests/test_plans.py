@@ -230,6 +230,7 @@ _INTENTIONAL_BNLJ = {
     "bradley_terry_sources",  # broadcast 1-row normalization totals
                               # (pre-checkpoint MM iterations)
     "join_size_estimate",     # broadcast 1-row sketch-estimate scalar
+    "zorder_skipping_gain",   # broadcast 1-row quantization bounds
     "cosine_neardup_pairs",   # broadcast pair candidates
     "cosine_topk",            # broadcast query set vs corpus
     "hard_negative_mining",   # same broadcast query-set shape

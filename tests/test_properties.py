@@ -1042,6 +1042,40 @@ def test_max_run_fold_matches_python_reference(spark, toks):
     assert got == best
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_morton_expr_matches_python_interleave(spark, pts):
+    """The generated Morton expression (suite/analytics.py::
+    _morton_expr) vs a pure-Python bit interleave over the full
+    16-bit domain — including 0, 65535, and single-bit values."""
+    from pyspark.sql import functions as F
+
+    from city_payroll_data_pipeline_spark.suite.analytics import _morton_expr
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pts, "x16 long, y16 long")
+    rows = df.select(
+        "x16", "y16", F.expr(_morton_expr("x16", "y16", "div")).alias("z")
+    ).collect()
+    for r in rows:
+        assert r["z"] == morton(r["x16"], r["y16"]), (r["x16"], r["y16"])
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(
