@@ -11,10 +11,16 @@ per-term truncating division, then sum-normalization to
 1-row total — zero driver round trips, bit-replayable by an unrolled
 recursive-CTE oracle ('//' and Spark 'div' agree on positives).
 
-Invariants (documented, not guarded): after iteration 1, P_i = 0 ⟺
-W_i = 0 (the MLE limit for a never-winner), and any pair with
-n_ij ≥ 1 has P_i + P_j > 0 because its matches had a winner — so the
-per-term division can never see a zero denominator.
+Invariants: a never-winner (W_i = 0) fixes at P_i = 0 exactly (the
+MLE limit). The converse — a WINNER never flooring to 0 — holds only
+while w_i·S² exceeds its MM denominator, i.e. while a player's total
+match count stays below ~2·S·w_i (S = 10^6 default). Past that, the
+truncating division can floor a rare winner's strength to 0, and a
+pair of two floored players would then divide by zero (NULL term,
+silently dropped by the sum — no longer the exact MM fixed point).
+The fix is the SAME knob as the overflow advisory below: raise S
+(or move to DECIMAL), which restores the margin proportionally —
+size S to keep 2·S·w_i above the heaviest player's match count.
 
 Scale: callers aggregate matches to the |players|² wins matrix BEFORE
 calling this; every iteration is two broadcast joins + one groupBy

@@ -520,15 +520,20 @@ def _w1_vs_corpus_num(vals):
     # exactly (both CDFs are 1), so coalescing to 0 adds an exact
     # zero term — and keeps every source in the groupBy even for a
     # degenerate single-valued corpus (W1 = 0, not zero rows).
+    # operands enter DECIMAL(38,0) BEFORE the multiplies: cum·n
+    # approaches n_c² (≈ 8.5e18 at 2.9e9 rows) and the ·dx factor
+    # lowers the 2^63 ceiling further — a BIGINT product would wrap
+    # silently on Spark and error on DuckDB long before the sum
     return (
         terms.withColumn(
             "term",
-            (
-                F.abs(
-                    F.col("cum_s") * F.col("n_c") - F.col("cum_c") * F.col("n_s")
-                )
-                * F.coalesce(F.col("dx"), F.lit(0))
-            ).cast("decimal(38,0)"),
+            F.abs(
+                F.col("cum_s").cast("decimal(38,0)")
+                * F.col("n_c").cast("decimal(38,0)")
+                - F.col("cum_c").cast("decimal(38,0)")
+                * F.col("n_s").cast("decimal(38,0)")
+            )
+            * F.coalesce(F.col("dx"), F.lit(0)).cast("decimal(38,0)"),
         )
         .groupBy("source", "n_s", "n_c")
         .agg(F.sum("term").alias("w1_num"))
@@ -585,9 +590,13 @@ terms AS (
 num AS (
   -- dx NULL only at the max value, where the CDF gap is exactly 0:
   -- COALESCE keeps the row (and the source) with a zero term
+  -- operands enter HUGEINT before the multiplies (the Spark side
+  -- mirrors with DECIMAL(38,0)): cum·n products exceed BIGINT long
+  -- before the sum at production row counts
   SELECT source, n_s,
-         SUM(CAST(ABS(cum_s * (SELECT n_c FROM tot) - cum_c * n_s)
-                  * COALESCE(dx, 0) AS DECIMAL(38,0))) AS w1_num
+         SUM(ABS(CAST(cum_s AS HUGEINT) * (SELECT n_c FROM tot)
+                 - CAST(cum_c AS HUGEINT) * n_s)
+             * COALESCE(dx, 0)) AS w1_num
   FROM terms
   GROUP BY source, n_s
 )
@@ -3534,6 +3543,15 @@ ORDER BY bin
 # not at all on the other; Z-order splits the difference on both —
 # this query quantifies that trade with exact counts.
 #
+# Division of labor with the existing layout family:
+# zorder_layout_stats audits the tightness of the layout the WRITER
+# (sources/sinks.py::write_zorder_parquet) actually produced; this
+# query compares CANDIDATE layouts' skip behavior under a concrete
+# predicate BEFORE committing to a rewrite — the before/after pair
+# of an OPTIMIZE decision. Both share the same `_morton_terms`
+# interleave, so the simulated layout is bit-identical to the
+# written one.
+#
 # Layout simulation: each layout range-partitions its sort key into
 # 64 groups (exactly what repartitionByRange + sortWithinPartitions
 # produces at write time), so the group id is a MAP-SIDE expression
@@ -3563,17 +3581,12 @@ _ZORD_LO, _ZORD_HI = 16384, 49151  # middle-half band on each dim
 
 
 def _morton_expr(xcol: str, ycol: str, div_op: str) -> str:
-    """Bit-interleave two 16-bit ints: sum of literal-shift terms,
-    identical text modulo the integer-division spelling (`div` on
-    Spark, `//` on DuckDB); operands are non-negative by
-    construction so the division convention cannot diverge."""
-    terms = []
-    for i in range(_ZORD_BITS):
-        terms.append(f"(({xcol} {div_op} {1 << i}) % 2) * {1 << (2 * i)}")
-        terms.append(
-            f"(({ycol} {div_op} {1 << i}) % 2) * {1 << (2 * i + 1)}"
-        )
-    return " + ".join(terms)
+    """Bit-interleave two 16-bit ints — delegates to the module's
+    `_morton_terms` generator (the writer-parity interleave used by
+    zorder_layout_stats) with the engine's integer-division spelling
+    substituted (`div` on Spark, `//` on DuckDB); operands are
+    non-negative by construction so the convention cannot diverge."""
+    return _morton_terms(xcol, ycol).format(d=div_op)
 
 
 def q_zorder_skipping_gain(spark, sf_dir):

@@ -932,10 +932,15 @@ def q_kmv_source_overlap(spark, sf_dir):
         ).alias("kmv_union_est"),
         F.round(inter_kmv / kk.cast("double"), 6).alias("kmv_jaccard"),
     )
-    # exact certificate arm: true vocabulary overlap per source pair
+    # exact certificate arm: true vocabulary overlap per source pair.
+    # Pairs come from the FULL a<b grid over the (model-sized) source
+    # catalog, with the shared-term counts left-joined in — an inner
+    # join on shared terms would silently DROP disjoint-vocabulary
+    # pairs, exactly the rows an overlap audit most needs to report
+    # (overlap = 0 must be distinguishable from pair-not-compared).
     ta = terms.select(F.col("source").alias("source_a"), "w")
     tb = terms.select(F.col("source").alias("source_b"), "w")
-    inter = (
+    inter_counts = (
         ta.join(tb, "w")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
@@ -945,8 +950,9 @@ def q_kmv_source_overlap(spark, sf_dir):
     sa = sizes.select(F.col("source").alias("source_a"), F.col("nv").alias("na"))
     sb = sizes.select(F.col("source").alias("source_b"), F.col("nv").alias("nb"))
     exact = (
-        inter.join(sa, "source_a")
-        .join(sb, "source_b")
+        sa.join(sb, F.col("source_a") < F.col("source_b"))
+        .join(inter_counts, ["source_a", "source_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
         .select(
             "source_a",
             "source_b",
@@ -1029,17 +1035,20 @@ inter AS (
   FROM terms ta JOIN terms tb ON ta.w = tb.w AND ta.source < tb.source
   GROUP BY 1, 2
 ),
+-- full a<b pair grid LEFT-joined to the shared-term counts:
+-- disjoint-vocabulary pairs must report n_inter = 0, not vanish
 exact AS (
-  SELECT i.source_a, i.source_b,
+  SELECT sa.source AS source_a, sb.source AS source_b,
          CAST(sa.nv AS BIGINT) AS na, CAST(sb.nv AS BIGINT) AS nb,
-         CAST(i.n_inter AS BIGINT) AS n_inter,
-         CAST(sa.nv + sb.nv - i.n_inter AS BIGINT) AS n_union,
+         CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+         CAST(sa.nv + sb.nv - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
          {_sql_round(
-             "CAST(i.n_inter AS DOUBLE) / (sa.nv + sb.nv - i.n_inter)", 6)}
+             "CAST(COALESCE(i.n_inter, 0) AS DOUBLE)"
+             " / (sa.nv + sb.nv - COALESCE(i.n_inter, 0))", 6)}
            AS jaccard_exact
-  FROM inter i
-  JOIN sizes sa ON sa.source = i.source_a
-  JOIN sizes sb ON sb.source = i.source_b
+  FROM sizes sa
+  JOIN sizes sb ON sa.source < sb.source
+  LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
 )
 SELECT e.source_a AS source_a, e.source_b AS source_b,
        e.na, e.nb, e.n_inter, e.n_union, e.jaccard_exact,

@@ -3260,9 +3260,17 @@ ORDER BY split_a, split_b
 
 def q_cluster_safe_split(spark, sf_dir):
     corpus = _near_corpus(spark, sf_dir)
-    pairs = dedup.minhash_dedup_pairs(
-        corpus, "doc_id", "text", threshold=0.5
-    ).select("doc_a", "doc_b")
+    # eager localCheckpoint (the bt_mm_scaled/CC precedent): `pairs`
+    # feeds BOTH connected_components and the leak certificate, and
+    # `splits` feeds the report groupBy plus both certificate
+    # endpoints — without truncation the whole minhash shingle/band/
+    # verify DAG re-executes per consumer. Both frames are pairs-/
+    # corpus-id-sized (no text column rides along).
+    pairs = (
+        dedup.minhash_dedup_pairs(corpus, "doc_id", "text", threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     comp = dedup.connected_components(pairs)
     assign = corpus.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id",
@@ -3276,7 +3284,7 @@ def q_cluster_safe_split(spark, sf_dir):
         .when(bucket < 90, "val")
         .otherwise("test")
         .alias("split"),
-    )
+    ).localCheckpoint(eager=True)
     a = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
     b = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
     leaks = (
@@ -4370,43 +4378,34 @@ def q_token_budget_waterfill(spark, sf_dir):
         F.sort_array(
             F.collect_list(F.struct(F.col("inv").alias("inv"), "source"))
         ).alias("xs"),
-        (F.sum("inv") / 2).cast("long").alias("budget"),
+        # exact integer halving — a double detour here would diverge
+        # from the oracle's `//` above 2^53 total tokens
+        F.expr("SUM(inv) div 2").alias("budget"),
     )
 
-    def step(state, x):
-        rate = F.floor(
-            state["brem"] / state["srem"]
-        ).cast("long")
-        a = F.least(x["inv"], rate)
-        return F.struct(
-            (state["brem"] - a).alias("brem"),
-            (state["srem"] - 1).alias("srem"),
-            F.concat(
-                state["allocs"],
-                F.array(
-                    F.struct(
-                        x["source"].alias("source"),
-                        x["inv"].alias("inv"),
-                        a.alias("alloc"),
-                    )
-                ),
-            ).alias("allocs"),
-        )
-
+    # the rate MUST be the exact integer division `div` (not
+    # floor(a/b): the double quotient loses ulps above 2^53 and the
+    # fold state then drifts from the oracle's `//` replay)
     folded = one.select(
         "budget",
-        F.aggregate(
-            F.col("xs"),
-            F.struct(
-                F.col("budget").alias("brem"),
-                F.size("xs").cast("long").alias("srem"),
-                F.expr(
-                    "CAST(array() AS"
-                    " array<struct<source:string,inv:bigint,alloc:bigint>>)"
-                ).alias("allocs"),
-            ),
-            step,
-            lambda s: s["allocs"],
+        F.expr(
+            """
+aggregate(
+  xs,
+  named_struct(
+    'brem', budget,
+    'srem', CAST(size(xs) AS BIGINT),
+    'allocs', CAST(array() AS
+                   array<struct<source:string,inv:bigint,alloc:bigint>>)),
+  (acc, x) -> named_struct(
+    'brem', acc.brem - least(x.inv, acc.brem div acc.srem),
+    'srem', acc.srem - 1,
+    'allocs', concat(acc.allocs, array(named_struct(
+        'source', x.source,
+        'inv', x.inv,
+        'alloc', least(x.inv, acc.brem div acc.srem))))),
+  acc -> acc.allocs)
+"""
         ).alias("allocs"),
     )
     out = folded.select("budget", F.explode("allocs").alias("a"))
@@ -4440,7 +4439,7 @@ ordered AS (
   FROM inv
 ),
 fold(rk, brem, srem, source, inv, alloc) AS (
-  SELECT 0, CAST(FLOOR(total / 2.0) AS BIGINT), n_src,
+  SELECT 0, CAST(total // 2 AS BIGINT), n_src,
          CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
   FROM (SELECT DISTINCT total, n_src FROM ordered)
   UNION ALL
@@ -4449,7 +4448,7 @@ fold(rk, brem, srem, source, inv, alloc) AS (
   FROM fold f JOIN ordered o ON o.rk = f.rk + 1
 ),
 budget AS (
-  SELECT CAST(FLOOR(total / 2.0) AS BIGINT) AS b
+  SELECT CAST(total // 2 AS BIGINT) AS b
   FROM (SELECT DISTINCT total FROM ordered)
 )
 SELECT f.source AS source,
@@ -7205,7 +7204,14 @@ def _probe_fit_score(feats):
     with integer features on the 0..100 grid; returns feats plus the
     probe decision `kp`. Factored out so the property tests can drive
     the exact solve with adversarial frames (collinear features,
-    all-one/all-zero labels)."""
+    all-one/all-zero labels).
+
+    Precondition (documented, not guarded — keeping the plan pure for
+    the oracle replay): the frame must contain at least one training
+    row (doc_id ≡ 0 mod _PROBE_TRAIN_MOD). An empty split makes every
+    normal-equation sum NULL, so every `kp` comes back NULL and the
+    downstream keep/κ aggregates silently skip all rows — callers
+    reusing this on arbitrary frames must check the split first."""
     sums = feats.filter(F.col("doc_id") % _PROBE_TRAIN_MOD == 0).agg(
         F.count("*").alias("s00"),
         F.sum("f1").alias("s01"),

@@ -1379,9 +1379,10 @@ def test_kmv_overlap_matches_python_reference(spark, data):
             est = (
                 (_KMV_K - 1) * _KMV_SPACE / hk if usz >= _KMV_K else float(usz)
             )
+            # disjoint-vocabulary pairs MUST appear with n_inter = 0
+            # (the full-pair-grid contract — a dropped pair would be
+            # indistinguishable from pair-not-compared)
             n_inter = len(va & vb)
-            if n_inter == 0:
-                continue  # inner-join drop, matches the query
             want[(a, b)] = (
                 len(va),
                 len(vb),
