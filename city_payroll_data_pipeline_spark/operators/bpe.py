@@ -173,6 +173,7 @@ def train_bpe(
     n_merges: int = 10,
     min_pair_count: int = 2,
     batch_k: int = 16,
+    words_hist: DataFrame | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merges over the corpus. Returns
     [(left, right, corpus_pair_count), ...] in learned order. Stops
@@ -185,10 +186,19 @@ def train_bpe(
     ⌈n_merges/batch_k⌉ and n_merges collects instead of always
     n_merges — with output bit-identical to merge-serial BPE
     (tests/test_training_ops.py asserts batched == batch_k=1).
+
+    ``words_hist``: an already-computed (word, count) histogram of the
+    SAME whitespace tokenization — callers that have tokenized the
+    corpus anyway (the encoder queries all build a per-source word
+    frame) pass it here so the corpus-sized tokenize+count pass is
+    paid once per query, not once per consumer (guide §2.4).
     """
-    vocab = word_histogram(df, text_col).select(
-        "count", F.split("word", "").alias("sym")
+    hist = (
+        words_hist
+        if words_hist is not None
+        else word_histogram(df, text_col)
     )
+    vocab = hist.select("count", F.split("word", "").alias("sym"))
     vocab = vocab.localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     learned_names: set[str] = set()
@@ -335,43 +345,66 @@ def viterbi_piece_table(
     )
 
 
+def _vocab_lp_map(vocab_lp: DataFrame) -> Column:
+    """The piece table as a piece → lp map LITERAL. The vocabulary is
+    model-sized by construction (a trained tokenizer's piece table:
+    chars + a bounded multi-char budget), so collecting it once is the
+    pq_codebook_trained bounded-collect pattern — sample/model-sized
+    driver traffic, never corpus-sized. lp values round-trip through
+    their exact decimal(18,6) string, so the literal is bit-identical
+    to the joined column it replaces."""
+    rows = vocab_lp.select("piece", "lp").collect()
+    kvs: list[Column] = []
+    for r in rows:
+        kvs.append(F.lit(r["piece"]))
+        kvs.append(F.lit(str(r["lp"])).cast("decimal(18,6)"))
+    if not kvs:
+        return F.map_from_arrays(
+            F.array().cast("array<string>"),
+            F.array().cast("array<decimal(18,6)>"),
+        )
+    return F.create_map(*kvs)
+
+
 def _option_arrays(
     words: DataFrame, vocab_lp: DataFrame, lmax: int
 ) -> DataFrame:
     """Dense per-word option grid shared by the Viterbi encoders:
     (word, a) where a[e] is the array of struct<j,lp> candidate pieces
-    ENDING at position e (NULL where no vocabulary piece ends) — one
-    hash join against the broadcast vocab, one collect_list per word,
-    dense so element_at(a, e) is position e, never a shifted slot."""
-    grid = words.select(
-        "word",
-        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
-    )
-    lens = F.array(*[F.lit(n) for n in range(1, lmax + 1)])
-    cand = (
-        grid.select("word", "s", F.explode(lens).alias("plen"))
-        .withColumn("piece", F.expr("substring(word, s, plen)"))
-        .filter(F.length("piece") == F.col("plen"))
-    )
-    opts = (
-        cand.join(F.broadcast(vocab_lp), ["piece", "plen"])
-        .select(
-            "word",
-            (F.col("s") + F.col("plen") - 1).alias("e"),
-            F.struct(
-                F.col("plen").cast("int").alias("j"), F.col("lp")
-            ).alias("opt"),
+    ENDING at position e (EMPTY where no vocabulary piece ends — the
+    DP folds treat empty and NULL identically: size(valid) > 0 is
+    false either way, so both take the unreachable sentinel).
+
+    Built as a pure per-row expression against the vocab map literal
+    (_vocab_lp_map): the previous shape paid, PER E-STEP, a
+    position×lmax explode, a broadcast hash join, a (word, e)
+    collect_list shuffle, a dense-grid left join and a final per-word
+    collect_list shuffle — three exchanges whose only job was to look
+    up ≤ lmax substrings per position in a model-sized table (guide
+    §2.4: remove shuffles outright). Now the grid is ONE narrow map
+    stage over the distinct-word frame; a word never leaves its input
+    partition. Candidate set and struct contents are unchanged:
+    j ≤ e bounds the piece inside the word, try_element_at returns
+    NULL (→ filtered) for out-of-vocabulary pieces."""
+    mp = _vocab_lp_map(vocab_lp)
+    w = F.col("word")
+
+    def opts_at(e: Column) -> Column:
+        cands = F.transform(
+            F.sequence(F.lit(1), F.lit(lmax)),
+            lambda j: F.struct(
+                j.cast("int").alias("j"),
+                F.try_element_at(mp, w.substr(e - j + F.lit(1), j)).alias(
+                    "lp"
+                ),
+            ),
         )
-        .groupBy("word", "e")
-        .agg(F.collect_list("opt").alias("opts"))
-    )
-    dense = grid.withColumnRenamed("s", "e").join(opts, ["word", "e"], "left")
-    return dense.groupBy("word").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("e", "opts"))),
-            lambda st: st["opts"],
-        ).alias("a")
-    )
+        return F.filter(
+            cands, lambda x: (x["j"] <= e) & x["lp"].isNotNull()
+        )
+
+    a = F.transform(F.sequence(F.lit(1), F.length(w)), opts_at)
+    return words.select("word", a.alias("a"))
 
 
 def viterbi_segment(
@@ -506,31 +539,34 @@ def unigram_em_fit(
 
     Scale: everything runs on the DISTINCT-WORD frame — the seed
     explode is Σ len(word)·lmax rows over the vocabulary, the piece
-    table is tiny (chars + ≤top_m) and broadcast into every E-step
-    join, and each iteration's vocab is localCheckpoint'd so the plan
-    does not nest one Viterbi DP per round. No driver round trips at
-    all (contrast train_bpe's batched argmax collects): the model
-    state lives in a model-sized DataFrame end-to-end.
+    table rides into every E-step as a model-sized map literal
+    (_vocab_lp_map — the E-step is now a single narrow map stage,
+    zero exchanges), and each iteration's vocab is localCheckpoint'd
+    so the plan does not nest one Viterbi DP per round. Driver traffic
+    is one model-sized vocab collect per E-step (the
+    pq_codebook_trained bounded-collect pattern); the word histogram
+    is localCheckpoint'd up front so the corpus-sized tokenize+count
+    pass is paid once, not once per E-step.
 
     Precondition: lp values ride decimal(18,6) (exact additions), so
     the learned table is bit-reproducible across engines — the same
     contract as viterbi_piece_table."""
+    words_occ = words_occ.localCheckpoint()
     words = words_occ.select("word")
-    grid = words.select(
-        "word",
-        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
-    )
     lens = F.array(*[F.lit(n) for n in range(1, lmax + 1)])
+    # seed counts carry w_occ through the explode instead of joining it
+    # back on `word` afterwards — one shuffle, no join (guide §2.4)
     cand = (
-        grid.select("word", "s", F.explode(lens).alias("plen"))
+        words_occ.select(
+            "word",
+            "w_occ",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
+        )
+        .select("word", "w_occ", "s", F.explode(lens).alias("plen"))
         .withColumn("piece", F.expr("substring(word, s, plen)"))
         .filter(F.length("piece") == F.col("plen"))
     )
-    seed_cnt = (
-        cand.join(words_occ, "word")
-        .groupBy("piece")
-        .agg(F.sum("w_occ").alias("cnt"))
-    )
+    seed_cnt = cand.groupBy("piece").agg(F.sum("w_occ").alias("cnt"))
     seed_multi = (
         seed_cnt.filter(F.length("piece") > 1)
         .orderBy(F.desc("cnt"), "piece")
@@ -601,30 +637,42 @@ def greedy_piece_counts(
        join-per-position and spent 13 s in stage overhead at sf0.1;
        this form runs in ~1 s with identical output).
 
-    Everything runs on the DISTINCT-WORD frame, never the corpus."""
-    grid = words.select(
-        "word",
-        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"),
+    Everything runs on the DISTINCT-WORD frame, never the corpus.
+
+    The advance table is a pure per-row expression against a collected
+    vocabulary-membership map literal (model-sized by construction —
+    the _vocab_lp_map rationale): the previous shape paid a
+    position×lmax explode + broadcast join + two shuffle aggregations
+    per encode, all to test ≤ lmax substrings per position for
+    membership in a tiny table (guide §2.4). The j ≤ remaining-length
+    bound replaces the old length(piece) == plen filter — without it a
+    truncated tail substring could alias a shorter vocab piece and
+    overstate the advance."""
+    rows = vocab.select("piece").collect()
+    kvs: list[Column] = []
+    for r in rows:
+        kvs.append(F.lit(r["piece"]))
+        kvs.append(F.lit(1))
+    mp = (
+        F.create_map(*kvs)
+        if kvs
+        else F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<int>")
+        )
     )
-    lens = F.array(*[F.lit(n) for n in range(1, lmax + 1)])
-    cand = (
-        grid.select("word", "pos", F.explode(lens).alias("plen"))
-        .withColumn("piece", F.expr("substring(word, pos, plen)"))
-        .filter(F.length("piece") == F.col("plen"))
-    )
-    best = (
-        cand.join(F.broadcast(vocab), ["piece", "plen"])
-        .groupBy("word", "pos")
-        .agg(F.max("plen").alias("adv"))
-    )
-    advf = grid.join(best, ["word", "pos"], "left").select(
-        "word", "pos", F.coalesce(F.col("adv"), F.lit(1)).alias("adv")
-    )
-    arr = advf.groupBy("word").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "adv"))),
-            lambda st: st["adv"],
-        ).alias("a")
+    w = F.col("word")
+    wlen = F.length(w)
+
+    def adv_at(pos: Column) -> Column:
+        cands = F.filter(
+            F.sequence(F.lit(1), F.lit(lmax)),
+            lambda j: (j <= wlen - pos + 1)
+            & F.try_element_at(mp, w.substr(pos, j)).isNotNull(),
+        )
+        return F.coalesce(F.array_max(cands), F.lit(1)).cast("int")
+
+    arr = words.select(
+        "word", F.transform(F.sequence(F.lit(1), wlen), adv_at).alias("a")
     )
     init = F.struct(
         F.lit(1).cast("int").alias("pos"), F.lit(0).cast("int").alias("cnt")

@@ -4717,10 +4717,7 @@ BPE_COMPRESSION_CURVE_SQL = _bpe_curve_sql()
 
 def q_wordpiece_greedy_encode(spark, sf_dir):
     docs = table(spark, sf_dir, "documents", spread=True)
-    merges = bpe.train_bpe(
-        docs.select("text"), "text",
-        n_merges=_BPE_N_MERGES, min_pair_count=_BPE_MIN_PAIR,
-    )
+    # shared corpus tokenize pass — the q_unigram_viterbi_encode shape
     words_src = (
         docs.select(
             "source",
@@ -4730,6 +4727,14 @@ def q_wordpiece_greedy_encode(spark, sf_dir):
         )
         .groupBy("source", "word")
         .agg(F.count("*").alias("occ"))
+        .localCheckpoint()
+    )
+    merges = bpe.train_bpe(
+        docs.select("text"), "text",
+        n_merges=_BPE_N_MERGES, min_pair_count=_BPE_MIN_PAIR,
+        words_hist=words_src.groupBy("word").agg(
+            F.sum("occ").alias("count")
+        ),
     )
     words = words_src.select("word").distinct()
     syms = bpe.bpe_symbols(words, merges)
@@ -4867,10 +4872,10 @@ WORDPIECE_GREEDY_ENCODE_SQL = _wordpiece_greedy_sql()
 
 def q_unigram_viterbi_encode(spark, sf_dir):
     docs = table(spark, sf_dir, "documents", spread=True)
-    merges = bpe.train_bpe(
-        docs.select("text"), "text",
-        n_merges=_BPE_N_MERGES, min_pair_count=_BPE_MIN_PAIR,
-    )
+    # one corpus tokenize pass: words_src feeds the final per-source
+    # aggregate, the BPE trainer's histogram (identical multiset —
+    # regexp \S+ extraction is trim-insensitive) and the distinct-word
+    # frame, so checkpoint it and derive the rest (guide §2.4)
     words_src = (
         docs.select(
             "source",
@@ -4880,6 +4885,14 @@ def q_unigram_viterbi_encode(spark, sf_dir):
         )
         .groupBy("source", "word")
         .agg(F.count("*").alias("occ"))
+        .localCheckpoint()
+    )
+    merges = bpe.train_bpe(
+        docs.select("text"), "text",
+        n_merges=_BPE_N_MERGES, min_pair_count=_BPE_MIN_PAIR,
+        words_hist=words_src.groupBy("word").agg(
+            F.sum("occ").alias("count")
+        ),
     )
     words = words_src.select("word").distinct()
     syms = bpe.bpe_symbols(words, merges)
@@ -5105,6 +5118,8 @@ def q_unigram_em_fit(spark, sf_dir):
 
 def q_unigram_em_encode(spark, sf_dir):
     docs = table(spark, sf_dir, "documents", spread=True)
+    # one corpus tokenize pass: words_src feeds both the trainer's
+    # histogram and the final per-source fertility aggregate
     words_src = (
         docs.select(
             "source",
@@ -5114,6 +5129,7 @@ def q_unigram_em_encode(spark, sf_dir):
         )
         .groupBy("source", "word")
         .agg(F.count("*").alias("occ"))
+        .localCheckpoint()
     )
     words_occ = words_src.groupBy("word").agg(F.sum("occ").alias("w_occ"))
     vocab = bpe.unigram_em_fit(
