@@ -103,43 +103,52 @@ def greedy_max_coverage(feats: DataFrame, k: int) -> list[tuple]:
     [(rank, doc_id, gain, covered_total)], stopping early when no
     document adds coverage.
 
-    Distributed shape — the train_bpe driver-round pattern: each of
-    the ≤ k rounds is ONE distributed aggregation over the feature
-    frame (filtered by the covered-bucket list, a driver-bounded
-    broadcast literal ≤ k·max-doc-features ids); the only collects are
-    the 1-row argmax and the winner's ≤ max-doc-features new buckets —
-    model-sized, never corpus-sized. The greedy loop is inherently
-    sequential (each argmax depends on the covered set), so k driver
-    round trips is the scale-correct shape, exactly like batched-BPE's
-    top-k collects.
+    Distributed shape — the train_bpe driver-round pattern, one job
+    per round: the incidence is aggregated ONCE to a per-doc bucket
+    array frame (checkpointed — the rounds scan arrays, never the
+    exploded incidence again), and each round is a single 1-row
+    struct-max aggregation ``max(struct(gain, -doc_id, new_buckets))``
+    whose winner carries its own uncovered-bucket list back — the
+    argmax and the winner's buckets, previously two jobs per round,
+    arrive in one collect (guide §1.2: fewer passes; §2.4: the
+    per-round shuffle of the re-filtered incidence is gone). The
+    covered set stays a driver-bounded literal ≤ k·max-doc-features
+    ids; doc_id is unique per row so the struct max never compares the
+    array field. The greedy loop is inherently sequential (each argmax
+    depends on the covered set), so k driver round trips is the
+    scale-correct shape, exactly like batched-BPE's top-k collects.
 
-    Cache lifecycle is CALLER-OWNED: the caller should
-    ``feats.persist()`` before (the frame is scanned k+1 times) and
-    ``unpersist()`` in a finally after its last use — the operator
-    deliberately does not persist, so a forgotten handle can't leak
-    cached incidence partitions into the rest of the session."""
+    Cache lifecycle is CALLER-OWNED for ``feats`` (scanned once here
+    for the array aggregation; callers typically also scan it for the
+    coverage total): ``feats.persist()`` before, ``unpersist()`` in a
+    finally after its last use. The per-doc array frame is
+    localCheckpoint'd internally (eager, ContextCleaner-released)."""
+    docs = (
+        feats.groupBy("doc_id")
+        .agg(F.collect_set("bucket").alias("bl"))
+        .localCheckpoint()
+    )
     covered: list[int] = []
     out: list[tuple] = []
     for r in range(1, k + 1):
-        rem = (
-            feats.filter(~F.col("bucket").isin(covered)) if covered else feats
+        newb = (
+            F.array_except(
+                F.col("bl"), F.array(*[F.lit(b) for b in covered])
+            )
+            if covered
+            else F.col("bl")
         )
-        top = (
-            rem.groupBy("doc_id")
-            .agg(F.count("*").alias("gain"))
-            .orderBy(F.desc("gain"), F.asc("doc_id"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        top = docs.select(
+            F.max(
+                F.struct(
+                    F.size(newb).alias("gain"),
+                    (-F.col("doc_id")).alias("negid"),
+                    newb.alias("nb"),
+                )
+            ).alias("s")
+        ).collect()[0]["s"]
+        if top is None or top["gain"] <= 0:
             break
-        doc, gain = top[0]["doc_id"], int(top[0]["gain"])
-        newb = [
-            row["bucket"]
-            for row in rem.filter(F.col("doc_id") == doc)
-            .select("bucket")
-            .collect()
-        ]
-        covered.extend(newb)
-        out.append((r, doc, gain, len(covered)))
+        covered.extend(top["nb"])
+        out.append((r, -top["negid"], int(top["gain"]), len(covered)))
     return out

@@ -536,17 +536,19 @@ def pq_codebook_trained(
     cb = np.zeros((m_sub, k_codes, d_sub), dtype=np.int64)
     for m, cw, cq in seed_rows:
         cb[m, cw, :] = cq
+    # sort the bounded sample driver-side: an orderBy here was a full
+    # distributed sort of the corpus feeding a collect (guide §2.4 —
+    # an orderBy used only to make output deterministic); the Lloyd
+    # result is row-order invariant anyway (exact int64 group sums),
+    # the sort is kept only so the array layout is reproducible
+    train_rows = sorted(
+        (r["vec_id"], r["q"])
+        for r in quantized.filter(F.col("vec_id") % train_stride == 0)
+        .select("vec_id", "q")
+        .collect()
+    )
     train = np.array(
-        [
-            r["q"]
-            for r in quantized.filter(
-                F.col("vec_id") % train_stride == 0
-            )
-            .orderBy("vec_id")
-            .select("q")
-            .collect()
-        ],
-        dtype=np.int64,
+        [q for _, q in train_rows], dtype=np.int64
     ).reshape(-1, m_sub, d_sub)
     for _ in range(iters):
         for m in range(m_sub):
@@ -805,6 +807,12 @@ def ivfpq_residual_topk(
             F.zip_with("q", "cvec", lambda x, c: x - c).alias("q"),
             "list_id",
         )
+        # four consumers read the residual frame (codebook seeds, the
+        # bounded training collect, the encode pass, the list_id
+        # re-join) and each would otherwise replay the scan + cell
+        # assignment + centroid subtraction (guide §2.4); checkpoint
+        # it so the residual pipeline runs once
+        .localCheckpoint()
     )
     cb = pq_codebook_trained(
         res.select("vec_id", "q"),

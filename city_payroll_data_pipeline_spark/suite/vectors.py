@@ -1775,7 +1775,15 @@ def q_pq_trained_recall(spark, sf_dir):
         corpus, PQ_M, _PQ_DSUB, PQ_KS, PQ_TRAIN_INIT_STRIDE,
         iters=PQ_TRAIN_ITERS, train_stride=PQ_TRAIN_SAMPLE_STRIDE,
     )
-    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # the exact baseline joins BOTH arms; without a checkpoint each arm
+    # replays the full brute-force corpus pass (no ReusedExchange fires
+    # across the arm plans — verified in plans/r10). The frame is
+    # K·N_QUERIES rows, so the checkpoint is model-sized (guide §2.4).
+    exact = (
+        q_cosine_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
     total = K * N_QUERIES
     arms = (
         ("pq_lloyd", dict(codebook=cb)),
@@ -1944,7 +1952,13 @@ _IVFRES_ITERS = 10   # Lloyd steps — residuals have no natural seed
 def q_ivfpq_residual_recall(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings", spread=True)
     queries = _query_frame(emb, None)
-    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # three arms join the exact baseline — checkpoint it once (the
+    # q_pq_trained_recall rationale; saves two brute-force passes)
+    exact = (
+        q_cosine_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
     total = K * N_QUERIES
     arms = (
         (
@@ -2249,8 +2263,12 @@ def q_pq_recall_report(spark, sf_dir, query_ids=None):
     (PQ, IVF-PQ) against the exact baseline — the ann_recall_report
     pattern extended to the r6 additions, so one driver hash certifies
     retrievers AND eval. Joins run on (queries × K)-sized frames."""
-    exact = q_cosine_topk(spark, sf_dir, query_ids).select(
-        "query_id", "neighbor_id"
+    # both arms join the exact baseline — checkpoint it once (the
+    # q_pq_trained_recall rationale)
+    exact = (
+        q_cosine_topk(spark, sf_dir, query_ids)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
     )
     total = K * (N_QUERIES if query_ids is None else len(query_ids))
     parts = []
