@@ -51,57 +51,45 @@ def bt_mm_scaled(wins: DataFrame, iters: int = 6, scale: int = SCALE) -> DataFra
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     S = scale
-    n_pairs = (
-        wins.select("i", "j", "w")
-        .unionAll(
-            wins.select(F.col("j").alias("i"), F.col("i").alias("j"), F.col("w"))
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("w").alias("n_ij"))
-    )
-    # eager localCheckpoint (the pagerank_scaled lineage rule): the
-    # wins matrix is |players|²-bounded, and truncating its lineage
-    # here keeps each iteration's plan FLAT — without it, every
-    # iteration re-embeds the caller's whole match-generation plan
-    # and Catalyst analysis time grows superlinearly in iters.
-    n_pairs = n_pairs.localCheckpoint(eager=True)
-    w_tot = wins.groupBy("i").agg(F.sum("w").alias("w_i"))
-    players = n_pairs.select("i").distinct()
-    # left join: a player that never WON still has matches (rows in
-    # n_pairs) but no w_tot row — its W_i is genuinely 0.
-    w_all = (
-        players.join(w_tot, "i", "left")
-        .withColumn("w_i", F.coalesce(F.col("w_i"), F.lit(0)).cast("bigint"))
-        .localCheckpoint(eager=True)
-    )
-
-    p = players.select("i", F.lit(S).cast("bigint").alias("p"))
+    # The wins matrix is |players|²-bounded BY CONTRACT (callers
+    # aggregate corpus-sized matches down before calling), so collect
+    # it once and run the MM fixed point on the driver — the
+    # pq_codebook_trained bounded-collect shape. The previous form ran
+    # each of the ``iters`` rounds as 3-4 sequential Spark jobs
+    # (broadcast p, broadcast totals, eager checkpoint) over a
+    # model-sized frame: pure scheduling latency, no data-parallel
+    # work to distribute (guide §1.2 — the distributed algorithm term
+    # here is the one wins aggregation the caller already pays).
+    # Arithmetic is exact integers; Python ``//`` and Spark ``div``
+    # agree on non-negatives, so the fixed point is bit-identical.
+    spark = wins.sparkSession
+    win_rows = wins.select("i", "j", "w").collect()
+    n_ij: dict[tuple, int] = {}
+    w_tot: dict = {}
+    for r in win_rows:
+        i, j, w = r["i"], r["j"], int(r["w"])
+        n_ij[(i, j)] = n_ij.get((i, j), 0) + w
+        n_ij[(j, i)] = n_ij.get((j, i), 0) + w
+        w_tot[i] = w_tot.get(i, 0) + w
+    players = sorted({i for i, _ in n_ij})
+    p_cur = {i: S for i in players}
     for _ in range(iters):
-        pj = p.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
-        terms = (
-            n_pairs.join(F.broadcast(p), "i")
-            .join(F.broadcast(pj), "j")
-            .withColumn("t", F.expr(f"(n_ij * {S} * {S}) div (p + p_j)"))
+        d = {i: 0 for i in players}
+        for (i, j), nij in n_ij.items():
+            d[i] += (nij * S * S) // (p_cur[i] + p_cur[j])
+        praw = {i: (w_tot.get(i, 0) * S * S) // d[i] for i in players}
+        tp = sum(praw.values())
+        p_cur = {i: (praw[i] * len(players) * S) // tp for i in players}
+    out = [
+        (
+            i,
+            int(w_tot.get(i, 0)),
+            int(sum(nij for (a, _), nij in n_ij.items() if a == i)),
+            int(p_cur[i]),
         )
-        d = terms.groupBy("i").agg(F.sum("t").alias("d"))
-        praw = d.join(F.broadcast(w_all), "i").select(
-            "i", F.expr(f"(w_i * {S} * {S}) div d").alias("praw")
-        )
-        tot = praw.agg(F.sum("praw").alias("tp"), F.count("*").alias("np"))
-        p = (
-            praw.crossJoin(F.broadcast(tot))
-            .select(
-                "i",
-                F.expr(f"(praw * np * {S}) div tp").cast("bigint").alias("p"),
-            )
-            # player-count-sized frame: per-iteration truncation is
-            # cheap and bounds the plan at one iteration's depth
-            .localCheckpoint(eager=True)
-        )
-
-    n_match = n_pairs.groupBy("i").agg(F.sum("n_ij").alias("matches"))
-    return (
-        p.join(F.broadcast(w_all), "i")
-        .join(F.broadcast(n_match), "i")
-        .select("i", "w_i", "matches", "p")
+        for i in players
+    ]
+    i_type = wins.schema["i"].dataType.simpleString()
+    return spark.createDataFrame(
+        out, f"i {i_type}, w_i bigint, matches bigint, p bigint"
     )

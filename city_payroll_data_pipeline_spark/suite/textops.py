@@ -6933,22 +6933,50 @@ ORDER BY doc_id
 # --------------------------------------------------------------------------
 
 
-def q_filter_agreement_kappa(spark, sf_dir):
+def _per_doc_word_stats(docs):
+    """(doc_id, source, n_words, n_distinct, top_cnt) computed entirely
+    map-side: the previous shape exploded to (doc_id, source, word) and
+    paid two corpus-sized shuffles just to count a document's OWN
+    tokens — the groupBy key contained doc_id, so nothing ever crossed
+    documents and no exchange was needed (guide §2.4). n_words =
+    |tokens|, n_distinct = |distinct tokens|, top_cnt = longest
+    equal-run of the sorted token array via one codegen'd fold — exact
+    integers, identical to max(per-word count). Empty docs are dropped
+    exactly as the explode dropped them (they produced no rows)."""
     from city_payroll_data_pipeline_spark.functions.text import word_tokens
 
+    toks = word_tokens(F.col("text"))
+    one = F.lit(1).cast("long")
+    run_st = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(one)
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(one),
+            ).alias("best"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        run_st["best"].alias("top_cnt"),
+    ).filter(F.col("n_words") > 0)
+
+
+def q_filter_agreement_kappa(spark, sf_dir):
     docs = table(spark, sf_dir, "documents", spread=True)
-    per_word = (
-        docs.select(
-            "doc_id", "source", F.explode(word_tokens(F.col("text"))).alias("w")
-        )
-        .groupBy("doc_id", "source", "w")
-        .agg(F.count("*").alias("c"))
-    )
-    per_doc = per_word.groupBy("doc_id", "source").agg(
-        F.sum("c").alias("n_words"),
-        F.count("*").alias("n_distinct"),
-        F.max("c").alias("top_cnt"),
-    )
+    per_doc = _per_doc_word_stats(docs)
     flags = per_doc.select(
         "source",
         (F.col("n_words") >= 56).cast("int").alias("r1"),
@@ -7152,21 +7180,8 @@ def _probe_det_sql(repl: int | None) -> str:
 
 
 def q_quality_probe_train(spark, sf_dir):
-    from city_payroll_data_pipeline_spark.functions.text import word_tokens
-
     docs = table(spark, sf_dir, "documents", spread=True)
-    per_word = (
-        docs.select(
-            "doc_id", "source", F.explode(word_tokens(F.col("text"))).alias("w")
-        )
-        .groupBy("doc_id", "source", "w")
-        .agg(F.count("*").alias("c"))
-    )
-    per_doc = per_word.groupBy("doc_id", "source").agg(
-        F.sum("c").alias("n_words"),
-        F.count("*").alias("n_distinct"),
-        F.max("c").alias("top_cnt"),
-    )
+    per_doc = _per_doc_word_stats(docs)  # map-side, zero-exchange
     # integer features on a 0..100 grid (the magnitude bound above) +
     # the composite label; eagerly materialized so the train branch
     # and the scoring branch share one explode pass
