@@ -367,7 +367,10 @@ def _vocab_lp_map(vocab_lp: DataFrame) -> Column:
 
 
 def _option_arrays(
-    words: DataFrame, vocab_lp: DataFrame, lmax: int
+    words: DataFrame,
+    vocab_lp: DataFrame,
+    lmax: int,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Dense per-word option grid shared by the Viterbi encoders:
     (word, a) where a[e] is the array of struct<j,lp> candidate pieces
@@ -404,13 +407,14 @@ def _option_arrays(
         )
 
     a = F.transform(F.sequence(F.lit(1), F.length(w)), opts_at)
-    return words.select("word", a.alias("a"))
+    return words.select("word", *passthrough, a.alias("a"))
 
 
 def viterbi_segment(
     words: DataFrame,
     vocab_lp: DataFrame,
     lmax: int,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Unigram-LM Viterbi segmentation WITH the segmentation itself —
     the E-step primitive of the SentencePiece-style EM trainer
@@ -432,8 +436,13 @@ def viterbi_segment(
     Coverage: an unsegmentable word (vocab missing one of its chars)
     surfaces as (word, NULL, NULL, NULL) via the dense grid's in-band
     sentinel (ok=0, j=0 — the j=0 self-loop keeps the reconstruction
-    walk bounded), never a misaligned score (ADVICE r7 discipline)."""
-    arr = _option_arrays(words, vocab_lp, lmax)
+    walk bounded), never a misaligned score (ADVICE r7 discipline).
+
+    ``passthrough``: input columns to carry beside ``word`` — the grid
+    and DP are pure per-row expressions, so extra columns ride for
+    free; the EM trainer passes w_occ through so the M-step usage
+    aggregation needs no join back onto the histogram (guide §2.4)."""
+    arr = _option_arrays(words, vocab_lp, lmax, passthrough)
     zero = F.lit("0").cast("decimal(18,6)")
     one = F.lit(1).cast("int")
     init = F.array(
@@ -465,7 +474,9 @@ def viterbi_segment(
         return F.concat(acc, F.array(best))
 
     dp_col = F.aggregate(F.sequence(F.lit(1), F.size("a")), init, step)
-    with_dp = arr.select("word", F.size("a").alias("wlen"), dp_col.alias("dp"))
+    with_dp = arr.select(
+        "word", *passthrough, F.size("a").alias("wlen"), dp_col.alias("dp")
+    )
     last = F.element_at(F.col("dp"), F.col("wlen") + 1)
     # backpointer walk: pos starts at wlen; each step consumes the
     # chosen piece (j >= 1 on any reached chain), so wlen iterations
@@ -502,6 +513,7 @@ def viterbi_segment(
     reached = last["ok"] == 1
     return with_dp.select(
         "word",
+        *passthrough,
         F.when(reached, F.size(walk["parts"])).alias("n_vit"),
         F.when(reached, last["sc"]).alias("logprob"),
         F.when(reached, walk["parts"]).alias("parts"),
@@ -551,8 +563,8 @@ def unigram_em_fit(
     Precondition: lp values ride decimal(18,6) (exact additions), so
     the learned table is bit-reproducible across engines — the same
     contract as viterbi_piece_table."""
+    spark = words_occ.sparkSession
     words_occ = words_occ.localCheckpoint()
-    words = words_occ.select("word")
     lens = F.array(*[F.lit(n) for n in range(1, lmax + 1)])
     # seed counts carry w_occ through the explode instead of joining it
     # back on `word` afterwards — one shuffle, no join (guide §2.4)
@@ -572,14 +584,23 @@ def unigram_em_fit(
         .orderBy(F.desc("cnt"), "piece")
         .limit(top_m)
     )
-    chars = (
-        words.select(F.explode(F.split("word", "")).alias("piece")).distinct()
-    )
-    counts = seed_cnt.join(chars, "piece", "left_semi").unionByName(seed_multi)
+    # the corpus' single chars ARE the seed pieces of length 1 (every
+    # char of every word occurs as a plen=1 substring), so the old
+    # separate chars explode+distinct+semi-join is one filter
+    counts = seed_cnt.filter(F.length("piece") == 1).unionByName(seed_multi)
 
-    def _with_lp(counts_df: DataFrame) -> DataFrame:
+    def _with_lp(counts_df: DataFrame):
+        """Model-sized counts (chars + ≤ top_m pieces by invariant) →
+        the (piece, plen, cnt, lp) table as a LITERAL frame: one
+        collect per call (the _vocab_lp_map bounded-collect pattern)
+        with lp still computed by the SAME Spark expression chain as
+        before (log/round/cast run in the JVM — driver-side math.log
+        could differ in the last ULP). A literal vocab makes every
+        downstream consumer free: the previous shape localCheckpoint'd
+        each iteration's vocab (a job) and then re-executed or
+        re-scanned it per consumer."""
         tot = counts_df.agg(F.sum("cnt").alias("total"))
-        return (
+        rows = (
             counts_df.crossJoin(F.broadcast(tot))
             .select(
                 "piece",
@@ -591,25 +612,36 @@ def unigram_em_fit(
                 .cast("decimal(18,6)")
                 .alias("lp"),
             )
-            .localCheckpoint()
+            .collect()
         )
+        return spark.createDataFrame(
+            rows, "piece string, plen int, cnt bigint, lp decimal(18,6)"
+        ), rows
 
-    vocab = _with_lp(counts)
+    vocab, vrows = _with_lp(counts)
+    chars = sorted(r["piece"] for r in vrows if r["plen"] == 1)
     for _ in range(n_iters):
-        seg = viterbi_segment(words, vocab, lmax)
-        usage = (
-            seg.join(words_occ, "word")
-            .select(F.explode("parts").alias("piece"), "w_occ")
+        # E-step: pure map stage over the histogram (w_occ rides along)
+        seg = viterbi_segment(
+            words_occ, vocab, lmax, passthrough=("w_occ",)
+        )
+        # M-step usage: ONE distributed job — output is piece-sized
+        # (⊆ current vocab), so it collects under the same bound
+        used = {
+            r["piece"]: r["used"]
+            for r in seg.select(
+                F.explode("parts").alias("piece"), "w_occ"
+            )
             .groupBy("piece")
             .agg(F.sum("w_occ").alias("used"))
+            .collect()
+        }
+        next_counts = [(c, int(used.get(c, 0)) + 1) for c in chars] + [
+            (p, int(u) + 1) for p, u in sorted(used.items()) if len(p) > 1
+        ]
+        vocab, vrows = _with_lp(
+            spark.createDataFrame(next_counts, "piece string, cnt bigint")
         )
-        kept_multi = usage.filter(F.length("piece") > 1).select(
-            "piece", (F.col("used") + 1).alias("cnt")
-        )
-        char_counts = chars.join(usage, "piece", "left").select(
-            "piece", (F.coalesce(F.col("used"), F.lit(0)) + 1).alias("cnt")
-        )
-        vocab = _with_lp(char_counts.unionByName(kept_multi))
     return vocab
 
 

@@ -4740,6 +4740,8 @@ def q_wordpiece_greedy_encode(spark, sf_dir):
     syms = bpe.bpe_symbols(words, merges)
     encoded = words.select("word", syms.alias("syms")).localCheckpoint()
     n_bpe = encoded.select("word", F.size("syms").alias("n_bpe"))
+    # consumed exactly once (greedy_piece_counts' model-sized vocab
+    # collect) — a checkpoint here was one extra barrier job
     vocab = (
         encoded.select(F.explode("syms").alias("piece"))
         .unionByName(
@@ -4747,7 +4749,7 @@ def q_wordpiece_greedy_encode(spark, sf_dir):
         )
         .distinct()
         .select("piece", F.length("piece").alias("plen"))
-    ).localCheckpoint()
+    )
     # max piece length is known driver-side from the merge table
     # (merged symbols are the only multi-char pieces) — no collect
     lmax = max([1] + [len(l + r) for l, r, _ in merges])
@@ -4917,18 +4919,16 @@ def q_unigram_viterbi_encode(spark, sf_dir):
         (F.coalesce(F.col("used"), F.lit(0)) + 1).alias("cnt"),
     )
     tot = counts.agg(F.sum("cnt").alias("total"))
-    vocab_lp = (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "piece",
-            F.length("piece").alias("plen"),
-            F.round(
-                F.log(F.col("cnt").cast("double") / F.col("total")), 6
-            )
-            .cast("decimal(18,6)")
-            .alias("lp"),
+    # consumed exactly once (viterbi_piece_table's model-sized vocab
+    # collect) — a checkpoint here was one extra barrier job
+    vocab_lp = counts.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.length("piece").alias("plen"),
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("total")), 6
         )
-        .localCheckpoint()
+        .cast("decimal(18,6)")
+        .alias("lp"),
     )
     lmax = max([1] + [len(l + r) for l, r, _ in merges])
     vit = bpe.viterbi_piece_table(words, vocab_lp, lmax)

@@ -1775,15 +1775,15 @@ def q_pq_trained_recall(spark, sf_dir):
         corpus, PQ_M, _PQ_DSUB, PQ_KS, PQ_TRAIN_INIT_STRIDE,
         iters=PQ_TRAIN_ITERS, train_stride=PQ_TRAIN_SAMPLE_STRIDE,
     )
-    # the exact baseline joins BOTH arms; without a checkpoint each arm
-    # replays the full brute-force corpus pass (no ReusedExchange fires
-    # across the arm plans — verified in plans/r10). The frame is
-    # K·N_QUERIES rows, so the checkpoint is model-sized (guide §2.4).
-    exact = (
-        q_cosine_topk(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint()
-    )
+    # NOTE (r10 optimization round, measured): checkpointing this
+    # shared exact baseline LOOKS right (each arm join replays the
+    # brute-force pass; no ReusedExchange fires) but solo-floored 24%
+    # SLOWER (5.9 -> 7.3 s): on an otherwise idle local[32] the
+    # duplicate subtrees run as concurrent stages of one job, while
+    # the eager checkpoint is a serializing barrier. Same conclusion
+    # as the r5 ann_recall_report union-rewrite measurement. Kept as
+    # concurrent duplicates deliberately.
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     total = K * N_QUERIES
     arms = (
         ("pq_lloyd", dict(codebook=cb)),
@@ -1952,13 +1952,10 @@ _IVFRES_ITERS = 10   # Lloyd steps — residuals have no natural seed
 def q_ivfpq_residual_recall(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings", spread=True)
     queries = _query_frame(emb, None)
-    # three arms join the exact baseline — checkpoint it once (the
-    # q_pq_trained_recall rationale; saves two brute-force passes)
-    exact = (
-        q_cosine_topk(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint()
-    )
+    # exact baseline deliberately NOT checkpointed — see the
+    # q_pq_trained_recall measurement note (duplicate subtrees run as
+    # concurrent stages; a checkpoint barrier measured slower)
+    exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     total = K * N_QUERIES
     arms = (
         (
@@ -2263,12 +2260,10 @@ def q_pq_recall_report(spark, sf_dir, query_ids=None):
     (PQ, IVF-PQ) against the exact baseline — the ann_recall_report
     pattern extended to the r6 additions, so one driver hash certifies
     retrievers AND eval. Joins run on (queries × K)-sized frames."""
-    # both arms join the exact baseline — checkpoint it once (the
-    # q_pq_trained_recall rationale)
-    exact = (
-        q_cosine_topk(spark, sf_dir, query_ids)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint()
+    # exact baseline deliberately NOT checkpointed — see the
+    # q_pq_trained_recall measurement note
+    exact = q_cosine_topk(spark, sf_dir, query_ids).select(
+        "query_id", "neighbor_id"
     )
     total = K * (N_QUERIES if query_ids is None else len(query_ids))
     parts = []
