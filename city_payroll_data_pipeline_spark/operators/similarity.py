@@ -555,15 +555,19 @@ def pq_codebook_trained(
             diff = train[:, m, None, :] - cb[m][None, :, :]
             d2 = np.einsum("nkd,nkd->nk", diff, diff)  # exact int64
             codes = d2.argmin(axis=1)  # ties -> smallest cw
-            for c in np.unique(codes):
-                grp = train[codes == c, m, :]
-                # floor of the exact mean: int64 sum is exact and
-                # < 2^53, so the double division + floor is the same
-                # IEEE op chain Spark/DuckDB would run
-                cb[m, c, :] = np.floor(
-                    grp.sum(axis=0, dtype=np.int64).astype(np.float64)
-                    / len(grp)
-                ).astype(np.int64)
+            # vectorized per-cluster sums/counts (np.add.at) — the
+            # previous per-unique-code Python loop was ~half the
+            # training wall time at 10 iters × 32 subspaces; floor of
+            # the exact mean is unchanged: int64 sums are exact and
+            # < 2^53, so the double division + floor is the same IEEE
+            # op chain Spark/DuckDB would run
+            sums = np.zeros((k_codes, d_sub), dtype=np.int64)
+            np.add.at(sums, codes, train[:, m, :])
+            cnts = np.bincount(codes, minlength=k_codes)
+            occ = cnts > 0
+            cb[m, occ, :] = np.floor(
+                sums[occ].astype(np.float64) / cnts[occ, None]
+            ).astype(np.int64)
     out = [
         (m, c, [int(x) for x in cb[m, c, :]])
         for m in range(m_sub)
