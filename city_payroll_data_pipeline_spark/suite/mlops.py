@@ -2264,12 +2264,23 @@ def q_lpa_modularity(spark, sf_dir):
     labels = labels.localCheckpoint()  # |nodes|-row label frame, used twice
     lsrc = labels.select(F.col("node").alias("src"), F.col("lbl").alias("c_src"))
     ldst = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("c_dst"))
-    tagged = edges.join(lsrc, "src").join(ldst, "dst")
+    # aggregate the src-label join down to (dst, c_src) vote rows BEFORE
+    # attaching the dst label: the second join then reads the aggregated
+    # frame (≤ |edges| rows, usually far fewer) instead of re-shuffling
+    # the full edge frame a second time (guide §2.3 — aggregate before
+    # you shuffle). Bigint sums regroup exactly: Σ over (dst, c_src)
+    # partial sums ≡ Σ over raw tagged edges.
+    votes = (
+        edges.join(lsrc, "src")
+        .groupBy("dst", "c_src")
+        .agg(F.sum("w").alias("vw"))
+    )
+    tagged = votes.join(ldst, "dst")
     # _lpa_edges is symmetric by construction, so Σw = 2m exactly and
     # every intra-community edge is counted once per direction
     per_c = tagged.groupBy(F.col("c_dst").alias("community")).agg(
-        F.sum("w").alias("deg_c"),
-        F.sum(F.when(F.col("c_src") == F.col("c_dst"), F.col("w")).otherwise(0)).alias("in_c"),
+        F.sum("vw").alias("deg_c"),
+        F.sum(F.when(F.col("c_src") == F.col("c_dst"), F.col("vw")).otherwise(0)).alias("in_c"),
     )
     m2 = per_c.agg(F.sum("deg_c").alias("m2"))  # = 2m
     terms = per_c.join(F.broadcast(m2)).select(
