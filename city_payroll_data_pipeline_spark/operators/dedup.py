@@ -642,6 +642,16 @@ def connected_components(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("component").alias("neigh_min"))
         )
+        # LAZY checkpoint (VERDICT r10 item 3 — fuse the convergence
+        # count into the round's materialization): the count_if action
+        # below is the job that computes the round's update, and a
+        # lazily-marked local checkpoint stores the partitions as that
+        # same job computes them — one job per round instead of an
+        # eager-checkpoint job followed by a count job re-scanning the
+        # stored frame. Lineage truncation is identical (the returned
+        # frame is backed by the stored RDD either way), and every
+        # round IS materialized: the convergence probe runs
+        # unconditionally.
         upd = (
             labels.join(neigh, "doc_id", "left")
             .select(
@@ -654,7 +664,7 @@ def connected_components(
                     F.col("neigh_min") < F.col("component"), F.lit(False)
                 ).alias("_changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         labels = upd.drop("_changed")
         if upd.agg(F.count_if("_changed")).collect()[0][0] == 0:
@@ -717,11 +727,22 @@ def connected_components_star(
     )
     converged = False
     for _ in range(max_iters):
-        nxt = _small_star(_large_star(e)).localCheckpoint()
-        if (
-            nxt.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(nxt).limit(1).count() == 0
-        ):
+        # LAZY checkpoint + ONE-job fixpoint probe (VERDICT r10 item 3
+        # applied to the star engine): both edge sets are DISTINCT by
+        # construction, so set equality ⟺ the tagged union has no
+        # (u, v) whose +1/−1 tags don't cancel — one shuffle, one job,
+        # and that job doubles as the materialization of the lazily
+        # checkpointed round (was: an eager checkpoint job plus TWO
+        # exceptAll probe jobs, each its own shuffle).
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        sym_diff = (
+            nxt.select("u", "v", F.lit(1).alias("_t"))
+            .unionAll(e.select("u", "v", F.lit(-1).alias("_t")))
+            .groupBy("u", "v")
+            .agg(F.sum("_t").alias("_t"))
+            .filter(F.col("_t") != 0)
+        )
+        if sym_diff.limit(1).count() == 0:
             e = nxt
             converged = True
             break

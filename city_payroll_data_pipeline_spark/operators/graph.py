@@ -32,6 +32,28 @@ from pyspark.sql import functions as F
 SCALE = 10**9  # rank fixed-point scale: 1e-9 resolution
 
 
+def _collect_bounded_edges(
+    edges: DataFrame, collect_bound: int, op: str
+) -> list:
+    """Fail-fast bounded collect for the driver fixed-point fast path:
+    ``limit(bound + 1)`` caps driver traffic BEFORE the collect (a bare
+    ``collect()`` of a mistakenly corpus-sized frame would OOM the
+    driver before any row-count check could run — the ADVICE r10
+    bt_mm_scaled concern, enforced here rather than assumed)."""
+    rows = edges.select("src", "dst", "weight").limit(
+        collect_bound + 1
+    ).collect()
+    if len(rows) > collect_bound:
+        raise ValueError(
+            f"{op}: edge frame exceeds collect_bound={collect_bound} "
+            "rows — the driver fixed-point fast path is only for edge "
+            "lists bounded by construction (e.g. an entity-level graph "
+            "aggregated from the fact table); call without "
+            "collect_bound to run distributed"
+        )
+    return rows
+
+
 def pagerank_scaled(
     edges: DataFrame,
     damping_num: int = 85,
@@ -39,6 +61,7 @@ def pagerank_scaled(
     iters: int = 8,
     checkpoint_every: int = 4,
     teleport_node=None,
+    collect_bound: int | None = None,
 ) -> DataFrame:
     """Exact integer-scaled PageRank over ``edges(src, dst, weight)``.
 
@@ -64,7 +87,30 @@ def pagerank_scaled(
     instead of uniformly to all, ranking nodes by proximity to the
     seed (related-entity ranking). rank_0 is likewise concentrated
     on the seed.
+
+    ``collect_bound``: driver fixed-point fast path for edge lists the
+    CALLER knows are bounded by construction (the bt_mm_scaled /
+    pq_codebook_trained precedent — e.g. the trade queries aggregate
+    the 100 TB fact down to ≤ |nations|² rows BEFORE any iteration
+    starts, and that aggregation stays fully distributed). The bounded
+    frame is collected once (fail-fast above the bound, enforced via
+    limit before the collect) and the ``iters`` rounds run as exact
+    Python integer arithmetic — bit-identical to the distributed
+    update in the operator's supported domain, since every step is
+    integer multiply / truncating div / integer sum on non-negative
+    operands (Python ``//`` == Spark ``div``), certified by
+    tests/test_properties.py's cross-path equality sweep. This removes
+    ~iters × (join + aggregate + checkpoint) driver-synchronized jobs
+    whose data-parallel work is a few hundred rows — pure scheduling
+    latency. Web-scale graphs (1e8 nodes) must keep the default
+    distributed path: collecting them is the §5 driver-OOM
+    anti-pattern.
     """
+    if collect_bound is not None:
+        return _pagerank_collected(
+            edges, damping_num, damping_den, iters, teleport_node,
+            collect_bound,
+        )
     # Materialize the edge list once before anything else: node
     # universe, out-weights, and the dangling probe all re-derive from
     # it, and without this the (possibly expensive) upstream plan that
@@ -174,6 +220,133 @@ def pagerank_scaled(
     return ranks
 
 
+def _pagerank_collected(
+    edges: DataFrame,
+    damping_num: int,
+    damping_den: int,
+    iters: int,
+    teleport_node,
+    collect_bound: int,
+) -> DataFrame:
+    """Driver fixed point over the collected bounded edge list —
+    term-for-term the same exact integer recurrence as the distributed
+    loop (Python ``//`` == Spark ``div`` on the non-negative operands
+    every term is; Python ints are unbounded, so they agree wherever
+    the bigint path is in-domain). Returns a literal (node,
+    rank_scaled) frame typed from the edge schema."""
+    from pyspark.sql import types as T
+
+    rows = _collect_bounded_edges(edges, collect_bound, "pagerank_scaled")
+    nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    n_nodes = len(nodes)
+    if n_nodes == 0:
+        raise ValueError("pagerank_scaled: edge list is empty (no nodes)")
+    out_w: dict = {}
+    for r in rows:
+        out_w[r["src"]] = out_w.get(r["src"], 0) + r["weight"]
+
+    if teleport_node is None:
+        base = {
+            v: (damping_den - damping_num) * SCALE // damping_den // n_nodes
+            for v in nodes
+        }
+        ranks = {v: SCALE // n_nodes for v in nodes}
+    else:
+        seed_base = (damping_den - damping_num) * SCALE // damping_den
+        base = {v: (seed_base if v == teleport_node else 0) for v in nodes}
+        ranks = {v: (SCALE if v == teleport_node else 0) for v in nodes}
+
+    dangling_nodes = [v for v in nodes if v not in out_w]
+    for _ in range(iters):
+        contrib = {}
+        for r in rows:
+            c = ranks[r["src"]] * r["weight"] // out_w[r["src"]]
+            contrib[r["dst"]] = contrib.get(r["dst"], 0) + c
+        if dangling_nodes:
+            dangling = sum(ranks[v] for v in dangling_nodes)
+            if teleport_node is None:
+                share = {
+                    v: damping_num * dangling // (damping_den * n_nodes)
+                    for v in nodes
+                }
+            else:
+                share = {
+                    v: (
+                        damping_num * dangling // damping_den
+                        if v == teleport_node
+                        else 0
+                    )
+                    for v in nodes
+                }
+        else:
+            share = {v: 0 for v in nodes}
+        ranks = {
+            v: base[v]
+            + damping_num * contrib.get(v, 0) // damping_den
+            + share[v]
+            for v in nodes
+        }
+
+    schema = T.StructType(
+        [
+            T.StructField("node", edges.schema["src"].dataType),
+            T.StructField("rank_scaled", T.LongType()),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(
+        [(v, int(ranks[v])) for v in nodes], schema
+    )
+
+
+def _hits_collected(
+    edges: DataFrame, iters: int, collect_bound: int
+) -> DataFrame:
+    """Driver fixed point for :func:`hits_scaled` over the collected
+    bounded edge list — the same exact integer half-steps (unbounded
+    Python ints stand in for the DECIMAL(38,0) raw sums, identical
+    wherever those are in-domain; normalization is the same
+    ``raw * SCALE // total`` truncating div on non-negatives)."""
+    from pyspark.sql import types as T
+
+    rows = _collect_bounded_edges(edges, collect_bound, "hits_scaled")
+    nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    n_nodes = len(nodes)
+    if n_nodes == 0:
+        raise ValueError("hits_scaled: edge list is empty (no nodes)")
+
+    def normalize(raw: dict) -> dict:
+        total = sum(raw.values())
+        if total == 0:
+            # the distributed path would emit NULL scores here (div by
+            # zero); unreachable for a non-empty positive-weight graph
+            # under the bound (hub init >= 1), so fail loudly instead
+            raise ValueError("hits_scaled: zero normalization total")
+        return {v: raw[v] * SCALE // total for v in nodes}
+
+    hubs = {v: SCALE // n_nodes for v in nodes}
+    auths: dict = {}
+    for _ in range(iters):
+        a_raw = {v: 0 for v in nodes}
+        for r in rows:
+            a_raw[r["dst"]] += hubs[r["src"]] * r["weight"]
+        auths = normalize(a_raw)
+        h_raw = {v: 0 for v in nodes}
+        for r in rows:
+            h_raw[r["src"]] += auths[r["dst"]] * r["weight"]
+        hubs = normalize(h_raw)
+
+    schema = T.StructType(
+        [
+            T.StructField("node", edges.schema["src"].dataType),
+            T.StructField("hub_scaled", T.LongType()),
+            T.StructField("auth_scaled", T.LongType()),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(
+        [(v, int(hubs[v]), int(auths[v])) for v in nodes], schema
+    )
+
+
 def _sum_normalize(scores: DataFrame, raw: str, out: str) -> DataFrame:
     """Rescale an integer score column so it sums to SCALE:
     ``out = (raw * SCALE) div total``, all operands exact
@@ -187,7 +360,9 @@ def _sum_normalize(scores: DataFrame, raw: str, out: str) -> DataFrame:
     )
 
 
-def hits_scaled(edges: DataFrame, iters: int = 6) -> DataFrame:
+def hits_scaled(
+    edges: DataFrame, iters: int = 6, collect_bound: int | None = None
+) -> DataFrame:
     """Exact integer-scaled HITS (Kleinberg 1999) over
     ``edges(src, dst, weight)`` — the hub/authority twin of
     :func:`pagerank_scaled`, same determinism contract.
@@ -214,6 +389,11 @@ def hits_scaled(edges: DataFrame, iters: int = 6) -> DataFrame:
     """
     if iters < 1:
         raise ValueError(f"hits_scaled: iters must be >= 1, got {iters}")
+    if collect_bound is not None:
+        # driver fixed point for caller-certified bounded edge lists —
+        # see pagerank_scaled's collect_bound docstring (same contract,
+        # same fail-fast guard, same cross-path equality certificate)
+        return _hits_collected(edges, iters, collect_bound)
     edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))

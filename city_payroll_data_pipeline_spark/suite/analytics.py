@@ -71,9 +71,20 @@ def _trade_edges(spark, sf_dir):
     return edges, nation
 
 
+# driver fixed-point bound for the nation-level graphs: the edge frame
+# is ≤ |nations|² BY CONSTRUCTION (the fact join aggregates to
+# (c_nationkey, s_nationkey) before any iteration starts, and THAT part
+# stays distributed); 10_000 is ~16× the 25-nation worst case and still
+# trivially driver-safe. The guard in operators/graph.py fails fast if
+# a caller ever feeds an unaggregated frame.
+_NATION_GRAPH_BOUND = 10_000
+
+
 def q_trade_pagerank(spark, sf_dir):
     edges, nation = _trade_edges(spark, sf_dir)
-    ranks = pagerank_scaled(edges, iters=_PR_ITERS)
+    ranks = pagerank_scaled(
+        edges, iters=_PR_ITERS, collect_bound=_NATION_GRAPH_BOUND
+    )
     return (
         ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
         .select(
@@ -154,7 +165,10 @@ _PPR_SEED = 0  # n_nationkey of the seed
 
 def q_nation_ppr(spark, sf_dir):
     edges, nation = _trade_edges(spark, sf_dir)
-    ranks = pagerank_scaled(edges, iters=_PR_ITERS, teleport_node=_PPR_SEED)
+    ranks = pagerank_scaled(
+        edges, iters=_PR_ITERS, teleport_node=_PPR_SEED,
+        collect_bound=_NATION_GRAPH_BOUND,
+    )
     return (
         ranks.join(F.broadcast(nation), ranks.node == nation.n_nationkey)
         .select(
@@ -245,7 +259,9 @@ _HITS_ITERS = 6
 
 def q_hits_scores(spark, sf_dir):
     edges, nation = _trade_edges(spark, sf_dir)
-    scores = hits_scaled(edges, iters=_HITS_ITERS)
+    scores = hits_scaled(
+        edges, iters=_HITS_ITERS, collect_bound=_NATION_GRAPH_BOUND
+    )
     return (
         scores.join(F.broadcast(nation), scores.node == nation.n_nationkey)
         .select(
@@ -1208,20 +1224,31 @@ def q_k_core_decay(spark, sf_dir):
             .agg(F.count("*").alias("d"))
         )
         keep = deg.where(F.col("d") >= k).select("node")
+        # LAZY checkpoint + ONE fused stats job per round (VERDICT r10
+        # item 3's cadence fix applied here): the exploded-endpoint
+        # aggregate below materializes the lazily checkpointed round
+        # AND reads off both certificates in the same job — each edge
+        # row contributes exactly 2 endpoint rows, so
+        # edges_left = count/2 exactly, and nodes_left is the exact
+        # distinct-endpoint count (was: an eager checkpoint job, a
+        # count job, and a distinct-count job — 3 jobs per round).
         cur = (
             cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        edges_left = cur.count()
-        nodes_left = (
-            cur.select(F.col("u").alias("node"))
-            .unionAll(cur.select(F.col("v").alias("node")))
-            .distinct()
-            .count()
+        stats = (
+            cur.select(F.explode(F.array("u", "v")).alias("node"))
+            .agg(
+                # integer div: exact at any scale (a double /2 would
+                # round past 2^53 endpoint rows)
+                F.expr("count(*) div 2").alias("edges_left"),
+                F.countDistinct("node").alias("nodes_left"),
+            )
+            .collect()[0]
         )
-        rows.append((rnd, k, nodes_left, int(edges_left)))
+        rows.append((rnd, k, stats["nodes_left"], int(stats["edges_left"])))
     return spark.createDataFrame(
         rows, "round int, k int, nodes_left bigint, edges_left bigint"
     )

@@ -11,6 +11,7 @@ before the final (Spark-semantics) rounding.
 from __future__ import annotations
 
 import hashlib
+import threading
 
 from pyspark.sql import functions as F
 
@@ -858,6 +859,7 @@ FROM scored2 WHERE cosine >= 0.999
 
 
 _KMEANS_CACHE: dict = {}
+_KMEANS_LOCK = threading.Lock()
 
 
 # --------------------------------------------------------------------------
@@ -908,18 +910,24 @@ def kmeans_cached(spark, sf_dir):
     from city_payroll_data_pipeline_spark.operators.clustering import kmeans
 
     key = (id(spark), sf_dir)
-    if key not in _KMEANS_CACHE:
-        # FIFO-bounded: a long-lived session sweeping many scale
-        # factors must not pin one checkpointed assignments frame per
-        # sf_dir forever (evicted entries' checkpoint blocks are
-        # GC-cleaned once unreferenced)
-        while len(_KMEANS_CACHE) >= 4:
-            _KMEANS_CACHE.pop(next(iter(_KMEANS_CACHE)))
-        emb = table(spark, sf_dir, "embeddings", spread=True)
-        _KMEANS_CACHE[key] = kmeans(
-            emb, "vec_id", "embedding", k=KMEANS_K, max_iter=_KMEANS_MAX_ITER
-        )
-    return _KMEANS_CACHE[key]
+    # serialized: concurrent builders (the test harness pools
+    # independent queries on one session) must not both miss and fit —
+    # the fit is deterministic so a duplicate would be harmless but
+    # wastes the exact work this cache exists to save
+    with _KMEANS_LOCK:
+        if key not in _KMEANS_CACHE:
+            # FIFO-bounded: a long-lived session sweeping many scale
+            # factors must not pin one checkpointed assignments frame
+            # per sf_dir forever (evicted entries' checkpoint blocks
+            # are GC-cleaned once unreferenced)
+            while len(_KMEANS_CACHE) >= 4:
+                _KMEANS_CACHE.pop(next(iter(_KMEANS_CACHE)))
+            emb = table(spark, sf_dir, "embeddings", spread=True)
+            _KMEANS_CACHE[key] = kmeans(
+                emb, "vec_id", "embedding", k=KMEANS_K,
+                max_iter=_KMEANS_MAX_ITER,
+            )
+        return _KMEANS_CACHE[key]
 
 
 def _kmeans_dist_sql(e: str, c: str) -> str:

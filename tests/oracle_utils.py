@@ -8,8 +8,60 @@ DuckDB agree bit-for-bit; any drift is a bug to fix, not to tolerate.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import numpy as np
 import pandas as pd
+
+
+def pooled_spark_frames(
+    suite, spark, sf_dir: str, names, max_workers: int = 8
+) -> dict:
+    """Compute every named query's Spark result concurrently and return
+    ``{name: (pandas_df | None, exception | None)}``.
+
+    Spark's scheduler happily runs independent jobs at once (guide
+    §2.6): actions are only sequential because driver code calls them
+    sequentially. The 300+ per-query oracle sweeps were wall-time-bound
+    on exactly that serialization — each query is ~1 s of driver-side
+    analysis + a few tiny stages at test scale, so 8 in flight overlap
+    almost perfectly. Assertions stay in the individual tests (same
+    test ids, same failure attribution); only the Spark compute is
+    hoisted. Exceptions are captured per query and re-raised by the
+    owning test so ``-x`` semantics and failure messages are unchanged.
+
+    DuckDB oracle execution is deliberately NOT pooled: a DuckDB
+    connection is not safe for concurrent cursor use, and the oracle
+    side is a negligible share of the wall time.
+    """
+    def run(name):
+        try:
+            return name, suite[name].spark(spark, sf_dir).toPandas(), None
+        except Exception as exc:  # noqa: BLE001 - re-raised in the test
+            return name, None, exc
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return {name: (df, exc) for name, df, exc in pool.map(run, names)}
+
+
+def selected_param_names(request, test_func_name: str, fallback) -> list:
+    """The ``name`` params of the collected (i.e. selected) tests for
+    one parametrized test function — so a targeted run (``-k``, a
+    single test id, a bisect) precomputes only the queries it will
+    actually assert on, while a full run still precomputes everything.
+    Falls back to ``fallback`` if collection introspection ever comes
+    back empty (never the case under normal pytest, but a silent
+    no-op fixture would fail every test with a confusing KeyError)."""
+    names = sorted(
+        {
+            item.callspec.params["name"]
+            for item in request.session.items
+            if getattr(item, "originalname", item.name) == test_func_name
+            and getattr(item, "callspec", None) is not None
+            and "name" in item.callspec.params
+        }
+    )
+    return names or sorted(fallback)
 
 
 def _norm_cell(v):

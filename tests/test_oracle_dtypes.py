@@ -14,7 +14,11 @@ import duckdb
 import pytest
 
 from tests.conftest import SF_SMOKE, TABLES
-from tests.oracle_utils import assert_dtype_kinds_match
+from tests.oracle_utils import (
+    assert_dtype_kinds_match,
+    pooled_spark_frames,
+    selected_param_names,
+)
 
 
 def _suite():
@@ -35,11 +39,31 @@ def duck_smoke():
     con.close()
 
 
+@pytest.fixture(scope="module")
+def dtype_frames(request, spark):
+    """The selected oracled queries' Spark results at sf0.001, computed
+    concurrently on the shared session (same rationale and helper as
+    test_oracle_parity.parity_frames — the serial sweep was the other
+    half of the pytest wall-time that outgrew the driver's budget)."""
+    suite = _suite()
+    oracled = [n for n in sorted(suite) if suite[n].oracle is not None]
+    names = [
+        n
+        for n in selected_param_names(
+            request, "test_dtype_kinds_match_oracle", oracled
+        )
+        if suite[n].oracle is not None
+    ]
+    return pooled_spark_frames(suite, spark, SF_SMOKE, names)
+
+
 @pytest.mark.parametrize("name", sorted(_suite().keys()))
-def test_dtype_kinds_match_oracle(name, spark, duck_smoke):
+def test_dtype_kinds_match_oracle(name, spark, duck_smoke, dtype_frames):
     q = _suite()[name]
     if q.oracle is None:
         pytest.skip("no oracle (rows-only driver check)")
-    sdf = q.spark(spark, SF_SMOKE).toPandas()
+    sdf, exc = dtype_frames[name]
+    if exc is not None:
+        raise exc
     odf = duck_smoke.execute(q.oracle).fetchdf()
     assert_dtype_kinds_match(sdf, odf, name)

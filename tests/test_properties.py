@@ -878,6 +878,68 @@ def test_hits_scaled_matches_python_reference(spark, raw_edges):
         for r in hits_scaled(edges, iters=iters).collect()
     }
     assert got == {v: (hub[v], auth[v]) for v in nodes}
+    # collect_bound fast path (r11): the driver fixed point must be
+    # BIT-IDENTICAL to the distributed loop on the same graph — this is
+    # the equality certificate the trade-graph queries rely on
+    got_fast = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits_scaled(edges, iters=iters, collect_bound=100).collect()
+    }
+    assert got_fast == got
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([None, 0, 3]),
+)
+def test_pagerank_collected_matches_distributed(spark, raw_edges, seed):
+    """pagerank_scaled's collect_bound driver fixed point vs the
+    distributed loop on random small weighted digraphs (dangling nodes
+    and duplicate pairs included), uniform AND personalized teleport:
+    rank vectors must match bit-for-bit — the equality certificate for
+    the nation-graph queries' fast path. Also checks the fail-fast
+    guard: a bound smaller than the edge list must raise, never
+    silently truncate."""
+    import pytest as _pytest
+
+    from city_payroll_data_pipeline_spark.operators.graph import (
+        pagerank_scaled,
+    )
+
+    w = {}
+    for s, d, wt in raw_edges:
+        w[(s, d)] = w.get((s, d), 0) + wt
+    nodes = {s for s, _ in w} | {d for _, d in w}
+    teleport = min(nodes) if seed is not None else None
+    edges = spark.createDataFrame(
+        [(s, d, wt) for (s, d), wt in w.items()],
+        "src long, dst long, weight long",
+    )
+    slow = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_scaled(
+            edges, iters=4, teleport_node=teleport
+        ).collect()
+    }
+    fast = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_scaled(
+            edges, iters=4, teleport_node=teleport, collect_bound=100
+        ).collect()
+    }
+    assert fast == slow
+    if len(w) > 1:
+        with _pytest.raises(ValueError, match="collect_bound"):
+            pagerank_scaled(edges, iters=1, collect_bound=len(w) - 1)
 
 
 @settings(max_examples=10, deadline=None)

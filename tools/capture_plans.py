@@ -2,10 +2,18 @@
 """Capture .explain("formatted") output for named suite queries.
 
 Usage: python tools/capture_plans.py <suffix> <query> [<query> ...]
-Writes plans/r10/<query>_<suffix>.txt for each query. Building a query
-DataFrame may run its driver-side training collects (train_bpe,
-greedy_max_coverage); that is part of plan construction, not a timing
-measurement, so this tool is safe to run on a loaded host.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (round dir
+defaults to r11) for each query. Building a query DataFrame may run its
+driver-side training collects (train_bpe, greedy_max_coverage); that is
+part of plan construction, not a timing measurement, so this tool is
+safe to run on a loaded host.
+
+Comparability contract (VERDICT r10 item 8): every capture uses the
+same explain mode ("formatted"), the same fresh-session state (one
+SparkSession per invocation, default AQE config from get_spark), and
+captures the pre-execution plan (AdaptiveSparkPlan isFinalPlan=false) —
+so Exchange/Join node counts of a before/after pair grep comparably.
+Run one invocation per suffix; never mix suffixes in a session.
 """
 
 from __future__ import annotations
@@ -17,13 +25,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        sys.stderr.write(
+            "usage: python tools/capture_plans.py <suffix> <query> "
+            "[<query> ...]\n"
+        )
+        sys.exit(2)
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
