@@ -293,6 +293,8 @@ def ivf_topk(
     n_lists: int = 8,
     n_probe: int = 2,
     centroid_stride: int = 7,
+    cents: DataFrame | None = None,
+    corpus_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is assigned to
     ``n_lists`` coarse cells (nearest centroid by cosine); each query
@@ -308,10 +310,28 @@ def ivf_topk(
     against the corpus — a single pass; the probe join shuffles only
     (query, list) pairs. Versus LSH: IVF cells adapt to the data
     distribution and n_probe trades recall for cost query-side without
-    re-bucketing the corpus."""
-    corpus = with_quantized(df, id_col, vec_col)
-    cents = ivf_seed_centroids(corpus, n_lists, centroid_stride)
-    corpus_a = ivf_assign(corpus, cents, 1)
+    re-bucketing the corpus.
+
+    ``cents``/``corpus_assigned``: an externally built centroid frame
+    and its matching materialized ``ivf_assign(with_quantized(df),
+    cents, 1)`` frame (vec_id, q, n2, list_id). Multi-arm certificates
+    (ivfpq_residual_recall) share ONE quantize+assign pass across
+    retriever arms this way instead of re-deriving it per arm — at
+    corpus scale that is one pass instead of three (guide §2.4). Pass
+    both or neither; the assignment must have been made against these
+    exact cents or the probe semantics silently change."""
+    if corpus_assigned is not None:
+        if cents is None:
+            raise ValueError(
+                "ivf_topk: corpus_assigned requires the cents it was "
+                "assigned against"
+            )
+        corpus_a = corpus_assigned
+    else:
+        corpus = with_quantized(df, id_col, vec_col)
+        if cents is None:
+            cents = ivf_seed_centroids(corpus, n_lists, centroid_stride)
+        corpus_a = ivf_assign(corpus, cents, 1)
     qry = with_quantized(queries if queries is not None else df, id_col, vec_col)
     qry_a = ivf_assign(qry, cents, n_probe)
     joined = (
@@ -712,6 +732,8 @@ def ivfpq_topk(
     k_codes: int = 38,
     codebook_stride: int = 13,
     dim: int = 64,
+    cents: DataFrame | None = None,
+    corpus_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse cells prune the candidate set, PQ/ADC scores the
     survivors — the composition FAISS-style indexes run at extreme
@@ -728,11 +750,28 @@ def ivfpq_topk(
     from different seed vectors. The default k_codes=38 keeps the last
     codebook seed (13·37 = 481) inside even the smallest corpus (~500
     vectors) — pq_codebook raises on a corpus too small to seed every
-    codeword (ADVICE r6)."""
+    codeword (ADVICE r6).
+
+    ``cents``/``corpus_assigned``: share an externally materialized
+    quantize+assign pass across retriever arms — same contract as
+    ivf_topk (pass both or neither; the assigned frame doubles as the
+    quantized corpus, its rows are one-per-vector by n_best=1)."""
     d_sub = dim // m_sub
-    corpus = with_quantized(df, id_col, vec_col)
-    cents = ivf_seed_centroids(corpus, n_lists, centroid_stride)
-    corpus_cells = ivf_assign(corpus, cents, 1).select("vec_id", "list_id")
+    if corpus_assigned is not None:
+        if cents is None:
+            raise ValueError(
+                "ivfpq_topk: corpus_assigned requires the cents it was "
+                "assigned against"
+            )
+        corpus = corpus_assigned
+        corpus_cells = corpus_assigned.select("vec_id", "list_id")
+    else:
+        corpus = with_quantized(df, id_col, vec_col)
+        if cents is None:
+            cents = ivf_seed_centroids(corpus, n_lists, centroid_stride)
+        corpus_cells = ivf_assign(corpus, cents, 1).select(
+            "vec_id", "list_id"
+        )
     cb = pq_codebook(corpus, m_sub, d_sub, k_codes, codebook_stride)
     enc = pq_encode(corpus, cb, m_sub, d_sub).join(corpus_cells, "vec_id")
     qry = with_quantized(queries if queries is not None else df, id_col, vec_col)
@@ -777,6 +816,8 @@ def ivfpq_residual_topk(
     codebook_stride: int = 5,
     dim: int = 64,
     train_iters: int = 10,
+    cents: DataFrame | None = None,
+    corpus_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the textbook IVFADC (Jégou
     2011 §IV.B): codes quantize the residual ``x − c(x)`` relative to
@@ -797,12 +838,27 @@ def ivfpq_residual_topk(
     corpus; the query path touches only the probed cells' code rows.
     """
     d_sub = dim // m_sub
-    corpus = with_quantized(df, id_col, vec_col)
-    cents = ivf_seed_centroids(corpus, n_lists, centroid_stride)
-    corpus_cells = ivf_assign(corpus, cents, 1).select("vec_id", "list_id")
+    if corpus_assigned is not None:
+        # shared quantize+assign pass (see ivf_topk's contract): the
+        # assigned frame already carries (vec_id, q, n2, list_id), so
+        # the residual needs only the centroid-subtraction broadcast
+        # join — no corpus⋈cells rejoin
+        if cents is None:
+            raise ValueError(
+                "ivfpq_residual_topk: corpus_assigned requires the "
+                "cents it was assigned against"
+            )
+        assigned = corpus_assigned
+    else:
+        corpus = with_quantized(df, id_col, vec_col)
+        if cents is None:
+            cents = ivf_seed_centroids(corpus, n_lists, centroid_stride)
+        assigned = corpus.join(
+            ivf_assign(corpus, cents, 1).select("vec_id", "list_id"),
+            "vec_id",
+        )
     res = (
-        corpus.join(corpus_cells, "vec_id")
-        .join(
+        assigned.join(
             F.broadcast(cents.select("list_id", F.col("cq").alias("cvec"))),
             "list_id",
         )

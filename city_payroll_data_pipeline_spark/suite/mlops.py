@@ -211,11 +211,23 @@ _LPA_KNN = 8
 
 
 def _lpa_top1(votes):
-    w_top = W.partitionBy("dst").orderBy(F.desc("vote"), F.asc("lbl"))
+    """Per-dst argmax vote: lexicographic struct-min of (−vote, lbl) ≡
+    the old row_number window over (vote DESC, lbl ASC) — same winner,
+    same smallest-label tie-break, but a map-side-combinable hash
+    aggregation instead of a full per-partition sort + window pass
+    (guide §2.3; the max_coverage_select struct-argmax precedent).
+    Labels are partkeys (numeric by construction) so the negation is
+    total; a string-labelled caller would need a different encoding."""
     return (
-        votes.withColumn("rn", F.row_number().over(w_top))
-        .where(F.col("rn") == 1)
-        .select(F.col("dst").alias("node"), "lbl")
+        votes.groupBy("dst")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("vote")).alias("nv"), F.col("lbl").alias("lbl")
+                )
+            ).alias("_m")
+        )
+        .select(F.col("dst").alias("node"), F.col("_m.lbl").alias("lbl"))
     )
 
 

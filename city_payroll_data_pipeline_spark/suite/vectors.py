@@ -1964,6 +1964,18 @@ def q_ivfpq_residual_recall(spark, sf_dir):
     # q_pq_trained_recall measurement note (duplicate subtrees run as
     # concurrent stages; a checkpoint barrier measured slower)
     exact = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # Shared arm derivation (VERDICT r10 item 2): all three arms probe
+    # the SAME coarse index, so quantize + seed centroids + nearest-cell
+    # assignment are derived ONCE and fed to each arm — at corpus scale
+    # this is one pass instead of three (guide §2.4). The checkpoint is
+    # LAZY, so it adds no build barrier: the residual arm's own eager
+    # res checkpoint is the first job that reads it and materializes it
+    # in place; the other two arms then read the stored frame.
+    corpus_q = sim.with_quantized(emb, "vec_id", "embedding")
+    cents = sim.ivf_seed_centroids(corpus_q, N_LISTS, CENTROID_STRIDE)
+    assigned = sim.ivf_assign(corpus_q, cents, 1).localCheckpoint(
+        eager=False
+    )
     total = K * N_QUERIES
     arms = (
         (
@@ -1972,11 +1984,22 @@ def q_ivfpq_residual_recall(spark, sf_dir):
                 emb, "vec_id", "embedding", queries,
                 k=K, n_lists=N_LISTS, n_probe=N_PROBE,
                 centroid_stride=CENTROID_STRIDE,
+                cents=cents, corpus_assigned=assigned,
             ),
         ),
         (
+            # q_ivfpq_ann_topk's exact parameterization (the benched
+            # incumbent), with the shared index frames swapped in —
+            # the codebook/encode/LUT shape and output are identical
             "ivfpq_raw",
-            lambda: q_ivfpq_ann_topk(spark, sf_dir),
+            lambda: sim.ivfpq_topk(
+                emb, "vec_id", "embedding", queries,
+                k=K, n_lists=N_LISTS, n_probe=N_PROBE,
+                centroid_stride=CENTROID_STRIDE,
+                m_sub=PQ_M, k_codes=_IVFPQ_KS,
+                codebook_stride=_IVFPQ_STRIDE, dim=DIM,
+                cents=cents, corpus_assigned=assigned,
+            ),
         ),
         (
             "ivfpq_residual",
@@ -1987,6 +2010,7 @@ def q_ivfpq_residual_recall(spark, sf_dir):
                 m_sub=PQ_M, k_codes=_IVFRES_KS,
                 codebook_stride=_IVFRES_STRIDE, dim=DIM,
                 train_iters=_IVFRES_ITERS,
+                cents=cents, corpus_assigned=assigned,
             ),
         ),
     )
