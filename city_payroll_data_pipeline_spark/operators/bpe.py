@@ -345,6 +345,13 @@ def viterbi_piece_table(
     )
 
 
+#: hard cap on the vocab-map literal (ADVICE r10): the suite's trained
+#: piece tables are a few hundred entries; 8192 leaves real headroom
+#: while still refusing the tens-of-thousands-piece vocabularies whose
+#: 2·|vocab|-child literal would strain Catalyst/codegen.
+_VOCAB_MAP_MAX = 8192
+
+
 def _vocab_lp_map(vocab_lp: DataFrame) -> Column:
     """The piece table as a piece → lp map LITERAL. The vocabulary is
     model-sized by construction (a trained tokenizer's piece table:
@@ -352,10 +359,29 @@ def _vocab_lp_map(vocab_lp: DataFrame) -> Column:
     pq_codebook_trained bounded-collect pattern — sample/model-sized
     driver traffic, never corpus-sized. lp values round-trip through
     their exact decimal(18,6) string, so the literal is bit-identical
-    to the joined column it replaces."""
-    rows = vocab_lp.select("piece", "lp").collect()
+    to the joined column it replaces.
+
+    Guards (ADVICE r10): the map literal has 2·|vocab| expression
+    children, which is fine for this engine's bounded piece budgets but
+    would strain Catalyst tree/codegen limits at real-tokenizer scale
+    (tens of thousands of pieces) — fail loudly there instead of
+    degrading, and a NULL lp (which str() would silently turn into a
+    'None' cast) is rejected the same way."""
+    rows = vocab_lp.select("piece", "lp").limit(_VOCAB_MAP_MAX + 1).collect()
+    if len(rows) > _VOCAB_MAP_MAX:
+        raise ValueError(
+            f"_vocab_lp_map: vocabulary exceeds {_VOCAB_MAP_MAX} pieces; "
+            "a map literal this large can blow Catalyst tree/codegen "
+            "limits — use the broadcast-join grid for vocabularies of "
+            "this size"
+        )
     kvs: list[Column] = []
     for r in rows:
+        if r["lp"] is None:
+            raise ValueError(
+                f"_vocab_lp_map: NULL lp for piece {r['piece']!r} — a "
+                "silent str(None) cast would poison every lookup"
+            )
         kvs.append(F.lit(r["piece"]))
         kvs.append(F.lit(str(r["lp"])).cast("decimal(18,6)"))
     if not kvs:

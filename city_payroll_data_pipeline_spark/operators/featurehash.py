@@ -99,7 +99,12 @@ def greedy_max_coverage(feats: DataFrame, k: int) -> list[tuple]:
     pick a small, feature-diverse document subset): ``feats`` is the
     DISTINCT (doc_id, bucket) hashed-feature incidence; each round
     selects the document covering the most not-yet-covered buckets
-    (ties → lowest doc_id) and marks its buckets covered. Returns
+    (ties → lowest doc_id) and marks its buckets covered. ``doc_id``
+    MUST be numeric (ADVICE r10): the lowest-id tie-break rides a
+    ``-doc_id`` struct-max field, so a string-keyed caller fails at
+    analysis time — map string ids to a dense numeric key first (the
+    previous orderBy form accepted any orderable type but paid a
+    per-round sort for it). Returns
     [(rank, doc_id, gain, covered_total)], stopping early when no
     document adds coverage.
 

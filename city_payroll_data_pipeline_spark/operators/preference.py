@@ -40,13 +40,24 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000
 
 
-def bt_mm_scaled(wins: DataFrame, iters: int = 6, scale: int = SCALE) -> DataFrame:
+def bt_mm_scaled(
+    wins: DataFrame,
+    iters: int = 6,
+    scale: int = SCALE,
+    collect_bound: int = 100_000,
+) -> DataFrame:
     """Fit Bradley–Terry strengths from an ordered wins matrix.
 
     ``wins``: (i, j, w) — i beat j exactly w ≥ 1 times (ordered pairs;
     absent pair = 0 wins). Returns one row per player appearing in any
     pair: (i, w_i, matches, p) with p the SCALE-fixed-point strength
     normalized to Σp = |players|·scale.
+
+    ``collect_bound``: fail-fast cap on the collected wins matrix
+    (ADVICE r10) — the |players|² contract is ENFORCED, not assumed: a
+    caller passing raw corpus-sized match rows gets a loud error
+    instead of a driver OOM, and the ``limit`` below caps driver
+    traffic before any check runs.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -63,14 +74,26 @@ def bt_mm_scaled(wins: DataFrame, iters: int = 6, scale: int = SCALE) -> DataFra
     # Arithmetic is exact integers; Python ``//`` and Spark ``div``
     # agree on non-negatives, so the fixed point is bit-identical.
     spark = wins.sparkSession
-    win_rows = wins.select("i", "j", "w").collect()
+    win_rows = wins.select("i", "j", "w").limit(collect_bound + 1).collect()
+    if len(win_rows) > collect_bound:
+        raise ValueError(
+            f"bt_mm_scaled: wins frame exceeds collect_bound="
+            f"{collect_bound} rows — callers must aggregate matches to "
+            "the |players|^2 wins matrix before calling (raise the "
+            "bound only for a genuinely larger player universe)"
+        )
     n_ij: dict[tuple, int] = {}
     w_tot: dict = {}
+    matches: dict = {}
     for r in win_rows:
         i, j, w = r["i"], r["j"], int(r["w"])
         n_ij[(i, j)] = n_ij.get((i, j), 0) + w
         n_ij[(j, i)] = n_ij.get((j, i), 0) + w
         w_tot[i] = w_tot.get(i, 0) + w
+    # per-player total match count in one pass over n_ij (ADVICE r10:
+    # the previous per-player scan of all pairs was O(|players|·|pairs|))
+    for (i, _j), nij in n_ij.items():
+        matches[i] = matches.get(i, 0) + nij
     players = sorted({i for i, _ in n_ij})
     p_cur = {i: S for i in players}
     for _ in range(iters):
@@ -84,7 +107,7 @@ def bt_mm_scaled(wins: DataFrame, iters: int = 6, scale: int = SCALE) -> DataFra
         (
             i,
             int(w_tot.get(i, 0)),
-            int(sum(nij for (a, _), nij in n_ij.items() if a == i)),
+            int(matches.get(i, 0)),
             int(p_cur[i]),
         )
         for i in players
