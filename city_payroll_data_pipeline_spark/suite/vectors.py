@@ -781,6 +781,20 @@ def q_semantic_dedup_pairs(spark, sf_dir):
         ),
     )
     right = assigned.withColumn("_j", blk)
+    # Pin the pair join's exchanges to the algorithm's own key count
+    # (r11 stage profile, plans/r11 + OPTIMIZATION_r11.md): the join's
+    # equi-keys (list_id, _j) fan the quadratic in-cell compare into
+    # n_cells·B natural work units, but the shuffle is only ~2 MB at
+    # sf0.1 and AQE's BYTE-based coalescing folded it to 2 tasks —
+    # re-serializing exactly the compute the r9 block-parallel rework
+    # exists to spread (compute here is quadratic per row; AQE cannot
+    # see that). An explicit repartition on the join keys is respected
+    # by AQE and reused by the join (no extra exchange); the count is
+    # the key-parallelism ceiling of this join — a property of the
+    # algorithm (cells × blocks), not of the local core count.
+    n_pair_parts = N_LISTS * _SD_BLOCKS
+    left = left.repartition(n_pair_parts, "list_id", "_j")
+    right = right.repartition(n_pair_parts, "list_id", "_j")
     a, b = left.alias("a"), right.alias("b")
     pairs = a.join(
         b,
