@@ -243,15 +243,43 @@ def _lpa_edges(spark, sf_dir):
     top-K drops (b,a)), which would silently break the Σw = 2m /
     intra-counted-both-ways premise Newman modularity needs.
     Returns a localCheckpoint'd frame (consumed once per LPA round)."""
-    li = (
+    # Pair generation without the per-order self-join (r11, guide
+    # §2.4): one groupBy(order) collect_set builds each order's sorted
+    # part basket (collect_set subsumes the old distinct — duplicate
+    # (order, part) rows collapse inside the set), and the unordered
+    # pairs explode MAP-SIDE from the sorted array (pa < pb by the
+    # sort; ≤ C(7,2) pairs per order by the basket bound, so the
+    # explode is bounded per row). Replaces distinct + self-join +
+    # groupBy (4 exchanges, one of them edge-sized twice) with
+    # groupBy(order) + groupBy(pair) (2 exchanges); w = number of
+    # orders containing both parts, exactly as the join computed.
+    baskets = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb"))
     und = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ps"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ps"),
+                                i + F.lit(2),
+                                F.size(F.col("ps")) - i - 1,
+                            ),
+                            lambda y: F.struct(
+                                x.alias("pa"), y.alias("pb")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("w"))
     )
